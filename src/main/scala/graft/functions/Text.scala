@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure Column expressions
+  * (higher-order array functions, no UDFs) so they stay codegen-friendly and
+  * distribute trivially — each document is scored independently on its
+  * partition.
+  */
+object Text {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: alphanumeric runs via regexp (regexp_count is
+    * codegen'd; cheaper than materializing the token array).
+    */
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit("[A-Za-z0-9]+"))
+
+  /** Distinct-token set (shingle size 1). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-grams as space-joined strings. Returns empty array when the
+    * document has fewer than n tokens.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n))))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isInCollection(stopwords))).cast("double") / size(t)
+  }
+
+  /** Mean token length (token chars only, separators excluded). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    (length(text) - (size(t) - 1)).cast("double") / size(t)
+  }
+
+  /** Heuristic quality bucket from length + stopword evidence — the shape of
+    * Gopher/C4-style quality rules (length bounds, stop-word presence).
+    */
+  def qualityBucket(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n < 5, "TOO_SHORT")
+      .when(n > 5000, "TOO_LONG")
+      .when(stopwordRatio(text) >= 0.05, "OK_FLUENT")
+      .otherwise("OK_TERSE")
+  }
+
+  /** N-gram-evidence language ID: scores each language by occurrences of its
+    * marker words and picks the argmax (deterministic tiebreak by priority
+    * order). A real system uses char-n-gram profiles; the Spark-side shape —
+    * per-language evidence columns then a greatest/when ladder — is the same.
+    */
+  def langIdScore(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val t = tokens(text)
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, size(filter(t, w => w.isInCollection(words))))
+    }
+    scored.tail
+      .foldLeft((lit(scored.head._1), scored.head._2)) {
+        case ((bestLang, bestScore), (lang, score)) =>
+          (when(score > bestScore, lang).otherwise(bestLang),
+           when(score > bestScore, score).otherwise(bestScore))
+      }
+      ._1
+  }
+
+  /** Stable 128-bit content fingerprint (hex md5). Used as the exact-dedup
+    * key so the shuffle key is 16 bytes instead of the full document text.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+}
