@@ -30,11 +30,13 @@ object Dedup {
   def tokenHash64(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature: for each of `nHashes` permutations i, the minimum of
-    * (aᵢ·h(tok) + bᵢ) mod p over the document's distinct tokens. Pure array
-    * expressions — the signature is computed per-row with no shuffle.
+  /** MinHash over a precomputed token-hash array: for each of `nHashes`
+    * permutations i, the minimum of (aᵢ·h + bᵢ) mod p over the array. Pure
+    * array expressions — the signature is computed per-row with no shuffle.
+    * Pass the hash array through a prior `select` so the per-token md5 is
+    * evaluated once, not once per permutation.
     */
-  def minhashSignature(text: Column, nHashes: Int, seed: Long = 42L): Column = {
+  def minhashFromHashes(hashes: Column, nHashes: Int, seed: Long = 42L): Column = {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
     def mix(i: Long, salt: Long): Long = {
       var z = seed + i * 0x9E3779B97F4A7C15L + salt
@@ -42,8 +44,6 @@ object Dedup {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       math.abs(z ^ (z >>> 31)) % p
     }
-    val toks = array_distinct(Text.tokens(text))
-    val hashes = transform(toks, t => tokenHash64(t))
     val mins = (0 until nHashes).map { i =>
       val a = mix(i.toLong, 0x51AB4D2EL) | 1L // odd, non-zero
       val b = mix(i.toLong, 0x7F4E6C3DL)
@@ -57,6 +57,13 @@ object Dedup {
     array(mins: _*)
   }
 
+  /** MinHash signature straight from a text column (convenience/test entry;
+    * the pipeline path uses [[minhashFromHashes]] to share the token-hash
+    * projection).
+    */
+  def minhashSignature(text: Column, nHashes: Int, seed: Long = 42L): Column =
+    minhashFromHashes(transform(array_distinct(Text.tokens(text)), t => tokenHash64(t)), nHashes, seed)
+
   /** LSH banding over a MinHash signature: `nBands` band keys, each an md5 of
     * (band index, the band's slice of the signature). Docs sharing any band
     * key are near-dup candidates.
@@ -66,35 +73,122 @@ object Dedup {
       md5(concat_ws("_", lit(b) +: (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r)): _*))
     }: _*)
 
-  /** MinHash/LSH near-duplicate candidate pairs with estimated Jaccard
-    * (fraction of matching signature positions).
+  /** MinHash signatures computed the 100 TB way: explode distinct tokens →
+    * per-token hash (md5/conv — codegen'd native expressions) → one
+    * two-phase HashAggregate with `nHashes` codegen'd `min` aggregates →
+    * re-assembled into the signature array.
     *
-    * Plan shape: signature projection (narrow) → explode bands →
-    * equi-shuffle on band key → per-bucket pair join → distinct pairs →
-    * signature-agreement estimate. No document text crosses the wire.
+    * This deliberately avoids `aggregate`/`transform` higher-order array
+    * functions for the signature: Spark evaluates HOF lambdas interpreted
+    * (no doGenCode), which costs ~10× on the hot path. The explode form
+    * keeps everything inside WholeStageCodegen and scales out: the shuffle
+    * carries (id, 128 longs) partial states, with map-side combine.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nHashes: Int,
+      seed: Long): DataFrame = {
+    val p = 2147483647L
+    def mix(i: Long, salt: Long): Long = {
+      var z = seed + i * 0x9E3779B97F4A7C15L + salt
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      math.abs(z ^ (z >>> 31)) % p
+    }
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+      .select(col("id"), pmod(tokenHash64(col("tok")), lit(p)).as("h"))
+    val aggs = (0 until nHashes).map { i =>
+      val a = mix(i.toLong, 0x51AB4D2EL) | 1L
+      val b = mix(i.toLong, 0x7F4E6C3DL)
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    exploded
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Wide-column variant of [[minhashSignatures]]: one column per hash
+    * (`m0..m{n-1}`) instead of an array, so downstream band hashing and
+    * signature agreement stay plain codegen'd expressions (array HOFs are
+    * interpreted in Spark — no doGenCode).
+    */
+  def minhashSignaturesWide(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nHashes: Int,
+      seed: Long): DataFrame = {
+    val p = 2147483647L
+    def mix(i: Long, salt: Long): Long = {
+      var z = seed + i * 0x9E3779B97F4A7C15L + salt
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      math.abs(z ^ (z >>> 31)) % p
+    }
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+      .select(col("id"), pmod(tokenHash64(col("tok")), lit(p)).as("h"))
+    val aggs = (0 until nHashes).map { i =>
+      val a = mix(i.toLong, 0x51AB4D2EL) | 1L
+      val b = mix(i.toLong, 0x7F4E6C3DL)
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash/LSH near-duplicate candidate pairs with estimated Jaccard
+    * (fraction of matching signature positions), filtered to
+    * `minEstJaccard`.
+    *
+    * Plan shape, all codegen'd, no array HOFs:
+    *   [[minhashSignaturesWide]] → band keys (md5 over the band's hash
+    *   columns) → explode bands → equi-shuffle on band key → pair join on
+    *   (band, id<id) carrying ONLY the two ids → distinct pairs → join the
+    *   signatures back (twice) → agreement = Σ when(a_mᵢ = b_mᵢ, 1) / n.
+    *
+    * Deduplicating pairs BEFORE attaching signatures matters: a pair that
+    * collides in k bands would otherwise pay the agreement computation k
+    * times and drag two 128-long signatures through the band shuffle.
+    *
+    * Parameter choice is the scale lever: the LSH match threshold is
+    * ≈ (1/nBands)^(1/rowsPerBand); the defaults (4 bands × 32 rows) target
+    * ~0.96, so even on a corpus whose AVERAGE pairwise Jaccard is 0.6+
+    * (worst case for banding) the candidate set stays a small fraction of
+    * n² instead of degenerating to the full cross product.
     */
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      nHashes: Int = 32,
-      nBands: Int = 8,
+      nHashes: Int = 128,
+      nBands: Int = 4,
+      minEstJaccard: Double = 0.9,
       seed: Long = 42L): DataFrame = {
     val rowsPerBand = nHashes / nBands
-    val sigs = docs
-      .select(col(idCol).as("id"), minhashSignature(col(textCol), nHashes, seed).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"), explode(minhashBands(col("sig"), nBands, rowsPerBand)).as("band"))
-    val a = banded.select(col("band"), col("id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band"))
+    val wide = minhashSignaturesWide(docs, textCol, idCol, nHashes, seed)
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat_ws("_", lit(b) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+    }
+    val banded = wide.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val pairs = banded.select(col("band"), col("id").as("a_id"))
+      .join(banded.select(col("band"), col("id").as("b_id")), Seq("band"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .select("a_id", "b_id")
       .distinct()
-      .withColumn(
-        "est_jaccard",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), m => m)).cast("double")
-          / size(col("a_sig")))
-      .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    val aSig = wide.select(col("id").as("a_id") +: (0 until nHashes).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val bSig = wide.select(col("id").as("b_id") +: (0 until nHashes).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val agree = (0 until nHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(aSig, Seq("a_id"))
+      .join(bSig, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), round(agree.cast("double") / nHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
   }
 
   /** 64-bit SimHash over token hashes: sign of the per-bit weighted sum. */
