@@ -10,9 +10,13 @@ object ValueOps {
 
   /** Parse a money-ish string ("$120,000") to double by stripping everything
     * but digits and dot (F1, reference: bigdata-project/src/spark_job.py:44-47).
+    *
+    * `try_cast`, not `cast`: Spark 4 runs ANSI mode by default, where a cast
+    * of a malformed/empty string THROWS. The reference ran Spark 3.4
+    * (ANSI off) where it yielded null — try_cast preserves that contract.
     */
   def parseMoney(c: Column): Column =
-    regexp_replace(c, "[^0-9.]", "").cast("double")
+    regexp_replace(c, "[^0-9.]", "").try_cast("double")
 
   /** Positive-value sanitation: non-positive → null (M7,
     * reference: bigdata-project/src/spark_batch_v2.py:75-80).

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactGroups groups identical content and keeps min id as representative") {
+    val out = Dedup.exactGroups(docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y"))
+      .select("rep_id", "dup_cnt").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhashCandidates finds identical docs with est_jaccard 1.0") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "completely different words nothing shared here at all")
+    val out = Dedup.minhashCandidates(d).as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhashCandidates: disjoint docs produce no candidates") {
+    val d = docs(1L -> "aa bb cc dd", 2L -> "ee ff gg hh")
+    assert(Dedup.minhashCandidates(d).count() == 0)
+  }
+
+  test("minhash signature agreement tracks token-set jaccard (sampling bound)") {
+    // 9 of 12 tokens shared -> true jaccard 9/15 = 0.6
+    val shared = (1 to 9).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> s"$shared only1a only1b only1c",
+      2L -> s"$shared only2a only2b only2c")
+    val est = Dedup.minhashCandidates(d, minEstJaccard = 0.0)
+      .select("est_jaccard").as[Double].collect()
+    // banding at threshold ~0.96 may or may not emit a 0.6-jaccard pair;
+    // when it does, the estimate must be within 4 sigma of truth
+    est.foreach(e => assert(math.abs(e - 0.6) < 4 * math.sqrt(0.6 * 0.4 / 128)))
+  }
+
+  test("minhashSignature (array form) matches the wide-column pipeline form") {
+    val d = docs(7L -> "alpha beta gamma delta")
+    val arr = d.select(Dedup.minhashSignature(col("text"), 16).as("sig"))
+      .as[Seq[Long]].head()
+    val wide = Dedup.minhashSignaturesWide(d, "text", "doc_id", 16, 42L)
+      .drop("id").as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    assert(arr == wide.productIterator.toSeq)
+  }
+
+  test("simhash64: identical docs equal, near docs close in hamming distance") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      4L -> "q w e r t y u i o p")
+    val h = d.select(col("doc_id"), Dedup.simhash64(col("text"))).as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("jaccardTokens exact set semantics") {
+    val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
+      .select(Dedup.jaccardTokens(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+  }
+}

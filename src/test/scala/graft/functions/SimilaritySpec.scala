@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: parallel=1, antiparallel=-1, orthogonal=0") {
+    val out = Seq(
+      (Seq(1f, 2f), Seq(2f, 4f)),
+      (Seq(1f, 0f), Seq(-1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)))
+      .toDF("a", "b")
+      .select(round(Similarity.cosine(col("a"), col("b")), 10)).as[Double].collect().toSeq
+    assert(out == Seq(1.0, -1.0, 0.0))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors excluding self") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0f, 1f)),
+      (3L, Seq(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(out.toSet == Set((0L, 1L, 1), (0L, 2L, 2)))
+  }
+
+  test("lshBucket is deterministic and in range") {
+    val emb = Seq((0L, Seq.fill(8)(0.5f)), (1L, Seq.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 6, seed = 7L)).as[Long].collect().toSeq
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 8, 6, seed = 7L)).as[Long].collect().toSeq
+    assert(b1 == b2)
+    assert(b1.forall(b => b >= 0 && b < 64))
+    // antiparallel vectors flip every hyperplane sign -> complementary buckets
+    assert(b1(0) + b1(1) == 63)
+  }
+
+  test("lshCandidatePairs only pairs same-bucket vectors, ordered ids") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (2L, Seq(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshCandidatePairs(emb, dims = 4, nBits = 8, seed = 3L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // near-identical vectors land together; the antiparallel one cannot
+    assert(out.forall { case (a, b) => a < b })
+    assert(out.contains((0L, 1L)))
+    assert(!out.exists { case (a, b) => b == 2L || a == 2L })
+  }
+}

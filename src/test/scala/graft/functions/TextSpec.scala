@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / regexTokenCount") {
+    val out = Seq("the quick brown fox", "a b", "x").toDF("t")
+      .select(Text.tokenCount(col("t")), Text.regexTokenCount(col("t")))
+      .as[(Int, Int)].collect().toSeq
+    assert(out == Seq((4, 4), (2, 2), (1, 1)))
+  }
+
+  test("ngrams produces overlapping windows; short docs yield empty") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(Text.ngrams(col("t"), 3)).as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("a b c", "b c d"), Seq.empty))
+  }
+
+  test("stopwordRatio counts default stopwords") {
+    val r = Seq("the cat and the dog").toDF("t")
+      .select(Text.stopwordRatio(col("t"))).as[Double].head()
+    assert(math.abs(r - 3.0 / 5.0) < 1e-12)
+  }
+
+  test("avgTokenLen excludes separators") {
+    val r = Seq("ab cdef").toDF("t").select(Text.avgTokenLen(col("t"))).as[Double].head()
+    assert(r == 3.0) // (7 - 1) / 2
+  }
+
+  test("qualityBucket ladder") {
+    val out = Seq(
+      "one two three",                       // < 5 tokens
+      "the alpha beta gamma delta epsilon",  // fluent (has stopword)
+      "alpha beta gamma delta epsilon zeta") // no stopwords
+      .toDF("t").select(Text.qualityBucket(col("t"))).as[String].collect().toSeq
+    assert(out == Seq("TOO_SHORT", "OK_FLUENT", "OK_TERSE"))
+  }
+
+  test("langIdScore picks the argmax with deterministic tiebreak") {
+    val markers = Map(
+      "en" -> Seq("the", "a"),
+      "es" -> Seq("el", "la"),
+      "de" -> Seq("der", "die"))
+    val out = Seq(
+      "the cat sat",       // en evidence
+      "el gato la casa",   // es evidence
+      "nothing matches")   // all zero -> first sorted key (de)
+      .toDF("t").select(Text.langIdScore(col("t"), markers)).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "de"))
+  }
+
+  test("fingerprint is a stable md5") {
+    val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
+    assert(out == "5d41402abc4b2a76b9719d911017c592")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("epochMillisToDate and epochSecondsToTimestamp round-trip known instants") {
+    val ms = 1704067200000L // 2024-01-01 00:00:00 UTC
+    val out = Seq((ms, ms / 1000.0)).toDF("ms", "sec")
+      .select(
+        Temporal.epochMillisToDate(col("ms")).cast("string"),
+        Temporal.epochSecondsToTimestamp(col("sec")).cast("string"))
+      .as[(String, String)].head()
+    assert(out == ("2024-01-01", "2024-01-01 00:00:00"))
+  }
+
+  test("dayOfWeekSun0 pins Sunday=0 (matches the DuckDB oracle convention)") {
+    val out = Seq("2024-01-07", "2024-01-08", "2024-01-13") // Sun, Mon, Sat
+      .toDF("d")
+      .select(Temporal.dayOfWeekSun0(col("d").cast("date"))).as[Int].collect().toSeq
+    assert(out == Seq(0, 1, 6))
+  }
+
+  test("freshness ladder buckets match the reference thresholds") {
+    val out = Seq(Some(0), Some(1), Some(7), Some(8), Some(28), Some(29), None)
+      .toDF("days")
+      .select(Temporal.freshness(col("days"))).as[String].collect().toSeq
+    assert(out == Seq("Fresh", "Recent", "Recent", "Active", "Active", "Old", "Unknown"))
+  }
+
+  test("daysSince counts calendar days") {
+    val out = Seq(("2024-03-10", "2024-03-01")).toDF("a", "b")
+      .select(Temporal.daysSince(col("a").cast("date"), col("b").cast("date"))).as[Int].head()
+    assert(out == 9)
+  }
+
+  test("guardedRatio: zero guard and the x100 scale") {
+    val out = Seq((50.0, 100), (50.0, 0), (0.0, 100)).toDF("n", "d")
+      .select(Features.guardedRatio(col("n"), col("d"))).as[Double].collect().toSeq
+    assert(out == Seq(50.0, 0.0, 0.0))
+  }
+
+  test("highDemand flag") {
+    val out = Seq((150.0, 3.0), (150.0, 10.0), (50.0, 3.0)).toDF("views", "score")
+      .select(Features.highDemand(col("views"), col("score"), 100, 5)).as[Boolean].collect().toSeq
+    assert(out == Seq(true, false, false))
+  }
+
+  test("imputeWithGlobalMean fills nulls with the mean of present values") {
+    val df = Seq(Some(10.0), Some(30.0), None).toDF("v")
+    val out = Features.imputeWithGlobalMean(df, "v", "filled")
+      .select("filled").as[Double].collect().toSeq.sorted
+    assert(out == Seq(10.0, 20.0, 30.0))
+  }
+}
