@@ -270,6 +270,118 @@ object SparkEntry {
           count(lit(1)).as("cnt"),
           round(avg(Similarity.norm(col("embedding"))), 4).as("avg_norm"))
         .orderBy("label")
+    },
+    // ---- two-source normalization + unionByName merge (§2.10, F1/F2/F3, S8) ----
+    "q17_source_normalize" -> { (s, dir) =>
+      val a = Tables.orders(s, dir)
+        .select(
+          col("o_orderkey").cast("string").as("rec_id"),
+          concat(lit("$"), col("o_totalprice").cast("decimal(12,2)").cast("string"), lit(" USD")).as("pay_raw"),
+          concat(col("o_orderpriority"), lit(", "), col("o_orderstatus")).as("loc"),
+          lit("linkedin").as("src"))
+        .select(
+          col("rec_id"),
+          ops.ValueOps.parseMoney(col("pay_raw")).as("pay_usd"),
+          trim(split(col("loc"), ",")(0)).as("city"),
+          trim(split(col("loc"), ",")(1)).as("state"),
+          col("src"))
+      val b = Tables.customer(s, dir)
+        .select(
+          col("c_custkey").cast("string").as("rec_id"),
+          col("c_acctbal").as("pay_usd"),
+          col("c_mktsegment").as("city"),
+          lit("adzuna").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy("src")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(avg(col("pay_usd")), 4).as("avg_pay"),
+          count(col("state")).as("n_with_state"))
+        .orderBy("src")
+    },
+    // ---- declared-schema JSON decode (S4 from_json path) ----
+    "q18_json_decode" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k_decoded"),
+          length(col("props")).as("props_len"))
+        .orderBy("event_id")
+    },
+    // ---- freshness bucketing vs a report date (D3/D6/D7) ----
+    "q19_freshness" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("days", datediff(lit("2024-03-01").cast("date"), to_date(col("ts"))))
+        .groupBy(ops.Temporal.freshness(col("days")).as("freshness"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("freshness")
+    },
+    // ---- LLM-pipeline: word-trigram frequencies (shingling) ----
+    "q31_trigram_freq" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Text.ngrams(col("text"), 3)).as("ng"))
+        .groupBy("ng")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ng"))
+        .limit(20)
+    },
+    // ---- lag window: inter-event gaps per user ----
+    "q32_user_gaps" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, dir)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(col("gap")).as("n_gaps"),
+          round(avg(col("gap")), 4).as("avg_gap_sec"))
+        .orderBy("user_id")
+    },
+    // ---- multi-dimensional rollup: CUBE ----
+    "q33_cube_counts" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("f"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("st"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("f", "st")
+    },
+    // ---- anti join: customers with no events ----
+    "q34_inactive_customers" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val e = Tables.events(s, dir)
+      c.join(e, col("c_custkey") === col("user_id"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+    // ---- exact distinct-count aggregate ----
+    "q35_distinct_users" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    },
+    // ---- as-of join: latest order at-or-before each event (AsOfJoin op) ----
+    "q36_asof_latest_order" -> { (s, dir) =>
+      val ordersDedup = Cleaning.dedupByKey(
+        Tables.orders(s, dir),
+        Seq("o_custkey", "o_orderdate"),
+        Seq(col("o_orderkey").desc))
+      ops.AsOfJoin
+        .asOf(
+          Tables.events(s, dir), ordersDedup,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey"))
+        .select(col("event_id"), coalesce(col("o_orderkey"), lit(-1L)).as("okey"))
+        .orderBy("event_id")
     }
   )
 
@@ -481,6 +593,67 @@ object SparkEntry {
     "q30_embedding_norms" ->
       """SELECT label, COUNT(*) AS cnt,
         |  ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q17_source_normalize" ->
+      """SELECT src, COUNT(*) AS cnt, ROUND(AVG(pay_usd), 4) AS avg_pay,
+        |  CAST(COUNT(state) AS BIGINT) AS n_with_state
+        |FROM (
+        |  SELECT 'linkedin' AS src,
+        |    TRY_CAST(regexp_replace(concat('$', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), ' USD'), '[^0-9.]', '', 'g') AS DOUBLE) AS pay_usd,
+        |    trim(string_split(concat(o_orderpriority, ', ', o_orderstatus), ',')[2]) AS state
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'adzuna', c_acctbal, NULL FROM customer) u
+        |GROUP BY src ORDER BY src""".stripMargin,
+    "q18_json_decode" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_decoded,
+        |  CAST(length(props) AS INTEGER) AS props_len
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q19_freshness" ->
+      """SELECT CASE WHEN days IS NULL THEN 'Unknown' WHEN days < 1 THEN 'Fresh'
+        |       WHEN days <= 7 THEN 'Recent' WHEN days <= 28 THEN 'Active'
+        |       ELSE 'Old' END AS freshness, COUNT(*) AS cnt
+        |FROM (SELECT date_diff('day', CAST(ts AS DATE), DATE '2024-03-01') AS days FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_trigram_freq" ->
+      """SELECT ng, COUNT(*) AS cnt FROM (
+        |  SELECT concat_ws(' ', t[CAST(i AS INT)+1], t[CAST(i AS INT)+2], t[CAST(i AS INT)+3]) AS ng
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents) d,
+        |       UNNEST(range(len(t) - 2)) AS u(i)) g
+        |GROUP BY ng ORDER BY cnt DESC, ng LIMIT 20""".stripMargin,
+    "q32_user_gaps" ->
+      """SELECT user_id, COUNT(*) AS cnt, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+        |  ROUND(AVG(gap), 4) AS avg_gap_sec
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q33_cube_counts" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS st,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY f, st""".stripMargin,
+    "q34_inactive_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q35_distinct_users" ->
+      """SELECT event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q36_asof_latest_order" ->
+      """WITH od AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS d, o_orderkey FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) t
+        |  WHERE rn = 1)
+        |SELECT e.event_id, COALESCE(od.o_orderkey, -1) AS okey
+        |FROM events e ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND od.d <= e.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }

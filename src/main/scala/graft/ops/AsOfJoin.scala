@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark has no built-in for.
+  *
+  * For every left row, attach the payload of the single right row with the
+  * greatest `rightTime <= leftTime` within the same key. Composed from
+  * built-ins per the preference order in the build brief: tag both sides,
+  * `unionByName`, one window pass with `last(_, ignoreNulls)` over
+  * (key, time) — i.e. ONE shuffle on the key and a per-partition sort,
+  * instead of the naive range join whose equi-key × time-range explosion is
+  * quadratic in key frequency. This is the classic streaming-backfill /
+  * point-in-time-feature shape used in training-data pipelines.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry onto left rows (null when no
+    *                right row precedes the left row's time).
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__is_right", lit(0))
+    val r = right.select(
+      col(rightKey).as("__k") +:
+        col(rightTime).cast("timestamp").as("__t") +:
+        lit(1).as("__is_right") +:
+        payload.map(col): _*)
+    // right rows sort BEFORE left rows at the same instant, so a right row
+    // at exactly leftTime is matched (<= semantics, like DuckDB ASOF JOIN)
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__t").asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(l.unionByName(r, allowMissingColumns = true)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_right") === 0).drop("__k", "__t", "__is_right")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before each left time, per key") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 10:30:00"), 200.0))
+      .toDF("qkey", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "t1"), // after 10:00 quote
+      (1L, ts("2024-01-01 11:00:00"), "t2"), // exactly at 11:00 quote -> inclusive
+      (1L, ts("2024-01-01 09:00:00"), "t3"), // before any quote -> null
+      (2L, ts("2024-01-01 12:00:00"), "t4"),
+      (3L, ts("2024-01-01 12:00:00"), "t5")) // key with no quotes -> null
+      .toDF("key", "ts", "trade")
+    val out = AsOfJoin.asOf(trades, quotes, "key", "qkey", "ts", "qts", Seq("price"))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "t1" -> Some(100.0),
+      "t2" -> Some(110.0),
+      "t3" -> None,
+      "t4" -> Some(200.0),
+      "t5" -> None))
+  }
+
+  test("asOf keeps every left row exactly once") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), "a"), (1L, ts("2024-01-02 00:00:00"), "b"))
+      .toDF("key", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0), (1L, ts("2024-01-01 12:00:00"), 2.0))
+      .toDF("rkey", "rts", "v")
+    val out = AsOfJoin.asOf(left, right, "key", "rkey", "ts", "rts", Seq("v"))
+    assert(out.count() == 2)
+    assert(out.columns.toSet == Set("key", "ts", "tag", "v"))
+  }
+}
