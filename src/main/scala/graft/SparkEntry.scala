@@ -382,6 +382,23 @@ object SparkEntry {
           payload = Seq("o_orderkey"))
         .select(col("event_id"), coalesce(col("o_orderkey"), lit(-1L)).as("okey"))
         .orderBy("event_id")
+    },
+    // ---- multimodal: binary blobs -> per-partition feature extraction
+    // (decode step stubbed; Spark plumbing real — rows-only check) ----
+    "q37_media_features" -> { (s, dir) =>
+      val media = multimodal.Multimodal.fromText(
+        Tables.documents(s, dir), "doc_id", "text", "image")
+      multimodal.Multimodal.extractFeatures(media)
+        .toDF()
+        .select("media_id", "n_bytes", "checksum", "width", "height")
+        .orderBy("media_id")
+    },
+    // ---- multimodal: deterministic frame sampling (rows-only check) ----
+    "q38_frame_samples" -> { (s, dir) =>
+      val media = multimodal.Multimodal.fromText(
+        Tables.documents(s, dir).filter(col("doc_id") < 100), "doc_id", "text", "video")
+      multimodal.Multimodal.sampleFrames(media, 4)
+        .orderBy("media_id", "frame_idx")
     }
   )
 

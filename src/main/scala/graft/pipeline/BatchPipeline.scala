@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.BatchAggregates
+import graft.ops.Cleaning
+import graft.sinks.Sinks
+
+/** The reference's batch job composition (SURVEY §3.2,
+  * reference: bigdata-project/src/spark_batch_v2.py): read one lake
+  * partition → empty-guard → dedup → validate → enrich → detail docs to a
+  * keyed-upsert sink + aggregate tables to table sinks.
+  *
+  * Deviations by design (SURVEY §4.1): partition pruning is a predicate
+  * (not a path glob), failures propagate (the reference swallows exceptions
+  * and exits 0), and the run date is a parameter (not `datetime.now()`).
+  */
+object BatchPipeline {
+
+  final case class Result(detailRows: Long, aggTables: Map[String, Long])
+
+  /** @param lakePath  date-partitioned events lake (written by [[Sinks]])
+    * @param outDir    sink root; detail + one dir per aggregate table
+    * @param reportDate partition to process, `yyyy-MM-dd`
+    */
+  def run(spark: SparkSession, lakePath: String, outDir: String, reportDate: String): Result = {
+    val raw = Sinks.readLakePartition(spark, lakePath, "event_date", reportDate)
+    if (raw.isEmpty) return Result(0L, Map.empty) // P5 empty-input short-circuit
+
+    val deduped = Cleaning.dedupByKey(raw, Seq("event_id"), Seq(col("ts").desc))
+    val enriched = EventsPipeline.enrich(deduped)
+      .withColumn("report_date", lit(reportDate).cast("date")) // D6
+
+    // detail docs: keyed upsert (S5 semantics)
+    Sinks.writeKeyedUpsert(
+      enriched, Seq("doc_id"), Seq(col("ts").desc), s"$outDir/detail")
+
+    // aggregate tables (A2-A7 shapes)
+    val aggs: Map[String, DataFrame] = Map(
+      "type_stats" -> BatchAggregates.dimensionStats(
+        enriched, Seq("event_type_clean"), "value", col("is_high_value")),
+      "region_stats" -> BatchAggregates.dimensionStats(
+        enriched, Seq("region", "category"), "value", col("is_high_value")),
+      "category_percentiles" -> BatchAggregates.percentileStats(
+        enriched, Seq("category"), "value"),
+      "temporal_stats" -> BatchAggregates.temporalStats(
+        enriched, "dow", "month", "value"),
+      "tier_distribution" -> BatchAggregates.distribution(
+        enriched, "value_tier", "category"))
+    val counts = aggs.map { case (name, df) =>
+      val stamped = df.withColumn("report_date", lit(reportDate).cast("date"))
+      stamped.write.mode("overwrite").parquet(s"$outDir/$name")
+      name -> spark.read.parquet(s"$outDir/$name").count()
+    }
+    Result(spark.read.parquet(s"$outDir/detail").count(), counts)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamingAggs
+
+/** The reference's streaming flagship composition (SURVEY §3.1,
+  * reference: bigdata-project/src/spark_streaming_v2.py): wire-decode →
+  * shared enrichment → fan-out to an append detail sink plus update-mode
+  * windowed aggregate sinks, each with its own checkpoint, then
+  * `awaitAnyTermination` by the caller.
+  *
+  * The source is any streaming DataFrame with a string `value` column —
+  * Kafka in production (`spark.readStream.format("kafka")...selectExpr(
+  * "CAST(value AS STRING)")`, S2/S3), MemoryStream or file source in tests.
+  * The Kafka connector is config, not code: everything downstream of
+  * `value` is source-agnostic.
+  */
+object StreamPipeline {
+
+  /** Declared wire schema (S4) — the canonical event envelope. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", StringType), // ISO-8601; parsed to timestamp below
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** `value` JSON → typed columns → shared enrichment (same code path as
+    * batch, W1). Malformed records yield null fields (permissive from_json)
+    * and are dropped by the pipeline's validation filter.
+    */
+  def decode(withValue: DataFrame): DataFrame = {
+    val parsed = withValue
+      .select(from_json(col("value"), wireSchema).as("data"))
+      .select("data.*")
+      .withColumn("ts", to_timestamp(col("ts")))
+    EventsPipeline.enrich(parsed)
+  }
+
+  /** Fan out the enriched stream into the reference's sink topology:
+    * append detail + N update-mode windowed aggregates (W4/W6/W7).
+    * Returns the started queries; callers own
+    * `spark.streams.awaitAnyTermination()` (W8).
+    */
+  def start(enriched: DataFrame, outDir: String, checkpointDir: String): Seq[StreamingQuery] = {
+    val detail = enriched.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/detail")
+      .option("checkpointLocation", s"$checkpointDir/detail")
+      .outputMode("append")
+      .start()
+    val byType = StreamingAggs
+      .tumblingStats(enriched, "ts", "5 minutes", Seq("event_type_clean"), "value",
+        watermark = Some("10 minutes"))
+      .writeStream
+      .option("checkpointLocation", s"$checkpointDir/type_stats")
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.Sinks.upsertBatch(batch, Seq("doc_id"), s"$outDir/type_stats", batchId)
+      }
+      .start()
+    val byCategory = StreamingAggs
+      .tumblingStats(enriched, "ts", "10 minutes", Seq("category"), "value",
+        watermark = Some("15 minutes"))
+      .writeStream
+      .option("checkpointLocation", s"$checkpointDir/category_stats")
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.Sinks.upsertBatch(batch, Seq("doc_id"), s"$outDir/category_stats", batchId)
+      }
+      .start()
+    Seq(detail, byType, byCategory)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(rows: (Long, String, String)*) = {
+    import Multimodal.MediaRecord
+    rows.map { case (id, kind, s) => MediaRecord(id, kind, s.getBytes("UTF-8")) }.toDS()
+  }
+
+  test("extractFeatures: deterministic stub features, one row per blob") {
+    val ds = media((1L, "image", "abc"), (2L, "audio", "defg"))
+    val out1 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    val out2 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(out1.toSeq == out2.toSeq) // determinism across runs
+    assert(out1.map(_.n_bytes).toSeq == Seq(3L, 4L))
+    assert(out1.forall(f => f.width >= 64 && f.height >= 64))
+    assert(out1.head.duration_ms == 0L) // image: no duration
+    assert(out1(1).duration_ms >= 0L)   // audio: stub duration
+    assert(out1.head.checksum == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+
+  test("sampleFrames: n frames per video, none for other kinds") {
+    val ds = media((1L, "video", "0123456789abcdef"), (2L, "image", "xyz"))
+    val out = Multimodal.sampleFrames(ds, 4)
+      .as[(Long, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out.size == 4)
+    assert(out.map(_._2) == Seq(0, 1, 2, 3))
+    assert(out.map(_._3).distinct.size == 4) // distinct slices -> distinct checksums
+  }
+
+  test("fromText builds 16-byte binary blobs from md5") {
+    val df = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val rec = Multimodal.fromText(df, "doc_id", "text", "image").collect().head
+    assert(rec.media_id == 7L && rec.kind == "image" && rec.bytes.length == 16)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.sinks.Sinks
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-pipe").toString
+
+  private def mkLake(dir: String): Unit = {
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "click", 50.0, """{"k": 4}""", "2024-01-01"),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:01"), 5L, "click", 50.0, """{"k": 4}""", "2024-01-01"), // dup id
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 6L, "purchase", 120.0, """{"k": 2}""", "2024-01-01"),
+      (3L, Timestamp.valueOf("2024-01-02 09:00:00"), 7L, "error", 10.0, """{"k": 1}""", "2024-01-02"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "event_date")
+    Sinks.writePartitionedLake(events, "event_date", dir)
+  }
+
+  test("BatchPipeline end-to-end: one partition in, detail + agg tables out") {
+    val lake = tmpDir() + "/lake"
+    val out = tmpDir() + "/out"
+    mkLake(lake)
+    val r = BatchPipeline.run(spark, lake, out, "2024-01-01")
+    assert(r.detailRows == 2) // dup event_id collapsed; day-2 row pruned
+    assert(r.aggTables.keySet == Set(
+      "type_stats", "region_stats", "category_percentiles", "temporal_stats", "tier_distribution"))
+    val detail = spark.read.parquet(s"$out/detail")
+    assert(detail.filter($"category" === "Commerce").count() == 1)
+    val tiers = spark.read.parquet(s"$out/tier_distribution")
+    assert(tiers.columns.contains("report_date"))
+  }
+
+  test("BatchPipeline empty-partition short-circuit (P5)") {
+    val lake = tmpDir() + "/lake"
+    val out = tmpDir() + "/out"
+    mkLake(lake)
+    val r = BatchPipeline.run(spark, lake, out, "2099-12-31")
+    assert(r == BatchPipeline.Result(0L, Map.empty))
+  }
+
+  test("StreamPipeline: decode -> enrich -> fan-out with upsert agg sinks") {
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val enriched = StreamPipeline.decode(stream.toDF().toDF("value"))
+    val queries = StreamPipeline.start(enriched, out, ckpt)
+    try {
+      stream.addData(
+        """{"event_id": 1, "ts": "2024-01-01 10:01:00", "user_id": 3, "event_type": "click", "value": 42.0, "props": "{\"k\": 7}"}""",
+        """{"event_id": 2, "ts": "2024-01-01 10:02:00", "user_id": 4, "event_type": "purchase", "value": 99.0, "props": "{\"k\": 1}"}""",
+        "not json at all")
+      queries.foreach(_.processAllAvailable())
+      val detail = spark.read.parquet(s"$out/detail")
+      assert(detail.count() == 2) // malformed row dropped by validation
+      assert(detail.filter($"category" === "Commerce").count() == 1)
+      // second micro-batch updates the same 5-min window -> upsert, not append
+      stream.addData(
+        """{"event_id": 3, "ts": "2024-01-01 10:03:00", "user_id": 5, "event_type": "click", "value": 10.0, "props": "{\"k\": 2}"}""")
+      queries.foreach(_.processAllAvailable())
+      val typeStats = spark.read.parquet(s"$out/type_stats")
+      val clickRow = typeStats.filter($"event_type_clean" === "CLICK")
+        .select("cnt").as[Long].collect().toSeq
+      assert(clickRow == Seq(2L), s"expected upserted count 2, got $clickRow")
+    } finally queries.foreach(_.stop())
+  }
+}
