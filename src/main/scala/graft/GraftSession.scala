@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession factory with the engine's scale defaults:
+  * everything here is exactly what you'd set on a 1000-executor cluster,
+  * minus cluster-manager specifics.
+  */
+object GraftSession {
+
+  /** @param shufflePartitions ≈ 2-3× total executor cores in production;
+    *                          ≈ local cores for local runs.
+    */
+  def builder(
+      appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      // deterministic timestamps across engines and sites
+      .config("spark.sql.session.timeZone", "UTC")
+      // AQE: runtime shuffle coalescing + skew-join splitting — the safety
+      // net for skewed keys at scale
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // read the driver testdata's TIMESTAMP(NANOS) parquet
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native functions (cosine_sim) available in SQL
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    master.fold(b)(b.master)
+  }
+}

@@ -399,6 +399,27 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 100), "doc_id", "text", "video")
       multimodal.Multimodal.sampleFrames(media, 4)
         .orderBy("media_id", "frame_idx")
+    },
+    // ---- sketch aggregates: HLL distinct + approx percentile (mergeable
+    // sketches, the 100 TB path; engine-specific values -> rows-only check) ----
+    "q39_sketch_stats" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("p50_approx"))
+        .orderBy("event_type")
+    },
+    // ---- gap-based session windows (session_window, batch parity) ----
+    "q40_session_windows" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     }
   )
 
@@ -671,6 +692,24 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT e.event_id, COALESCE(od.o_orderkey, -1) AS okey
         |FROM events e ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND od.d <= e.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    // Spark session_window semantics: a new session starts when the gap to
+    // the previous event is >= the gap duration (window end = last + gap,
+    // exclusive).
+    "q40_session_windows" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }
