@@ -410,6 +410,23 @@ object SparkEntry {
           round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("p50_approx"))
         .orderBy("event_type")
     },
+    // ---- LLM-pipeline: URL/email scrub pass ----
+    "q41_text_scrub" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("dirty",
+          concat(col("text"), lit(" http://ex.com/"), col("doc_id"), lit(" u"), col("doc_id"), lit("@mail.com tail")))
+        .select(
+          col("doc_id"),
+          length(col("dirty")).as("dirty_len"),
+          length(Text.scrub(col("dirty"))).as("clean_len"))
+        .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: repetition/boilerplate signal ----
+    "q42_repetition" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), round(Text.topTokenRatio(col("text")), 4).as("top_token_ratio"))
+        .orderBy("doc_id")
+    },
     // ---- gap-based session windows (session_window, batch parity) ----
     "q40_session_windows" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -693,6 +710,26 @@ object SparkEntry {
         |SELECT e.event_id, COALESCE(od.o_orderkey, -1) AS okey
         |FROM events e ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND od.d <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q41_text_scrub" ->
+      """SELECT doc_id,
+        |  CAST(length(dirty) AS INTEGER) AS dirty_len,
+        |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    'https?://[^ ]+', '', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g'),
+        |    '  +', ' ', 'g'))) AS INTEGER) AS clean_len
+        |FROM (
+        |  SELECT doc_id,
+        |    concat(text, ' http://ex.com/', doc_id, ' u', doc_id, '@mail.com tail') AS dirty
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q42_repetition" ->
+      """SELECT doc_id, ROUND(CAST(mx AS DOUBLE) / n, 4) AS top_token_ratio FROM (
+        |  SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |    GROUP BY doc_id, tok) g
+        |  GROUP BY doc_id) m
+        |ORDER BY doc_id""".stripMargin,
     // Spark session_window semantics: a new session starts when the gap to
     // the previous event is >= the gap duration (window end = last + gap,
     // exclusive).

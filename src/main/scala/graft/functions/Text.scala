@@ -82,4 +82,24 @@ object Text {
     * key so the shuffle key is 16 bytes instead of the full document text.
     */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** Strip URLs and email addresses (the C4-style pre-training scrub pass).
+    * Patterns stay in the POSIX-compatible subset so the same regexes run
+    * in the DuckDB oracle.
+    */
+  def scrub(text: Column): Column = {
+    val noUrls = regexp_replace(text, "https?://[^ ]+", "")
+    val noEmail = regexp_replace(noUrls, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "")
+    trim(regexp_replace(noEmail, "  +", " "))
+  }
+
+  /** Highest single-token share of the document — the repetition signal
+    * used to drop boilerplate/spam (a doc where one token is 30% of all
+    * tokens is usually garbage).
+    */
+  def topTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    val counts = transform(array_distinct(t), d => size(filter(t, x => x === d)))
+    array_max(counts).cast("double") / size(t)
+  }
 }

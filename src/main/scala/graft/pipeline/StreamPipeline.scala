@@ -30,6 +30,13 @@ object StreamPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Kafka wire projection (S3): the binary `value` → string. Applied to a
+    * `spark.readStream.format("kafka")` frame; no-op schema-wise for test
+    * sources that already carry a string value.
+    */
+  def fromKafka(kafka: DataFrame): DataFrame =
+    kafka.selectExpr("CAST(value AS STRING) AS value")
+
   /** `value` JSON → typed columns → shared enrichment (same code path as
     * batch, W1). Malformed records yield null fields (permissive from_json)
     * and are dropped by the pipeline's validation filter.
