@@ -23,6 +23,38 @@ object SparkEntry {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
 
+  /** Cross-engine-exact 4-decimal mean of a money-like (<= 2 fractional
+    * decimals) column, computed entirely in INTEGER arithmetic:
+    * cents = Σ round-free exact cents; avg_e4 = ⌊(cents·200 + n) / 2n⌋
+    * (round-half-up of cents·100/n); result = avg_e4 / 10000.0.
+    *
+    * Why not round(avg(x),4): float summation is partition-order dependent,
+    * and even with an exact decimal sum the final rounding diverges — Spark
+    * rounds the shortest-decimal representation of the double while DuckDB
+    * rounds its binary value, so an exact tie like 1512.12/32 = 47.25375
+    * rounds to .2538 in Spark and .2537 in DuckDB (observed at sf0.1). The
+    * integer formula is replicated verbatim in the oracle SQL, so equality
+    * is by construction for every sign and tie.
+    */
+  private def avgExact2dp(c: org.apache.spark.sql.Column) = {
+    val cents = sum((dec(c) * 100).cast("long"))
+    val n = count(c)
+    when(n > 0, floorDiv(cents * 200 + n, n * 2) / 10000.0)
+  }
+
+  /** Same, for integer-valued measures (exact long sum). */
+  private def avgExactLong(c: org.apache.spark.sql.Column) = {
+    val total = sum(c)
+    val n = count(c)
+    when(n > 0, floorDiv(total * 20000 + n, n * 2) / 10000.0)
+  }
+
+  /** Exact long floor division (operands well inside 2^53, so the final
+    * double division of exactly-divisible terms is exact).
+    */
+  private def floorDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    ((a - pmod(a, b)) / b).cast("long")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val enriched = EventsPipeline.enrich(Tables.events(spark, "/root/testdata/sf0.001"))
@@ -43,9 +75,9 @@ object SparkEntry {
             .cast("decimal(27,4)").as("sum_disc_price"),
           sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * dec(lit(1) + col("l_tax")))
             .cast("decimal(30,6)").as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          avgExact2dp(col("l_quantity")).as("avg_qty"),
+          avgExact2dp(col("l_extendedprice")).as("avg_price"),
+          avgExact2dp(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -69,7 +101,7 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("cnt"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          avgExact2dp(col("l_extendedprice")).as("avg_price"),
           sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
         .orderBy("p_brand")
     },
@@ -114,7 +146,7 @@ object SparkEntry {
         .groupBy("kind")
         .agg(
           count(lit(1)).as("cnt"),
-          round(avg(col("acctbal")), 4).as("avg_bal"),
+          avgExact2dp(col("acctbal")).as("avg_bal"),
           min(col("acctbal")).as("min_bal"),
           max(col("acctbal")).as("max_bal"))
         .orderBy("kind")
@@ -134,9 +166,13 @@ object SparkEntry {
     },
     // ---- global-mean imputation (A8, deterministic) ----
     "q09_impute_global_mean" -> { (s, dir) =>
+      // same plan shape as Features.imputeWithGlobalMean (1-row agg broadcast),
+      // but the mean is an exact decimal sum / count so the oracle's double
+      // is bit-identical (avg() would drift with partition order)
       val e = Tables.events(s, dir).withColumn("v", when(col("value") >= 10, col("value")))
-      Features.imputeWithGlobalMean(e, "v", "filled")
-        .select(col("event_id"), round(col("filled"), 4).as("value_filled"))
+      val mean = e.agg(avgExact2dp(col("v")).as("__mean"))
+      e.crossJoin(broadcast(mean))
+        .select(col("event_id"), round(coalesce(col("v"), col("__mean")), 4).as("value_filled"))
         .orderBy("event_id")
     },
     // ---- reference-parity enrichment pipeline (S4/P2/F5/F7/F8/M4/M5/M6/M8/D4) ----
@@ -184,7 +220,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("cnt"),
           sum(col("n_chars")).as("sum_chars"),
-          round(avg(col("n_chars")), 4).as("avg_chars"))
+          avgExactLong(col("n_chars")).as("avg_chars"))
         .orderBy("source")
     },
     // ---- LLM-pipeline: exact dedup groups ----
@@ -209,7 +245,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("cnt"),
           sum(col("n_chars")).as("sum_chars"),
-          round(avg(Text.tokenCount(col("text"))), 4).as("avg_tokens"))
+          avgExactLong(Text.tokenCount(col("text")).cast("long")).as("avg_tokens"))
         .orderBy("lang")
     },
     // ---- LLM-pipeline: corpus token frequencies (explode + top-k) ----
@@ -295,7 +331,7 @@ object SparkEntry {
         .groupBy("src")
         .agg(
           count(lit(1)).as("cnt"),
-          round(avg(col("pay_usd")), 4).as("avg_pay"),
+          avgExact2dp(col("pay_usd")).as("avg_pay"),
           count(col("state")).as("n_with_state"))
         .orderBy("src")
     },
@@ -336,7 +372,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("cnt"),
           count(col("gap")).as("n_gaps"),
-          round(avg(col("gap")), 4).as("avg_gap_sec"))
+          avgExactLong(col("gap")).as("avg_gap_sec"))
         .orderBy("user_id")
     },
     // ---- multi-dimensional rollup: CUBE ----
@@ -467,9 +503,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(27,4)) AS sum_disc_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DECIMAL(30,6)) AS sum_charge,
-        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  CAST((SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(l_quantity)) // (2 * COUNT(l_quantity)) AS DOUBLE) / 10000.0 AS avg_qty,
+        |  CAST((SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(l_extendedprice)) // (2 * COUNT(l_extendedprice)) AS DOUBLE) / 10000.0 AS avg_price,
+        |  CAST((SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(l_discount)) // (2 * COUNT(l_discount)) AS DOUBLE) / 10000.0 AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -484,7 +520,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 10""".stripMargin,
     "q03_brand_stats" ->
-      """SELECT p_brand, COUNT(*) AS cnt, ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      """SELECT p_brand, COUNT(*) AS cnt, CAST((SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(l_extendedprice)) // (2 * COUNT(l_extendedprice)) AS DOUBLE) / 10000.0 AS avg_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -507,7 +543,7 @@ object SparkEntry {
         |  FROM part) t
         |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
     "q07_union_kinds" ->
-      """SELECT kind, COUNT(*) AS cnt, ROUND(AVG(acctbal), 4) AS avg_bal,
+      """SELECT kind, COUNT(*) AS cnt, CAST((SUM(CAST(CAST(acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(acctbal)) // (2 * COUNT(acctbal)) AS DOUBLE) / 10000.0 AS avg_bal,
         |  MIN(acctbal) AS min_bal, MAX(acctbal) AS max_bal
         |FROM (
         |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
@@ -522,7 +558,9 @@ object SparkEntry {
     "q09_impute_global_mean" ->
       """SELECT event_id,
         |  ROUND(COALESCE(CASE WHEN value >= 10 THEN value END,
-        |    (SELECT AVG(CASE WHEN value >= 10 THEN value END) FROM events)), 4) AS value_filled
+        |    (SELECT CAST((SUM(CAST(CAST(CASE WHEN value >= 10 THEN value END AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200
+        |        + COUNT(CASE WHEN value >= 10 THEN value END))
+        |      // (2 * COUNT(CASE WHEN value >= 10 THEN value END)) AS DOUBLE) / 10000.0 FROM events)), 4) AS value_filled
         |FROM events ORDER BY event_id""".stripMargin,
     "q10_events_enrich" ->
       s"""SELECT event_id,
@@ -545,7 +583,7 @@ object SparkEntry {
          |ORDER BY event_id""".stripMargin,
     "q11_type_stats" ->
       s"""SELECT upper(trim(event_type)) AS event_type_clean,
-         |  COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_val,
+         |  COUNT(*) AS cnt, CAST((SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 10000.0 AS avg_val,
          |  MIN(value) AS min_val, MAX(value) AS max_val,
          |  ROUND(stddev_samp(value), 4) AS stddev_val,
          |  CAST(SUM(CASE WHEN $oracleK % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS flag_cnt
@@ -554,13 +592,13 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_temporal_stats" ->
       s"""SELECT CAST(dayofweek(ts) AS INTEGER) AS dow, CAST(month(ts) AS INTEGER) AS month,
-         |  COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_val
+         |  COUNT(*) AS cnt, CAST((SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 10000.0 AS avg_val
          |FROM events
          |WHERE $enrichWhere
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q13_category_percentiles" ->
       s"""SELECT $oracleCategory AS category,
-         |  COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_val,
+         |  COUNT(*) AS cnt, CAST((SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 10000.0 AS avg_val,
          |  ROUND(quantile_cont(value, 0.25), 4) AS p25,
          |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
          |  ROUND(quantile_cont(value, 0.75), 4) AS p75
@@ -569,7 +607,7 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_hourly_type_stats" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  event_type, COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_val,
+        |  event_type, COUNT(*) AS cnt, CAST((SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 10000.0 AS avg_val,
         |  concat_ws('_', event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')) AS doc_id
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -582,7 +620,7 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q16_source_stats" ->
       """SELECT source, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  ROUND(AVG(n_chars), 4) AS avg_chars
+        |  CAST((CAST(SUM(n_chars) AS BIGINT) * 20000 + COUNT(n_chars)) // (2 * COUNT(n_chars)) AS DOUBLE) / 10000.0 AS avg_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS dup_cnt
@@ -599,7 +637,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_lang_stats" ->
       """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        |  CAST((CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 20000 + COUNT(len(string_split(text, ' ')))) // (2 * COUNT(len(string_split(text, ' ')))) AS DOUBLE) / 10000.0 AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q23_token_freq" ->
       """SELECT token, COUNT(*) AS cnt FROM (
@@ -650,7 +688,7 @@ object SparkEntry {
         |  ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q17_source_normalize" ->
-      """SELECT src, COUNT(*) AS cnt, ROUND(AVG(pay_usd), 4) AS avg_pay,
+      """SELECT src, COUNT(*) AS cnt, CAST((SUM(CAST(CAST(pay_usd AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(pay_usd)) // (2 * COUNT(pay_usd)) AS DOUBLE) / 10000.0 AS avg_pay,
         |  CAST(COUNT(state) AS BIGINT) AS n_with_state
         |FROM (
         |  SELECT 'linkedin' AS src,
@@ -679,7 +717,7 @@ object SparkEntry {
         |GROUP BY ng ORDER BY cnt DESC, ng LIMIT 20""".stripMargin,
     "q32_user_gaps" ->
       """SELECT user_id, COUNT(*) AS cnt, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
-        |  ROUND(AVG(gap), 4) AS avg_gap_sec
+        |  CAST((CAST(SUM(gap) AS BIGINT) * 20000 + COUNT(gap)) // (2 * COUNT(gap)) AS DOUBLE) / 10000.0 AS avg_gap_sec
         |FROM (
         |  SELECT user_id,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)

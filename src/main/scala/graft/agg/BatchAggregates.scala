@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object BatchAggregates {
 
+  /** 4-decimal mean in exact integer arithmetic (cents -> e4 units with
+    * half-up floor-div) — deterministic across partition order and
+    * bit-replicable in any engine, unlike round(avg(x),4) which flips on
+    * exact 4th-decimal ties. Assumes money-like (<= 2 fractional decimal)
+    * measures; see SparkEntry.avgExact2dp for the full derivation.
+    */
+  private def avgExact2dp(c: org.apache.spark.sql.Column) = {
+    val cents = sum((c.cast("decimal(12,2)") * 100).cast("long"))
+    val n = count(c)
+    val a = cents * 200 + n
+    val b = n * 2
+    when(n > 0, ((a - pmod(a, b)) / b).cast("long") / 10000.0)
+  }
+
   /** Company-stats shape (A2, reference:
     * bigdata-project/src/spark_batch_v2.py:261-270): count / avg / min / max /
     * stddev over the measure plus a conditional sum.
@@ -18,7 +32,7 @@ object BatchAggregates {
     df.groupBy(dims.map(col): _*)
       .agg(
         count(lit(1)).as("cnt"),
-        round(avg(col(measure)), 4).as("avg_val"),
+        avgExact2dp(col(measure)).as("avg_val"),
         min(col(measure)).as("min_val"),
         max(col(measure)).as("max_val"),
         round(stddev_samp(col(measure)), 4).as("stddev_val"),
@@ -34,7 +48,7 @@ object BatchAggregates {
     df.groupBy(dims.map(col): _*)
       .agg(
         count(lit(1)).as("cnt"),
-        round(avg(col(measure)), 4).as("avg_val"),
+        avgExact2dp(col(measure)).as("avg_val"),
         round(percentile(col(measure), lit(0.25)), 4).as("p25"),
         round(percentile(col(measure), lit(0.5)), 4).as("p50"),
         round(percentile(col(measure), lit(0.75)), 4).as("p75"))
@@ -42,7 +56,7 @@ object BatchAggregates {
   /** Temporal stats (A6): counts/avg by calendar dims. */
   def temporalStats(df: DataFrame, dowCol: String, monthCol: String, measure: String): DataFrame =
     df.groupBy(col(dowCol), col(monthCol))
-      .agg(count(lit(1)).as("cnt"), round(avg(col(measure)), 4).as("avg_val"))
+      .agg(count(lit(1)).as("cnt"), avgExact2dp(col(measure)).as("avg_val"))
 
   /** Cross-tab distribution (A7): counts by two categorical dims. */
   def distribution(df: DataFrame, dimA: String, dimB: String): DataFrame =

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamingAggs {
 
+  /** Exact-integer-arithmetic mean (see BatchAggregates): deterministic
+    * across partition order and engines for money-like measures.
+    */
+  private def avgExact2dp(c: org.apache.spark.sql.Column) = {
+    val cents = sum((c.cast("decimal(12,2)") * 100).cast("long"))
+    val n = count(c)
+    val a = cents * 200 + n
+    val b = n * 2
+    when(n > 0, ((a - pmod(a, b)) / b).cast("long") / 10000.0)
+  }
+
   /** Tumbling-window multi-agg (W4, reference:
     * bigdata-project/src/spark_streaming_v2.py:223-243): window × dims →
     * count, avg, conditional sum; window struct flattened (W5) and an upsert
@@ -27,7 +38,7 @@ object StreamingAggs {
     val src = watermark.fold(df)(w => df.withWatermark(tsCol, w))
     src
       .groupBy(window(col(tsCol), windowLen) +: dims.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), round(avg(col(measure)), 4).as("avg_val"))
+      .agg(count(lit(1)).as("cnt"), avgExact2dp(col(measure)).as("avg_val"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start") +:
           dims.map(col) :+ col("cnt") :+ col("avg_val"): _*)
