@@ -169,7 +169,12 @@ object Dedup {
       minEstJaccard: Double = 0.9,
       seed: Long = 42L): DataFrame = {
     val rowsPerBand = nHashes / nBands
+    // The signature table feeds FOUR plan branches (two band-join legs, two
+    // signature re-joins); persist it so the 128-aggregate computation runs
+    // once. Size is n × ~1 KB — negligible against the corpus — and the
+    // ContextCleaner reclaims it when the result DataFrame is collected.
     val wide = minhashSignaturesWide(docs, textCol, idCol, nHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until nBands).map { b =>
       md5(concat_ws("_", lit(b) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
     }
