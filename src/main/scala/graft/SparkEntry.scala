@@ -436,6 +436,12 @@ object SparkEntry {
       multimodal.Multimodal.sampleFrames(media, 4)
         .orderBy("media_id", "frame_idx")
     },
+    // ---- LLM-pipeline: IVF ANN (coarse quantize -> probe cells -> re-rank) ----
+    "q43_ivf_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), nCells = 32, nProbe = 4, k = 5)
+        .orderBy("query_id", "rank")
+    },
     // ---- sketch aggregates: HLL distinct + approx percentile (mergeable
     // sketches, the 100 TB path; engine-specific values -> rows-only check) ----
     "q39_sketch_stats" -> { (s, dir) =>
@@ -748,6 +754,29 @@ object SparkEntry {
         |SELECT e.event_id, COALESCE(od.o_orderkey, -1) AS okey
         |FROM events e ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND od.d <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q43_ivf_ann" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cell_vec
+        |  FROM embeddings WHERE vec_id < 32),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, vec, cell_id FROM (
+        |    SELECT c.vec_id, c.vec, ct.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.vec, ct.cell_vec) DESC, ct.cell_id) AS rn
+        |    FROM corpus c CROSS JOIN cents ct) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qvec, cell_id FROM (
+        |    SELECT q.vec_id AS query_id, q.vec AS qvec, ct.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.vec, ct.cell_vec) DESC, ct.cell_id) AS rn
+        |    FROM corpus q CROSS JOIN cents ct WHERE q.vec_id < 10) t WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qvec, a.vec) AS s
+        |  FROM probes p JOIN assigned a USING (cell_id) WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, ROUND(s, 4) AS sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q41_text_scrub" ->
       """SELECT doc_id,
         |  CAST(length(dirty) AS INTEGER) AS dirty_len,

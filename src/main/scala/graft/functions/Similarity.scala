@@ -51,6 +51,46 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into `nCells` inverted
+    * lists, probe the `nProbe` closest cells per query, exact-rank only
+    * those candidates. Centroids are deterministic exemplars (the first
+    * `nCells` vectors) rather than trained k-means, so results are exactly
+    * reproducible in the SQL oracle; swap the `cents` relation for trained
+    * centroids and nothing else changes.
+    *
+    * Scale shape: assignment is corpus × broadcast(centroids) — one linear
+    * pass, no corpus shuffle; search touches only nProbe/nCells of the
+    * corpus per query (the IVF speedup), then a per-query top-k via
+    * WindowGroupLimit.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
+    val assigned = corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineNative(col("embedding"), col("cell_vec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineNative(col("embedding"), col("cell_vec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"), col("cell_id"))
+    val scored = probes
+      .join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", CosineSimilarity.cosineNative(col("query_vec"), col("embedding")))
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** Deterministic random-hyperplane (SimHash) LSH bucket id: `nBits` sign
     * bits of projections onto pseudo-random hyperplanes derived from a seed.
     *

@@ -39,6 +39,19 @@ class SimilaritySpec extends SparkSpec {
     assert(b1(0) + b1(1) == 63)
   }
 
+  test("ivfTopK finds the true nearest neighbor when it shares the probed cell") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),    // exemplar centroid 0
+      (1L, Seq(0f, 1f)),    // exemplar centroid 1
+      (2L, Seq(0.95f, 0.05f)), // cell 0
+      (3L, Seq(0.1f, 0.9f)))   // cell 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 2), nCells = 2, nProbe = 1, k = 1)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    // probe cell 0 only -> best candidate there is vec 0 itself
+    assert(out == Seq((2L, 0L, 1)))
+  }
+
   test("lshCandidatePairs only pairs same-bucket vectors, ordered ids") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
