@@ -436,6 +436,16 @@ object SparkEntry {
       multimodal.Multimodal.sampleFrames(media, 4)
         .orderBy("media_id", "frame_idx")
     },
+    // ---- pivot/crosstab: event-type counts by day-of-week ----
+    "q44_pivot_counts" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("dow", ops.Temporal.dayOfWeekSun0(col("ts")))
+        .groupBy("dow")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("dow")
+    },
     // ---- LLM-pipeline: IVF ANN (coarse quantize -> probe cells -> re-rank) ----
     "q43_ivf_ann" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -754,6 +764,14 @@ object SparkEntry {
         |SELECT e.event_id, COALESCE(od.o_orderkey, -1) AS okey
         |FROM events e ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND od.d <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q44_pivot_counts" ->
+      """SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q43_ivf_ann" ->
       """WITH cents AS (
         |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cell_vec
