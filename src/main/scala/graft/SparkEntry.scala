@@ -436,6 +436,72 @@ object SparkEntry {
       multimodal.Multimodal.sampleFrames(media, 4)
         .orderBy("media_id", "frame_idx")
     },
+    // ---- the reference's FULL job pipeline in the correctness gate:
+    // synthesize raw all-string job records from orders, run
+    // JobNormalize.normalizeLinkedIn + JobPipeline.enrich, emit the
+    // row-level derived columns (every ladder oracle-checked) ----
+    "q45_job_pipeline" -> { (s, dir) =>
+      val raw = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("job_id"),
+        concat(lit("Company"), (col("o_custkey") % 50).cast("string")).as("company_name"),
+        when(col("o_orderpriority") === "1-URGENT", "Senior Software Engineer")
+          .when(col("o_orderpriority") === "2-HIGH", "Data Analyst")
+          .when(col("o_orderpriority") === "3-MEDIUM", "junior ux designer")
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", "sales account manager")
+          .otherwise("qa tester").as("title"),
+        lit("d").as("description"),
+        concat(lit("City"), (col("o_orderkey") % 7).cast("string"), lit(", ST")).as("location"),
+        col("o_totalprice").cast("decimal(12,2)").cast("string").as("min_salary"),
+        (col("o_totalprice").cast("decimal(12,2)") + 20000).cast("decimal(14,2)").cast("string").as("max_salary"),
+        when(col("o_custkey") % 4 === 0, "GBP").otherwise("USD").as("currency"),
+        when(col("o_custkey") % 3 === 0, "Full-time")
+          .when(col("o_custkey") % 3 === 1, "part-time")
+          .otherwise("contract work").as("work_type"),
+        lit("wt").as("formatted_work_type"),
+        when(col("o_orderkey") % 5 === 0, "Executive").otherwise("").as("formatted_experience_level"),
+        when(col("o_orderkey") % 2 === 0, "true").otherwise("false").as("remote_allowed"),
+        (unix_timestamp(col("o_orderdate")) * 1000).cast("string").as("listed_time"),
+        (col("o_orderkey") % 300).cast("string").as("views"),
+        (col("o_orderkey") % 20).cast("string").as("applies"))
+      val unified = sources.JobNormalize.normalizeLinkedIn(raw, ingestTs = lit(1.0))
+      pipeline.JobPipeline.enrich(unified, "1998-06-01")
+        .select(
+          col("job_id"), col("company_name_clean"), col("job_category"),
+          col("experience_level_final"), col("work_type_clean"), col("salary_category"),
+          round(col("salary_avg"), 4).as("salary_avg"),
+          round(col("salary_range"), 4).as("salary_range"),
+          col("job_freshness"), col("region"),
+          round(col("competition_score"), 4).as("competition_score"),
+          col("is_high_demand"), col("posted_day_of_week"), col("posted_month"))
+        .orderBy(col("job_id").cast("long"))
+    },
+    // ---- the six-table aggregate fan-out shape on the same pipeline (count-only; A7) ----
+    "q46_salary_distribution" -> { (s, dir) =>
+      val raw = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("job_id"),
+        concat(lit("Company"), (col("o_custkey") % 50).cast("string")).as("company_name"),
+        when(col("o_orderpriority") === "1-URGENT", "Senior Software Engineer")
+          .when(col("o_orderpriority") === "2-HIGH", "Data Analyst")
+          .when(col("o_orderpriority") === "3-MEDIUM", "junior ux designer")
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", "sales account manager")
+          .otherwise("qa tester").as("title"),
+        lit("d").as("description"),
+        lit("City, ST").as("location"),
+        col("o_totalprice").cast("decimal(12,2)").cast("string").as("min_salary"),
+        (col("o_totalprice").cast("decimal(12,2)") + 20000).cast("decimal(14,2)").cast("string").as("max_salary"),
+        when(col("o_custkey") % 4 === 0, "GBP").otherwise("USD").as("currency"),
+        lit("Full-time").as("work_type"),
+        lit("wt").as("formatted_work_type"),
+        lit("").as("formatted_experience_level"),
+        lit("false").as("remote_allowed"),
+        (unix_timestamp(col("o_orderdate")) * 1000).cast("string").as("listed_time"),
+        lit("0").as("views"),
+        lit("0").as("applies"))
+      val enriched = pipeline.JobPipeline.enrich(
+        sources.JobNormalize.normalizeLinkedIn(raw, ingestTs = lit(1.0)), "1998-06-01")
+      pipeline.JobPipeline.aggregates(enriched)("salary_distribution")
+        .orderBy("salary_category", "job_category")
+    },
     // ---- pivot/crosstab: event-type counts by day-of-week ----
     "q44_pivot_counts" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -764,6 +830,124 @@ object SparkEntry {
         |SELECT e.event_id, COALESCE(od.o_orderkey, -1) AS okey
         |FROM events e ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND od.d <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q45_job_pipeline" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS job_id,
+        |    concat('Company', CAST(o_custkey % 50 AS VARCHAR)) AS company_name,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'Senior Software Engineer'
+        |         WHEN o_orderpriority = '2-HIGH' THEN 'Data Analyst'
+        |         WHEN o_orderpriority = '3-MEDIUM' THEN 'junior ux designer'
+        |         WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'sales account manager'
+        |         ELSE 'qa tester' END AS title,
+        |    TRY_CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS smin,
+        |    TRY_CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 20000 AS DECIMAL(14,2)) AS VARCHAR) AS DOUBLE) AS smax,
+        |    CASE WHEN o_custkey % 4 = 0 THEN 'GBP' ELSE 'USD' END AS ccy,
+        |    CASE WHEN o_custkey % 3 = 0 THEN 'Full-time' WHEN o_custkey % 3 = 1 THEN 'part-time'
+        |         ELSE 'contract work' END AS wt,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'Executive' ELSE '' END AS exp_src,
+        |    CAST(o_orderdate AS DATE) AS listed_date,
+        |    CAST(o_orderkey % 300 AS INTEGER) AS views,
+        |    CAST(o_orderkey % 20 AS INTEGER) AS applies
+        |  FROM orders),
+        |sal AS (
+        |  SELECT *,
+        |    CASE WHEN ccy = 'GBP' AND smin_c IS NOT NULL THEN smin_c * 1.27 ELSE smin_c END AS min_usd,
+        |    CASE WHEN ccy = 'GBP' AND smax_c IS NOT NULL THEN smax_c * 1.27 ELSE smax_c END AS max_usd
+        |  FROM (SELECT *, CASE WHEN smin > 0 THEN smin END AS smin_c,
+        |               CASE WHEN smax > 0 THEN smax END AS smax_c FROM raw) t),
+        |enr AS (
+        |  SELECT *,
+        |    CASE WHEN min_usd IS NOT NULL AND max_usd IS NOT NULL THEN (min_usd + max_usd) / 2.0
+        |         WHEN min_usd IS NOT NULL THEN min_usd
+        |         WHEN max_usd IS NOT NULL THEN max_usd END AS salary_avg_raw,
+        |    CASE WHEN min_usd IS NOT NULL AND max_usd IS NOT NULL THEN max_usd - min_usd END AS salary_range_raw,
+        |    CASE WHEN regexp_matches(title, '(?i)intern|internship') THEN 'Intern'
+        |         WHEN regexp_matches(title, '(?i)junior|jr\.|entry|graduate|associate') THEN 'Junior'
+        |         WHEN regexp_matches(title, '(?i)senior|sr\.|lead|principal|staff') THEN 'Senior'
+        |         WHEN regexp_matches(title, '(?i)manager|director|head|vp|chief|cto|ceo') THEN 'Manager/Executive'
+        |         ELSE 'Mid-Level' END AS exp_derived,
+        |    date_diff('day', listed_date, DATE '1998-06-01') AS days_since
+        |  FROM sal)
+        |SELECT job_id,
+        |  upper(trim(company_name)) AS company_name_clean,
+        |  CASE WHEN regexp_matches(title, '(?i)software|developer|engineer|programming|backend|frontend|fullstack') THEN 'Software Engineering'
+        |       WHEN regexp_matches(title, '(?i)data|analyst|scientist|analytics|bi|business intelligence') THEN 'Data & Analytics'
+        |       WHEN regexp_matches(title, '(?i)manager|management|director|product manager') THEN 'Management'
+        |       WHEN regexp_matches(title, '(?i)marketing|social media|seo|content|digital marketing') THEN 'Marketing'
+        |       WHEN regexp_matches(title, '(?i)sales|account|business development') THEN 'Sales'
+        |       WHEN regexp_matches(title, '(?i)design|designer|ux|ui|graphic') THEN 'Design'
+        |       WHEN regexp_matches(title, '(?i)devops|cloud|infrastructure|sre') THEN 'DevOps/Cloud'
+        |       WHEN regexp_matches(title, '(?i)qa|quality|test|tester') THEN 'QA/Testing'
+        |       WHEN regexp_matches(title, '(?i)hr|human resource|recruiter') THEN 'Human Resources'
+        |       ELSE 'Other' END AS job_category,
+        |  CASE WHEN exp_src IS NOT NULL AND exp_src <> 'Not Specified' AND trim(exp_src) <> ''
+        |       THEN exp_src ELSE exp_derived END AS experience_level_final,
+        |  CASE WHEN regexp_matches(wt, '(?i)full') THEN 'FULL_TIME'
+        |       WHEN regexp_matches(wt, '(?i)part') THEN 'PART_TIME'
+        |       WHEN regexp_matches(wt, '(?i)contract') THEN 'CONTRACT'
+        |       WHEN regexp_matches(wt, '(?i)temporary') THEN 'TEMPORARY'
+        |       ELSE 'Other' END AS work_type_clean,
+        |  CASE WHEN salary_avg_raw IS NULL THEN 'Not Specified'
+        |       WHEN salary_avg_raw < 30000 THEN 'Entry Level'
+        |       WHEN salary_avg_raw < 60000 THEN 'Mid Level'
+        |       WHEN salary_avg_raw < 100000 THEN 'Senior Level'
+        |       ELSE 'Executive Level' END AS salary_category,
+        |  ROUND(salary_avg_raw, 4) AS salary_avg,
+        |  ROUND(salary_range_raw, 4) AS salary_range,
+        |  CASE WHEN days_since <= 1 THEN 'Fresh (< 24h)'
+        |       WHEN days_since <= 7 THEN 'Recent (1-7 days)'
+        |       WHEN days_since <= 30 THEN 'Active (1-4 weeks)'
+        |       ELSE 'Old (> 30 days)' END AS job_freshness,
+        |  'North America' AS region,
+        |  ROUND(CASE WHEN views > 0 AND applies > 0
+        |        THEN CAST(applies AS DOUBLE) / CAST(views AS DOUBLE) * 100.0 ELSE 0.0 END, 4) AS competition_score,
+        |  (views > 100 AND (CASE WHEN views > 0 AND applies > 0
+        |        THEN CAST(applies AS DOUBLE) / CAST(views AS DOUBLE) * 100.0 ELSE 0.0 END) < 5) AS is_high_demand,
+        |  CAST(dayofweek(listed_date) + 1 AS INTEGER) AS posted_day_of_week,
+        |  CAST(month(listed_date) AS INTEGER) AS posted_month
+        |FROM enr ORDER BY CAST(job_id AS BIGINT)""".stripMargin,
+    "q46_salary_distribution" ->
+      """WITH raw AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS job_id,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'Senior Software Engineer'
+        |         WHEN o_orderpriority = '2-HIGH' THEN 'Data Analyst'
+        |         WHEN o_orderpriority = '3-MEDIUM' THEN 'junior ux designer'
+        |         WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'sales account manager'
+        |         ELSE 'qa tester' END AS title,
+        |    TRY_CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS smin,
+        |    TRY_CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 20000 AS DECIMAL(14,2)) AS VARCHAR) AS DOUBLE) AS smax,
+        |    CASE WHEN o_custkey % 4 = 0 THEN 'GBP' ELSE 'USD' END AS ccy
+        |  FROM orders),
+        |sal AS (
+        |  SELECT *,
+        |    CASE WHEN ccy = 'GBP' AND smin_c IS NOT NULL THEN smin_c * 1.27 ELSE smin_c END AS min_usd,
+        |    CASE WHEN ccy = 'GBP' AND smax_c IS NOT NULL THEN smax_c * 1.27 ELSE smax_c END AS max_usd
+        |  FROM (SELECT *, CASE WHEN smin > 0 THEN smin END AS smin_c,
+        |               CASE WHEN smax > 0 THEN smax END AS smax_c FROM raw) t),
+        |enr AS (
+        |  SELECT job_id, title,
+        |    CASE WHEN min_usd IS NOT NULL AND max_usd IS NOT NULL THEN (min_usd + max_usd) / 2.0
+        |         WHEN min_usd IS NOT NULL THEN min_usd
+        |         WHEN max_usd IS NOT NULL THEN max_usd END AS salary_avg
+        |  FROM sal)
+        |SELECT
+        |  CASE WHEN salary_avg IS NULL THEN 'Not Specified'
+        |       WHEN salary_avg < 30000 THEN 'Entry Level'
+        |       WHEN salary_avg < 60000 THEN 'Mid Level'
+        |       WHEN salary_avg < 100000 THEN 'Senior Level'
+        |       ELSE 'Executive Level' END AS salary_category,
+        |  CASE WHEN regexp_matches(title, '(?i)software|developer|engineer|programming|backend|frontend|fullstack') THEN 'Software Engineering'
+        |       WHEN regexp_matches(title, '(?i)data|analyst|scientist|analytics|bi|business intelligence') THEN 'Data & Analytics'
+        |       WHEN regexp_matches(title, '(?i)manager|management|director|product manager') THEN 'Management'
+        |       WHEN regexp_matches(title, '(?i)marketing|social media|seo|content|digital marketing') THEN 'Marketing'
+        |       WHEN regexp_matches(title, '(?i)sales|account|business development') THEN 'Sales'
+        |       WHEN regexp_matches(title, '(?i)design|designer|ux|ui|graphic') THEN 'Design'
+        |       WHEN regexp_matches(title, '(?i)devops|cloud|infrastructure|sre') THEN 'DevOps/Cloud'
+        |       WHEN regexp_matches(title, '(?i)qa|quality|test|tester') THEN 'QA/Testing'
+        |       WHEN regexp_matches(title, '(?i)hr|human resource|recruiter') THEN 'Human Resources'
+        |       ELSE 'Other' END AS job_category,
+        |  COUNT(job_id) AS job_count
+        |FROM enr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q44_pivot_counts" ->
       """SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
