@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Dedup, ExactAgg, Similarity, Text}
 import graft.ops.{Cleaning, Features}
 import graft.pipeline.EventsPipeline
 import graft.sources.Tables
@@ -23,37 +23,14 @@ object SparkEntry {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
 
-  /** Cross-engine-exact 4-decimal mean of a money-like (<= 2 fractional
-    * decimals) column, computed entirely in INTEGER arithmetic:
-    * cents = Σ round-free exact cents; avg_e4 = ⌊(cents·200 + n) / 2n⌋
-    * (round-half-up of cents·100/n); result = avg_e4 / 10000.0.
-    *
-    * Why not round(avg(x),4): float summation is partition-order dependent,
-    * and even with an exact decimal sum the final rounding diverges — Spark
-    * rounds the shortest-decimal representation of the double while DuckDB
-    * rounds its binary value, so an exact tie like 1512.12/32 = 47.25375
-    * rounds to .2538 in Spark and .2537 in DuckDB (observed at sf0.1). The
-    * integer formula is replicated verbatim in the oracle SQL, so equality
-    * is by construction for every sign and tie.
-    */
-  private def avgExact2dp(c: org.apache.spark.sql.Column) = {
-    val cents = sum((dec(c) * 100).cast("long"))
-    val n = count(c)
-    when(n > 0, floorDiv(cents * 200 + n, n * 2) / 10000.0)
-  }
-
-  /** Same, for integer-valued measures (exact long sum). */
-  private def avgExactLong(c: org.apache.spark.sql.Column) = {
-    val total = sum(c)
-    val n = count(c)
-    when(n > 0, floorDiv(total * 20000 + n, n * 2) / 10000.0)
-  }
-
-  /** Exact long floor division (operands well inside 2^53, so the final
-    * double division of exactly-divisible terms is exact).
-    */
-  private def floorDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    ((a - pmod(a, b)) / b).cast("long")
+  // Exact-arithmetic aggregate helpers (why-docs in graft.functions.ExactAgg:
+  // integer cents/e4/e6 sums and an integer half-up mean, mirrored verbatim
+  // in the oracle SQL so no DECIMAL rendering or float rounding ever crosses
+  // the engine boundary — round 1's only gate failures were DECIMAL output
+  // columns hashing differently in the driver's oracle environment).
+  private def avgExact2dp(c: org.apache.spark.sql.Column) = ExactAgg.avgExact2dp(c)
+  private def avgExactLong(c: org.apache.spark.sql.Column) = ExactAgg.avgExactLong(c)
+  private def cents(c: org.apache.spark.sql.Column) = ExactAgg.cents(c)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -64,17 +41,23 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core: scan → filter → agg (TPC-H Q1 shape; A1/A2/P6) ----
+    // Money sums are emitted as exact BIGINT fixed-point units (cents / e4 /
+    // e6) built from integer cents per factor — ep·(1−d) ≡ ep_c·(100−d_c) —
+    // so the cross-engine contract is pure int64 with no DECIMAL rendering.
+    // Envelope: charge_e6 ≤ ~5e10/row keeps an int64 sum safe to ~10⁸ rows
+    // per group; beyond that emit e4 units or pre-aggregate per date.
     "q01_pricing_summary" -> { (s, dir) =>
+      val epc = cents(col("l_extendedprice"))
+      val dc = cents(col("l_discount"))
+      val tc = cents(col("l_tax"))
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-            .cast("decimal(27,4)").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * dec(lit(1) + col("l_tax")))
-            .cast("decimal(30,6)").as("sum_charge"),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(epc).as("sum_base_price_c"),
+          sum(epc * (lit(100) - dc)).as("sum_disc_price_e4"),
+          sum(epc * (lit(100) - dc) * (lit(100) + tc)).as("sum_charge_e6"),
           avgExact2dp(col("l_quantity")).as("avg_qty"),
           avgExact2dp(col("l_extendedprice")).as("avg_price"),
           avgExact2dp(col("l_discount")).as("avg_disc"),
@@ -89,9 +72,9 @@ object SparkEntry {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast("decimal(27,4)").as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
         .limit(10)
     },
     // ---- broadcast dimension join (SURVEY §2.7; explicitly broadcast) ----
@@ -102,7 +85,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("cnt"),
           avgExact2dp(col("l_extendedprice")).as("avg_price"),
-          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+          sum(cents(col("l_quantity"))).as("sum_qty_c"))
         .orderBy("p_brand")
     },
     // ---- multi-hop dimension join chain ----
@@ -114,7 +97,7 @@ object SparkEntry {
         .groupBy("r_name")
         .agg(
           count(lit(1)).as("cnt"),
-          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"))
+          sum(cents(col("o_totalprice"))).as("revenue_c"))
         .orderBy("r_name")
     },
     // ---- pushdown-friendly filter + global agg (TPC-H Q6 shape; P2/M5) ----
@@ -123,8 +106,8 @@ object SparkEntry {
         .filter(
           col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-          .cast("decimal(27,4)").as("revenue"))
+        .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .as("revenue_e4"))
     },
     // ---- ranking window function: top-N per group ----
     "q06_top_parts_per_brand" -> { (s, dir) =>
@@ -381,11 +364,11 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("cnt"),
-          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+          sum(cents(col("l_quantity"))).as("sum_qty_c"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("f"),
           coalesce(col("l_linestatus"), lit("ALL")).as("st"),
-          col("cnt"), col("sum_qty"))
+          col("cnt"), col("sum_qty_c"))
         .orderBy("f", "st")
     },
     // ---- anti join: customers with no events ----
@@ -558,6 +541,13 @@ object SparkEntry {
     }
   )
 
+  // DuckDB mirrors of the exact-integer aggregate arithmetic — generated by
+  // the same module as the Spark side (graft.functions.ExactAgg) so the two
+  // formulas cannot drift.
+  private def sqlCents(x: String): String = ExactAgg.Sql.cents(x)
+  private def sqlAvg2dp(x: String): String = ExactAgg.Sql.avg2dp(x)
+  private def sqlAvgLong(x: String): String = ExactAgg.Sql.avgLong(x)
+
   /** Shared WHERE clause of the enrichment pipeline's validation filter. */
   private val enrichWhere =
     "event_id IS NOT NULL AND event_type IS NOT NULL AND trim(event_type) <> ''"
@@ -580,44 +570,44 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(27,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DECIMAL(30,6)) AS sum_charge,
-        |  CAST((SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(l_quantity)) // (2 * COUNT(l_quantity)) AS DOUBLE) / 10000.0 AS avg_qty,
-        |  CAST((SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(l_extendedprice)) // (2 * COUNT(l_extendedprice)) AS DOUBLE) / 10000.0 AS avg_price,
-        |  CAST((SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(l_discount)) // (2 * COUNT(l_discount)) AS DOUBLE) / 10000.0 AS avg_disc,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  CAST(SUM(${sqlCents("l_extendedprice")}) AS BIGINT) AS sum_base_price_c,
+         |  CAST(SUM(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS BIGINT) AS sum_disc_price_e4,
+         |  CAST(SUM(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) * (100 + ${sqlCents("l_tax")})) AS BIGINT) AS sum_charge_e6,
+         |  ${sqlAvg2dp("l_quantity")} AS avg_qty,
+         |  ${sqlAvg2dp("l_extendedprice")} AS avg_price,
+         |  ${sqlAvg2dp("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_top_customers" ->
-      """SELECT c_custkey, c_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(27,4)) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_custkey, c_name
-        |ORDER BY revenue DESC, c_custkey
-        |LIMIT 10""".stripMargin,
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS BIGINT) AS revenue_e4
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue_e4 DESC, c_custkey
+         |LIMIT 10""".stripMargin,
     "q03_brand_stats" ->
-      """SELECT p_brand, COUNT(*) AS cnt, CAST((SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(l_extendedprice)) // (2 * COUNT(l_extendedprice)) AS DOUBLE) / 10000.0 AS avg_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      s"""SELECT p_brand, COUNT(*) AS cnt, ${sqlAvg2dp("l_extendedprice")} AS avg_price,
+         |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q04_region_revenue" ->
-      """SELECT r_name, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
-        |FROM region JOIN nation ON n_regionkey = r_regionkey
-        |  JOIN customer ON c_nationkey = n_nationkey
-        |  JOIN orders ON o_custkey = c_custkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      s"""SELECT r_name, COUNT(*) AS cnt,
+         |  CAST(SUM(${sqlCents("o_totalprice")}) AS BIGINT) AS revenue_c
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |  JOIN customer ON c_nationkey = n_nationkey
+         |  JOIN orders ON o_custkey = c_custkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q05_revenue_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(27,4)) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+      s"""SELECT CAST(SUM(${sqlCents("l_extendedprice")} * ${sqlCents("l_discount")}) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q06_top_parts_per_brand" ->
       """SELECT p_brand, p_partkey, p_retailprice, rank FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
@@ -625,9 +615,9 @@ object SparkEntry {
         |  FROM part) t
         |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
     "q07_union_kinds" ->
-      """SELECT kind, COUNT(*) AS cnt, CAST((SUM(CAST(CAST(acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(acctbal)) // (2 * COUNT(acctbal)) AS DOUBLE) / 10000.0 AS avg_bal,
-        |  MIN(acctbal) AS min_bal, MAX(acctbal) AS max_bal
-        |FROM (
+      s"""SELECT kind, COUNT(*) AS cnt, ${sqlAvg2dp("acctbal")} AS avg_bal,
+         |  MIN(acctbal) AS min_bal, MAX(acctbal) AS max_bal
+         |FROM (
         |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
         |  UNION ALL
         |  SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier) u
@@ -638,12 +628,10 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q09_impute_global_mean" ->
-      """SELECT event_id,
-        |  ROUND(COALESCE(CASE WHEN value >= 10 THEN value END,
-        |    (SELECT CAST((SUM(CAST(CAST(CASE WHEN value >= 10 THEN value END AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200
-        |        + COUNT(CASE WHEN value >= 10 THEN value END))
-        |      // (2 * COUNT(CASE WHEN value >= 10 THEN value END)) AS DOUBLE) / 10000.0 FROM events)), 4) AS value_filled
-        |FROM events ORDER BY event_id""".stripMargin,
+      s"""SELECT event_id,
+         |  ROUND(COALESCE(CASE WHEN value >= 10 THEN value END,
+         |    (SELECT ${sqlAvg2dp("CASE WHEN value >= 10 THEN value END")} FROM events)), 4) AS value_filled
+         |FROM events ORDER BY event_id""".stripMargin,
     "q10_events_enrich" ->
       s"""SELECT event_id,
          |  upper(trim(event_type)) AS event_type_clean,
@@ -665,7 +653,7 @@ object SparkEntry {
          |ORDER BY event_id""".stripMargin,
     "q11_type_stats" ->
       s"""SELECT upper(trim(event_type)) AS event_type_clean,
-         |  COUNT(*) AS cnt, CAST((SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 10000.0 AS avg_val,
+         |  COUNT(*) AS cnt, ${sqlAvg2dp("value")} AS avg_val,
          |  MIN(value) AS min_val, MAX(value) AS max_val,
          |  ROUND(stddev_samp(value), 4) AS stddev_val,
          |  CAST(SUM(CASE WHEN $oracleK % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS flag_cnt
@@ -674,13 +662,13 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_temporal_stats" ->
       s"""SELECT CAST(dayofweek(ts) AS INTEGER) AS dow, CAST(month(ts) AS INTEGER) AS month,
-         |  COUNT(*) AS cnt, CAST((SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 10000.0 AS avg_val
+         |  COUNT(*) AS cnt, ${sqlAvg2dp("value")} AS avg_val
          |FROM events
          |WHERE $enrichWhere
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q13_category_percentiles" ->
       s"""SELECT $oracleCategory AS category,
-         |  COUNT(*) AS cnt, CAST((SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 10000.0 AS avg_val,
+         |  COUNT(*) AS cnt, ${sqlAvg2dp("value")} AS avg_val,
          |  ROUND(quantile_cont(value, 0.25), 4) AS p25,
          |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
          |  ROUND(quantile_cont(value, 0.75), 4) AS p75
@@ -688,11 +676,11 @@ object SparkEntry {
          |WHERE $enrichWhere
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_hourly_type_stats" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  event_type, COUNT(*) AS cnt, CAST((SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 10000.0 AS avg_val,
-        |  concat_ws('_', event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')) AS doc_id
-        |FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  event_type, COUNT(*) AS cnt, ${sqlAvg2dp("value")} AS avg_val,
+         |  concat_ws('_', event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')) AS doc_id
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q15_sliding_type_counts" ->
       """WITH w AS (
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events
@@ -701,9 +689,9 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, COUNT(*) AS cnt
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q16_source_stats" ->
-      """SELECT source, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST((CAST(SUM(n_chars) AS BIGINT) * 20000 + COUNT(n_chars)) // (2 * COUNT(n_chars)) AS DOUBLE) / 10000.0 AS avg_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      s"""SELECT source, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  ${sqlAvgLong("n_chars")} AS avg_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -718,9 +706,9 @@ object SparkEntry {
         |       ELSE 'OK_TERSE' END AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_lang_stats" ->
-      """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST((CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 20000 + COUNT(len(string_split(text, ' ')))) // (2 * COUNT(len(string_split(text, ' ')))) AS DOUBLE) / 10000.0 AS avg_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  ${sqlAvgLong("len(string_split(text, ' '))")} AS avg_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q23_token_freq" ->
       """SELECT token, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
@@ -770,11 +758,11 @@ object SparkEntry {
         |  ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q17_source_normalize" ->
-      """SELECT src, COUNT(*) AS cnt, CAST((SUM(CAST(CAST(pay_usd AS DECIMAL(12,2)) * 100 AS BIGINT)) * 200 + COUNT(pay_usd)) // (2 * COUNT(pay_usd)) AS DOUBLE) / 10000.0 AS avg_pay,
-        |  CAST(COUNT(state) AS BIGINT) AS n_with_state
-        |FROM (
+      s"""SELECT src, COUNT(*) AS cnt, ${sqlAvg2dp("pay_usd")} AS avg_pay,
+         |  CAST(COUNT(state) AS BIGINT) AS n_with_state
+         |FROM (
         |  SELECT 'linkedin' AS src,
-        |    TRY_CAST(regexp_replace(concat('$', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), ' USD'), '[^0-9.]', '', 'g') AS DOUBLE) AS pay_usd,
+        |    TRY_CAST(regexp_replace(concat('$$', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), ' USD'), '[^0-9.]', '', 'g') AS DOUBLE) AS pay_usd,
         |    trim(string_split(concat(o_orderpriority, ', ', o_orderstatus), ',')[2]) AS state
         |  FROM orders
         |  UNION ALL
@@ -798,9 +786,9 @@ object SparkEntry {
         |       UNNEST(range(len(t) - 2)) AS u(i)) g
         |GROUP BY ng ORDER BY cnt DESC, ng LIMIT 20""".stripMargin,
     "q32_user_gaps" ->
-      """SELECT user_id, COUNT(*) AS cnt, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
-        |  CAST((CAST(SUM(gap) AS BIGINT) * 20000 + COUNT(gap)) // (2 * COUNT(gap)) AS DOUBLE) / 10000.0 AS avg_gap_sec
-        |FROM (
+      s"""SELECT user_id, COUNT(*) AS cnt, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         |  ${sqlAvgLong("gap")} AS avg_gap_sec
+         |FROM (
         |  SELECT user_id,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
         |      - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
@@ -808,12 +796,12 @@ object SparkEntry {
         |  FROM events) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q33_cube_counts" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS st,
-        |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
-        |FROM lineitem
-        |GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY f, st""".stripMargin,
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS st,
+         |  COUNT(*) AS cnt,
+         |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY f, st""".stripMargin,
     "q34_inactive_customers" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)

@@ -10,19 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object BatchAggregates {
 
-  /** 4-decimal mean in exact integer arithmetic (cents -> e4 units with
-    * half-up floor-div) — deterministic across partition order and
-    * bit-replicable in any engine, unlike round(avg(x),4) which flips on
-    * exact 4th-decimal ties. Assumes money-like (<= 2 fractional decimal)
-    * measures; see SparkEntry.avgExact2dp for the full derivation.
+  /** 4-decimal mean in exact integer arithmetic — deterministic across
+    * partition order and bit-replicable in any engine, unlike round(avg(x),4)
+    * which flips on exact 4th-decimal ties. See [[graft.functions.ExactAgg]].
     */
-  private def avgExact2dp(c: org.apache.spark.sql.Column) = {
-    val cents = sum((c.cast("decimal(12,2)") * 100).cast("long"))
-    val n = count(c)
-    val a = cents * 200 + n
-    val b = n * 2
-    when(n > 0, ((a - pmod(a, b)) / b).cast("long") / 10000.0)
-  }
+  private def avgExact2dp(c: org.apache.spark.sql.Column) =
+    graft.functions.ExactAgg.avgExact2dp(c)
 
   /** Company-stats shape (A2, reference:
     * bigdata-project/src/spark_batch_v2.py:261-270): count / avg / min / max /

@@ -12,16 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamingAggs {
 
-  /** Exact-integer-arithmetic mean (see BatchAggregates): deterministic
-    * across partition order and engines for money-like measures.
+  /** Exact-integer-arithmetic mean: deterministic across partition order
+    * and engines for money-like measures. See [[graft.functions.ExactAgg]].
     */
-  private def avgExact2dp(c: org.apache.spark.sql.Column) = {
-    val cents = sum((c.cast("decimal(12,2)") * 100).cast("long"))
-    val n = count(c)
-    val a = cents * 200 + n
-    val b = n * 2
-    when(n > 0, ((a - pmod(a, b)) / b).cast("long") / 10000.0)
-  }
+  private def avgExact2dp(c: org.apache.spark.sql.Column) =
+    graft.functions.ExactAgg.avgExact2dp(c)
 
   /** Tumbling-window multi-agg (W4, reference:
     * bigdata-project/src/spark_streaming_v2.py:223-243): window × dims →
