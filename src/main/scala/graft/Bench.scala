@@ -1,24 +1,56 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registry query at
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line.
+  *
+  * Measurement rules:
+  *   - Each query is executed through a `noop`-format write, not `count()`:
+  *     a count lets Catalyst prune every projection the count doesn't need,
+  *     which would time map-only pipelines (text scoring, enrichment) as
+  *     bare scans. The noop sink materializes every output column, so the
+  *     timing covers the full expression pipeline, while writing nothing.
+  *   - A small untimed warmup absorbs one-time JVM/codegen infrastructure
+  *     startup so it isn't billed to whichever query runs first.
+  *   - The JSON line goes to stdout AND to a file (`SPARK_GRAFT_BENCH_OUT`,
+  *     default `BENCH_OUT.json` in the working directory) — sbt wraps
+  *     stdout in `[info]` noise that broke the driver's parse in round 1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    val spark = GraftSession.builder("graft-bench", shufflePartitions = cpus.toInt)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup (untimed): exercise codegen, shuffle machinery and the parquet
+    // reader once so JVM infrastructure startup isn't attributed to the
+    // first measured query.
+    spark.range(1000000).selectExpr("sum(id * 2) AS s").collect()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outFile), json + "\n")
+    println(json)
     spark.stop()
   }
 }

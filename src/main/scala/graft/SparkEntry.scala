@@ -264,10 +264,9 @@ object SparkEntry {
     "q26_minhash_pairs" -> { (s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")
     },
-    // ---- LLM-pipeline: SimHash fingerprints (non-SQL; rows-only check) ----
+    // ---- LLM-pipeline: SimHash fingerprints (explode-aggregate form) ----
     "q27_simhash" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      Dedup.simhashSignatures(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")
     },
     // ---- LLM-pipeline: brute-force cosine top-k ANN baseline ----
@@ -335,10 +334,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("freshness")
     },
-    // ---- LLM-pipeline: word-trigram frequencies (shingling) ----
+    // ---- LLM-pipeline: word-trigram frequencies (codegen shingling) ----
     "q31_trigram_freq" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(Text.ngrams(col("text"), 3)).as("ng"))
+      Text.explodeNgrams(Tables.documents(s, dir), "text", 3)
         .groupBy("ng")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("ng"))
@@ -522,10 +520,15 @@ object SparkEntry {
           length(Text.scrub(col("dirty"))).as("clean_len"))
         .orderBy("doc_id")
     },
-    // ---- LLM-pipeline: repetition/boilerplate signal ----
+    // ---- LLM-pipeline: repetition/boilerplate signal (linear explode-agg;
+    // ratio emitted as exact integer half-up e4 so no float rounding
+    // crosses the engine boundary) ----
     "q42_repetition" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), round(Text.topTokenRatio(col("text")), 4).as("top_token_ratio"))
+      Text.topTokenRatios(Tables.documents(s, dir), "text", "doc_id")
+        .select(
+          col("doc_id"),
+          (ExactAgg.divHalfUp(col("top_cnt") * 10000, col("tok_cnt")) / 10000.0)
+            .as("top_token_ratio"))
         .orderBy("doc_id")
     },
     // ---- gap-based session windows (session_window, batch parity) ----
@@ -980,13 +983,13 @@ object SparkEntry {
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     "q42_repetition" ->
-      """SELECT doc_id, ROUND(CAST(mx AS DOUBLE) / n, 4) AS top_token_ratio FROM (
-        |  SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM (
-        |    SELECT doc_id, tok, COUNT(*) AS c FROM (
-        |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
-        |    GROUP BY doc_id, tok) g
-        |  GROUP BY doc_id) m
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, CAST(${ExactAgg.Sql.divHalfUp("mx * 10000", "n")} AS DOUBLE) / 10000.0 AS top_token_ratio FROM (
+         |  SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM (
+         |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+         |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+         |    GROUP BY doc_id, tok) g
+         |  GROUP BY doc_id) m
+         |ORDER BY doc_id""".stripMargin,
     // Spark session_window semantics: a new session starts when the gap to
     // the previous event is >= the gap duration (window end = last + gap,
     // exclusive).

@@ -30,48 +30,22 @@ object Dedup {
   def tokenHash64(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
-  /** MinHash over a precomputed token-hash array: for each of `nHashes`
-    * permutations i, the minimum of (aᵢ·h + bᵢ) mod p over the array. Pure
-    * array expressions — the signature is computed per-row with no shuffle.
-    * Pass the hash array through a prior `select` so the per-token md5 is
-    * evaluated once, not once per permutation.
+  /** The (aᵢ, bᵢ) coefficients of MinHash permutation i, derived from the
+    * seed with a splitmix-style mixer. Exposed so the DuckDB oracle SQL can
+    * be generated with the identical constants.
     */
-  def minhashFromHashes(hashes: Column, nHashes: Int, seed: Long = 42L): Column = {
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
-    def mix(i: Long, salt: Long): Long = {
-      var z = seed + i * 0x9E3779B97F4A7C15L + salt
+  def minhashCoeffs(i: Int, seed: Long): (Long, Long) = {
+    def mix(salt: Long): Long = {
+      var z = seed + i.toLong * 0x9E3779B97F4A7C15L + salt
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      math.abs(z ^ (z >>> 31)) % p
+      math.abs(z ^ (z >>> 31)) % minhashP
     }
-    val mins = (0 until nHashes).map { i =>
-      val a = mix(i.toLong, 0x51AB4D2EL) | 1L // odd, non-zero
-      val b = mix(i.toLong, 0x7F4E6C3DL)
-      // reduce h mod p BEFORE multiplying: h < 2^60 and a < 2^31 would
-      // overflow Long; (h mod p) * a < 2^62 stays safe.
-      aggregate(
-        hashes,
-        lit(p),
-        (acc, h) => least(acc, pmod(pmod(h, lit(p)) * a + b, lit(p))))
-    }
-    array(mins: _*)
+    (mix(0x51AB4D2EL) | 1L, mix(0x7F4E6C3DL)) // a odd and non-zero
   }
 
-  /** MinHash signature straight from a text column (convenience/test entry;
-    * the pipeline path uses [[minhashFromHashes]] to share the token-hash
-    * projection).
-    */
-  def minhashSignature(text: Column, nHashes: Int, seed: Long = 42L): Column =
-    minhashFromHashes(transform(array_distinct(Text.tokens(text)), t => tokenHash64(t)), nHashes, seed)
-
-  /** LSH banding over a MinHash signature: `nBands` band keys, each an md5 of
-    * (band index, the band's slice of the signature). Docs sharing any band
-    * key are near-dup candidates.
-    */
-  def minhashBands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      md5(concat_ws("_", lit(b) +: (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r)): _*))
-    }: _*)
+  /** 2^31 − 1, the Mersenne prime all MinHash permutations reduce modulo. */
+  val minhashP: Long = 2147483647L
 
   /** MinHash signatures computed the 100 TB way: explode distinct tokens →
     * per-token hash (md5/conv — codegen'd native expressions) → one
@@ -89,27 +63,9 @@ object Dedup {
       textCol: String,
       idCol: String,
       nHashes: Int,
-      seed: Long): DataFrame = {
-    val p = 2147483647L
-    def mix(i: Long, salt: Long): Long = {
-      var z = seed + i * 0x9E3779B97F4A7C15L + salt
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      math.abs(z ^ (z >>> 31)) % p
-    }
-    val exploded = docs
-      .select(col(idCol).as("id"), explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-      .select(col("id"), pmod(tokenHash64(col("tok")), lit(p)).as("h"))
-    val aggs = (0 until nHashes).map { i =>
-      val a = mix(i.toLong, 0x51AB4D2EL) | 1L
-      val b = mix(i.toLong, 0x7F4E6C3DL)
-      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
-    }
-    exploded
-      .groupBy("id")
-      .agg(aggs.head, aggs.tail: _*)
+      seed: Long): DataFrame =
+    minhashSignaturesWide(docs, textCol, idCol, nHashes, seed)
       .select(col("id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
 
   /** Wide-column variant of [[minhashSignatures]]: one column per hash
     * (`m0..m{n-1}`) instead of an array, so downstream band hashing and
@@ -122,19 +78,14 @@ object Dedup {
       idCol: String,
       nHashes: Int,
       seed: Long): DataFrame = {
-    val p = 2147483647L
-    def mix(i: Long, salt: Long): Long = {
-      var z = seed + i * 0x9E3779B97F4A7C15L + salt
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      math.abs(z ^ (z >>> 31)) % p
-    }
+    val p = minhashP
     val exploded = docs
       .select(col(idCol).as("id"), explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
       .select(col("id"), pmod(tokenHash64(col("tok")), lit(p)).as("h"))
     val aggs = (0 until nHashes).map { i =>
-      val a = mix(i.toLong, 0x51AB4D2EL) | 1L
-      val b = mix(i.toLong, 0x7F4E6C3DL)
+      // reduce h mod p BEFORE multiplying: h < 2^60 and a < 2^31 would
+      // overflow Long; (h mod p) * a < 2^62 stays safe.
+      val (a, b) = minhashCoeffs(i, seed)
       min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
     }
     exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -196,17 +147,36 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** 64-bit SimHash over token hashes: sign of the per-bit weighted sum. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(array_distinct(Text.tokens(text)), t => tokenHash64(t))
-    val bits = (0 until 60).map { b =>
-      val votes = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  /** SimHash fingerprints (60 bits — the span of [[tokenHash64]]): for each
+    * bit, distinct-token hashes vote ±1 and the bit is set when the vote sum
+    * is positive.
+    *
+    * Same explode-aggregate shape as [[minhashSignaturesWide]] and for the
+    * same reason: one pass over (id, token-hash) rows through 60 codegen'd
+    * conditional-sum aggregates with map-side combine. The earlier per-row
+    * Column form re-walked the token-hash array through Spark's interpreted
+    * `aggregate` lambda 60 times per document.
+    *
+    * Output: (idCol, simhash).
+    */
+  def simhashSignatures(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBits: Int = 60): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+      .select(col(idCol), tokenHash64(col("tok")).as("h"))
+    val voteAggs = (0 until nBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$b")
     }
-    bits.reduce(_ + _)
+    val fingerprint = (0 until nBits)
+      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded
+      .groupBy(idCol)
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col(idCol), fingerprint.as("simhash"))
   }
 
   /** Exact token-set Jaccard for a candidate pair of text columns. */

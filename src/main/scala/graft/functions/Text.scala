@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline: tokenization,
@@ -24,14 +24,28 @@ object Text {
   /** Distinct-token set (shingle size 1). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-grams as space-joined strings. Returns empty array when the
-    * document has fewer than n tokens.
+  /** Word n-grams (shingles), exploded to one row per n-gram.
+    *
+    * The per-shingle work is `element_at` + `concat_ws` over an exploded
+    * index range — all codegen'd. The earlier Column-returning form
+    * (`transform(sequence(...), i => concat_ws(slice(...)))`) evaluated
+    * every shingle through Spark's interpreted higher-order-function lambda
+    * machinery and was the single most expensive text pass in the round-1
+    * bench (~10× the codegen cost). Shingling is the workhorse of corpus
+    * dedup, so it must stay inside WholeStageCodegen.
+    *
+    * Documents with fewer than n tokens emit no rows (the `when` yields a
+    * null sequence, which explode drops).
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n))))
-    ).otherwise(array().cast("array<string>"))
+  def explodeNgrams(df: DataFrame, textCol: String, n: Int, out: String = "ng"): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = col("__toks")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__i",
+        explode(when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))))
+      .withColumn(out,
+        concat_ws(" ", (0 until n).map(j => element_at(toks, col("__i") + j)): _*))
+      .drop("__toks", "__i")
   }
 
   val defaultStopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
@@ -93,13 +107,23 @@ object Text {
     trim(regexp_replace(noEmail, "  +", " "))
   }
 
-  /** Highest single-token share of the document — the repetition signal
+  /** Highest single-token share of each document — the repetition signal
     * used to drop boilerplate/spam (a doc where one token is 30% of all
     * tokens is usually garbage).
+    *
+    * Linear explode → count-per-(doc, token) → max/sum per doc: two narrow
+    * shuffles of (id, token-count) rows. The earlier per-row Column form
+    * (`transform(array_distinct(t), d => size(filter(t, x => x === d)))`)
+    * was O(tokens²) per document through interpreted lambdas — a 5k-token
+    * document paid 25M comparisons.
+    *
+    * Output: (idCol, top_cnt, tok_cnt, ratio = top_cnt / tok_cnt).
     */
-  def topTokenRatio(text: Column): Column = {
-    val t = tokens(text)
-    val counts = transform(array_distinct(t), d => size(filter(t, x => x === d)))
-    array_max(counts).cast("double") / size(t)
-  }
+  def topTokenRatios(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(idCol, "__tok")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(max(col("__c")).as("top_cnt"), sum(col("__c")).as("tok_cnt"))
+      .withColumn("ratio", col("top_cnt").cast("double") / col("tok_cnt"))
 }

@@ -42,24 +42,25 @@ class DedupSpec extends SparkSpec {
     est.foreach(e => assert(math.abs(e - 0.6) < 4 * math.sqrt(0.6 * 0.4 / 128)))
   }
 
-  test("minhashSignature (array form) matches the wide-column pipeline form") {
+  test("minhashSignatures (array form) matches the wide-column pipeline form") {
     val d = docs(7L -> "alpha beta gamma delta")
-    val arr = d.select(Dedup.minhashSignature(col("text"), 16).as("sig"))
-      .as[Seq[Long]].head()
+    val arr = d.transform(Dedup.minhashSignatures(_, "text", "doc_id", 16, 42L))
+      .select("sig").as[Seq[Long]].head()
     val wide = Dedup.minhashSignaturesWide(d, "text", "doc_id", 16, 42L)
       .drop("id").as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .head()
     assert(arr == wide.productIterator.toSeq)
   }
 
-  test("simhash64: identical docs equal, near docs close in hamming distance") {
+  test("simhashSignatures: identical docs equal, near docs close in hamming distance") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
       2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
       3L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
       4L -> "q w e r t y u i o p")
-    val h = d.select(col("doc_id"), Dedup.simhash64(col("text"))).as[(Long, Long)].collect().toMap
+    val h = Dedup.simhashSignatures(d, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
     assert(h(1L) == h(2L))
     assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
   }

@@ -14,10 +14,20 @@ class TextSpec extends SparkSpec {
     assert(out == Seq((4, 4), (2, 2), (1, 1)))
   }
 
-  test("ngrams produces overlapping windows; short docs yield empty") {
-    val out = Seq("a b c d", "a b").toDF("t")
-      .select(Text.ngrams(col("t"), 3)).as[Seq[String]].collect().toSeq
-    assert(out == Seq(Seq("a b c", "b c d"), Seq.empty))
+  test("explodeNgrams produces overlapping windows; short docs yield no rows") {
+    val out = Text.explodeNgrams(Seq("a b c d", "a b").toDF("t"), "t", 3)
+      .select("ng").as[String].collect().toSeq
+    assert(out.sorted == Seq("a b c", "b c d"))
+  }
+
+  test("topTokenRatios counts the dominant token linearly") {
+    val out = Text.topTokenRatios(
+        Seq((1L, "x x x y z"), (2L, "a b")).toDF("doc_id", "t"), "t", "doc_id")
+      .select("doc_id", "top_cnt", "tok_cnt", "ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, m, n, r) => id -> ((m, n, r)) }.toMap
+    assert(out(1L) == ((3L, 5L, 0.6)))
+    assert(out(2L) == ((1L, 2L, 0.5)))
   }
 
   test("stopwordRatio counts default stopwords") {
