@@ -551,6 +551,100 @@ object SparkEntry {
   private def sqlAvg2dp(x: String): String = ExactAgg.Sql.avg2dp(x)
   private def sqlAvgLong(x: String): String = ExactAgg.Sql.avgLong(x)
 
+  /** Generated DuckDB oracle for q26: the full MinHash/LSH pipeline in SQL —
+    * same md5-derived token hashes (`0x`-hex cast ≡ Spark's `conv(_,16,10)`),
+    * same permutation constants from [[Dedup.minhashCoeffs]], same band md5
+    * keys and agreement count. Everything is integer arithmetic except the
+    * final est_jaccard = agree/128, a dyadic rational both engines round
+    * identically.
+    */
+  private def minhashOracleSql(nHashes: Int, nBands: Int, seed: Long): String = {
+    val p = Dedup.minhashP
+    val rows = nHashes / nBands
+    val minAggs = (0 until nHashes).map { i =>
+      val (a, b) = Dedup.minhashCoeffs(i, seed)
+      s"MIN((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until nBands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"m$i").mkString(", ")
+      s"SELECT id, md5(concat_ws('_', '$b', $cols)) AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    // parenthesize in chunks of 16: a flat 128-term `+` chain left-associates
+    // into a 128-deep expression tree and trips DuckDB's binder recursion cap
+    val agree = (0 until nHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |hashed AS (
+       |  SELECT id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % $p AS h FROM toks),
+       |sig AS (
+       |  SELECT id,
+       |    $minAggs
+       |  FROM hashed GROUP BY id),
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON b.band = a.band AND a.id < b.id),
+       |scored AS (
+       |  SELECT p.a_id, p.b_id, ROUND(CAST(($agree) AS DOUBLE) / $nHashes, 4) AS est_jaccard
+       |  FROM pairs p JOIN sig sa ON sa.id = p.a_id JOIN sig sb ON sb.id = p.b_id)
+       |SELECT a_id, b_id, est_jaccard FROM scored WHERE est_jaccard >= 0.9
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for q27: per-bit ±1 votes over distinct-token
+    * hashes, mirroring [[Dedup.simhashSignatures]] in pure integer SQL.
+    */
+  private def simhashOracleSql(nBits: Int): String = {
+    val votes = (0 until nBits)
+      .map(b => s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val fp = (0 until nBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for q29: random-hyperplane buckets rebuilt
+    * from [[Similarity.lshCoeffMantissa]] — each coefficient is m/2^52 − 1,
+    * exact dyadic arithmetic both engines evaluate identically — followed by
+    * the same bucket-size cap, same-bucket pairing and cosine re-rank
+    * (list_cosine_similarity ≡ the native expression, proven by q28).
+    */
+  private def lshAnnOracleSql(dims: Int, nBits: Int, seed: Long, maxBucket: Int): String = {
+    val bits = (0 until nBits).map { b =>
+      val dot = (0 until dims).map { d =>
+        val m = functions.Similarity.lshCoeffMantissa(b, d, seed)
+        s"e[${d + 1}] * ($m / 4503599627370496.0 - 1.0)"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH ids AS (
+       |  SELECT vec_id,
+       |    ($bits) AS bucket
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t),
+       |ok AS (SELECT bucket FROM ids GROUP BY bucket HAVING COUNT(*) <= $maxBucket),
+       |f AS (SELECT i.vec_id, i.bucket FROM ids i JOIN ok USING (bucket)),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM f a JOIN f b ON b.bucket = a.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id,
+       |  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS sim
+       |FROM pairs
+       |JOIN embeddings ea ON ea.vec_id = a_id
+       |JOIN embeddings eb ON eb.vec_id = b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Shared WHERE clause of the enrichment pipeline's validation filter. */
   private val enrichWhere =
     "event_id IS NOT NULL AND event_type IS NOT NULL AND trim(event_type) <> ''"
@@ -567,11 +661,16 @@ object SparkEntry {
       |     ELSE 'Other' END""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for q26/q27/q29 (MinHash, SimHash,
-    * LSH bucketing use engine-internal hashing that ANSI SQL cannot
-    * reproduce) → driver records the weaker rows-only check.
+    * the same parquet tables. The MinHash/SimHash/LSH oracles are generated
+    * from the same constants as the Spark pipelines (md5-derived hashing is
+    * portable). Omitted only for q39 (engine-specific sketch internals) and
+    * q37/q38 (stub-codec outputs) → driver records the weaker rows-only
+    * check there.
     */
   def oracleSql: Map[String, String] = Map(
+    "q26_minhash_pairs" -> minhashOracleSql(nHashes = 128, nBands = 4, seed = 42L),
+    "q27_simhash" -> simhashOracleSql(nBits = 60),
+    "q29_lsh_ann_pairs" -> lshAnnOracleSql(dims = 64, nBits = 12, seed = 7L, maxBucket = 1000),
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c,

@@ -41,9 +41,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // project down to (query_id, vec_id, sim) BEFORE the top-k window so the
+    // per-query exchange carries scores, not embedding payloads
     val scored = corpus
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", CosineSimilarity.cosineNative(col("query_vec"), col("embedding")))
+      .select(col("query_id"), col("vec_id"),
+        CosineSimilarity.cosineNative(col("query_vec"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -65,25 +68,48 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Centroids are model parameters, not data: collect them to the driver
+    // (nCells × dims floats) and inline them as literal arrays. Cell
+    // assignment then becomes a pure per-row expression — an argmax ladder
+    // of codegen'd cosine scores via `greatest` over (csim, -cell_id)
+    // structs — with ZERO corpus shuffle. The earlier row_number() window
+    // on vec_id exchanged the whole corpus WITH embedding payloads just to
+    // pick each row's best cell.
+    val centroids: Array[(Long, Array[Float])] = corpus
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def litVec(v: Array[Float]) = array(v.map(lit(_)): _*)
+    val cellScores = centroids.map { case (cellId, vec) =>
+      struct(
+        CosineSimilarity.cosineNative(col("embedding"), litVec(vec)).as("s"),
+        lit(-cellId).as("nid"))
+    }
+    // lexicographic max = (highest csim, then lowest cell_id) — identical
+    // tiebreak to the ORDER BY csim DESC, cell_id of the window it replaces
+    val assigned = corpus
+      .withColumn("cell_id", -greatest(cellScores: _*).getField("nid"))
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    // probe selection needs a top-nProbe rank over nCells scores per query;
+    // queries are a small probe set by contract, so a window there is cheap
     val cents = corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
-    val assigned = corpus
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", CosineSimilarity.cosineNative(col("embedding"), col("cell_vec")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
     val probes = queries
       .crossJoin(broadcast(cents))
       .withColumn("csim", CosineSimilarity.cosineNative(col("embedding"), col("cell_vec")))
-      .withColumn("rn", row_number().over(wAssign))
+      .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"), col("cell_id"))
-    val scored = probes
-      .join(assigned, Seq("cell_id"))
+    // search: probes broadcast under the corpus (no corpus shuffle), scores
+    // projected narrow before the per-query top-k exchange
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("sim", CosineSimilarity.cosineNative(col("query_vec"), col("embedding")))
+      .select(col("query_id"), col("vec_id"),
+        CosineSimilarity.cosineNative(col("query_vec"), col("embedding")).as("sim"))
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(wTop))
@@ -100,15 +126,23 @@ object Similarity {
     * corpus-×-corpus join becomes a per-bucket equi-join (shuffle on bucket
     * id) instead of a full cross join — the 100 TB-safe path.
     */
+  /** The hyperplane coefficient's dyadic mantissa for (bit, dim): an
+    * integer m < 2^53 such that coeff = m / 2^52 − 1 ∈ [−1, 1) — both steps
+    * exact in binary floating point, so any engine reproduces the
+    * coefficient bit-for-bit from the integer. Exposed for the SQL oracle
+    * generator.
+    */
+  def lshCoeffMantissa(bit: Int, d: Int, seed: Long): Long = {
+    var z = seed + bit * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z >>> 11
+  }
+
   def lshBucket(vec: Column, dims: Int, nBits: Int, seed: Long): Column = {
-    def coeff(bit: Int, d: Int): Double = {
-      var z = seed + bit * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      // map to [-1, 1)
-      (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
-    }
+    def coeff(bit: Int, d: Int): Double =
+      lshCoeffMantissa(bit, d, seed).toDouble / (1L << 52).toDouble - 1.0
     val bits = (0 until nBits).map { b =>
       val plane = array((0 until dims).map(d => lit(coeff(b, d))): _*)
       when(dot(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
@@ -116,14 +150,41 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Bucketed ANN self-join: candidates = pairs sharing an LSH bucket. */
-  def lshCandidatePairs(corpus: DataFrame, dims: Int, nBits: Int, seed: Long): DataFrame = {
-    val withBucket = corpus.withColumn("bucket", lshBucket(col("embedding"), dims, nBits, seed))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
-    a.join(b, Seq("bucket"))
+  /** Bucketed ANN self-join: candidates = pairs sharing an LSH bucket.
+    *
+    * Scale shape: the per-bucket self-join carries ONLY (bucket, vec_id) —
+    * embedding payloads are re-attached by id join for the final cosine
+    * re-rank, so the only exchanges moving vectors are that re-rank's.
+    * Buckets larger than `maxBucketSize` are excluded from pair generation:
+    * a hot bucket is quadratic (a near-duplicate cluster of 10^5 docs is
+    * 10^10 pairs), and such clusters are the province of the exact-dedup
+    * pass ([[Dedup.exactGroups]]) run before ANN, not of pairwise scoring.
+    * The bucket-size relation is tiny (≤ 2^nBits rows) and broadcasts.
+    */
+  def lshCandidatePairs(
+      corpus: DataFrame,
+      dims: Int,
+      nBits: Int,
+      seed: Long,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val ids = corpus.select(
+      col("vec_id"), lshBucket(col("embedding"), dims, nBits, seed).as("bucket"))
+    val smallBuckets = ids.groupBy("bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("bucket")
+    val filtered = ids.join(broadcast(smallBuckets), Seq("bucket"))
+    // one bucket per vector, so same-bucket pairs are already unique — no
+    // distinct pass needed (unlike multi-band MinHash)
+    val pairs = filtered.select(col("bucket"), col("vec_id").as("a_id"))
+      .join(filtered.select(col("bucket"), col("vec_id").as("b_id")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", CosineSimilarity.cosineNative(col("a_vec"), col("b_vec")))
-      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+      .select("a_id", "b_id")
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_vec")), Seq("a_id"))
+      .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_vec")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(CosineSimilarity.cosineNative(col("a_vec"), col("b_vec")), 4).as("sim"))
   }
 }
