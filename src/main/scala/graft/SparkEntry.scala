@@ -280,13 +280,19 @@ object SparkEntry {
       Similarity.lshCandidatePairs(Tables.embeddings(s, dir), dims = 64, nBits = 12, seed = 7L)
         .orderBy("a_id", "b_id")
     },
-    // ---- LLM-pipeline: embedding norm stats per label ----
+    // ---- LLM-pipeline: embedding norm stats per label. Each norm is
+    // floored to integer 1e-6 units (floor of an identical double is
+    // cross-engine-unambiguous, unlike round) and averaged in exact
+    // integer arithmetic, so no float accumulation order or rounding
+    // tie can flip the result ----
     "q30_embedding_norms" -> { (s, dir) =>
       Tables.embeddings(s, dir)
+        .withColumn("__ne6", floor(Similarity.norm(col("embedding")) * 1000000.0))
         .groupBy("label")
         .agg(
           count(lit(1)).as("cnt"),
-          round(avg(Similarity.norm(col("embedding"))), 4).as("avg_norm"))
+          (ExactAgg.divHalfUp(sum(col("__ne6")), count(col("__ne6")) * 100) / 10000.0)
+            .as("avg_norm"))
         .orderBy("label")
     },
     // ---- two-source normalization + unionByName merge (§2.10, F1/F2/F3, S8) ----
@@ -757,7 +763,9 @@ object SparkEntry {
       s"""SELECT upper(trim(event_type)) AS event_type_clean,
          |  COUNT(*) AS cnt, ${sqlAvg2dp("value")} AS avg_val,
          |  MIN(value) AS min_val, MAX(value) AS max_val,
-         |  ROUND(stddev_samp(value), 4) AS stddev_val,
+         |  CASE WHEN COUNT(value) > 1 THEN floor(sqrt(
+         |    CAST(COUNT(value) * SUM(${sqlCents("value")} * ${sqlCents("value")}) - SUM(${sqlCents("value")}) * SUM(${sqlCents("value")}) AS DOUBLE)
+         |    / CAST(COUNT(value) * (COUNT(value) - 1) AS DOUBLE)) * 100.0) / 10000.0 END AS stddev_val,
          |  CAST(SUM(CASE WHEN $oracleK % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS flag_cnt
          |FROM events
          |WHERE $enrichWhere
@@ -856,9 +864,12 @@ object SparkEntry {
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q30_embedding_norms" ->
-      """SELECT label, COUNT(*) AS cnt,
-        |  ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+      s"""SELECT label, COUNT(*) AS cnt,
+         |  CAST(${ExactAgg.Sql.divHalfUp("SUM(ne6)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS avg_norm
+         |FROM (SELECT label,
+         |    CAST(floor(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) * 1000000.0) AS BIGINT) AS ne6
+         |  FROM embeddings) t
+         |GROUP BY label ORDER BY label""".stripMargin,
     "q17_source_normalize" ->
       s"""SELECT src, COUNT(*) AS cnt, ${sqlAvg2dp("pay_usd")} AS avg_pay,
          |  CAST(COUNT(state) AS BIGINT) AS n_with_state
@@ -1091,17 +1102,20 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     // Spark session_window semantics: a new session starts when the gap to
     // the previous event is >= the gap duration (window end = last + gap,
-    // exclusive).
+    // exclusive). The lag/accumulate windows order by (ts, event_id) —
+    // session_window merges purely on event-time order, so ordering the
+    // oracle by event_id alone would silently assume ts is monotone in
+    // event_id per user.
     "q40_session_windows" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) >= INTERVAL '30 minutes'
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |sessions AS (
         |  SELECT user_id, ts,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
         |SELECT user_id, strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,

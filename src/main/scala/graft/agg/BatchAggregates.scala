@@ -20,16 +20,33 @@ object BatchAggregates {
   /** Company-stats shape (A2, reference:
     * bigdata-project/src/spark_batch_v2.py:261-270): count / avg / min / max /
     * stddev over the measure plus a conditional sum.
+    *
+    * The sample stddev comes from exact integer moments over cents —
+    * √((n·Σc² − (Σc)²) / (n(n−1))) — with decimal(38,0) intermediates
+    * (mirrored by DuckDB's HUGEINT sums): the radicand is the SAME integer
+    * in both engines, so the resulting double is bit-identical, unlike
+    * float Welford accumulation which is partition-order dependent. The
+    * final value is floored (not rounded) at 1e-4: floor of an identical
+    * double is unambiguous, while Spark and DuckDB disagree on round()
+    * ties. Exact while n·Σc⁴ᵉⁿᵗˢ² < 10^38 — ~10^25 rows at cents ≤ 10^6.
     */
-  def dimensionStats(df: DataFrame, dims: Seq[String], measure: String, flagCond: Column): DataFrame =
+  def dimensionStats(df: DataFrame, dims: Seq[String], measure: String, flagCond: Column): DataFrame = {
+    val c = graft.functions.ExactAgg.cents(col(measure))
+    val n = count(col(measure))
+    val s1 = sum(c)
+    val s2 = sum((c * c).cast("decimal(28,0)"))
+    val varNum = n.cast("decimal(38,0)") * s2 - s1.cast("decimal(19,0)") * s1.cast("decimal(19,0)")
+    val stddev = when(n > 1,
+      floor(sqrt(varNum.cast("double") / (n * (n - 1)).cast("double")) * 100.0) / 10000.0)
     df.groupBy(dims.map(col): _*)
       .agg(
         count(lit(1)).as("cnt"),
         avgExact2dp(col(measure)).as("avg_val"),
         min(col(measure)).as("min_val"),
         max(col(measure)).as("max_val"),
-        round(stddev_samp(col(measure)), 4).as("stddev_val"),
+        stddev.as("stddev_val"),
         sum(when(flagCond, 1).otherwise(0)).as("flag_cnt"))
+  }
 
   /** Percentile stats (A4, reference:
     * bigdata-project/src/spark_batch_v2.py:292-298). Uses EXACT `percentile`

@@ -32,11 +32,17 @@ object AsOfJoin {
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__is_right", lit(0))
-    val r = right.select(
-      col(rightKey).as("__k") +:
-        col(rightTime).cast("timestamp").as("__t") +:
-        lit(1).as("__is_right") +:
-        payload.map(col): _*)
+    // join-on-equality semantics: a NULL right key matches nothing (the
+    // window would otherwise group null-key rows of both sides together and
+    // fill payloads across them), and a NULL right time can never satisfy
+    // rightTime <= leftTime
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k") +:
+          col(rightTime).cast("timestamp").as("__t") +:
+          lit(1).as("__is_right") +:
+          payload.map(col): _*)
     // right rows sort BEFORE left rows at the same instant, so a right row
     // at exactly leftTime is matched (<= semantics, like DuckDB ASOF JOIN)
     val w = Window

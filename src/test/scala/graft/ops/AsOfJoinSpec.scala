@@ -32,6 +32,21 @@ class AsOfJoinSpec extends SparkSpec {
       "t5" -> None))
   }
 
+  test("asOf never matches NULL keys (join-on-equality semantics)") {
+    val left = Seq(
+      (Some(1L), ts("2024-01-01 12:00:00"), "keyed"),
+      (None: Option[Long], ts("2024-01-01 12:00:00"), "nullkey"))
+      .toDF("key", "ts", "tag")
+    val right = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 1.0),
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), 99.0), // null key: matches nothing
+      (Some(1L), None: Option[Timestamp], 98.0))                   // null time: matches nothing
+      .toDF("rkey", "rts", "v")
+    val out = AsOfJoin.asOf(left, right, "key", "rkey", "ts", "rts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("keyed" -> Some(1.0), "nullkey" -> None))
+  }
+
   test("asOf keeps every left row exactly once") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"), "a"), (1L, ts("2024-01-02 00:00:00"), "b"))
       .toDF("key", "ts", "tag")
