@@ -537,6 +537,27 @@ object SparkEntry {
             .as("top_token_ratio"))
         .orderBy("doc_id")
     },
+    // ---- the reference's raw-lake format end to end: JSON-array files
+    // (<= 50 records per array object, the archiver's layout) written,
+    // then batch-read with a DECLARED schema and multiLine parsing —
+    // the S1 JSON flavor. The fixture lands under target/ so the DuckDB
+    // oracle reads the very same files with read_json ----
+    "q47_json_raw_lake" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val fixture = "/root/repo/target/fixtures/json_events"
+      val src = Tables.events(s, dir)
+        .filter(col("event_id") < 1000)
+        .select("event_id", "user_id", "event_type", "value", "props")
+      sources.JsonLake.writeArrayLake(src, "event_id", 50, fixture)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      sources.JsonLake.readArrayLake(s, fixture, schema)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          length(col("props")).as("props_len"))
+        .orderBy("event_id")
+    },
     // ---- gap-based session windows (session_window, batch parity) ----
     "q40_session_windows" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -674,6 +695,11 @@ object SparkEntry {
     * check there.
     */
   def oracleSql: Map[String, String] = Map(
+    "q47_json_raw_lake" ->
+      """SELECT event_id, user_id, event_type, value, CAST(length(props) AS INTEGER) AS props_len
+        |FROM read_json('/root/repo/target/fixtures/json_events/chunk=*/*.txt', format='array',
+        |  columns={event_id:'BIGINT', user_id:'BIGINT', event_type:'VARCHAR', value:'DOUBLE', props:'VARCHAR'})
+        |ORDER BY event_id""".stripMargin,
     "q26_minhash_pairs" -> minhashOracleSql(nHashes = 128, nBands = 4, seed = 42L),
     "q27_simhash" -> simhashOracleSql(nBits = 60),
     "q29_lsh_ann_pairs" -> lshAnnOracleSql(dims = 64, nBits = 12, seed = 7L, maxBucket = 1000),
