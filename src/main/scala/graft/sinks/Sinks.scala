@@ -52,13 +52,44 @@ object Sinks {
       format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path).where(col(dateCol) === lit(date))
 
+  /** Write a micro-batch of MERGEABLE partial aggregates as its own
+    * `__ver=<batchId>` partition, read-time-merged by
+    * [[readMergedPartials]]. This is the O(batch) streaming-aggregate sink:
+    * nothing existing is read or rewritten, and a replayed batch
+    * dynamically overwrites ONLY its own partition — exactly-once without
+    * a read-modify-write of the table. Compact with [[upsertBatchPartitioned]]
+    * when the partition count grows.
+    */
+  def appendVersioned(batch: DataFrame, path: String, version: Long): Unit =
+    batch.withColumn("__ver", lit(version))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__ver")
+      .parquet(path)
+
+  /** Merge-on-read of [[appendVersioned]] partials: sums every partial
+    * state per key. Downstream finalizers (e.g. exact averages from
+    * (sum_cents, n)) run on the merged states.
+    */
+  def readMergedPartials(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      key: Seq[String],
+      sums: Seq[String]): DataFrame = {
+    val aggs = sums.map(c => sum(col(c)).as(c))
+    spark.read.parquet(path).groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Merge a micro-batch into a keyed parquet table: newest version per key
     * wins (the file-sink equivalent of the reference's ES `es.mapping.id`
     * update-mode upserts, W6/W10). Written via a temp dir + atomic rename so
     * the source table is never read and overwritten in the same job.
     *
     * For use with `writeStream.foreachBatch` — pass the batchId as
-    * `version`.
+    * `version`. NOTE: this rewrites the whole table per call — O(table) per
+    * micro-batch. Fine for small keyed doc stores (the ES-upsert model);
+    * for growing tables use [[upsertBatchPartitioned]], which touches only
+    * the partitions present in the batch.
     */
   def upsertBatch(batch: DataFrame, key: Seq[String], path: String, version: Long): Unit = {
     val spark = batch.sparkSession
@@ -75,6 +106,47 @@ object Sinks {
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(target, true)
     fs.rename(tmp, target)
+  }
+
+  /** Partition-scoped keyed upsert: merges the micro-batch into ONLY the
+    * `partitionCol` partitions it touches. Each affected partition is
+    * re-merged (existing rows of that partition ∪ batch, newest `__ver` per
+    * key wins) into a staging dir, then swapped in; untouched partitions'
+    * files are never read or rewritten. Cost per batch is O(touched
+    * partitions), not O(table) — the shape that survives a year of
+    * micro-batches into a date-partitioned table.
+    */
+  def upsertBatchPartitioned(
+      batch: DataFrame,
+      key: Seq[String],
+      partitionCol: String,
+      path: String,
+      version: Long): Unit = {
+    val spark = batch.sparkSession
+    val withVer = batch.withColumn("__ver", lit(version))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(target)) {
+      withVer.write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    // a micro-batch touches few partitions by construction; collecting the
+    // distinct partition values is a driver-side list of dates, not data
+    val parts = withVer.select(partitionCol).distinct().collect().map(_.get(0))
+    val existing = spark.read.parquet(path)
+      .filter(col(partitionCol).isInCollection(parts.toSeq))
+    val merged = Cleaning.dedupByKey(
+      existing.unionByName(withVer, allowMissingColumns = true),
+      key, Seq(col("__ver").desc))
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    parts.foreach { p =>
+      val dir = s"$partitionCol=$p"
+      fs.delete(new org.apache.hadoop.fs.Path(target, dir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp, dir), new org.apache.hadoop.fs.Path(target, dir))
+    }
+    fs.delete(tmp, true)
   }
 
   /** Streaming micro-batched archiver (S9/W9): the reference hand-rolls a

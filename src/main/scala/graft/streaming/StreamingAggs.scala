@@ -40,6 +40,46 @@ object StreamingAggs {
       .withColumn("doc_id", concat_ws("_", dims.map(col) :+ col("window_start"): _*))
   }
 
+  /** Mergeable partial state of [[tumblingStats]] for ONE micro-batch:
+    * (cnt, sum_cents, n_vals) per (window × dims). Partials from any number
+    * of batches merge by plain summation ([[graft.sinks.Sinks.readMergedPartials]])
+    * and finalize with [[finishStats]] — the exact average is a pure
+    * function of (Σcents, Σn), which is what makes the state mergeable.
+    * This is the log-structured streaming-aggregate path: each batch
+    * appends O(batch) partials instead of stateful-store upserts rewriting
+    * a table.
+    */
+  def tumblingPartials(
+      df: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      dims: Seq[String],
+      measure: String,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    src
+      .groupBy(window(col(tsCol), windowLen) +: dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(graft.functions.ExactAgg.cents(col(measure))).as("sum_cents"),
+        count(col(measure)).as("n_vals"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start") +:
+          dims.map(col) :+ col("cnt") :+ col("sum_cents") :+ col("n_vals"): _*)
+      .withColumn("doc_id", concat_ws("_", dims.map(col) :+ col("window_start"): _*))
+  }
+
+  /** Finalize merged [[tumblingPartials]] states into the
+    * [[tumblingStats]] output columns (cnt, exact 4-decimal avg_val).
+    */
+  def finishStats(merged: DataFrame): DataFrame = {
+    import graft.functions.ExactAgg
+    merged.withColumn("avg_val",
+      when(col("n_vals") > 0,
+        ExactAgg.divHalfUp(col("sum_cents") * 100, col("n_vals")) / 10000.0))
+      .drop("sum_cents", "n_vals")
+  }
+
   /** Sliding-window count (W3, reference:
     * bigdata-project/src/spark_streaming.py:62-74).
     */

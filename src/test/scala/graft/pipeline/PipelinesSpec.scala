@@ -71,4 +71,44 @@ class PipelinesSpec extends SparkSpec {
       assert(clickRow == Seq(2L), s"expected upserted count 2, got $clickRow")
     } finally queries.foreach(_.stop())
   }
+
+  test("startFanOut executes the shared enrichment prefix ONCE per micro-batch") {
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    implicit val ctx = spark.sqlContext
+    val acc = spark.sparkContext.longAccumulator("prefix-rows")
+    val stream = MemoryStream[String]
+    // instrument the raw input so every evaluation of the shared prefix
+    // (everything upstream of the sinks) bumps the accumulator once per row
+    val counted = stream.toDS().map { v => acc.add(1); v }.toDF("value")
+    val enriched = StreamPipeline.decode(counted)
+    val query = StreamPipeline.startFanOut(enriched, out, ckpt)
+    try {
+      stream.addData(
+        """{"event_id": 1, "ts": "2024-01-01 10:01:00", "user_id": 3, "event_type": "click", "value": 42.0, "props": "{\"k\": 7}"}""",
+        """{"event_id": 2, "ts": "2024-01-01 10:02:00", "user_id": 4, "event_type": "purchase", "value": 99.0, "props": "{\"k\": 1}"}""")
+      query.processAllAvailable()
+      // three sinks (detail + 2 aggregates); without persist the prefix
+      // would run 3x = 6 row-evaluations. The cache limits it to one pass.
+      assert(acc.value == 2L, s"prefix executed ${acc.value / 2.0}x per batch, expected 1x")
+      assert(spark.read.parquet(s"$out/detail").count() == 2)
+      // partial states merge to the same numbers tumblingStats would give
+      val typeStats = graft.streaming.StreamingAggs.finishStats(
+        Sinks.readMergedPartials(spark, s"$out/type_stats",
+          Seq("window_start", "event_type_clean", "doc_id"), Seq("cnt", "sum_cents", "n_vals")))
+      val clicks = typeStats.filter($"event_type_clean" === "CLICK")
+        .select("cnt", "avg_val").as[(Long, Double)].collect().toSeq
+      assert(clicks == Seq((1L, 42.0)))
+      // a second batch lands as its own __ver partition and merges on read
+      stream.addData(
+        """{"event_id": 3, "ts": "2024-01-01 10:03:00", "user_id": 5, "event_type": "click", "value": 10.0, "props": "{\"k\": 2}"}""")
+      query.processAllAvailable()
+      val merged = graft.streaming.StreamingAggs.finishStats(
+        Sinks.readMergedPartials(spark, s"$out/type_stats",
+          Seq("window_start", "event_type_clean", "doc_id"), Seq("cnt", "sum_cents", "n_vals")))
+        .filter($"event_type_clean" === "CLICK")
+        .select("cnt", "avg_val").as[(Long, Double)].collect().toSeq
+      assert(merged == Seq((2L, 26.0)), s"got $merged") // (42 + 10) / 2
+    } finally query.stop()
+  }
 }

@@ -47,5 +47,34 @@ class SinksSpec extends SparkSpec {
     assert(out == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0))
   }
 
+  test("upsertBatchPartitioned merges touched partitions, never rewrites the rest") {
+    val dir = tmpDir() + "/ptable"
+    Sinks.upsertBatchPartitioned(
+      Seq(("a", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0)).toDF("k", "d", "v"),
+      Seq("k"), "d", dir, version = 0L)
+    val untouched = new java.io.File(s"$dir/d=2024-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    Sinks.upsertBatchPartitioned(
+      Seq(("a", "2024-01-01", 10.0), ("c", "2024-01-01", 3.0)).toDF("k", "d", "v"),
+      Seq("k"), "d", dir, version = 1L)
+    val out = spark.read.parquet(dir).select("k", "v").as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 10.0, "b" -> 2.0, "c" -> 3.0))
+    // the 2024-01-02 partition's files are bit-for-bit untouched
+    val after = new java.io.File(s"$dir/d=2024-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    assert(after == untouched, s"untouched partition was rewritten: $untouched -> $after")
+  }
+
+  test("appendVersioned partials: replay overwrites only its own version; read merges") {
+    val dir = tmpDir() + "/partials"
+    Sinks.appendVersioned(Seq(("w1", 2L, 100L), ("w2", 1L, 50L)).toDF("key", "cnt", "s"), dir, 0L)
+    Sinks.appendVersioned(Seq(("w1", 3L, 300L)).toDF("key", "cnt", "s"), dir, 1L)
+    // replay of batch 1 with corrected content replaces ONLY __ver=1
+    Sinks.appendVersioned(Seq(("w1", 4L, 400L)).toDF("key", "cnt", "s"), dir, 1L)
+    val merged = Sinks.readMergedPartials(spark, dir, Seq("key"), Seq("cnt", "s"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(merged == Map("w1" -> ((6L, 500L)), "w2" -> ((1L, 50L))))
+  }
+
   implicit class Pipe[A](a: A) { def pipe[B](f: A => B): B = f(a) }
 }
