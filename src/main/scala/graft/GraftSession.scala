@@ -27,6 +27,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // read the driver testdata's TIMESTAMP(NANOS) parquet
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide-aggregate plans (the 128-permutation MinHash signature) must
+      // stay inside WholeStageCodegen; the default cap of 100 fields
+      // silently drops them to interpreted evaluation (measured 2.3×)
+      .config("spark.sql.codegen.maxFields", "256")
       // native functions (cosine_sim) available in SQL
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     master.fold(b)(b.master)
