@@ -21,6 +21,49 @@ import graft.ops.Cleaning
   */
 object Sinks {
 
+  /** The reference's Elasticsearch sink option surface (S5, reference:
+    * bigdata-project/src/spark_batch_v2.py:246-251): keyed upserts via
+    * `es.mapping.id`. Connector-jar-gated like the Kafka module — this
+    * config owns the option translation; [[writeKeyedUpsert]] models the
+    * same semantics on files for the offline harness.
+    */
+  case class EsSinkConfig(
+      nodes: String,
+      resource: String,
+      mappingId: String,
+      port: Int = 9200,
+      extra: Map[String, String] = Map.empty) {
+
+    def options: Map[String, String] =
+      Map(
+        "es.nodes" -> nodes,
+        "es.port" -> port.toString,
+        "es.resource" -> resource,
+        "es.mapping.id" -> mappingId,
+        "es.write.operation" -> "upsert") ++ extra
+
+    /** Jar-gated: requires elasticsearch-spark on the classpath. */
+    def writer(df: DataFrame) =
+      df.write.format("org.elasticsearch.spark.sql").options(options)
+  }
+
+  /** The reference's Cassandra aggregate-table sink options (S6, reference:
+    * bigdata-project/src/spark_batch_v2.py:272-341): keyspace/table per
+    * aggregate, append mode.
+    */
+  case class CassandraSinkConfig(
+      keyspace: String,
+      table: String,
+      extra: Map[String, String] = Map.empty) {
+
+    def options: Map[String, String] =
+      Map("keyspace" -> keyspace, "table" -> table) ++ extra
+
+    /** Jar-gated: requires spark-cassandra-connector on the classpath. */
+    def writer(df: DataFrame) =
+      df.write.format("org.apache.spark.sql.cassandra").options(options).mode("append")
+  }
+
   /** Keyed idempotent write: last-writer-wins per key, deterministically. */
   def writeKeyedUpsert(
       df: DataFrame,

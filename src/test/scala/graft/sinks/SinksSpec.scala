@@ -76,5 +76,19 @@ class SinksSpec extends SparkSpec {
     assert(merged == Map("w1" -> ((6L, 500L)), "w2" -> ((1L, 50L))))
   }
 
+  test("ES/Cassandra sink configs build the reference's option surfaces") {
+    val es = Sinks.EsSinkConfig("es1,es2", "jobs/_doc", "job_id",
+      extra = Map("es.net.http.auth.user" -> "svc"))
+    assert(es.options == Map(
+      "es.nodes" -> "es1,es2",
+      "es.port" -> "9200",
+      "es.resource" -> "jobs/_doc",
+      "es.mapping.id" -> "job_id",
+      "es.write.operation" -> "upsert",
+      "es.net.http.auth.user" -> "svc"))
+    val cass = Sinks.CassandraSinkConfig("analytics", "company_stats")
+    assert(cass.options == Map("keyspace" -> "analytics", "table" -> "company_stats"))
+  }
+
   implicit class Pipe[A](a: A) { def pipe[B](f: A => B): B = f(a) }
 }
