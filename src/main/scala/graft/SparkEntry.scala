@@ -537,6 +537,28 @@ object SparkEntry {
             .as("top_token_ratio"))
         .orderBy("doc_id")
     },
+    // ---- LLM-pipeline: collapse near-dup candidates into duplicate
+    // clusters (connected components via iterative min-label propagation) ----
+    "q48_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, dir))
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: deterministic content-stable train/val/test split ----
+    "q49_split_assign" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("split", ops.Sampling.splitLabel(col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")
+    },
+    // ---- LLM-pipeline: per-document top TF-IDF terms ----
+    "q50_tfidf_top_terms" -> { (s, dir) =>
+      Text.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", 3)
+        .select("doc_id", "term", "score_e4", "rank")
+        .orderBy("doc_id", "rank")
+    },
     // ---- the reference's raw-lake format end to end: JSON-array files
     // (<= 50 records per array object, the archiver's layout) written,
     // then batch-read with a DECLARED schema and multiLine parsing —
@@ -585,7 +607,10 @@ object SparkEntry {
     * final est_jaccard = agree/128, a dyadic rational both engines round
     * identically.
     */
-  private def minhashOracleSql(nHashes: Int, nBands: Int, seed: Long): String = {
+  /** The CTE chain ending in `scored(a_id, b_id, est_jaccard)` — shared by
+    * the q26 oracle and the q48 duplicate-cluster oracle.
+    */
+  private def minhashScoredCte(nHashes: Int, nBands: Int, seed: Long): String = {
     val p = Dedup.minhashP
     val rows = nHashes / nBands
     val minAggs = (0 until nHashes).map { i =>
@@ -601,7 +626,7 @@ object SparkEntry {
     val agree = (0 until nHashes)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
       .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
        |hashed AS (
        |  SELECT id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % $p AS h FROM toks),
@@ -616,10 +641,30 @@ object SparkEntry {
        |  FROM banded a JOIN banded b ON b.band = a.band AND a.id < b.id),
        |scored AS (
        |  SELECT p.a_id, p.b_id, ROUND(CAST(($agree) AS DOUBLE) / $nHashes, 4) AS est_jaccard
-       |  FROM pairs p JOIN sig sa ON sa.id = p.a_id JOIN sig sb ON sb.id = p.b_id)
+       |  FROM pairs p JOIN sig sa ON sa.id = p.a_id JOIN sig sb ON sb.id = p.b_id)""".stripMargin
+  }
+
+  private def minhashOracleSql(nHashes: Int, nBands: Int, seed: Long): String =
+    s"""WITH ${minhashScoredCte(nHashes, nBands, seed)}
        |SELECT a_id, b_id, est_jaccard FROM scored WHERE est_jaccard >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
-  }
+
+  /** q48 oracle: the q26 candidate pairs, transitively closed with a
+    * recursive CTE; min reachable id per node = the cluster representative.
+    */
+  private def dupClustersOracleSql(nHashes: Int, nBands: Int, seed: Long): String =
+    s"""WITH RECURSIVE ${minhashScoredCte(nHashes, nBands, seed)},
+       |cand AS (SELECT a_id, b_id FROM scored WHERE est_jaccard >= 0.9),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM cand),
+       |reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.id = e.dst)
+       |SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS rep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Generated DuckDB oracle for q27: per-bit ±1 votes over distinct-token
     * hashes, mirroring [[Dedup.simhashSignatures]] in pure integer SQL.
@@ -701,6 +746,29 @@ object SparkEntry {
         |  columns={event_id:'BIGINT', user_id:'BIGINT', event_type:'VARCHAR', value:'DOUBLE', props:'VARCHAR'})
         |ORDER BY event_id""".stripMargin,
     "q26_minhash_pairs" -> minhashOracleSql(nHashes = 128, nBands = 4, seed = 42L),
+    "q48_dup_clusters" -> dupClustersOracleSql(nHashes = 128, nBands = 4, seed = 42L),
+    "q49_split_assign" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q50_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(floor(tf.tf * (ln(CAST(nd.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) + 1) * 10000) AS BIGINT) AS score_e4
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+        |SELECT doc_id, term, score_e4,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, term) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q27_simhash" -> simhashOracleSql(nBits = 60),
     "q29_lsh_ann_pairs" -> lshAnnOracleSql(dims = 64, nBits = 12, seed = 7L, maxBucket = 1000),
     "q01_pricing_summary" ->

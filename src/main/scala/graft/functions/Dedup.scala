@@ -191,6 +191,59 @@ object Dedup {
       .select(col(idCol), fingerprint.as("simhash"))
   }
 
+  /** Collapse near-duplicate candidate PAIRS into duplicate clusters:
+    * every document connected through the pair graph gets the cluster's
+    * minimum doc id as its representative (connected components).
+    *
+    * Iterative min-label propagation: each round joins (id, label) against
+    * the edge list and keeps the elementwise minimum — two narrow shuffles
+    * of long pairs per round, converging in O(graph diameter) rounds
+    * (near-dup clusters are dense, so the diameter is small). This is the
+    * hash-join CC formulation that scales out with no graph library: state
+    * per round is one (id, label) row per non-isolated document.
+    *
+    * Output: (id, rep) for every document that appears in at least one
+    * pair; isolated documents are their own trivial cluster and are not
+    * emitted.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    // Eager localCheckpoint after every round: an iterative DataFrame loop
+    // otherwise accumulates the WHOLE upstream pipeline plus every prior
+    // round in each new plan — planning/codegen blows the driver heap long
+    // before the data does. Checkpointing pins the rows and resets the
+    // lineage so each round plans O(1) work. (On a cluster with flaky
+    // executors, swap for reliable `checkpoint()` + setCheckpointDir —
+    // localCheckpoint blocks die with their executor.)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nbr_rep")), Seq("dst"))
+        .groupBy("src")
+        .agg(min(col("nbr_rep")).as("nbr_rep"))
+        .select(col("src").as("id"), col("nbr_rep"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("rep", "old_rep"), Seq("id"))
+        .filter(col("rep") < col("old_rep"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+    }
+    labels
+  }
+
   /** Exact token-set Jaccard for a candidate pair of text columns. */
   def jaccardTokens(a: Column, b: Column): Column = {
     val sa = array_distinct(split(a, " "))

@@ -145,7 +145,9 @@ object Similarity {
       lshCoeffMantissa(bit, d, seed).toDouble / (1L << 52).toDouble - 1.0
     val bits = (0 until nBits).map { b =>
       val plane = array((0 until dims).map(d => lit(coeff(b, d))): _*)
-      when(dot(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      // native codegen'd projection: nBits dots per corpus row through the
+      // interpreted zip_with/aggregate lambdas was a corpus-scale HOF pass
+      when(DotProduct.dotNative(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -97,6 +97,36 @@ object Text {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Per-document top-k TF-IDF terms (sklearn-style smoothed idf:
+    * tf · (ln((N+1)/(df+1)) + 1)).
+    *
+    * Plan: explode → (doc, term) counts → term document-frequencies (both
+    * two-phase hash aggregates with map-side combine) → score → per-doc
+    * top-k window over NARROW (doc, term, score) rows, pruned map-side by
+    * WindowGroupLimit. The corpus size is a 1-row aggregate broadcast into
+    * the score projection. Scores are emitted floored to integer 1e-4
+    * units so ranking and values compare as integers across engines (the
+    * only float op is ln, evaluated on identical doubles).
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        floor(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1) * 10000)
+          .as("score_e4"))
+    val w = Window.partitionBy(idCol).orderBy(col("score_e4").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Strip URLs and email addresses (the C4-style pre-training scrub pass).
     * Patterns stay in the POSIX-compatible subset so the same regexes run
     * in the DuckDB oracle.

@@ -65,6 +65,14 @@ class DedupSpec extends SparkSpec {
     assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
   }
 
+  test("duplicateClusters: min id propagates across chained pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // 1-2-3-9 is one component (rep 1), 5-6 another (rep 5)
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("jaccardTokens exact set semantics") {
     val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
       .select(Dedup.jaccardTokens(col("x"), col("y"))).as[Double].head()

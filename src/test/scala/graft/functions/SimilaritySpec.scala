@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
+
+  test("native dot product is bit-identical to the HOF composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 3.75f), Seq(0.5, 2.0, -1.25)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(-0.7, 0.9, 1.1)))
+      .toDF("a", "b")
+    val out = df.select(
+      DotProduct.dotNative(col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
   import spark.implicits._
 
   test("cosine: parallel=1, antiparallel=-1, orthogonal=0") {

@@ -63,6 +63,21 @@ class TextSpec extends SparkSpec {
     assert(out == Seq("en", "es", "de"))
   }
 
+  test("tfidfTopTerms ranks rare terms above common ones") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "t")
+    val out = Text.tfidfTopTerms(docs, "t", "doc_id", 2)
+      .select("doc_id", "term", "score_e4", "rank")
+      .as[(Long, String, Long, Int)].collect().toSet
+    // df: a=1, b=2, c=1; N=2; idf(a)=idf(c)=ln(3/2)+1, idf(b)=ln(3/3)+1=1
+    def e4(tf: Long, idf: Double) = math.floor(tf * idf * 10000).toLong
+    val idfRare = math.log(3.0 / 2.0) + 1
+    assert(out == Set(
+      (1L, "a", e4(2, idfRare), 1),
+      (1L, "b", 10000L, 2),
+      (2L, "c", e4(1, idfRare), 1),
+      (2L, "b", 10000L, 2)))
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")
