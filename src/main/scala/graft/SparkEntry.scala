@@ -559,6 +559,35 @@ object SparkEntry {
         .select("doc_id", "term", "score_e4", "rank")
         .orderBy("doc_id", "rank")
     },
+    // ---- LLM-pipeline: embedding-cosine near-dup dedup — LSH bucket
+    // pairs thresholded on cosine, collapsed to clusters (the embedding
+    // flavor of q48; threshold tuned to this synthetic corpus's sim range) ----
+    "q51_embedding_dedup" -> { (s, dir) =>
+      val pairs = Similarity
+        .lshCandidatePairs(Tables.embeddings(s, dir), dims = 64, nBits = 12, seed = 7L)
+        .filter(col("sim") >= 0.2)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("vec_id"), col("rep"))
+        .orderBy("vec_id")
+    },
+    // ---- LLM-pipeline: n-gram (trigram-set) Jaccard between adjacent
+    // docs — the shingle-set verification metric, all-integer e4 output ----
+    "q52_trigram_jaccard" -> { (s, dir) =>
+      val ng = Text.explodeNgrams(Tables.documents(s, dir), "text", 3)
+        .select(col("doc_id"), col("ng")).distinct()
+      val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = ng.select(col("doc_id").as("a_id"), col("ng"))
+        .join(ng.select((col("doc_id") - 1).as("a_id"), col("ng")), Seq("a_id", "ng"))
+        .groupBy("a_id").agg(count(lit(1)).as("i"))
+      val i0 = coalesce(col("i"), lit(0L))
+      sizes.select(col("doc_id").as("a_id"), col("n").as("na"))
+        .join(sizes.select((col("doc_id") - 1).as("a_id"), col("n").as("nb")), Seq("a_id"))
+        .join(inter, Seq("a_id"), "left")
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+          (ExactAgg.divHalfUp(i0 * 10000, col("na") + col("nb") - i0) / 10000.0)
+            .as("jaccard_e4"))
+        .orderBy("a_id")
+    },
     // ---- the reference's raw-lake format end to end: JSON-array files
     // (<= 50 records per array object, the archiver's layout) written,
     // then batch-read with a DECLARED schema and multiLine parsing —
@@ -692,7 +721,10 @@ object SparkEntry {
     * the same bucket-size cap, same-bucket pairing and cosine re-rank
     * (list_cosine_similarity ≡ the native expression, proven by q28).
     */
-  private def lshAnnOracleSql(dims: Int, nBits: Int, seed: Long, maxBucket: Int): String = {
+  /** The CTE chain ending in `simpairs(a_id, b_id, sim)` — shared by the
+    * q29 oracle and the q51 embedding-dedup oracle.
+    */
+  private def lshSimPairsCte(dims: Int, nBits: Int, seed: Long, maxBucket: Int): String = {
     val bits = (0 until nBits).map { b =>
       val dot = (0 until dims).map { d =>
         val m = functions.Similarity.lshCoeffMantissa(b, d, seed)
@@ -700,22 +732,44 @@ object SparkEntry {
       }.mkString(" + ")
       s"CASE WHEN ($dot) >= 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("\n    + ")
-    s"""WITH ids AS (
+    s"""ids AS (
        |  SELECT vec_id,
        |    ($bits) AS bucket
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t),
        |ok AS (SELECT bucket FROM ids GROUP BY bucket HAVING COUNT(*) <= $maxBucket),
        |f AS (SELECT i.vec_id, i.bucket FROM ids i JOIN ok USING (bucket)),
-       |pairs AS (
+       |bpairs AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-       |  FROM f a JOIN f b ON b.bucket = a.bucket AND a.vec_id < b.vec_id)
-       |SELECT a_id, b_id,
-       |  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS sim
-       |FROM pairs
-       |JOIN embeddings ea ON ea.vec_id = a_id
-       |JOIN embeddings eb ON eb.vec_id = b_id
-       |ORDER BY a_id, b_id""".stripMargin
+       |  FROM f a JOIN f b ON b.bucket = a.bucket AND a.vec_id < b.vec_id),
+       |simpairs AS (
+       |  SELECT a_id, b_id,
+       |    ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS sim
+       |  FROM bpairs
+       |  JOIN embeddings ea ON ea.vec_id = a_id
+       |  JOIN embeddings eb ON eb.vec_id = b_id)""".stripMargin
   }
+
+  private def lshAnnOracleSql(dims: Int, nBits: Int, seed: Long, maxBucket: Int): String =
+    s"""WITH ${lshSimPairsCte(dims, nBits, seed, maxBucket)}
+       |SELECT a_id, b_id, sim FROM simpairs ORDER BY a_id, b_id""".stripMargin
+
+  /** q51 oracle: LSH cosine pairs thresholded into near-dup edges, closed
+    * transitively (same recursive shape as the q48 oracle).
+    */
+  private def embeddingDedupOracleSql(
+      dims: Int, nBits: Int, seed: Long, maxBucket: Int, minSim: Double): String =
+    s"""WITH RECURSIVE ${lshSimPairsCte(dims, nBits, seed, maxBucket)},
+       |cand AS (SELECT a_id, b_id FROM simpairs WHERE sim >= $minSim),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM cand),
+       |reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.id = e.dst)
+       |SELECT id AS vec_id, CAST(MIN(l) AS BIGINT) AS rep
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
   /** Shared WHERE clause of the enrichment pipeline's validation filter. */
   private val enrichWhere =
@@ -747,6 +801,24 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q26_minhash_pairs" -> minhashOracleSql(nHashes = 128, nBands = 4, seed = 42L),
     "q48_dup_clusters" -> dupClustersOracleSql(nHashes = 128, nBands = 4, seed = 42L),
+    "q51_embedding_dedup" ->
+      embeddingDedupOracleSql(dims = 64, nBits = 12, seed = 7L, maxBucket = 1000, minSim = 0.2),
+    "q52_trigram_jaccard" ->
+      s"""WITH ng AS (
+         |  SELECT DISTINCT doc_id, concat_ws(' ', t[CAST(i AS INT)+1], t[CAST(i AS INT)+2], t[CAST(i AS INT)+3]) AS ng
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+         |       UNNEST(range(len(t) - 2)) AS u(i)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, COUNT(*) AS i
+         |  FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1 AND b.ng = a.ng
+         |  GROUP BY 1)
+         |SELECT sa.doc_id AS a_id, sa.doc_id + 1 AS b_id,
+         |  CAST(${ExactAgg.Sql.divHalfUp("COALESCE(i.i, 0) * 10000", "sa.n + sb.n - COALESCE(i.i, 0)")} AS DOUBLE) / 10000.0 AS jaccard_e4
+         |FROM sizes sa
+         |JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+         |LEFT JOIN inter i ON i.a_id = sa.doc_id
+         |ORDER BY a_id""".stripMargin,
     "q49_split_assign" ->
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
         |  lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
