@@ -123,6 +123,31 @@ object Sinks {
     spark.read.parquet(path).groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Compact an [[appendVersioned]] table: merge every partial state per
+    * key and rewrite the table as one `__ver=<maxVer>` partition, bounding
+    * read-side fan-in after many micro-batches. Log-compaction contract:
+    * run only when the stream's checkpoint guarantees no replay of batches
+    * ≤ maxVer — a replayed already-compacted batch would re-add its
+    * partials (its own partition no longer exists to overwrite).
+    */
+  def compactPartials(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      key: Seq[String],
+      sums: Seq[String]): Unit = {
+    val maxVer = spark.read.parquet(path)
+      .agg(max(col("__ver").cast("long"))).head.getLong(0)
+    val merged = readMergedPartials(spark, path, key, sums)
+      .withColumn("__ver", lit(maxVer))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    merged.write.mode("overwrite").partitionBy("__ver").parquet(tmp.toString)
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+
   /** Merge a micro-batch into a keyed parquet table: newest version per key
     * wins (the file-sink equivalent of the reference's ES `es.mapping.id`
     * update-mode upserts, W6/W10). Written via a temp dir + atomic rename so

@@ -76,6 +76,19 @@ class SinksSpec extends SparkSpec {
     assert(merged == Map("w1" -> ((6L, 500L)), "w2" -> ((1L, 50L))))
   }
 
+  test("compactPartials collapses versions, preserves totals, accepts new batches") {
+    val dir = tmpDir() + "/compact"
+    Sinks.appendVersioned(Seq(("w1", 2L), ("w2", 1L)).toDF("key", "cnt"), dir, 0L)
+    Sinks.appendVersioned(Seq(("w1", 3L)).toDF("key", "cnt"), dir, 1L)
+    Sinks.compactPartials(spark, dir, Seq("key"), Seq("cnt"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("__ver="))
+    assert(dirs.toSeq == Seq("__ver=1"))
+    Sinks.appendVersioned(Seq(("w2", 4L)).toDF("key", "cnt"), dir, 2L)
+    val merged = Sinks.readMergedPartials(spark, dir, Seq("key"), Seq("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == Map("w1" -> 5L, "w2" -> 5L))
+  }
+
   test("ES/Cassandra sink configs build the reference's option surfaces") {
     val es = Sinks.EsSinkConfig("es1,es2", "jobs/_doc", "job_id",
       extra = Map("es.net.http.auth.user" -> "svc"))
