@@ -54,4 +54,46 @@ object AsOfJoin {
     }
     filled.filter(col("__is_right") === 0).drop("__k", "__t", "__is_right")
   }
+
+  /** Skew-resistant variant of [[asOf]]: the per-key window cannot be split
+    * by AQE, so one hot key (a user with 10⁸ events) serializes on one
+    * task. Salting splits it: each LEFT row hashes to one of `nSalts`
+    * sub-partitions, each RIGHT row is replicated into ALL of them, and
+    * the window runs per (key, salt). Every salt partition sees the full
+    * right timeline, so per-row results are identical to [[asOf]]
+    * (spec-asserted); cost is right-side shuffle volume × nSalts — the
+    * standard trade when the left side is the skewed one (events ≫ dims).
+    */
+  def asOfSalted(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__salt", pmod(hash(struct(left.columns.map(col): _*)), lit(nSalts)))
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__is_right", lit(0))
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k") +:
+          col(rightTime).cast("timestamp").as("__t") +:
+          lit(1).as("__is_right") +:
+          payload.map(col): _*)
+      .withColumn("__salt", explode(array((0 until nSalts).map(lit): _*)))
+    val w = Window
+      .partitionBy("__k", "__salt")
+      .orderBy(col("__t").asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(l.unionByName(r, allowMissingColumns = true)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_right") === 0).drop("__k", "__t", "__is_right", "__salt")
+  }
 }

@@ -47,6 +47,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("keyed" -> Some(1.0), "nullkey" -> None))
   }
 
+  test("asOfSalted produces row-identical results to asOf") {
+    val left = (1L to 200L).map(i =>
+      (i % 3, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"), s"e$i"))
+      .toDF("key", "ts", "tag")
+    val right = (1L to 30L).map(i =>
+      (i % 3, ts(f"2024-01-01 ${(i * 7) % 24}%02d:00:00"), i.toDouble))
+      .toDF("rkey", "rts", "v")
+    val plain = AsOfJoin.asOf(left, right, "key", "rkey", "ts", "rts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    val salted = AsOfJoin.asOfSalted(left, right, "key", "rkey", "ts", "rts", Seq("v"), nSalts = 4)
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(salted == plain)
+    assert(salted.size == 200)
+  }
+
   test("asOf keeps every left row exactly once") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"), "a"), (1L, ts("2024-01-02 00:00:00"), "b"))
       .toDF("key", "ts", "tag")
