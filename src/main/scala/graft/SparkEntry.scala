@@ -588,6 +588,31 @@ object SparkEntry {
             .as("jaccard_e4"))
         .orderBy("a_id")
     },
+    // ---- the flagship LLM-data curation pipeline, end to end in ONE
+    // declarative composition: scrub → quality gate → exact dedup →
+    // near-dup cluster collapse (keep representatives) → deterministic
+    // split assignment → per-split corpus stats. Every stage is the
+    // already-oracled operator; the oracle composes their SQL ----
+    "q53_curation_pipeline" -> { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.scrub(col("text")).as("stext"))
+      val quality = base.filter(
+        Text.qualityBucket(col("stext")).isin("OK_FLUENT", "OK_TERSE"))
+      val exact = Cleaning.dedupByKey(
+          quality.withColumn("__fp", Text.fingerprint(col("stext"))),
+          Seq("__fp"), Seq(col("doc_id").asc))
+        .drop("__fp")
+      val nearDupReps = Dedup.duplicateClusters(
+        Dedup.minhashCandidates(exact, "stext", "doc_id"))
+      val kept = exact
+        .join(nearDupReps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("rep").isNull || col("rep") === col("doc_id"))
+      kept
+        .withColumn("split", ops.Sampling.splitLabel(col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), sum(length(col("stext"))).as("sum_chars"))
+        .orderBy("split")
+    },
     // ---- the reference's raw-lake format end to end: JSON-array files
     // (<= 50 records per array object, the archiver's layout) written,
     // then batch-read with a DECLARED schema and multiLine parsing —
@@ -637,9 +662,17 @@ object SparkEntry {
     * identically.
     */
   /** The CTE chain ending in `scored(a_id, b_id, est_jaccard)` — shared by
-    * the q26 oracle and the q48 duplicate-cluster oracle.
+    * the q26 oracle, the q48 duplicate-cluster oracle and the q53 curation
+    * pipeline (which points it at a derived relation instead of the raw
+    * documents table).
     */
-  private def minhashScoredCte(nHashes: Int, nBands: Int, seed: Long): String = {
+  private def minhashScoredCte(
+      nHashes: Int,
+      nBands: Int,
+      seed: Long,
+      src: String = "documents",
+      textCol: String = "text",
+      idCol: String = "doc_id"): String = {
     val p = Dedup.minhashP
     val rows = nHashes / nBands
     val minAggs = (0 until nHashes).map { i =>
@@ -656,7 +689,7 @@ object SparkEntry {
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
       .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
     s"""toks AS (
-       |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |  SELECT $idCol AS id, unnest(list_distinct(string_split($textCol, ' '))) AS tok FROM $src),
        |hashed AS (
        |  SELECT id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % $p AS h FROM toks),
        |sig AS (
@@ -771,6 +804,53 @@ object SparkEntry {
        |SELECT id AS vec_id, CAST(MIN(l) AS BIGINT) AS rep
        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
+  /** q53 oracle: the curation pipeline composed from the stages' own SQL —
+    * the q41 scrub regexes, the q21 quality bounds, the q20 fingerprint
+    * dedup, the q26/q48 MinHash-CC chain re-pointed at the deduped
+    * relation, and the q49 split bucket.
+    */
+  private def curationOracleSql(nHashes: Int, nBands: Int, seed: Long): String = {
+    val scrub =
+      """trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^ ]+', '', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g'),
+        |    '  +', ' ', 'g'))""".stripMargin
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, $scrub AS stext FROM documents),
+       |quality AS (
+       |  SELECT doc_id, stext FROM base
+       |  WHERE len(string_split(stext, ' ')) BETWEEN 5 AND 5000),
+       |ex AS (
+       |  SELECT doc_id, stext FROM (
+       |    SELECT doc_id, stext,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(stext) ORDER BY doc_id) AS rn
+       |    FROM quality) t
+       |  WHERE rn = 1),
+       |${minhashScoredCte(nHashes, nBands, seed, src = "ex", textCol = "stext")},
+       |cand AS (SELECT a_id, b_id FROM scored WHERE est_jaccard >= 0.9),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM cand),
+       |reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.id = e.dst),
+       |reps AS (SELECT id, MIN(l) AS rep FROM reach GROUP BY id),
+       |kept AS (
+       |  SELECT e.doc_id, e.stext FROM ex e
+       |  LEFT JOIN reps r ON r.id = e.doc_id
+       |  WHERE r.rep IS NULL OR r.rep = e.doc_id)
+       |SELECT
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS cnt, CAST(SUM(length(stext)) AS BIGINT) AS sum_chars
+       |FROM (
+       |  SELECT stext,
+       |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+       |  FROM kept) t
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Shared WHERE clause of the enrichment pipeline's validation filter. */
   private val enrichWhere =
     "event_id IS NOT NULL AND event_type IS NOT NULL AND trim(event_type) <> ''"
@@ -801,6 +881,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q26_minhash_pairs" -> minhashOracleSql(nHashes = 128, nBands = 4, seed = 42L),
     "q48_dup_clusters" -> dupClustersOracleSql(nHashes = 128, nBands = 4, seed = 42L),
+    "q53_curation_pipeline" -> curationOracleSql(nHashes = 128, nBands = 4, seed = 42L),
     "q51_embedding_dedup" ->
       embeddingDedupOracleSql(dims = 64, nBits = 12, seed = 7L, maxBucket = 1000, minSim = 0.2),
     "q52_trigram_jaccard" ->
