@@ -588,6 +588,14 @@ object SparkEntry {
             .as("jaccard_e4"))
         .orderBy("a_id")
     },
+    // ---- LLM-pipeline: winnowing (rolling-hash) document fingerprints;
+    // per-doc selected-fingerprint count + minimum ----
+    "q54_winnow_fingerprints" -> { (s, dir) =>
+      Text.winnowFingerprints(Tables.documents(s, dir), "text", "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+        .orderBy("doc_id")
+    },
     // ---- the flagship LLM-data curation pipeline, end to end in ONE
     // declarative composition: scrub → quality gate → exact dedup →
     // near-dup cluster collapse (keep representatives) → deterministic
@@ -882,6 +890,20 @@ object SparkEntry {
     "q26_minhash_pairs" -> minhashOracleSql(nHashes = 128, nBands = 4, seed = 42L),
     "q48_dup_clusters" -> dupClustersOracleSql(nHashes = 128, nBands = 4, seed = 42L),
     "q53_curation_pipeline" -> curationOracleSql(nHashes = 128, nBands = 4, seed = 42L),
+    "q54_winnow_fingerprints" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) + 1 AS pos,
+        |    CAST(concat('0x', substring(md5(
+        |      concat_ws(' ', t[CAST(i AS INT)+1], t[CAST(i AS INT)+2], t[CAST(i AS INT)+3])), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM grams)
+        |SELECT doc_id, COUNT(*) AS n_fp, CAST(MIN(fp) AS BIGINT) AS min_fp
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q51_embedding_dedup" ->
       embeddingDedupOracleSql(dims = 64, nBits = 12, seed = 7L, maxBucket = 1000, minSim = 0.2),
     "q52_trigram_jaccard" ->

@@ -97,6 +97,42 @@ object Text {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Winnowing document fingerprints (the rolling-hash scheme of MOSS /
+    * Schleimer et al. 2003): hash every word k-gram, slide a w-gram window
+    * over the hash sequence, keep each window's minimum — the selected
+    * hashes are a position-robust fingerprint set guaranteeing any shared
+    * run of ≥ w+k−1 tokens yields a shared fingerprint.
+    *
+    * Plan: k-gram explode (codegen, as [[explodeNgrams]]) → md5-derived
+    * hash → per-doc ordered window min over w rows (one shuffle on doc id,
+    * narrow (id, pos, hash) rows) → distinct. Per-key window skew caveat as
+    * for the as-of join.
+    *
+    * Output: (idCol, fp) — the distinct selected fingerprints per document
+    * (documents shorter than k+w−1 tokens emit their available minima;
+    * shorter than k emit none).
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = col("__toks")
+    val grams = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__i",
+        explode(when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))))
+      .select(col(idCol), col("__i").as("pos"),
+        Dedup.tokenHash64(
+          concat_ws(" ", (0 until k).map(j => element_at(toks, col("__i") + j)): _*)).as("h"))
+    val win = Window.partitionBy(idCol).orderBy("pos").rowsBetween(-(w - 1), 0)
+    grams
+      .select(col(idCol), min(col("h")).over(win).as("fp"))
+      .distinct()
+  }
+
   /** Per-document top-k TF-IDF terms (sklearn-style smoothed idf:
     * tf · (ln((N+1)/(df+1)) + 1)).
     *

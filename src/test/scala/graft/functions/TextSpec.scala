@@ -78,6 +78,21 @@ class TextSpec extends SparkSpec {
       (2L, "b", 10000L, 2)))
   }
 
+  test("winnowFingerprints: shared long runs share a fingerprint; count bounded") {
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa bb $shared"),
+      (2L, s"$shared zz yy"),
+      (3L, "completely different words here entirely now")).toDF("doc_id", "t")
+    val fps = Text.winnowFingerprints(docs, "t", "doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: a shared run of >= w+k-1 = 6 tokens shares a fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // selected set never exceeds the gram count (here 12 grams for doc 3's 6 tokens? 4 grams)
+    assert(fps(3L).size <= 4)
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")
