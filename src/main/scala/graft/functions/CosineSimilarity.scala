@@ -95,14 +95,19 @@ object CosineSimilarity {
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
-/** SparkSessionExtensions hook: registers `cosine_sim(a, b)` for SQL users.
-  * Enable with
+/** SparkSessionExtensions hook: registers the native expressions —
+  * `cosine_sim(a, b)` and `dot_product(a, b)` — for SQL users. Enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+  }
 }

@@ -66,31 +66,37 @@ object Similarity {
     * corpus per query (the IVF speedup), then a per-query top-k via
     * WindowGroupLimit.
     */
+  private[functions] def litVec(v: Array[Float]): Column = array(v.map(lit(_)): _*)
+
+  /** Zero-shuffle nearest-centroid assignment: an argmax ladder of
+    * codegen'd cosine scores via `greatest` over (csim, −cell_id) structs —
+    * lexicographic max = (highest csim, then lowest cell id), the same
+    * tiebreak as an ORDER BY csim DESC, cell_id window, evaluated as a
+    * pure per-row expression inside the scan. Centroids are model
+    * parameters (k × dims floats), inlined as literal arrays.
+    */
+  def nearestCentroid(emb: Column, centroids: Array[(Long, Array[Float])]): Column = {
+    val cellScores = centroids.map { case (cellId, vec) =>
+      struct(
+        CosineSimilarity.cosineNative(emb, litVec(vec)).as("s"),
+        lit(-cellId).as("nid"))
+    }
+    -greatest(cellScores: _*).getField("nid")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Centroids are model parameters, not data: collect them to the driver
-    // (nCells × dims floats) and inline them as literal arrays. Cell
-    // assignment then becomes a pure per-row expression — an argmax ladder
-    // of codegen'd cosine scores via `greatest` over (csim, -cell_id)
-    // structs — with ZERO corpus shuffle. The earlier row_number() window
-    // on vec_id exchanged the whole corpus WITH embedding payloads just to
-    // pick each row's best cell.
+    // Cell assignment is [[nearestCentroid]] — ZERO corpus shuffle. The
+    // earlier row_number() window on vec_id exchanged the whole corpus
+    // WITH embedding payloads just to pick each row's best cell.
     val centroids: Array[(Long, Array[Float])] = corpus
       .filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    def litVec(v: Array[Float]) = array(v.map(lit(_)): _*)
-    val cellScores = centroids.map { case (cellId, vec) =>
-      struct(
-        CosineSimilarity.cosineNative(col("embedding"), litVec(vec)).as("s"),
-        lit(-cellId).as("nid"))
-    }
-    // lexicographic max = (highest csim, then lowest cell_id) — identical
-    // tiebreak to the ORDER BY csim DESC, cell_id of the window it replaces
     val assigned = corpus
-      .withColumn("cell_id", -greatest(cellScores: _*).getField("nid"))
+      .withColumn("cell_id", nearestCentroid(col("embedding"), centroids))
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     // probe selection needs a top-nProbe rank over nCells scores per query;
     // queries are a small probe set by contract, so a window there is cheap
@@ -115,6 +121,56 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** Lloyd's k-means over embedding vectors — the trained-centroid
+    * companion to [[ivfTopK]] (whose exemplar centroids are swappable for
+    * these with no other change). Init = the k lowest-id vectors; each
+    * iteration assigns every row with the zero-shuffle [[nearestCentroid]]
+    * ladder, then updates centroids from a per-(cell, dim) mean — a
+    * `posexplode` into narrow (cell, dim, v) rows and one two-phase
+    * aggregate whose k × dims result collects to the driver as the next
+    * model. Cells that lose all members keep their previous centroid.
+    *
+    * This is a TRAINING procedure, not an oracled query: the mean uses
+    * float summation, so centroids are partition-order deterministic only
+    * to the last ulp — irrelevant for IVF cell quality.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = corpus
+      .orderBy(idCol).limit(k)
+      .select(embCol).collect().map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val centsIdx = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val stats = corpus
+        .withColumn("cell_id", nearestCentroid(col(embCol), centsIdx))
+        .select(col("cell_id"), posexplode(col(embCol)).as(Seq("dim", "v")))
+        .groupBy("cell_id", "dim")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        val (cell, dim) = (r.getLong(0).toInt, r.getInt(1))
+        next(cell)(dim) = (r.getDouble(2) / r.getLong(3)).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Assignment table for trained centroids: (idCol, cell_id). */
+  def kmeansAssign(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val centsIdx = centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    corpus.select(col(idCol), nearestCentroid(col(embCol), centsIdx).as("cell_id"))
   }
 
   /** Deterministic random-hyperplane (SimHash) LSH bucket id: `nBits` sign

@@ -46,4 +46,11 @@ class CosineSimilaritySpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r == 1.0)
   }
+
+  test("GraftExtensions registers dot_product for SQL users") {
+    val r = spark.sql(
+      "SELECT dot_product(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)), array(0.5D, 2.0D)) AS s")
+      .collect().head.getDouble(0)
+    assert(r == 7.0)
+  }
 }

@@ -6,6 +6,29 @@ import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
 
+  test("kmeans recovers three separated direction clusters") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 30 vectors in 3 tight direction cones around orthogonal axes
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      val eps = 0.05f * ((i % 7) - 3)
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = eps
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, k = 3, iters = 4)
+    val assign = Similarity.kmeansAssign(df, cents)
+      .as[(Long, Long)].collect().toMap
+    // every member of a ground-truth cone lands in the same learned cell,
+    // and the three cones land in three distinct cells
+    val cellsPerCone = (0 until 3).map(a => rows.collect { case (id, _) if id % 3 == a => assign(id) }.toSet)
+    assert(cellsPerCone.forall(_.size == 1), cellsPerCone.toString)
+    assert(cellsPerCone.flatten.toSet.size == 3)
+  }
+
   test("native dot product is bit-identical to the HOF composition") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
