@@ -64,6 +64,26 @@ object Multimodal {
     }
   }
 
+  /** Per-partition batch resize: the preprocessing transform a vision
+    * training pipeline runs on every image. The output is a new binary
+    * column (plus the target dims) so the resized lake keeps the same
+    * opaque-blob schema contract as the input.
+    */
+  def resize(media: Dataset[MediaRecord], width: Int, height: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        // [STUB] real: decode → scale to width×height → re-encode. The
+        // deterministic fake derives output bytes from (input, target dims)
+        // so the plumbing is exactly testable.
+        val seed = s"${StubCodec.checksum(m.bytes)}_${width}x$height"
+        val out = java.security.MessageDigest.getInstance("MD5")
+          .digest(seed.getBytes("UTF-8"))
+        (m.media_id, m.kind, width, height, out)
+      }
+    }.toDF("media_id", "kind", "width", "height", "bytes")
+  }
+
   /** Deterministic frame sampling for video blobs: n evenly-spaced "frames"
     * (stub: each frame is a checksum of its byte slice). Output explodes to
     * one row per frame — the shape a caption/embedding stage consumes.

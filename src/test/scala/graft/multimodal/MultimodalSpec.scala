@@ -31,6 +31,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_._3).distinct.size == 4) // distinct slices -> distinct checksums
   }
 
+  test("resize keeps the opaque-blob schema and is deterministic per (input, dims)") {
+    val ds = media((1L, "image", "abc"), (2L, "image", "def"))
+    val out = Multimodal.resize(ds, 224, 224)
+      .as[(Long, String, Int, Int, Array[Byte])].collect().sortBy(_._1)
+    assert(out.map(r => (r._2, r._3, r._4)).forall(_ == (("image", 224, 224))))
+    assert(out.forall(_._5.length == 16))
+    assert(!out(0)._5.sameElements(out(1)._5)) // distinct inputs -> distinct blobs
+    val again = Multimodal.resize(ds, 224, 224)
+      .as[(Long, String, Int, Int, Array[Byte])].collect().sortBy(_._1)
+    assert(out.zip(again).forall { case (a, b) => a._5.sameElements(b._5) })
+  }
+
   test("fromText builds 16-byte binary blobs from md5") {
     val df = Seq((7L, "hello world")).toDF("doc_id", "text")
     val rec = Multimodal.fromText(df, "doc_id", "text", "image").collect().head
