@@ -183,6 +183,9 @@ object Sinks {
     * files are never read or rewritten. Cost per batch is O(touched
     * partitions), not O(table) — the shape that survives a year of
     * micro-batches into a date-partitioned table.
+    *
+    * Partition values must be non-null and filesystem-plain (dates, hours):
+    * the swap addresses partition DIRECTORIES by `col=value`.
     */
   def upsertBatchPartitioned(
       batch: DataFrame,
