@@ -1,0 +1,43 @@
+package graft
+
+/** Executable versions of PLANS.md's physical-plan claims — pushdown,
+  * shuffle-payload and map-side-pruning properties are regression-tested,
+  * not just documented. Runs against the sf0.001 driver testdata.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: shipdate predicate reaches the parquet scan as a pushed filter") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(600))
+  }
+
+  test("q05: all scan predicates pushed, projection pruned to 4 columns") {
+    val p = plan("q05_revenue_filter")
+    assert(p.contains("PushedFilters"))
+    assert(Seq("l_shipdate", "l_discount", "l_quantity").forall(p.contains), p.take(600))
+  }
+
+  test("ANN plans never exchange embedding payloads (q29, q43)") {
+    Seq("q29_lsh_ann_pairs", "q43_ivf_ann").foreach { q =>
+      val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
+      assert(exchanges.nonEmpty, s"$q: expected exchanges in the plan")
+      assert(
+        !exchanges.exists(l => l.contains("embedding") || l.contains("_vec")),
+        s"$q: an exchange carries vector payloads:\n${exchanges.mkString("\n")}")
+    }
+  }
+
+  test("q28: per-query top-k prunes map-side via WindowGroupLimit") {
+    assert(plan("q28_embedding_knn").contains("WindowGroupLimit"))
+  }
+
+  test("q02: top-10 uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q02_top_customers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+}
