@@ -406,14 +406,17 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("o_orderkey"), lit(-1L)).as("okey"))
         .orderBy("event_id")
     },
-    // ---- multimodal: binary blobs -> per-partition feature extraction
-    // (decode step stubbed; Spark plumbing real — rows-only check) ----
+    // ---- multimodal: REAL PNG blobs (ImageIO-encoded, dims keyed by
+    // media_id) -> per-partition feature extraction with a REAL ImageIO
+    // decode. The output dims come from actually-decoded pixel grids, and
+    // because the encode side keys dims by id, the oracle predicts by
+    // formula exactly what a correct decoder must read back ----
     "q37_media_features" -> { (s, dir) =>
-      val media = multimodal.Multimodal.fromText(
-        Tables.documents(s, dir), "doc_id", "text", "image")
+      val media = multimodal.Multimodal.synthesizeImages(
+        Tables.documents(s, dir), "doc_id")
       multimodal.Multimodal.extractFeatures(media)
         .toDF()
-        .select("media_id", "n_bytes", "checksum", "width", "height")
+        .select("media_id", "kind", "width", "height", "duration_ms")
         .orderBy("media_id")
     },
     // ---- multimodal: deterministic frame sampling (rows-only check) ----
@@ -541,7 +544,7 @@ object SparkEntry {
     // clusters (connected components via iterative min-label propagation) ----
     "q48_dup_clusters" -> { (s, dir) =>
       val pairs = Dedup.minhashCandidates(Tables.documents(s, dir))
-      Dedup.duplicateClusters(pairs)
+      Dedup.duplicateClustersLogN(pairs)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id")
     },
@@ -566,7 +569,7 @@ object SparkEntry {
       val pairs = Similarity
         .lshCandidatePairs(Tables.embeddings(s, dir), dims = 64, nBits = 12, seed = 7L)
         .filter(col("sim") >= 0.2)
-      Dedup.duplicateClusters(pairs)
+      Dedup.duplicateClustersLogN(pairs)
         .select(col("id").as("vec_id"), col("rep"))
         .orderBy("vec_id")
     },
@@ -606,11 +609,16 @@ object SparkEntry {
         .select(col("doc_id"), Text.scrub(col("text")).as("stext"))
       val quality = base.filter(
         Text.qualityBucket(col("stext")).isin("OK_FLUENT", "OK_TERSE"))
+      // `exact` feeds BOTH the minhash candidate pipeline and the final
+      // `kept` join — persist it so scrub → quality → window-dedup runs
+      // once per q53 execution, not once per consuming branch. (Same class
+      // of fix as the streaming fan-out's single-execution contract.)
       val exact = Cleaning.dedupByKey(
           quality.withColumn("__fp", Text.fingerprint(col("stext"))),
           Seq("__fp"), Seq(col("doc_id").asc))
         .drop("__fp")
-      val nearDupReps = Dedup.duplicateClusters(
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nearDupReps = Dedup.duplicateClustersLogN(
         Dedup.minhashCandidates(exact, "stext", "doc_id"))
       val kept = exact
         .join(nearDupReps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -878,18 +886,27 @@ object SparkEntry {
     * the same parquet tables. The MinHash/SimHash/LSH oracles are generated
     * from the same constants as the Spark pipelines (md5-derived hashing is
     * portable). Omitted only for q39 (engine-specific sketch internals) and
-    * q37/q38 (stub-codec outputs) → driver records the weaker rows-only
+    * q38 (stub-codec frame checksums) → driver records the weaker rows-only
     * check there.
     */
   def oracleSql: Map[String, String] = Map(
+    // q37's blobs are real ImageIO-encoded PNGs whose dims are keyed by
+    // media_id at encode time; the oracle predicts by formula what a
+    // correct ImageIO decode must read back out of the pixel grid
+    "q37_media_features" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(4 + doc_id % 29 AS INTEGER) AS width,
+        |  CAST(4 + doc_id % 31 AS INTEGER) AS height,
+        |  CAST(0 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q47_json_raw_lake" ->
       """SELECT event_id, user_id, event_type, value, CAST(length(props) AS INTEGER) AS props_len
         |FROM read_json('/root/repo/target/fixtures/json_events/chunk=*/*.txt', format='array',
         |  columns={event_id:'BIGINT', user_id:'BIGINT', event_type:'VARCHAR', value:'DOUBLE', props:'VARCHAR'})
         |ORDER BY event_id""".stripMargin,
-    "q26_minhash_pairs" -> minhashOracleSql(nHashes = 128, nBands = 4, seed = 42L),
-    "q48_dup_clusters" -> dupClustersOracleSql(nHashes = 128, nBands = 4, seed = 42L),
-    "q53_curation_pipeline" -> curationOracleSql(nHashes = 128, nBands = 4, seed = 42L),
+    "q26_minhash_pairs" -> minhashOracleSql(nHashes = 64, nBands = 4, seed = 42L),
+    "q48_dup_clusters" -> dupClustersOracleSql(nHashes = 64, nBands = 4, seed = 42L),
+    "q53_curation_pipeline" -> curationOracleSql(nHashes = 64, nBands = 4, seed = 42L),
     "q54_winnow_fingerprints" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |grams AS (
@@ -930,20 +947,23 @@ object SparkEntry {
         |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
         |  FROM documents) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // score is pure int64: tf · round_half_up((N+1)·1e4/(df+1)) — no ln,
+    // whose 1-ulp libm license could flip a floored fixed-point score
+    // between engines (ADVICE r2)
     "q50_tfidf_top_terms" ->
-      """WITH tf AS (
-        |  SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
-        |  GROUP BY 1, 2),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    CAST(floor(tf.tf * (ln(CAST(nd.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) + 1) * 10000) AS BIGINT) AS score_e4
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
-        |SELECT doc_id, term, score_e4,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, term) AS INTEGER) AS rank
-        |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf * ${ExactAgg.Sql.divHalfUp("(nd.n_docs + 1) * 10000", "dfreq.df + 1")} AS BIGINT) AS score_e4
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+         |SELECT doc_id, term, score_e4,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, term) AS INTEGER) AS rank
+         |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q27_simhash" -> simhashOracleSql(nBits = 60),
     "q29_lsh_ann_pairs" -> lshAnnOracleSql(dims = 64, nBits = 12, seed = 7L, maxBucket = 1000),
     "q01_pricing_summary" ->

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+
+/** sf1-scale stress evidence for the dedup/ANN family (VERDICT r2 #8):
+  * synthesizes a 10× corpus from the driver's sf0.1 tables (into
+  * `target/sf1/` — the driver testdata dir is read-only), then runs the
+  * q26 (MinHash/LSH pairs), q29 (LSH ANN pairs) and q48 (duplicate
+  * clusters) pipelines against it, printing wall times, result sizes and
+  * CC round counts.
+  *
+  * Replication is adversarial for dedup, not a no-op copy: each document
+  * replica appends a replica marker token, so every original spawns a
+  * 10-clique of TRUE near-duplicates (pairwise Jaccard ≈ 0.95-0.99 —
+  * right at the banding threshold) on top of the corpus's own near-dup
+  * structure; embeddings replicate exactly (cosine 1.0 cliques) which
+  * drives maximal LSH bucket collisions under the bucket-size cap.
+  */
+object StressGen {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "target/sf1"
+    val copies = 10
+    val spark = GraftSession.builder("graft-stress", shufflePartitions = 32)
+      .master("local[32]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet"))) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      val nDocs = docs.agg(F.max("doc_id")).head.getLong(0) + 1
+      val reps = spark.range(copies).select(F.col("id").as("__rep"))
+      docs.crossJoin(reps)
+        .select(
+          (F.col("doc_id") + F.col("__rep") * nDocs).as("doc_id"),
+          F.when(F.col("__rep") === 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("__rep"))).as("text"),
+          F.col("lang"), F.col("n_chars"))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val nVecs = emb.agg(F.max("vec_id")).head.getLong(0) + 1
+      emb.crossJoin(reps)
+        .select((F.col("vec_id") + F.col("__rep") * nVecs).as("vec_id"), F.col("embedding"))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val nv = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"GRAFT_STRESS corpus: $nd docs, $nv vectors at $outDir")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"GRAFT_STRESS $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val docs = sources.Tables.documents(spark, outDir)
+    val embs = sources.Tables.embeddings(spark, outDir)
+
+    val pairs = time("q26_minhash_pairs (10x corpus)") {
+      val p = functions.Dedup.minhashCandidates(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"GRAFT_STRESS   candidate pairs: ${p.count()}")
+      p
+    }
+    time("q48_dup_clusters CC (on those pairs)") {
+      val (labels, rounds) = functions.Dedup.duplicateClustersLogNWithRounds(pairs)
+      val n = labels.count()
+      val k = labels.select("rep").distinct().count()
+      println(s"GRAFT_STRESS   $n labeled nodes, $k clusters, $rounds CC rounds")
+    }
+    time("q29_lsh_ann_pairs (10x corpus)") {
+      val p = functions.Similarity
+        .lshCandidatePairs(embs, dims = 64, nBits = 12, seed = 7L)
+      println(s"GRAFT_STRESS   ann pairs: ${p.count()}")
+    }
+    val rt = Runtime.getRuntime
+    println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
+    spark.stop()
+  }
+}

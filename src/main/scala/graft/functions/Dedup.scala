@@ -107,23 +107,27 @@ object Dedup {
     * times and drag two 128-long signatures through the band shuffle.
     *
     * Parameter choice is the scale lever: the LSH match threshold is
-    * ≈ (1/nBands)^(1/rowsPerBand); the defaults (4 bands × 32 rows) target
-    * ~0.96, so even on a corpus whose AVERAGE pairwise Jaccard is 0.6+
+    * ≈ (1/nBands)^(1/rowsPerBand); the defaults (4 bands × 16 rows) target
+    * ~0.92, so even on a corpus whose AVERAGE pairwise Jaccard is 0.6+
     * (worst case for banding) the candidate set stays a small fraction of
-    * n² instead of degenerating to the full cross product.
+    * n² instead of degenerating to the full cross product. 64 hashes halve
+    * the signature-aggregation cost vs the earlier 128 at an equal banding
+    * threshold (4×16 ≈ 0.92 vs 4×32 ≈ 0.96) — the estimator's std-dev at
+    * j=0.9 grows only from 0.027 to 0.038, well inside the 0.9 gate's
+    * tolerance for this family's use (candidate filtering, not measurement).
     */
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      nHashes: Int = 128,
+      nHashes: Int = 64,
       nBands: Int = 4,
       minEstJaccard: Double = 0.9,
       seed: Long = 42L): DataFrame = {
     val rowsPerBand = nHashes / nBands
     // The signature table feeds FOUR plan branches (two band-join legs, two
-    // signature re-joins); persist it so the 128-aggregate computation runs
-    // once. It is cached as ONE array column, not 128 — every downstream
+    // signature re-joins); persist it so the n-hash aggregate computation
+    // runs once. It is cached as ONE array column — every downstream
     // stage then plans over 2-column rows, which keeps the generated code
     // per stage small (the 129-column variant spent more wall-clock
     // compiling codegen for its four wide branches than executing them).
@@ -221,27 +225,136 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    while (!converged) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("rep").as("nbr_rep")), Seq("dst"))
-        .groupBy("src")
-        .agg(min(col("nbr_rep")).as("nbr_rep"))
-        .select(col("src").as("id"), col("nbr_rep"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+    withIterationPartitions(edges) {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("rep", col("id"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("rep", "old_rep"), Seq("id"))
-        .filter(col("rep") < col("old_rep"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      var converged = false
+      while (!converged) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("rep").as("nbr_rep")), Seq("dst"))
+          .groupBy("src")
+          .agg(min(col("nbr_rep")).as("nbr_rep"))
+          .select(col("src").as("id"), col("nbr_rep"))
+        // ONE action per round: `old_rep` rides along into a LAZY checkpoint,
+        // and the convergence aggregate below is the job that materializes
+        // it — no separate change-detection join/count job on top.
+        val next = labels.withColumnRenamed("rep", "old_rep")
+          .join(nbrMin, Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("old_rep"), coalesce(col("nbr_rep"), col("old_rep"))).as("rep"),
+            col("old_rep"))
+          .localCheckpoint(false)
+        val changed = next
+          .agg(sum(when(col("rep") < col("old_rep"), 1L).otherwise(0L)).as("n"))
+          .first().getLong(0)
+        labels = next.drop("old_rep")
+        converged = changed == 0
+      }
+      labels
     }
-    labels
+  }
+
+  /** Scale-proof connected components: alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"), converging in O(log n) rounds on ANY graph shape — including
+    * the chain-shaped duplicate graphs (serial near-dups with drift) where
+    * min-label propagation degrades to O(n) rounds.
+    *
+    * Per round, on edges kept oriented large→small:
+    *   - large-star: for each center c, every LARGER neighbor re-attaches to
+    *     m = min(Γ(c) ∪ {c});
+    *   - small-star: for each center u over its smaller neighbors, every
+    *     neighbor and u itself attach to m = min(Γ(u)).
+    * Both are plain groupBy-min + equi-join — the same hash primitives as
+    * min-label, two narrow long-pair shuffles each. Fixed point = a union of
+    * stars centered at each component's minimum.
+    *
+    * Convergence detection costs no extra job: the next edge set is lazily
+    * checkpointed and materialized by the full-outer mismatch aggregate
+    * itself (exact set comparison, not a hash gamble).
+    *
+    * Output contract matches [[duplicateClusters]]: (id, rep) for every
+    * node in at least one pair, with rep = the component's minimum id
+    * (representatives map to themselves); isolated docs are not emitted.
+    */
+  def duplicateClustersLogN(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame =
+    duplicateClustersLogNWithRounds(pairs, aCol, bCol)._1
+
+  /** [[duplicateClustersLogN]] plus the round count it took to converge —
+    * exposed so specs can assert the O(log n) bound instead of trusting it.
+    */
+  def duplicateClustersLogNWithRounds(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id"): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    withIterationPartitions(edges) {
+      var rounds = 0
+      var converged = false
+      while (!converged) {
+        // large-star: symmetrize, take per-center min over neighbors ∪ self,
+        // re-attach the larger neighbors. Output stays (big, small) oriented
+        // because m ≤ c < n.
+        val sym = edges.select(col("u").as("c"), col("v").as("n"))
+          .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+        val largeMin = sym.groupBy("c")
+          .agg(min(col("n")).as("mn"))
+          .select(col("c"), least(col("mn"), col("c")).as("m"))
+        val afterLarge = sym.join(largeMin, Seq("c"))
+          .filter(col("n") > col("c"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        // small-star: neighbors of u here are all smaller, so
+        // m = min(Γ(u)); attach every neighbor (and u) to m.
+        val smallMin = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+        val next = afterLarge.join(smallMin, Seq("u"))
+          .select(col("v").as("u2"), col("m").as("v2"))
+          .filter(col("u2") =!= col("v2"))
+          .unionByName(smallMin.select(col("u").as("u2"), col("m").as("v2")))
+          .select(col("u2").as("u"), col("v2").as("v"))
+          .distinct()
+          .localCheckpoint(false)
+        // exact set equality via full-outer mismatch count — the ONE action
+        // of the round; it also materializes `next`'s checkpoint.
+        val mismatch = next.withColumn("ln", lit(1))
+          .join(edges.withColumn("rn", lit(1)), Seq("u", "v"), "full_outer")
+          .agg(sum(when(col("ln").isNull || col("rn").isNull, 1L).otherwise(0L)).as("d"))
+          .first().getLong(0)
+        edges = next.select("u", "v")
+        rounds += 1
+        converged = mismatch == 0
+      }
+      val labels = edges.select(col("u").as("id"), col("v").as("rep"))
+        .unionByName(edges.select(col("v").as("id"), col("v").as("rep")).distinct())
+      (labels, rounds)
+    }
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` sized to the iteration's
+    * actual relation size instead of the session's corpus-scale setting —
+    * a few hundred CC rows across 32 shuffle partitions pays 32 tasks of
+    * scheduling overhead per round for partitions holding ~10 rows each.
+    * The session value is restored afterwards. ~100k edge rows per
+    * partition keeps an iteration partition comfortably in executor memory
+    * (16 B a row) while capping task count on small graphs.
+    */
+  private def withIterationPartitions[T](edges: DataFrame)(body: => T): T = {
+    val spark = edges.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    val parts = math.max(1L, math.min(old.toLong, edges.count() / 100000L + 1L))
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, old)
   }
 
   /** Exact token-set Jaccard for a candidate pair of text columns. */

@@ -76,12 +76,18 @@ object Similarity {
     * parameters (k × dims floats), inlined as literal arrays.
     */
   def nearestCentroid(emb: Column, centroids: Array[(Long, Array[Float])]): Column = {
-    val cellScores = centroids.map { case (cellId, vec) =>
-      struct(
-        CosineSimilarity.cosineNative(emb, litVec(vec)).as("s"),
-        lit(-cellId).as("nid"))
+    require(centroids.nonEmpty, "nearestCentroid needs at least one centroid")
+    // `greatest` requires ≥ 2 arguments — with a single centroid (k=1
+    // k-means, nCells=1 IVF) the assignment is that centroid, no argmax
+    if (centroids.length == 1) lit(centroids.head._1)
+    else {
+      val cellScores = centroids.map { case (cellId, vec) =>
+        struct(
+          CosineSimilarity.cosineNative(emb, litVec(vec)).as("s"),
+          lit(-cellId).as("nid"))
+      }
+      -greatest(cellScores: _*).getField("nid")
     }
-    -greatest(cellScores: _*).getField("nid")
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {

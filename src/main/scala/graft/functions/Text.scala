@@ -133,16 +133,23 @@ object Text {
       .distinct()
   }
 
-  /** Per-document top-k TF-IDF terms (sklearn-style smoothed idf:
-    * tf · (ln((N+1)/(df+1)) + 1)).
+  /** Per-document top-k TF-IDF terms with an EXACT rational idf:
+    * score_e4 = tf · round_half_up((N+1)·10⁴ / (df+1)) — pure int64
+    * arithmetic end to end, so scores (and rank order, term-tiebroken)
+    * are bit-identical in any engine.
+    *
+    * The rational idf surrogate (N+1)/(df+1) replaces the earlier
+    * ln-damped form deliberately: JVM `Math.log` and libm `log` are each
+    * licensed 1 ulp of error and need not agree bitwise, so a floored
+    * ln-based fixed-point score can flip at unit boundaries between
+    * engines — unacceptable for a hash-compared result. The log-damped
+    * sklearn-parity flavor remains available as [[tfidfTopTermsLog]].
     *
     * Plan: explode → (doc, term) counts → term document-frequencies (both
     * two-phase hash aggregates with map-side combine) → score → per-doc
     * top-k window over NARROW (doc, term, score) rows, pruned map-side by
     * WindowGroupLimit. The corpus size is a 1-row aggregate broadcast into
-    * the score projection. Scores are emitted floored to integer 1e-4
-    * units so ranking and values compare as integers across engines (the
-    * only float op is ln, evaluated on identical doubles).
+    * the score projection.
     */
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -155,9 +162,33 @@ object Text {
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("term"),
-        floor(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1) * 10000)
+        (col("tf") * ExactAgg.divHalfUp((col("n_docs") + 1) * 10000, col("df") + 1))
           .as("score_e4"))
     val w = Window.partitionBy(idCol).orderBy(col("score_e4").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** sklearn-parity TF-IDF top-k (smoothed log idf:
+    * tf · (ln((N+1)/(df+1)) + 1)). Same plan shape as [[tfidfTopTerms]];
+    * scores are doubles and may differ by 1 ulp across engines/libms, so
+    * this flavor is for in-engine use, not cross-engine hash comparison.
+    */
+  def tfidfTopTermsLog(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        (col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
+          .as("score"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

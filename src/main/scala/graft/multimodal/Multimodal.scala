@@ -11,13 +11,13 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch UDFs — iterator in, iterator out, no per-row
   * serialization round trip and no driver involvement).
   *
-  * ===== STUB BOUNDARY =====
-  * This container ships no image/audio codecs, so [[StubCodec]] is a
-  * clearly-marked deterministic FAKE: it derives pseudo
-  * width/height/duration from the blob bytes. The Spark-side plumbing —
-  * schema, binary handling, partition iteration, batch shape — is real and
-  * tested; swap [[StubCodec]] for a JNI/ffmpeg/ImageIO codec in production
-  * and nothing else changes.
+  * ===== STUB BOUNDARY (audio/video ONLY) =====
+  * Image decode/resize is REAL: [[ImageCodec]] rides `javax.imageio`,
+  * which ships in the JDK — PNG blobs are actually parsed and their
+  * pixel dimensions actually decoded. Audio/video duration still goes
+  * through [[StubCodec]], a clearly-marked deterministic FAKE (this
+  * container ships no audio/video codec); swap it for an ffmpeg/JNI
+  * binding in production and nothing else changes.
   */
 object Multimodal {
 
@@ -32,8 +32,64 @@ object Multimodal {
       height: Int,
       duration_ms: Long)
 
-  /** STUB decoder — deterministic fake in place of a real codec (`???` in
-    * spirit; returns data derived only from the bytes so tests are exact).
+  /** REAL image codec over `javax.imageio` (in the JDK — no external jar).
+    * Encode, decode and resize operate on actual PNG bytes and actual
+    * pixels.
+    */
+  object ImageCodec {
+
+    /** Deterministic synthetic PNG: a width×height gradient keyed by
+      * `seed`. Real encode — the bytes are a spec-conformant PNG any
+      * decoder parses.
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val rgb = (((x * 7 + y * 13 + seed) % 256).toInt << 16) |
+            (((x * 3 + seed) % 256).toInt << 8) | ((y * 5 + seed) % 256).toInt
+          img.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: parse the blob, return (width, height) from the pixel
+      * grid. None when the bytes aren't a parseable image.
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int)] =
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => (img.getWidth, img.getHeight))
+
+    /** Real resize: decode → bilinear scale to width×height → PNG
+      * re-encode. None when the input bytes aren't a parseable image.
+      */
+    def resizePng(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { src =>
+        val dst = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, width, height, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+  }
+
+  /** STUB decoder — deterministic fake in place of a real AUDIO/VIDEO codec
+    * (`???` in spirit; returns data derived only from the bytes so tests
+    * are exact). Image blobs do NOT go through this — see [[ImageCodec]].
     */
   object StubCodec {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
@@ -51,14 +107,25 @@ object Multimodal {
     }
   }
 
-  /** Per-partition batch feature extraction (decode → features). */
+  /** Per-partition batch feature extraction (decode → features). Image
+    * dimensions come from a REAL [[ImageCodec]] decode of the blob's pixel
+    * grid; audio/video duration is the [[StubCodec]] stand-in (no JDK
+    * codec); unparseable image bytes also fall back to the stub rather
+    * than failing the batch (the lake-hygiene behavior: quarantine-grade
+    * metadata beats a dead pipeline).
+    */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // one codec init per PARTITION, not per row — the point of the
       // mapPartitions batch shape
       it.map { m =>
-        val (w, h, d) = StubCodec.decode(m.kind, m.bytes)
+        val (w, h, d) = if (m.kind == "image") {
+          ImageCodec.decode(m.bytes) match {
+            case Some((rw, rh)) => (rw, rh, 0L)
+            case None           => StubCodec.decode(m.kind, m.bytes)
+          }
+        } else StubCodec.decode(m.kind, m.bytes)
         MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, StubCodec.checksum(m.bytes), w, h, d)
       }
     }
@@ -73,12 +140,14 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        // [STUB] real: decode → scale to width×height → re-encode. The
-        // deterministic fake derives output bytes from (input, target dims)
-        // so the plumbing is exactly testable.
-        val seed = s"${StubCodec.checksum(m.bytes)}_${width}x$height"
-        val out = java.security.MessageDigest.getInstance("MD5")
-          .digest(seed.getBytes("UTF-8"))
+        val out = (if (m.kind == "image") ImageCodec.resizePng(m.bytes, width, height)
+                   else None).getOrElse {
+          // [STUB] non-image kinds (and unparseable blobs): deterministic
+          // fake bytes derived from (input, target dims) so the plumbing
+          // stays exactly testable without an audio/video codec.
+          val seed = s"${StubCodec.checksum(m.bytes)}_${width}x$height"
+          java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
+        }
         (m.media_id, m.kind, width, height, out)
       }
     }.toDF("media_id", "kind", "width", "height", "bytes")
@@ -114,5 +183,24 @@ object Multimodal {
         lit(kind).as("kind"),
         to_binary(md5(col(textCol)), lit("hex")).as("bytes"))
       .as[MediaRecord]
+  }
+
+  /** Synthesize REAL PNG blobs keyed by an id column: each record's image
+    * is `(4 + id mod 29) × (4 + id mod 31)` pixels, actually encoded by
+    * [[ImageCodec]]. The id-derived dimensions make the downstream decode
+    * verifiable by formula — an oracle can predict exactly what a correct
+    * decoder must read back out of the pixel grid. (The offline stand-in
+    * for an image-bearing lake table; encoding runs per-partition like
+    * every other codec pass.)
+    */
+  def synthesizeImages(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 4 + math.floorMod(id, 29L).toInt
+        val h = 4 + math.floorMod(id, 31L).toInt
+        MediaRecord(id, "image", ImageCodec.encodePng(w, h, id))
+      }
+    }
   }
 }

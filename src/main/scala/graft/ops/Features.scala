@@ -31,4 +31,30 @@ object Features {
       .withColumn(filledName, coalesce(col(valueCol), col("__mean")))
       .drop("__mean")
   }
+
+  /** Jittered global-mean imputation — A8 to the letter: missing values are
+    * filled with `global_mean × U(0.8, 1.2)` exactly as the reference does
+    * (reference: demo/src/main/java/com/example/demo/service/JobService.java:70-86),
+    * but with the randomness SEEDED so a given (seed, row order) is
+    * reproducible run to run: `mean × (0.8 + 0.4·rand(seed))`.
+    *
+    * Same broadcast-scalar plan shape as [[imputeWithGlobalMean]].
+    * Determinism caveat (why this variant is not oracle-gated): `rand(seed)`
+    * is seeded PER PARTITION, so values are stable only for a fixed
+    * partitioning — a repartitioned input draws a different (still seeded)
+    * jitter stream. The deterministic variant stays the default for
+    * pipelines that need layout-independent outputs.
+    */
+  def imputeWithJitter(
+      df: DataFrame,
+      valueCol: String,
+      filledName: String,
+      seed: Long): DataFrame = {
+    val mean = df.agg(avg(col(valueCol)).as("__mean"))
+    df.crossJoin(broadcast(mean))
+      .withColumn(
+        filledName,
+        coalesce(col(valueCol), col("__mean") * (lit(0.8) + lit(0.4) * rand(seed))))
+      .drop("__mean")
+  }
 }

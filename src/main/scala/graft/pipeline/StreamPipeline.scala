@@ -93,10 +93,14 @@ object StreamPipeline {
     * semantics re-execute the shared enrichment prefix once per query per
     * micro-batch (the reference pays this 6×, spark_streaming_v2.py). Here
     * the prefix executes exactly once per batch (asserted by accumulator
-    * in `PipelinesSpec`). The aggregate sinks use `appendVersioned`:
-    * a replayed batch overwrites only its own `__ver` partition, so the
-    * fan-out is exactly-once end to end; read sides merge with
-    * `readMergedPartials` + `StreamingAggs.finishStats`.
+    * in `PipelinesSpec`). ALL THREE sinks use `appendVersioned`: each
+    * micro-batch lands as its own `__ver=batchId` partition with dynamic
+    * partition overwrite, so a batch replayed after a crash overwrites
+    * ONLY its own partition instead of re-appending — exactly-once end to
+    * end, detail included (a plain parquet append for detail would be
+    * at-least-once: foreachBatch has no file-sink commit log to dedup
+    * replays). Read the detail with [[readDetail]]; aggregate read sides
+    * merge with `readMergedPartials` + `StreamingAggs.finishStats`.
     */
   def startFanOut(enriched: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     enriched.writeStream
@@ -104,7 +108,7 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.write.mode("append").parquet(s"$outDir/detail")
+          graft.sinks.Sinks.appendVersioned(batch, s"$outDir/detail", batchId)
           graft.sinks.Sinks.appendVersioned(
             StreamingAggs.tumblingPartials(batch, "ts", "5 minutes", Seq("event_type_clean"), "value"),
             s"$outDir/type_stats", batchId)
@@ -114,4 +118,11 @@ object StreamPipeline {
         } finally batch.unpersist()
       }
       .start()
+
+  /** Read [[startFanOut]]'s detail lake: the `__ver` idempotency partition
+    * column is an implementation detail of the exactly-once contract, not
+    * part of the event schema.
+    */
+  def readDetail(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/detail").drop("__ver")
 }

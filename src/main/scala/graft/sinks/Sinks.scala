@@ -123,29 +123,101 @@ object Sinks {
     spark.read.parquet(path).groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Suffix of the rename-aside trash directory a crash-safe swap parks the
+    * previous table generation in. Readers fall back to it when the live
+    * path is mid-swap (see [[resolveTablePath]]).
+    */
+  val OldSuffix = "__old"
+
+  /** Crash-safe table swap: the freshly-written `tmp` generation replaces
+    * `target` with two renames and NO delete-before-rename window:
+    *
+    *   1. rename(target, target__old)   — previous generation parked aside
+    *   2. rename(tmp, target)           — new generation in
+    *   3. delete(target__old)           — trash collected
+    *
+    * A crash at ANY point leaves a complete table generation on disk:
+    * before 1 → old table at `target`; between 1 and 2 → old table at
+    * `target__old` (found by [[resolveTablePath]], restored by the next
+    * swap's recovery step); between 2 and 3 → new table at `target`, stale
+    * trash cleaned on the next swap. Contrast with delete-then-rename,
+    * whose crash window strands the only copy in `tmp`.
+    *
+    * Single-writer contract: swaps and concurrent writers (e.g.
+    * [[appendVersioned]] during a [[compactPartials]]) must be serialized
+    * by the caller — a write landing in `target` between the compaction's
+    * read and step 1 would be silently dropped. The streaming harness
+    * guarantees this by running compaction from the same single-threaded
+    * foreachBatch loop that owns the table.
+    */
+  def swapIn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path,
+      trash: Option[org.apache.hadoop.fs.Path] = None): Unit = {
+    // the default trash is a sibling of the target; partition-scoped swaps
+    // pass an explicit trash OUTSIDE the table root, because a parked
+    // `col=value__old` directory inside it would be parsed by readers as a
+    // phantom partition value
+    val old = trash.getOrElse(new org.apache.hadoop.fs.Path(target.toString + OldSuffix))
+    recoverSwap(fs, target, old)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (old.getParent != null && !fs.exists(old.getParent)) fs.mkdirs(old.getParent)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+  }
+
+  /** Recovery step of [[swapIn]]: a crash between its steps 1 and 2 left
+    * the live path empty and the last good generation parked aside —
+    * rename it back. Writers that READ the table before swapping (e.g.
+    * [[upsertBatch]]'s merge, [[compactPartials]]) must run this first or
+    * they would mistake the crash window for an empty table.
+    */
+  def recoverSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+
+  /** Resolve the readable generation of a swap-managed table: the live path
+    * when present, else the parked `__old` generation a crashed swap left
+    * behind. Readers composed with [[swapIn]] writers therefore always see
+    * a complete table.
+    */
+  def resolveTablePath(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path))) path else path + OldSuffix
+  }
+
   /** Compact an [[appendVersioned]] table: merge every partial state per
     * key and rewrite the table as one `__ver=<maxVer>` partition, bounding
     * read-side fan-in after many micro-batches. Log-compaction contract:
     * run only when the stream's checkpoint guarantees no replay of batches
     * ≤ maxVer — a replayed already-compacted batch would re-add its
-    * partials (its own partition no longer exists to overwrite).
+    * partials (its own partition no longer exists to overwrite). Must not
+    * run concurrently with an [[appendVersioned]] writer (see [[swapIn]]'s
+    * single-writer contract).
     */
   def compactPartials(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       key: Seq[String],
       sums: Seq[String]): Unit = {
-    val maxVer = spark.read.parquet(path)
-      .agg(max(col("__ver").cast("long"))).head.getLong(0)
-    val merged = readMergedPartials(spark, path, key, sums)
-      .withColumn("__ver", lit(maxVer))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    recoverSwap(fs, target, new org.apache.hadoop.fs.Path(path + OldSuffix))
+    val maxVer = spark.read.parquet(path)
+      .agg(max(col("__ver").cast("long"))).head.getLong(0)
+    val merged = readMergedPartials(spark, path, key, sums)
+      .withColumn("__ver", lit(maxVer))
     merged.write.mode("overwrite").partitionBy("__ver").parquet(tmp.toString)
-    fs.delete(target, true)
-    fs.rename(tmp, target)
+    swapIn(fs, tmp, target)
   }
 
   /** Merge a micro-batch into a keyed parquet table: newest version per key
@@ -166,14 +238,14 @@ object Sinks {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    recoverSwap(fs, target, new org.apache.hadoop.fs.Path(path + OldSuffix))
     val merged =
       if (fs.exists(target))
         spark.read.parquet(path).unionByName(withVer, allowMissingColumns = true)
       else withVer
     Cleaning.dedupByKey(merged, key, Seq(col("__ver").desc))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    fs.rename(tmp, target)
+    swapIn(fs, tmp, target)
   }
 
   /** Partition-scoped keyed upsert: merges the micro-batch into ONLY the
@@ -214,10 +286,36 @@ object Sinks {
     merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
     parts.foreach { p =>
       val dir = s"$partitionCol=$p"
-      fs.delete(new org.apache.hadoop.fs.Path(target, dir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp, dir), new org.apache.hadoop.fs.Path(target, dir))
+      // same crash-safe two-rename swap as the whole-table writers, scoped
+      // to the partition directory; the trash lives OUTSIDE the table root
+      // so readers never see it as a partition value
+      swapIn(fs,
+        new org.apache.hadoop.fs.Path(tmp, dir),
+        new org.apache.hadoop.fs.Path(target, dir),
+        trash = Some(new org.apache.hadoop.fs.Path(path + OldSuffix, dir)))
     }
     fs.delete(tmp, true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + OldSuffix), true)
+  }
+
+  /** Restore any partition directories a crashed [[upsertBatchPartitioned]]
+    * swap left parked in the table's `__old` trash: each parked partition
+    * whose live directory is missing is renamed back in. Call before
+    * reading a partition-swapped table after an unclean shutdown.
+    */
+  def recoverPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val trashRoot = new org.apache.hadoop.fs.Path(path + OldSuffix)
+    if (fs.exists(trashRoot)) {
+      fs.listStatus(trashRoot).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+      fs.delete(trashRoot, true)
+    }
   }
 
   /** Streaming micro-batched archiver (S9/W9): the reference hand-rolls a

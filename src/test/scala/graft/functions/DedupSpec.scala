@@ -37,9 +37,9 @@ class DedupSpec extends SparkSpec {
       2L -> s"$shared only2a only2b only2c")
     val est = Dedup.minhashCandidates(d, minEstJaccard = 0.0)
       .select("est_jaccard").as[Double].collect()
-    // banding at threshold ~0.96 may or may not emit a 0.6-jaccard pair;
-    // when it does, the estimate must be within 4 sigma of truth
-    est.foreach(e => assert(math.abs(e - 0.6) < 4 * math.sqrt(0.6 * 0.4 / 128)))
+    // banding at threshold ~0.92 may or may not emit a 0.6-jaccard pair;
+    // when it does, the estimate must be within 4 sigma of truth (n=64)
+    est.foreach(e => assert(math.abs(e - 0.6) < 4 * math.sqrt(0.6 * 0.4 / 64)))
   }
 
   test("minhashSignatures (array form) matches the wide-column pipeline form") {
@@ -71,6 +71,42 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     // 1-2-3-9 is one component (rep 1), 5-6 another (rep 5)
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("duplicateClustersLogN: equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val pairs = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a_id", "b_id")
+      val expected = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+      val actual = Dedup.duplicateClustersLogN(pairs).as[(Long, Long)].collect().toMap
+      assert(actual == expected, s"trial $trial diverged")
+    }
+  }
+
+  test("duplicateClustersLogN: equals min-label on chain and star graphs") {
+    val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a_id", "b_id")
+    assert(
+      Dedup.duplicateClustersLogN(chain).as[(Long, Long)].collect().toMap ==
+        Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap)
+    val star = (1L to 40L).map(i => (i, 0L)).toDF("a_id", "b_id")
+    assert(
+      Dedup.duplicateClustersLogN(star).as[(Long, Long)].collect().toMap ==
+        Dedup.duplicateClusters(star).as[(Long, Long)].collect().toMap)
+  }
+
+  test("duplicateClustersLogN: O(log n) rounds on a 10k-edge chain") {
+    // min-label propagation needs ~10k rounds here; large-star/small-star
+    // must close it in O(log n). All 10001 nodes collapse to rep 0.
+    val n = 10000L
+    val chain = spark.range(n).select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val (labels, rounds) = Dedup.duplicateClustersLogNWithRounds(chain)
+    assert(rounds <= 3 * (64 - java.lang.Long.numberOfLeadingZeros(n)),
+      s"took $rounds rounds on a ${n}-edge chain")
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == n + 1 && out.forall(_._2 == 0L))
   }
 
   test("jaccardTokens exact set semantics") {

@@ -63,19 +63,31 @@ class TextSpec extends SparkSpec {
     assert(out == Seq("en", "es", "de"))
   }
 
-  test("tfidfTopTerms ranks rare terms above common ones") {
+  test("tfidfTopTerms ranks rare terms above common ones (exact integer idf)") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "t")
     val out = Text.tfidfTopTerms(docs, "t", "doc_id", 2)
       .select("doc_id", "term", "score_e4", "rank")
       .as[(Long, String, Long, Int)].collect().toSet
-    // df: a=1, b=2, c=1; N=2; idf(a)=idf(c)=ln(3/2)+1, idf(b)=ln(3/3)+1=1
-    def e4(tf: Long, idf: Double) = math.floor(tf * idf * 10000).toLong
+    // df: a=1, b=2, c=1; N=2; idf_e4 = half_up((N+1)·1e4/(df+1)):
+    // rare (df=1) → 15000, common (df=2) → 10000; score = tf · idf_e4
+    assert(out == Set(
+      (1L, "a", 30000L, 1),
+      (1L, "b", 10000L, 2),
+      (2L, "c", 15000L, 1),
+      (2L, "b", 10000L, 2)))
+  }
+
+  test("tfidfTopTermsLog: sklearn-style smoothed log idf flavor") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "t")
+    val out = Text.tfidfTopTermsLog(docs, "t", "doc_id", 2)
+      .select("doc_id", "term", "score", "rank")
+      .as[(Long, String, Double, Int)].collect().toSet
     val idfRare = math.log(3.0 / 2.0) + 1
     assert(out == Set(
-      (1L, "a", e4(2, idfRare), 1),
-      (1L, "b", 10000L, 2),
-      (2L, "c", e4(1, idfRare), 1),
-      (2L, "b", 10000L, 2)))
+      (1L, "a", 2 * idfRare, 1),
+      (1L, "b", 1.0, 2),
+      (2L, "c", idfRare, 1),
+      (2L, "b", 1.0, 2)))
   }
 
   test("winnowFingerprints: shared long runs share a fingerprint; count bounded") {

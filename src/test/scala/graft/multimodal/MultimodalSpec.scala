@@ -48,4 +48,38 @@ class MultimodalSpec extends SparkSpec {
     val rec = Multimodal.fromText(df, "doc_id", "text", "image").collect().head
     assert(rec.media_id == 7L && rec.kind == "image" && rec.bytes.length == 16)
   }
+
+  test("ImageCodec: encode → decode round-trips real pixel dimensions") {
+    val png = Multimodal.ImageCodec.encodePng(13, 7, seed = 5L)
+    // a real PNG: magic bytes, parseable, and the decoded grid is 13×7
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    assert(Multimodal.ImageCodec.decode(png).contains((13, 7)))
+    assert(Multimodal.ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("ImageCodec: resize produces a decodable PNG at the target dims") {
+    val png = Multimodal.ImageCodec.encodePng(20, 10, seed = 1L)
+    val resized = Multimodal.ImageCodec.resizePng(png, 5, 4).get
+    assert(Multimodal.ImageCodec.decode(resized).contains((5, 4)))
+  }
+
+  test("extractFeatures decodes REAL dims from synthesized PNGs (id-keyed formula)") {
+    val df = Seq(0L, 7L, 123L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(Multimodal.synthesizeImages(df, "doc_id"))
+      .collect().sortBy(_.media_id)
+    out.foreach { f =>
+      assert(f.width == 4 + (f.media_id % 29).toInt, s"width of ${f.media_id}")
+      assert(f.height == 4 + (f.media_id % 31).toInt, s"height of ${f.media_id}")
+      assert(f.duration_ms == 0L && f.kind == "image")
+      assert(f.n_bytes > 50L) // a real PNG container, not a 16-byte digest
+    }
+  }
+
+  test("resize on a real PNG blob actually rescales the image") {
+    val df = Seq(42L).toDF("doc_id")
+    val ds = Multimodal.synthesizeImages(df, "doc_id")
+    val out = Multimodal.resize(ds, 6, 9)
+      .as[(Long, String, Int, Int, Array[Byte])].collect().head
+    assert(Multimodal.ImageCodec.decode(out._5).contains((6, 9)))
+  }
 }

@@ -57,4 +57,20 @@ class TemporalFeaturesSpec extends SparkSpec {
       .select("filled").as[Double].collect().toSeq.sorted
     assert(out == Seq(10.0, 20.0, 30.0))
   }
+
+  test("imputeWithJitter: fills with mean × U(0.8, 1.2), seed-deterministic") {
+    // single partition so rand(seed)'s per-partition stream is pinned
+    val df = Seq(Some(10.0), Some(30.0), None, None).toDF("v").coalesce(1)
+    def run(seed: Long) = Features.imputeWithJitter(df, "v", "filled", seed)
+      .select("filled").as[Double].collect().toSeq
+    val a = run(7L)
+    // present values untouched; filled values inside mean × [0.8, 1.2)
+    assert(a.take(2) == Seq(10.0, 30.0))
+    a.drop(2).foreach(v => assert(v >= 16.0 && v < 24.0))
+    // exact reproducibility for a fixed seed, different draw per row
+    assert(a == run(7L))
+    assert(a.drop(2).distinct.size == 2)
+    // a different seed draws a different jitter stream
+    assert(a != run(8L))
+  }
 }

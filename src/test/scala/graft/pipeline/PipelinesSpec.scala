@@ -111,4 +111,44 @@ class PipelinesSpec extends SparkSpec {
       assert(merged == Seq((2L, 26.0)), s"got $merged") // (42 + 10) / 2
     } finally query.stop()
   }
+
+  test("startFanOut crash-recovery soak: kill mid-stream, restart from checkpoint, replay a batch — all sinks stay exact") {
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[String]
+    def ev(id: Long, min: Int, typ: String, v: Double) =
+      s"""{"event_id": $id, "ts": "2024-01-01 10:0$min:00", "user_id": 3, "event_type": "$typ", "value": $v, "props": "{\\"k\\": 1}"}"""
+    val q1 = StreamPipeline.startFanOut(StreamPipeline.decode(stream.toDF().toDF("value")), out, ckpt)
+    try {
+      stream.addData(ev(1, 1, "click", 42.0), ev(2, 2, "purchase", 99.0))
+      q1.processAllAvailable()
+    } finally q1.stop() // "crash": the query dies after committing batch 0
+    // restart from the SAME checkpoint with a fresh query over the same source
+    val q2 = StreamPipeline.startFanOut(StreamPipeline.decode(stream.toDF().toDF("value")), out, ckpt)
+    try {
+      stream.addData(ev(3, 3, "click", 10.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // a replayed micro-batch (e.g. foreachBatch ran but the offset commit
+    // didn't land before the crash) re-executes with the same batchId:
+    // __ver overwrite must keep every sink exact, detail included
+    val batch0 = StreamPipeline.decode(
+      Seq(ev(1, 1, "click", 42.0), ev(2, 2, "purchase", 99.0)).toDF("value"))
+    Sinks.appendVersioned(batch0, s"$out/detail", 0L)
+    Sinks.appendVersioned(
+      graft.streaming.StreamingAggs.tumblingPartials(batch0, "ts", "5 minutes", Seq("event_type_clean"), "value"),
+      s"$out/type_stats", 0L)
+    // detail: exactly 3 events, no duplicates from the replay
+    val detail = StreamPipeline.readDetail(spark, out)
+    assert(detail.count() == 3)
+    assert(detail.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // aggregates: merged partials equal the batch ground truth over all 3 events
+    val typeStats = graft.streaming.StreamingAggs.finishStats(
+      Sinks.readMergedPartials(spark, s"$out/type_stats",
+        Seq("window_start", "event_type_clean", "doc_id"), Seq("cnt", "sum_cents", "n_vals")))
+    val byType = typeStats.select("event_type_clean", "cnt", "avg_val")
+      .as[(String, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byType == Map("CLICK" -> ((2L, 26.0)), "PURCHASE" -> ((1L, 99.0))), s"got $byType")
+  }
 }

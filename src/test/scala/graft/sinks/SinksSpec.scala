@@ -89,6 +89,83 @@ class SinksSpec extends SparkSpec {
     assert(merged == Map("w1" -> 5L, "w2" -> 5L))
   }
 
+  test("swapIn: a crash at ANY step between the renames leaves a complete readable table") {
+    val root = tmpDir()
+    val dir = s"$root/swap"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    Sinks.upsertBatch(Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), dir, version = 0L)
+    // simulate a crash BETWEEN step 1 (rename target aside) and step 2
+    // (rename tmp in) of the next upsert's swap: old generation parked,
+    // live path missing, new generation stranded in __tmp
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + Sinks.OldSuffix)
+    fs.rename(target, old)
+    // readers still see the last complete generation via the resolver
+    val readable = Sinks.resolveTablePath(spark, dir)
+    assert(spark.read.parquet(readable).select("k", "v").as[(String, Double)]
+      .collect().toMap == Map("a" -> 1.0))
+    // the next writer recovers the parked generation, merges, and swaps in
+    Sinks.upsertBatch(Seq(("b", 2.0)).toDF("k", "v"), Seq("k"), dir, version = 1L)
+    assert(spark.read.parquet(dir).select("k", "v").as[(String, Double)]
+      .collect().toMap == Map("a" -> 1.0, "b" -> 2.0))
+    assert(!fs.exists(old), "trash must be collected after a completed swap")
+  }
+
+  test("upsertBatchPartitioned: crashed partition swap is recoverable, trash invisible to readers") {
+    val dir = tmpDir() + "/ptable2"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    Sinks.upsertBatchPartitioned(
+      Seq(("a", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0)).toDF("k", "d", "v"),
+      Seq("k"), "d", dir, version = 0L)
+    // simulate the crash window: one partition parked in the OUTSIDE trash,
+    // its live directory missing
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + Sinks.OldSuffix))
+    fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/d=2024-01-01"),
+      new org.apache.hadoop.fs.Path(s"${dir + Sinks.OldSuffix}/d=2024-01-01"))
+    // the trash lives outside the table root → no phantom partition values
+    assert(spark.read.parquet(dir).select("k").as[String].collect().toSeq == Seq("b"))
+    Sinks.recoverPartitions(spark, dir)
+    assert(spark.read.parquet(dir).select("k", "v").as[(String, Double)]
+      .collect().toMap == Map("a" -> 1.0, "b" -> 2.0))
+  }
+
+  test("compaction contract: clean replay-then-compact is exact; replay AFTER compaction is the documented hazard") {
+    // ---- clean path: replays before compaction are idempotent, the
+    // compacted table accepts later batches, totals stay exact
+    val dir = tmpDir() + "/contract"
+    Sinks.appendVersioned(Seq(("w1", 2L)).toDF("key", "cnt"), dir, 0L)
+    Sinks.appendVersioned(Seq(("w1", 3L), ("w2", 1L)).toDF("key", "cnt"), dir, 1L)
+    Sinks.appendVersioned(Seq(("w1", 3L), ("w2", 1L)).toDF("key", "cnt"), dir, 1L) // replay pre-compact
+    Sinks.compactPartials(spark, dir, Seq("key"), Seq("cnt"))
+    Sinks.appendVersioned(Seq(("w2", 4L)).toDF("key", "cnt"), dir, 2L)
+    def merged() = Sinks.readMergedPartials(spark, dir, Seq("key"), Seq("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(merged() == Map("w1" -> 5L, "w2" -> 5L))
+    // ---- forbidden path 1: replaying a batch BELOW maxVer after
+    // compaction double-adds — its own partition was folded into the
+    // compacted one and no longer exists to overwrite. Pin the failure
+    // mode so the contract stays honest.
+    Sinks.appendVersioned(Seq(("w1", 2L)).toDF("key", "cnt"), dir, 0L) // replay post-compact
+    assert(merged() == Map("w1" -> 7L, "w2" -> 5L),
+      "a post-compaction replay of a folded batch MUST double-add; if not, the contract changed")
+    // ---- forbidden path 2: replaying the maxVer batch itself OVERWRITES
+    // the compacted partition (which holds the fold of all prior batches)
+    // with just that batch's partials — silent data loss, the second face
+    // of the same single-writer/no-replay contract.
+    val dir2 = tmpDir() + "/contract2"
+    Sinks.appendVersioned(Seq(("w1", 2L)).toDF("key", "cnt"), dir2, 0L)
+    Sinks.appendVersioned(Seq(("w1", 3L)).toDF("key", "cnt"), dir2, 1L)
+    Sinks.compactPartials(spark, dir2, Seq("key"), Seq("cnt")) // __ver=1 now holds w1=5
+    Sinks.appendVersioned(Seq(("w1", 3L)).toDF("key", "cnt"), dir2, 1L) // replay maxVer
+    val m2 = Sinks.readMergedPartials(spark, dir2, Seq("key"), Seq("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(m2 == Map("w1" -> 3L),
+      "replaying the compaction carrier batch MUST drop folded history; if not, the contract changed")
+  }
+
   test("ES/Cassandra sink configs build the reference's option surfaces") {
     val es = Sinks.EsSinkConfig("es1,es2", "jobs/_doc", "job_id",
       extra = Map("es.net.http.auth.user" -> "svc"))
