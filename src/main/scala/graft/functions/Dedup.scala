@@ -292,11 +292,16 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id"): (DataFrame, Int) = {
+    // No input distinct: candidate generators already emit distinct pairs,
+    // and duplicates are harmless here anyway — every round's output is
+    // distinct-ed, and round 1's min-aggregates are duplicate-insensitive —
+    // so a distinct of the LARGEST relation in the computation would buy
+    // nothing but its own shuffle. Lazy checkpoint: the sizing count() in
+    // withIterationPartitions is the action that materializes it.
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     withIterationPartitions(edges) {
       var rounds = 0
       var converged = false
