@@ -650,6 +650,25 @@ object SparkEntry {
           length(col("props")).as("props_len"))
         .orderBy("event_id")
     },
+    // ---- LLM-pipeline: train→eval decontamination — val/test docs that
+    // share a winnowing fingerprint (verbatim ≥6-token run) with the
+    // train split, with collision counts. The report a curator acts on
+    // before training ----
+    "q55_decontamination" -> { (s, dir) =>
+      ops.Sampling.contaminationReport(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: deterministic weighted corpus mixing — per-lang
+    // keep rates in basis points over a pure key-hash (stable across
+    // engines/partitioning; nested across rate changes). Exercises full
+    // keep (de), drop-all (zh), minority rate (en) and the default ----
+    "q56_stratified_sample" -> { (s, dir) =>
+      ops.Sampling.sampleByStratum(
+          Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 2500, "de" -> 10000, "zh" -> 0), defaultE4 = 5000)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
     // ---- gap-based session windows (session_window, batch parity) ----
     "q40_session_windows" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -923,6 +942,43 @@ object SparkEntry {
         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q51_embedding_dedup" ->
       embeddingDedupOracleSql(dims = 64, nBits = 12, seed = 7L, maxBucket = 1000, minSim = 0.2),
+    // q55: q54's winnowing CTE + q49's split bucket, then the cross-split
+    // fingerprint collision join
+    "q55_decontamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) + 1 AS pos,
+        |    CAST(concat('0x', substring(md5(
+        |      concat_ws(' ', t[CAST(i AS INT)+1], t[CAST(i AS INT)+2], t[CAST(i AS INT)+3])), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM grams),
+        |sp AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, fp,
+        |      CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |    FROM fps) z),
+        |tr AS (SELECT fp, doc_id AS tid FROM sp WHERE split = 'train')
+        |SELECT ev.doc_id, ev.split,
+        |  CAST(COUNT(DISTINCT tr.tid) AS BIGINT) AS n_train_docs,
+        |  CAST(COUNT(DISTINCT ev.fp) AS BIGINT) AS n_shared_fps
+        |FROM sp ev JOIN tr ON tr.fp = ev.fp
+        |WHERE ev.split <> 'train'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q56: the same md5 key-hash as q49, at basis-point resolution, with
+    // the per-stratum rate ladder mirrored as a CASE
+    "q56_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+        |  FROM documents) t
+        |WHERE b < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000 WHEN 'zh' THEN 0 ELSE 5000 END
+        |ORDER BY doc_id""".stripMargin,
     "q52_trigram_jaccard" ->
       s"""WITH ng AS (
          |  SELECT DISTINCT doc_id, concat_ws(' ', t[CAST(i AS INT)+1], t[CAST(i AS INT)+2], t[CAST(i AS INT)+3]) AS ng

@@ -27,4 +27,47 @@ class SamplingSpec extends SparkSpec {
     assert(s10.subsetOf(s20)) // nested by construction
     assert(s10.nonEmpty && s20.size < 200)
   }
+
+  test("sampleByStratum: per-stratum rates, nested across rate changes, layout-independent") {
+    val df = (0L until 2000L).toDF("id")
+      .withColumn("src", when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val out = Sampling.sampleByStratum(df, "id", "src",
+      Map("a" -> 10000, "b" -> 0), defaultE4 = 3000)
+      .as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("a", 0) == 667)           // rate 10000 keeps everything
+    assert(!bySrc.contains("b"))                     // rate 0 drops everything
+    val c = bySrc.getOrElse("c", 0)
+    assert(c > 120 && c < 280, s"~30% of 666 expected, got $c")
+    // nested: raising c's rate only ADDS rows, never reshuffles the sample
+    val wider = Sampling.sampleByStratum(df, "id", "src",
+      Map("a" -> 10000, "b" -> 0), defaultE4 = 6000)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(out.map(_._1).toSet.subsetOf(wider))
+    // layout-independent: same rows after a repartition
+    val reshuffled = Sampling.sampleByStratum(df.repartition(13), "id", "src",
+      Map("a" -> 10000, "b" -> 0), defaultE4 = 3000)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(reshuffled == out.map(_._1).toSet)
+  }
+
+  test("contaminationReport flags eval docs sharing a long verbatim run with train") {
+    // discover which keys splitLabel assigns where, then build the scenario
+    val splits = (0L until 200L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.splitLabel(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val train = splits.collect { case (k, "train") => k }.toSeq.sorted
+    val eval = splits.collect { case (k, s) if s != "train" => k }.toSeq.sorted
+    val leaked = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      train.head -> s"$leaked and some train only trailing text here",
+      train(1) -> "completely unrelated training content with many different words",
+      eval.head -> s"prefix words then $leaked appears verbatim in eval",
+      eval(1) -> "clean evaluation document with no overlap at all whatsoever")
+      .toDF("doc_id", "text")
+    val out = Sampling.contaminationReport(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(eval.head), s"only the leaked eval doc flags: $out")
+    assert(out.head._3 == 1L && out.head._4 >= 1L) // one train collider, ≥1 shared fp
+  }
 }
