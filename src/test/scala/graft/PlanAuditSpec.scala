@@ -40,4 +40,30 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q02_top_customers")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
+
+  test("q50: the oracled TF-IDF plan contains no libm log call") {
+    // the score must stay pure int64 — a LOG in the plan means someone
+    // reintroduced the 1-ulp cross-engine hazard the r3 rewrite removed
+    val p = plan("q50_tfidf_top_terms").toLowerCase
+    assert(!p.contains("log("), p.linesIterator.filter(_.contains("log(")).mkString("\n"))
+  }
+
+  test("q56: stratified sampling evaluates as a scan predicate — zero exchanges before the output sort") {
+    // the operator itself (sans presentation orderBy) must be shuffle-free:
+    // assignment is a per-row hash predicate inside the scan
+    val df = ops.Sampling.sampleByStratum(
+      sources.Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 2500), defaultE4 = 5000)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("Filter"), p.take(800))
+  }
+
+  test("q55: decontamination exchanges carry fingerprint/id longs, never document text") {
+    val exchanges = plan("q55_decontamination")
+      .linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+  }
 }
