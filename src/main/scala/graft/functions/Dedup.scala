@@ -116,6 +116,15 @@ object Dedup {
     * j=0.9 grows only from 0.027 to 0.038, well inside the 0.9 gate's
     * tolerance for this family's use (candidate filtering, not measurement).
     */
+  /** `maxBandBucket` is the hot-bucket escape valve (same contract as
+    * [[Similarity.lshCandidatePairs]]'s `maxBucketSize`): a band bucket of
+    * b members emits b(b−1)/2 pairs, so one degenerate cluster of
+    * near-identical boilerplate turns the band join quadratic. Buckets
+    * above the cap are excluded from pair generation — exact-dedup owns
+    * the identical-content case and should run first. The default is
+    * uncapped, which preserves exhaustive pair semantics (and oracle
+    * parity); production corpus-scale runs should set a cap.
+    */
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
@@ -123,7 +132,8 @@ object Dedup {
       nHashes: Int = 64,
       nBands: Int = 4,
       minEstJaccard: Double = 0.9,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBandBucket: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = nHashes / nBands
     // The signature table feeds FOUR plan branches (two band-join legs, two
     // signature re-joins); persist it so the n-hash aggregate computation
@@ -139,7 +149,13 @@ object Dedup {
       md5(concat_ws("_",
         lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
     }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val bandedAll = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val banded =
+      if (maxBandBucket == Int.MaxValue) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy("band").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBandBucket).select("band"),
+        Seq("band"))
     val pairs = banded.select(col("band"), col("id").as("a_id"))
       .join(banded.select(col("band"), col("id").as("b_id")), Seq("band"))
       .filter(col("a_id") < col("b_id"))

@@ -29,6 +29,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashCandidates(d).count() == 0)
   }
 
+  test("minhashCandidates: maxBandBucket excludes a degenerate identical clique, keeps normal pairs") {
+    val clique = (1L to 5L).map(i => i -> "identical boilerplate repeated across the whole mirror set")
+    val pair = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val d = docs(clique ++ pair: _*)
+    // uncapped: the 5-clique contributes C(5,2)=10 pairs plus the normal pair
+    assert(Dedup.minhashCandidates(d).count() == 11)
+    // capped at 2: the hot buckets (5 members) are excluded, the 2-member
+    // buckets of the normal near-dup pair survive
+    val capped = Dedup.minhashCandidates(d, maxBandBucket = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(capped == Seq((10L, 11L, 1.0)), capped.toString)
+  }
+
   test("minhash signature agreement tracks token-set jaccard (sampling bound)") {
     // 9 of 12 tokens shared -> true jaccard 9/15 = 0.6
     val shared = (1 to 9).map(i => s"tok$i").mkString(" ")
