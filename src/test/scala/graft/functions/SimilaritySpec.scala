@@ -29,6 +29,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cellsPerCone.flatten.toSet.size == 3)
   }
 
+  test("single centroid (k=1 kmeans, nCells=1 IVF) assigns without greatest()'s 2-arg minimum") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // nearestCentroid with ONE centroid: constant assignment, no plan error
+    val one = df.withColumn("cell",
+      Similarity.nearestCentroid(col("embedding"), Array((7L, Array(1.0f, 0.0f)))))
+      .select("cell").as[Long].collect().toSet
+    assert(one == Set(7L))
+    // end to end: k=1 kmeans trains and assigns everything to the one cell
+    val cents = Similarity.kmeansCentroids(df, k = 1, iters = 2)
+    assert(cents.length == 1)
+    val assigned = Similarity.kmeansAssign(df, cents).as[(Long, Long)].collect().toMap
+    assert(assigned.values.toSet.size == 1)
+    // and nCells=1 IVF degrades to brute force over the single cell
+    val out = Similarity.ivfTopK(df, df.filter(col("vec_id") === 0), nCells = 1, nProbe = 1, k = 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
   test("native dot product is bit-identical to the HOF composition") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
