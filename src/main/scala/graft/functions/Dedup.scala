@@ -368,6 +368,11 @@ object Dedup {
     * The session value is restored afterwards. ~100k edge rows per
     * partition keeps an iteration partition comfortably in executor memory
     * (16 B a row) while capping task count on small graphs.
+    *
+    * The conf is SESSION-scoped: a concurrent query planned on the same
+    * SparkSession during `body` would pick up the temporary value. Run CC
+    * on its own session (`spark.newSession()` shares the context but not
+    * the conf) if you interleave it with other planning.
     */
   private def withIterationPartitions[T](edges: DataFrame)(body: => T): T = {
     val spark = edges.sparkSession
