@@ -669,6 +669,22 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
+    // ---- LLM-pipeline: incremental ingestion dedup — a new batch (fresh
+    // docs ∪ replayed copies of already-ingested docs under new ids) is
+    // deduplicated against the immutable history corpus by content
+    // fingerprint; the replays must drop, history is never rewritten ----
+    "q57_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(col("doc_id") % 2 === 0)
+      val replayed = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .unionByName(replayed)
+      Dedup.dedupAgainstHistory(history, incoming)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
     // ---- gap-based session windows (session_window, batch parity) ----
     "q40_session_windows" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -970,6 +986,17 @@ object SparkEntry {
         |FROM sp ev JOIN tr ON tr.fp = ev.fp
         |WHERE ev.split <> 'train'
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q57: fingerprint match ≡ text equality (md5 on both sides), so the
+    // oracle states the semantics directly as NOT EXISTS on text
+    "q57_incremental_dedup" ->
+      """WITH history AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT i.doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
     // q56: the same md5 key-hash as q49, at basis-point resolution, with
     // the per-stratum rate ladder mirrored as a CASE
     "q56_stratified_sample" ->

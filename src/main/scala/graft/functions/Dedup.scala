@@ -383,6 +383,30 @@ object Dedup {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Incremental-ingestion dedup: keep only `incoming` rows whose content
+    * fingerprint does not already exist in the `history` corpus — the
+    * daily-batch shape of exact dedup, where history is 100 TB and must be
+    * neither rewritten nor re-deduplicated.
+    *
+    * Plan: LEFT ANTI join on the 16-byte md5 fingerprint. History
+    * contributes one distinct (fp) row per unique document — a narrow
+    * long-pair shuffle; document text never moves on the history side.
+    * At scale Spark's runtime bloom-filter join optimization builds a
+    * bloom from the smaller side and prunes the bigger side's shuffle
+    * map-side — the classic "bloom prefilter + exact verify" incremental
+    * dedup, expressed declaratively so Catalyst owns the prefilter.
+    */
+  def dedupAgainstHistory(
+      history: DataFrame,
+      incoming: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hFp = history.select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
+    incoming.withColumn("__fp", Text.fingerprint(col(textCol)))
+      .join(hFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Exact token-set Jaccard for a candidate pair of text columns. */
   def jaccardTokens(a: Column, b: Column): Column = {
     val sa = array_distinct(split(a, " "))

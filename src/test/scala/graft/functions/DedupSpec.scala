@@ -124,6 +124,17 @@ class DedupSpec extends SparkSpec {
     assert(out.length == n + 1 && out.forall(_._2 == 0L))
   }
 
+  test("dedupAgainstHistory drops incoming rows whose content exists in history") {
+    val history = docs(1L -> "seen before", 2L -> "also seen")
+    val incoming = docs(10L -> "seen before", 11L -> "genuinely new", 12L -> "also seen")
+    val kept = Dedup.dedupAgainstHistory(history, incoming)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(11L))
+    // anti-join must come from the fp equality, not ids
+    assert(Dedup.dedupAgainstHistory(history, docs(1L -> "different text now"))
+      .count() == 1)
+  }
+
   test("jaccardTokens exact set semantics") {
     val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
       .select(Dedup.jaccardTokens(col("x"), col("y"))).as[Double].head()
