@@ -76,6 +76,18 @@ object StressGen {
         .lshCandidatePairs(embs, dims = 64, nBits = 12, seed = 7L)
       println(s"GRAFT_STRESS   ann pairs: ${p.count()}")
     }
+    time("q55_decontamination (10x corpus)") {
+      val n = ops.Sampling.contaminationReport(docs, "text", "doc_id").count()
+      println(s"GRAFT_STRESS   contaminated eval docs: $n")
+    }
+    time("q57_incremental_dedup (10x corpus)") {
+      val history = docs.filter(F.col("doc_id") % 2 === 0)
+      val incoming = docs.filter(F.col("doc_id") % 2 === 1).select("doc_id", "text")
+        .unionByName(docs.filter(F.col("doc_id") % 10 === 0)
+          .select((F.col("doc_id") + 10000000L).as("doc_id"), F.col("text")))
+      val kept = functions.Dedup.dedupAgainstHistory(history, incoming).count()
+      println(s"GRAFT_STRESS   kept after history-dedup: $kept")
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()
