@@ -619,7 +619,8 @@ object SparkEntry {
         .drop("__fp")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nearDupReps = Dedup.duplicateClustersLogN(
-        Dedup.minhashCandidates(exact, "stext", "doc_id"))
+        Dedup.minhashCandidates(exact, "stext", "doc_id",
+          maxBandBucket = curationMaxBandBucket))
       val kept = exact
         .join(nearDupReps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .filter(col("rep").isNull || col("rep") === col("doc_id"))
@@ -723,7 +724,8 @@ object SparkEntry {
       seed: Long,
       src: String = "documents",
       textCol: String = "text",
-      idCol: String = "doc_id"): String = {
+      idCol: String = "doc_id",
+      maxBandBucket: Int = Int.MaxValue): String = {
     val p = Dedup.minhashP
     val rows = nHashes / nBands
     val minAggs = (0 until nHashes).map { i =>
@@ -739,6 +741,13 @@ object SparkEntry {
     val agree = (0 until nHashes)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
       .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
+    // Mirror of minhashCandidates' hot-bucket cap: buckets above the cap are
+    // excluded from pair generation (same CTE shape as the q29 LSH oracle).
+    val pairSrc =
+      if (maxBandBucket == Int.MaxValue) "banded"
+      else s"""(SELECT banded.* FROM banded
+              |   JOIN (SELECT band FROM banded GROUP BY band
+              |         HAVING COUNT(*) <= $maxBandBucket) okb USING (band))""".stripMargin
     s"""toks AS (
        |  SELECT $idCol AS id, unnest(list_distinct(string_split($textCol, ' '))) AS tok FROM $src),
        |hashed AS (
@@ -751,7 +760,7 @@ object SparkEntry {
        |  $bandSelects),
        |pairs AS (
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-       |  FROM banded a JOIN banded b ON b.band = a.band AND a.id < b.id),
+       |  FROM $pairSrc a JOIN $pairSrc b ON b.band = a.band AND a.id < b.id),
        |scored AS (
        |  SELECT p.a_id, p.b_id, ROUND(CAST(($agree) AS DOUBLE) / $nHashes, 4) AS est_jaccard
        |  FROM pairs p JOIN sig sa ON sa.id = p.a_id JOIN sig sb ON sb.id = p.b_id)""".stripMargin
@@ -860,6 +869,15 @@ object SparkEntry {
     * dedup, the q26/q48 MinHash-CC chain re-pointed at the deduped
     * relation, and the q49 split bucket.
     */
+  /** q53's production posture: a FINITE band-bucket cap. Exact dedup runs
+    * before MinHash in the curation pipeline, so any remaining band bucket
+    * above this size is boilerplate near-dup mass whose b(b−1)/2 pair
+    * explosion LSH exists to avoid; the exhaustive-pairs contract stays on
+    * q26/q48, which keep the uncapped default. One constant feeds both the
+    * Spark call and the generated oracle, so they cannot drift.
+    */
+  private val curationMaxBandBucket = 200
+
   private def curationOracleSql(nHashes: Int, nBands: Int, seed: Long): String = {
     val scrub =
       """trim(regexp_replace(regexp_replace(regexp_replace(text,
@@ -877,7 +895,8 @@ object SparkEntry {
        |      ROW_NUMBER() OVER (PARTITION BY md5(stext) ORDER BY doc_id) AS rn
        |    FROM quality) t
        |  WHERE rn = 1),
-       |${minhashScoredCte(nHashes, nBands, seed, src = "ex", textCol = "stext")},
+       |${minhashScoredCte(nHashes, nBands, seed, src = "ex", textCol = "stext",
+            maxBandBucket = curationMaxBandBucket)},
        |cand AS (SELECT a_id, b_id FROM scored WHERE est_jaccard >= 0.9),
        |edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM cand

@@ -237,10 +237,11 @@ object Dedup {
     // lineage so each round plans O(1) work. (On a cluster with flaky
     // executors, swap for reliable `checkpoint()` + setCheckpointDir —
     // localCheckpoint blocks die with their executor.)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = isolatedCopy(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct()
+        .localCheckpoint(true))
     withIterationPartitions(edges) {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("rep", col("id"))
@@ -314,10 +315,10 @@ object Dedup {
     // so a distinct of the LARGEST relation in the computation would buy
     // nothing but its own shuffle. Lazy checkpoint: the sizing count() in
     // withIterationPartitions is the action that materializes it.
-    var edges = pairs
+    var edges = isolatedCopy(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     withIterationPartitions(edges) {
       var rounds = 0
       var converged = false
@@ -361,6 +362,19 @@ object Dedup {
     }
   }
 
+  /** Re-bind a DataFrame onto a FRESH SparkSession (same SparkContext,
+    * separate SQL conf) so the iterative loop's conf mutation below cannot
+    * leak into queries concurrently planned on the caller's session. The
+    * hop goes through the public `df.rdd` → `createDataFrame` route: one
+    * extra row-conversion pass over the (already-checkpointed) narrow edge
+    * relation, paid once — every derived frame inside the loop then plans
+    * natively on the isolated session.
+    */
+  private def isolatedCopy(df: DataFrame): DataFrame = {
+    val fresh = df.sparkSession.newSession()
+    fresh.createDataFrame(df.rdd, df.schema)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` sized to the iteration's
     * actual relation size instead of the session's corpus-scale setting —
     * a few hundred CC rows across 32 shuffle partitions pays 32 tasks of
@@ -369,10 +383,10 @@ object Dedup {
     * partition keeps an iteration partition comfortably in executor memory
     * (16 B a row) while capping task count on small graphs.
     *
-    * The conf is SESSION-scoped: a concurrent query planned on the same
-    * SparkSession during `body` would pick up the temporary value. Run CC
-    * on its own session (`spark.newSession()` shares the context but not
-    * the conf) if you interleave it with other planning.
+    * The conf is session-scoped, and both CC entry points hand this an
+    * [[isolatedCopy]]-rebound relation: the mutation lands on a private
+    * `newSession()`, so concurrent planning on the caller's session is
+    * unaffected by construction (spec: `DedupSpec` "CC conf isolation").
     */
   private def withIterationPartitions[T](edges: DataFrame)(body: => T): T = {
     val spark = edges.sparkSession

@@ -124,6 +124,31 @@ class DedupSpec extends SparkSpec {
     assert(out.length == n + 1 && out.forall(_._2 == 0L))
   }
 
+  test("CC runs on an isolated session: caller conf untouched while the loop runs") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    @volatile var running = true
+    @volatile var seen = Vector.empty[String]
+    // Poll the CALLER session's conf concurrently with the CC loop: the
+    // loop shrinks shuffle partitions per-round, and before round 4's
+    // isolation that mutation was visible to any concurrently-planned
+    // query on the same session.
+    val poller = new Thread(() => while (running) {
+      seen :+= spark.conf.get(key); Thread.sleep(2)
+    })
+    poller.start()
+    try {
+      val chain = spark.range(4000)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      val labels = Dedup.duplicateClustersLogN(chain)
+      // the loop's frames live on a private newSession(), not the caller's
+      assert(labels.sparkSession ne spark)
+      assert(labels.count() == 4001)
+    } finally { running = false; poller.join() }
+    assert(seen.nonEmpty && seen.forall(_ == before), seen.distinct.toString)
+    assert(spark.conf.get(key) == before)
+  }
+
   test("dedupAgainstHistory drops incoming rows whose content exists in history") {
     val history = docs(1L -> "seen before", 2L -> "also seen")
     val incoming = docs(10L -> "seen before", 11L -> "genuinely new", 12L -> "also seen")
