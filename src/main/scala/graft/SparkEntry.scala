@@ -419,12 +419,29 @@ object SparkEntry {
         .select("media_id", "kind", "width", "height", "duration_ms")
         .orderBy("media_id")
     },
-    // ---- multimodal: deterministic frame sampling (rows-only check) ----
+    // ---- multimodal: REAL animated-GIF "video" blobs (frame count, dims
+    // and per-frame delay keyed by media_id at encode time) -> REAL
+    // container probe + per-frame pixel decode. Every emitted column is a
+    // decode result the oracle predicts by formula; the pixel checksums
+    // (witnessing the actual raster reads) are spec-verified instead,
+    // since no SQL engine can re-derive them ----
     "q38_frame_samples" -> { (s, dir) =>
-      val media = multimodal.Multimodal.fromText(
-        Tables.documents(s, dir).filter(col("doc_id") < 100), "doc_id", "text", "video")
-      multimodal.Multimodal.sampleFrames(media, 4)
+      val media = multimodal.Multimodal.synthesizeVideos(
+        Tables.documents(s, dir).filter(col("doc_id") < 100), "doc_id")
+      multimodal.Multimodal.sampleFrames(media, 8)
+        .select("media_id", "frame_idx", "n_frames", "width", "height", "duration_ms")
         .orderBy("media_id", "frame_idx")
+    },
+    // ---- multimodal: REAL WAV blobs (PCM length keyed by media_id at
+    // encode time) -> REAL javax.sound.sampled parse; the decoded duration
+    // must read back the encode-side formula from the container header ----
+    "q58_audio_features" -> { (s, dir) =>
+      val media = multimodal.Multimodal.synthesizeAudio(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
+      multimodal.Multimodal.extractFeatures(media)
+        .toDF()
+        .select("media_id", "kind", "width", "height", "duration_ms")
+        .orderBy("media_id")
     },
     // ---- the reference's FULL job pipeline in the correctness gate:
     // synthesize raw all-string job records from orders, run
@@ -939,9 +956,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The MinHash/SimHash/LSH oracles are generated
     * from the same constants as the Spark pipelines (md5-derived hashing is
-    * portable). Omitted only for q39 (engine-specific sketch internals) and
-    * q38 (stub-codec frame checksums) → driver records the weaker rows-only
-    * check there.
+    * portable); the multimodal oracles predict by formula what a correct
+    * container decode must read back, because the encode side keys every
+    * decodable property by media_id. Omitted only for q39 (engine-specific
+    * sketch internals) → driver records the weaker rows-only check there.
     */
   def oracleSql: Map[String, String] = Map(
     // q37's blobs are real ImageIO-encoded PNGs whose dims are keyed by
@@ -953,6 +971,25 @@ object SparkEntry {
         |  CAST(4 + doc_id % 31 AS INTEGER) AS height,
         |  CAST(0 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+    // q38's blobs are real multi-frame GIFs: frame count 2+id%7, frame grid
+    // (4+id%13)×(4+id%11), 100 ms per-frame delay — so the container probe
+    // and every per-frame decode must read these values back by formula
+    "q38_frame_samples" ->
+      """WITH v AS (SELECT doc_id, 2 + doc_id % 7 AS nf FROM documents WHERE doc_id < 100)
+        |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |  CAST(4 + doc_id % 11 AS INTEGER) AS height,
+        |  CAST(nf * 100 AS BIGINT) AS duration_ms
+        |FROM v, UNNEST(range(nf)) AS u(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // q58's blobs are real RIFF/WAVE PCM: 100+25·(id%48) ms at 8 kHz — the
+    // parsed frame count over the header frame rate must return exactly that
+    "q58_audio_features" ->
+      """SELECT doc_id AS media_id, 'audio' AS kind,
+        |  CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+        |  CAST(100 + 25 * (doc_id % 48) AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
     "q47_json_raw_lake" ->
       """SELECT event_id, user_id, event_type, value, CAST(length(props) AS INTEGER) AS props_len
         |FROM read_json('/root/repo/target/fixtures/json_events/chunk=*/*.txt', format='array',

@@ -11,13 +11,23 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch UDFs — iterator in, iterator out, no per-row
   * serialization round trip and no driver involvement).
   *
-  * ===== STUB BOUNDARY (audio/video ONLY) =====
-  * Image decode/resize is REAL: [[ImageCodec]] rides `javax.imageio`,
-  * which ships in the JDK — PNG blobs are actually parsed and their
-  * pixel dimensions actually decoded. Audio/video duration still goes
-  * through [[StubCodec]], a clearly-marked deterministic FAKE (this
-  * container ships no audio/video codec); swap it for an ffmpeg/JNI
-  * binding in production and nothing else changes.
+  * ===== CODEC BOUNDARY =====
+  * All three modalities decode REAL containers with JDK-only codecs:
+  *   - image: [[ImageCodec]] over `javax.imageio` (PNG pixels actually
+  *     decoded/resized);
+  *   - audio: [[AudioCodec]] over `javax.sound.sampled` (RIFF/WAVE PCM
+  *     actually parsed; duration from the frame count × frame rate);
+  *   - video: [[GifCodec]] over the ImageIO GIF reader (multi-frame
+  *     animated GIF as the container — per-frame pixel decode, frame
+  *     count, and duration summed from each frame's GraphicControl
+  *     delay). A GIF is the honest jar-free stand-in for a video
+  *     container: it exercises the same plumbing (frame seek, per-frame
+  *     decode, duration metadata) an MP4 path needs; swap the codec
+  *     object for an ffmpeg/JNI binding in production and nothing else
+  *     changes.
+  * [[QuarantineCodec]] is the explicit FALLBACK for unparseable blobs
+  * only (lake hygiene: quarantine-grade metadata beats a dead pipeline);
+  * no healthy path goes through it.
   */
 object Multimodal {
 
@@ -87,32 +97,193 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder — deterministic fake in place of a real AUDIO/VIDEO codec
-    * (`???` in spirit; returns data derived only from the bytes so tests
-    * are exact). Image blobs do NOT go through this — see [[ImageCodec]].
+  /** REAL audio codec over `javax.sound.sampled` (in the JDK — no external
+    * jar). Encode writes a spec-conformant RIFF/WAVE PCM container; decode
+    * parses it back and derives the duration from the actual frame count
+    * and frame rate in the format header.
     */
-  object StubCodec {
+  object AudioCodec {
+    private val SampleRate = 8000f // 8 frames per millisecond
+
+    /** Deterministic synthetic WAV: 16-bit mono PCM at 8 kHz, `durationMs`
+      * long, samples keyed by `seed`. Real encode — any WAV parser reads it.
+      */
+    def encodeWav(durationMs: Long, seed: Long): Array[Byte] = {
+      val nFrames = (durationMs * 8).toInt // 8000 frames/s = 8 per ms, exact
+      val data = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val s = ((seed * 31 + i * 17) % 32768).toShort
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: parse the WAV container, duration = frames / frameRate.
+      * None when the bytes aren't a parseable audio stream.
+      */
+    def decodeDurationMs(bytes: Array[Byte]): Option[Long] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try Some(math.round(ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate))
+        finally ais.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** REAL multi-frame codec over the ImageIO GIF reader/writer (JDK-only).
+    * The animated GIF stands in for a video container: frames are truly
+    * encoded, truly seekable, truly decoded per-frame, and the duration is
+    * summed from each frame's GraphicControlExtension delay — the same
+    * plumbing shape an ffmpeg-backed MP4 codec plugs into.
+    */
+  object GifCodec {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+
+    private val MetaFormat = "javax_imageio_gif_image_1.0"
+
+    /** Deterministic synthetic animated GIF: `nFrames` solid-color
+      * width×height frames (color keyed by `(seed, frameIdx)`), each with a
+      * `delayCs`-centisecond GraphicControl delay. Real encode — any GIF
+      * decoder steps through the frames.
+      */
+    def encodeGif(width: Int, height: Int, nFrames: Int, delayCs: Int, seed: Long): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        // solid color per frame: survives GIF palette quantization exactly
+        g.setColor(new java.awt.Color(
+          math.floorMod(seed * 37 + f * 51, 256L).toInt,
+          math.floorMod(seed * 17 + f * 29, 256L).toInt,
+          math.floorMod(seed * 11 + f * 73, 256L).toInt))
+        g.fillRect(0, 0, width, height)
+        g.dispose()
+        val meta = writer.getDefaultImageMetadata(
+          ImageTypeSpecifier.createFromRenderedImage(img), writer.getDefaultWriteParam)
+        val root = meta.getAsTree(MetaFormat).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(MetaFormat, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+
+    private def withReader[T](bytes: Array[Byte])(f: javax.imageio.ImageReader => T): Option[T] =
+      try {
+        val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          if (reader.getFormatName.toLowerCase != "gif") { reader.dispose(); None }
+          else {
+            reader.setInput(iis)
+            try Some(f(reader)) finally reader.dispose()
+          }
+        }
+      } catch { case _: Exception => None }
+
+    /** Real container probe: (frame count, first-frame width/height, total
+      * duration in ms from the per-frame GraphicControl delays). None when
+      * the bytes aren't a parseable GIF.
+      */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      withReader(bytes) { reader =>
+        val n = reader.getNumImages(true)
+        var durationMs = 0L
+        var i = 0
+        while (i < n) {
+          val root = reader.getImageMetadata(i).getAsTree(MetaFormat)
+            .asInstanceOf[IIOMetadataNode]
+          val gces = root.getElementsByTagName("GraphicControlExtension")
+          if (gces.getLength > 0)
+            durationMs += gces.item(0).asInstanceOf[IIOMetadataNode]
+              .getAttribute("delayTime").toLong * 10L
+          i += 1
+        }
+        (n, reader.getWidth(0), reader.getHeight(0), durationMs)
+      }
+
+    /** Real per-frame decode: seek to `idx`, decode the frame, return its
+      * pixel grid dims and an md5 over the decoded RGB raster (NOT over the
+      * compressed bytes — this proves the pixels were actually read).
+      */
+    def decodeFrame(bytes: Array[Byte], idx: Int): Option[(Int, Int, String)] =
+      withReader(bytes) { reader =>
+        val img = reader.read(idx)
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val off = (y * w + x) * 3
+            raster(off) = ((rgb >> 16) & 0xff).toByte
+            raster(off + 1) = ((rgb >> 8) & 0xff).toByte
+            raster(off + 2) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, md5hex(raster))
+      }
+  }
+
+  /** md5 hex of a blob — the content checksum used across the module. */
+  def md5hex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** QUARANTINE fallback — deterministic metadata for blobs NO real codec
+    * could parse (corrupt uploads, unknown containers). Derived only from
+    * the bytes so tests are exact; no healthy decode path reaches this.
+    */
+  object QuarantineCodec {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
-      // [STUB] a real implementation would parse the container format here
       val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
       val width = 64 + math.floorMod(h, 1024L).toInt
       val height = 64 + math.floorMod(h >> 10, 1024L).toInt
       val durationMs = if (kind == "audio" || kind == "video") math.floorMod(h >> 20, 600000L) else 0L
       (width, height, durationMs)
     }
-
-    def checksum(bytes: Array[Byte]): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(bytes).map("%02x".format(_)).mkString
-    }
   }
 
-  /** Per-partition batch feature extraction (decode → features). Image
-    * dimensions come from a REAL [[ImageCodec]] decode of the blob's pixel
-    * grid; audio/video duration is the [[StubCodec]] stand-in (no JDK
-    * codec); unparseable image bytes also fall back to the stub rather
-    * than failing the batch (the lake-hygiene behavior: quarantine-grade
-    * metadata beats a dead pipeline).
+  /** Per-partition batch feature extraction (decode → features). Every
+    * modality decodes its REAL container: image dims from the decoded
+    * pixel grid ([[ImageCodec]]), audio duration from the parsed WAV frame
+    * count ([[AudioCodec]]), video frame-count/dims/duration from the GIF
+    * container probe ([[GifCodec]]). Unparseable bytes fall back to
+    * [[QuarantineCodec]] rather than failing the batch (lake hygiene:
+    * quarantine-grade metadata beats a dead pipeline).
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -120,13 +291,25 @@ object Multimodal {
       // one codec init per PARTITION, not per row — the point of the
       // mapPartitions batch shape
       it.map { m =>
-        val (w, h, d) = if (m.kind == "image") {
-          ImageCodec.decode(m.bytes) match {
-            case Some((rw, rh)) => (rw, rh, 0L)
-            case None           => StubCodec.decode(m.kind, m.bytes)
-          }
-        } else StubCodec.decode(m.kind, m.bytes)
-        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, StubCodec.checksum(m.bytes), w, h, d)
+        val (w, h, d) = m.kind match {
+          case "image" =>
+            ImageCodec.decode(m.bytes) match {
+              case Some((rw, rh)) => (rw, rh, 0L)
+              case None           => QuarantineCodec.decode(m.kind, m.bytes)
+            }
+          case "audio" =>
+            AudioCodec.decodeDurationMs(m.bytes) match {
+              case Some(ms) => (0, 0, ms)
+              case None     => QuarantineCodec.decode(m.kind, m.bytes)
+            }
+          case "video" =>
+            GifCodec.probe(m.bytes) match {
+              case Some((_, fw, fh, ms)) => (fw, fh, ms)
+              case None                  => QuarantineCodec.decode(m.kind, m.bytes)
+            }
+          case _ => QuarantineCodec.decode(m.kind, m.bytes)
+        }
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, md5hex(m.bytes), w, h, d)
       }
     }
   }
@@ -142,10 +325,10 @@ object Multimodal {
       it.map { m =>
         val out = (if (m.kind == "image") ImageCodec.resizePng(m.bytes, width, height)
                    else None).getOrElse {
-          // [STUB] non-image kinds (and unparseable blobs): deterministic
-          // fake bytes derived from (input, target dims) so the plumbing
-          // stays exactly testable without an audio/video codec.
-          val seed = s"${StubCodec.checksum(m.bytes)}_${width}x$height"
+          // QUARANTINE: non-image kinds (resize is an image transform) and
+          // unparseable blobs get deterministic placeholder bytes derived
+          // from (input, target dims) so the pipeline shape stays testable.
+          val seed = s"${md5hex(m.bytes)}_${width}x$height"
           java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
         }
         (m.media_id, m.kind, width, height, out)
@@ -153,24 +336,39 @@ object Multimodal {
     }.toDF("media_id", "kind", "width", "height", "bytes")
   }
 
-  /** Deterministic frame sampling for video blobs: n evenly-spaced "frames"
-    * (stub: each frame is a checksum of its byte slice). Output explodes to
-    * one row per frame — the shape a caption/embedding stage consumes.
+  /** REAL frame sampling for video blobs: seek to ≤ `maxFrames`
+    * evenly-spaced frames of the container, decode each frame's pixel grid
+    * ([[GifCodec.decodeFrame]]), and emit one row per sampled frame — the
+    * shape a caption/embedding stage consumes. `frame_checksum` is the md5
+    * of the DECODED RGB raster, so it witnesses actual pixel reads, and
+    * `width`/`height`/`n_frames`/`duration_ms` come from the container
+    * probe. Unparseable video blobs take the quarantine path: requested-
+    * count rows of byte-slice checksums with zeroed dims.
     */
-  def sampleFrames(media: Dataset[MediaRecord], nFrames: Int): DataFrame = {
+  def sampleFrames(media: Dataset[MediaRecord], maxFrames: Int): DataFrame = {
     import media.sparkSession.implicits._
     media
       .filter(_.kind == "video")
       .flatMap { m =>
-        val step = math.max(1, m.bytes.length / nFrames)
-        (0 until nFrames).iterator.map { i =>
-          val from = math.min(i * step, math.max(0, m.bytes.length - 1))
-          val until = math.min(from + step, m.bytes.length)
-          // [STUB] real: decode frame at timestamp i/nFrames * duration
-          (m.media_id, i, StubCodec.checksum(m.bytes.slice(from, until)))
+        GifCodec.probe(m.bytes) match {
+          case Some((n, _, _, durationMs)) =>
+            // evenly-spaced sample of min(n, maxFrames) distinct indices
+            val k = math.min(n, maxFrames)
+            (0 until k).iterator.map { i =>
+              val idx = i * n / k
+              val (w, h, sum) = GifCodec.decodeFrame(m.bytes, idx).get
+              (m.media_id, idx, n, w, h, durationMs, sum)
+            }
+          case None =>
+            val step = math.max(1, m.bytes.length / maxFrames)
+            (0 until maxFrames).iterator.map { i =>
+              val from = math.min(i * step, math.max(0, m.bytes.length - 1))
+              val until = math.min(from + step, m.bytes.length)
+              (m.media_id, i, maxFrames, 0, 0, 0L, md5hex(m.bytes.slice(from, until)))
+            }
         }
       }
-      .toDF("media_id", "frame_idx", "frame_checksum")
+      .toDF("media_id", "frame_idx", "n_frames", "width", "height", "duration_ms", "frame_checksum")
   }
 
   /** Build a MediaRecord dataset from any table with an id and a string
@@ -200,6 +398,40 @@ object Multimodal {
         val w = 4 + math.floorMod(id, 29L).toInt
         val h = 4 + math.floorMod(id, 31L).toInt
         MediaRecord(id, "image", ImageCodec.encodePng(w, h, id))
+      }
+    }
+  }
+
+  /** Synthesize REAL WAV blobs keyed by an id column: each record is
+    * `100 + 25·(id mod 48)` ms of 8 kHz PCM, actually encoded by
+    * [[AudioCodec]] — so a correct decoder must read the duration back by
+    * formula, making the decode oracle-able exactly like the PNG path.
+    */
+  def synthesizeAudio(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val durationMs = 100L + 25L * math.floorMod(id, 48L)
+        MediaRecord(id, "audio", AudioCodec.encodeWav(durationMs, id))
+      }
+    }
+  }
+
+  /** Synthesize REAL animated-GIF "video" blobs keyed by an id column:
+    * `2 + id mod 7` frames of `(4 + id mod 13) × (4 + id mod 11)` pixels,
+    * each frame with a 100 ms GraphicControl delay, actually encoded by
+    * [[GifCodec]]. Frame count, dims and duration are thus all predictable
+    * by formula from the id — a correct container probe and per-frame
+    * decode is verifiable with an exact oracle.
+    */
+  def synthesizeVideos(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 2 + math.floorMod(id, 7L).toInt
+        val w = 4 + math.floorMod(id, 13L).toInt
+        val h = 4 + math.floorMod(id, 11L).toInt
+        MediaRecord(id, "video", GifCodec.encodeGif(w, h, n, delayCs = 10, seed = id))
       }
     }
   }

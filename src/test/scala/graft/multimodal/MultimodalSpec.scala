@@ -10,25 +10,76 @@ class MultimodalSpec extends SparkSpec {
     rows.map { case (id, kind, s) => MediaRecord(id, kind, s.getBytes("UTF-8")) }.toDS()
   }
 
-  test("extractFeatures: deterministic stub features, one row per blob") {
+  test("extractFeatures: unparseable blobs take the deterministic quarantine path") {
     val ds = media((1L, "image", "abc"), (2L, "audio", "defg"))
     val out1 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
     val out2 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
     assert(out1.toSeq == out2.toSeq) // determinism across runs
     assert(out1.map(_.n_bytes).toSeq == Seq(3L, 4L))
-    assert(out1.forall(f => f.width >= 64 && f.height >= 64))
+    assert(out1.forall(f => f.width >= 64 && f.height >= 64)) // quarantine marker dims
     assert(out1.head.duration_ms == 0L) // image: no duration
-    assert(out1(1).duration_ms >= 0L)   // audio: stub duration
+    assert(out1(1).duration_ms >= 0L)   // audio: quarantine duration
     assert(out1.head.checksum == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
 
-  test("sampleFrames: n frames per video, none for other kinds") {
+  test("sampleFrames: unparseable video quarantines to byte-slice checksums; non-video dropped") {
     val ds = media((1L, "video", "0123456789abcdef"), (2L, "image", "xyz"))
     val out = Multimodal.sampleFrames(ds, 4)
-      .as[(Long, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+      .as[(Long, Int, Int, Int, Int, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
     assert(out.size == 4)
     assert(out.map(_._2) == Seq(0, 1, 2, 3))
-    assert(out.map(_._3).distinct.size == 4) // distinct slices -> distinct checksums
+    assert(out.forall(r => r._4 == 0 && r._5 == 0)) // quarantine: no decoded dims
+    assert(out.map(_._7).distinct.size == 4) // distinct slices -> distinct checksums
+  }
+
+  test("AudioCodec: WAV encode → decode round-trips the exact duration") {
+    val wav = Multimodal.AudioCodec.encodeWav(725L, seed = 9L)
+    // a real RIFF/WAVE container: magic bytes + parseable + exact duration
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(Multimodal.AudioCodec.decodeDurationMs(wav).contains(725L))
+    assert(Multimodal.AudioCodec.decodeDurationMs("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("GifCodec: multi-frame encode → probe/decode round-trips count, dims, duration") {
+    val gif = Multimodal.GifCodec.encodeGif(9, 6, nFrames = 5, delayCs = 10, seed = 3L)
+    assert(new String(gif.slice(0, 3), "US-ASCII") == "GIF")
+    assert(Multimodal.GifCodec.probe(gif).contains((5, 9, 6, 500L)))
+    // per-frame decode reads real rasters: right dims, distinct pixel content
+    val frames = (0 until 5).map(i => Multimodal.GifCodec.decodeFrame(gif, i).get)
+    assert(frames.forall(f => f._1 == 9 && f._2 == 6))
+    assert(frames.map(_._3).distinct.size == 5)
+    assert(Multimodal.GifCodec.probe("not a gif".getBytes("UTF-8")).isEmpty)
+    // a PNG is image-reader-parseable but NOT a gif: the probe must refuse
+    assert(Multimodal.GifCodec.probe(Multimodal.ImageCodec.encodePng(4, 4, 1L)).isEmpty)
+  }
+
+  test("extractFeatures decodes REAL durations from synthesized WAVs (id-keyed formula)") {
+    val df = Seq(0L, 7L, 123L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(Multimodal.synthesizeAudio(df, "doc_id"))
+      .collect().sortBy(_.media_id)
+    out.foreach { f =>
+      assert(f.duration_ms == 100L + 25L * (f.media_id % 48), s"duration of ${f.media_id}")
+      assert(f.kind == "audio" && f.width == 0 && f.height == 0)
+      assert(f.n_bytes > f.duration_ms * 16L) // real PCM payload + header
+    }
+  }
+
+  test("sampleFrames decodes REAL frames from synthesized GIFs (id-keyed formula)") {
+    val df = Seq(0L, 7L, 123L).toDF("doc_id")
+    val out = Multimodal.sampleFrames(Multimodal.synthesizeVideos(df, "doc_id"), 8)
+      .as[(Long, Int, Int, Int, Int, Long, String)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val byId = out.groupBy(_._1)
+    for ((id, rows) <- byId) {
+      val nf = 2 + (id % 7).toInt
+      assert(rows.size == nf)
+      assert(rows.map(_._2) == (0 until nf))
+      assert(rows.forall(r => r._3 == nf))
+      assert(rows.forall(r => r._4 == 4 + (id % 13).toInt && r._5 == 4 + (id % 11).toInt))
+      assert(rows.forall(r => r._6 == nf * 100L))
+      assert(rows.map(_._7).distinct.size == nf) // distinct per-frame rasters
+    }
   }
 
   test("resize keeps the opaque-blob schema and is deterministic per (input, dims)") {
