@@ -8,13 +8,28 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** RocksDB-backed streaming state (bundled with Spark — rocksdbjni ships
+    * in the distribution). The scale option for stateful streaming: state
+    * lives off-heap/on-disk per executor instead of in the JVM heap, so
+    * watermark-bounded-but-large state (millions of open session windows)
+    * stops competing with execution memory. Settable per session at
+    * runtime: `spark.conf.set(StateStoreProviderKey, RocksDbProvider)`
+    * before starting the query, or pass `rocksDbStateStore = true` here.
+    */
+  val StateStoreProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** @param shufflePartitions ≈ 2-3× total executor cores in production;
     *                          ≈ local cores for local runs.
+    * @param rocksDbStateStore back streaming state with RocksDB instead of
+    *                          the default in-heap HDFS-backed store.
     */
   def builder(
       appName: String = "graft",
       master: Option[String] = None,
-      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder = {
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      rocksDbStateStore: Boolean = false): SparkSession.Builder = {
     val b = SparkSession.builder()
       .appName(appName)
       // deterministic timestamps across engines and sites
@@ -33,6 +48,7 @@ object GraftSession {
       .config("spark.sql.codegen.maxFields", "256")
       // native functions (cosine_sim) available in SQL
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    master.fold(b)(b.master)
+    val b2 = if (rocksDbStateStore) b.config(StateStoreProviderKey, RocksDbProvider) else b
+    master.fold(b2)(b2.master)
   }
 }

@@ -119,17 +119,64 @@ object Text {
       k: Int = 3,
       w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(idCol).orderBy("pos").rowsBetween(-(w - 1), 0)
+    kgramHashes(docs, textCol, idCol, k)
+      .select(col(idCol), min(col("h")).over(win).as("fp"))
+      .distinct()
+  }
+
+  /** The (id, pos, h) k-gram hash relation both winnowing variants window
+    * over: one codegen explode pass, hashes from [[Dedup.tokenHash64]].
+    */
+  private def kgramHashes(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val toks = col("__toks")
-    val grams = docs
+    docs
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__i",
         explode(when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))))
       .select(col(idCol), col("__i").as("pos"),
         Dedup.tokenHash64(
           concat_ws(" ", (0 until k).map(j => element_at(toks, col("__i") + j)): _*)).as("h"))
-    val win = Window.partitionBy(idCol).orderBy("pos").rowsBetween(-(w - 1), 0)
-    grams
-      .select(col(idCol), min(col("h")).over(win).as("fp"))
+  }
+
+  /** Skew-resistant [[winnowFingerprints]]: the per-document ordered window
+    * serializes each document on one task, so one pathological document
+    * (10⁸ tokens of concatenated boilerplate) stalls its whole stage — the
+    * same hot-key hazard as the as-of join, remedied the window-specific
+    * way. Positions are split into contiguous `chunkSize` chunks and the
+    * window runs per (doc, chunk); each chunk's first w−1 frames need the
+    * previous chunk's tail, so those w−1 boundary rows are REPLICATED into
+    * the next chunk as context rows (they participate in frames but their
+    * own minima are dropped — a context row's frame is truncated and would
+    * emit a wrong/partial minimum). Every window partition is thus bounded
+    * by chunkSize + w − 1 rows regardless of document length, and the
+    * selected fingerprint set is IDENTICAL to the unsalted form
+    * (spec-asserted on multi-chunk fixtures).
+    */
+  def winnowFingerprintsSalted(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      chunkSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkSize >= w, s"chunkSize ($chunkSize) must be >= window size ($w)")
+    val grams = kgramHashes(docs, textCol, idCol, k)
+    val home = floor((col("pos") - 1) / chunkSize)
+    val homed = grams
+      .withColumn("__chunk", home)
+      .withColumn("__ctx", lit(0))
+    val carried = grams
+      .filter(pmod(col("pos") - 1, lit(chunkSize)) >= chunkSize - (w - 1))
+      .withColumn("__chunk", home + 1)
+      .withColumn("__ctx", lit(1))
+    val win = Window.partitionBy(col(idCol), col("__chunk"))
+      .orderBy("pos").rowsBetween(-(w - 1), 0)
+    homed.unionByName(carried)
+      .select(col(idCol), col("__ctx"), min(col("h")).over(win).as("fp"))
+      .filter(col("__ctx") === 0)
+      .select(col(idCol), col("fp"))
       .distinct()
   }
 

@@ -59,6 +59,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Filter"), p.take(800))
   }
 
+  test("partitioned lake: a date predicate prunes the scan to exactly one directory") {
+    // SURVEY §4's claim: Catalyst PartitionFilters replace the reference's
+    // manual path glob (spark_batch_v2.py:33). Write a 5-day lake, query
+    // one day through the predicate API, and assert the scan physically
+    // selected only that day's directory.
+    val tmp = java.nio.file.Files.createTempDirectory("lake_prune").toString
+    val src = spark.range(100).selectExpr(
+      "id", "date_add(DATE '2026-01-01', CAST(id % 5 AS INT)) AS event_date")
+    sinks.Sinks.writePartitionedLake(src, "event_date", tmp)
+    val df = sinks.Sinks.readLakePartition(spark, tmp, "event_date", "2026-01-03")
+    assert(df.count() == 20)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf in the plan"))
+    val s = scan.toString
+    assert(s.contains("PartitionFilters") && s.contains("event_date"), s.take(800))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"scan selected ${scan.selectedPartitions.partitionCount} of 5 partitions")
+    assert(scan.selectedPartitions.toPartitionArray
+      .forall(_.urlEncodedPath.contains("event_date=2026-01-03")))
+  }
+
   test("q55: decontamination exchanges carry fingerprint/id longs, never document text") {
     val exchanges = plan("q55_decontamination")
       .linesIterator.filter(_.contains("Exchange")).toList

@@ -105,6 +105,29 @@ class TextSpec extends SparkSpec {
     assert(fps(3L).size <= 4)
   }
 
+  test("winnowFingerprintsSalted equals the unsalted form on skewed multi-chunk docs") {
+    val rnd = new scala.util.Random(7)
+    // one hot document far larger than the chunk size, several small ones,
+    // plus edge cases: shorter than k (no grams) and exactly one gram
+    val hot = (1 to 500).map(_ => s"t${rnd.nextInt(40)}").mkString(" ")
+    val docs = Seq(
+      (1L, hot),
+      (2L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (3L, "aa bb"),
+      (4L, "xx yy zz")).toDF("doc_id", "t")
+    for (chunkSize <- Seq(4, 7, 64)) {
+      val salted = Text.winnowFingerprintsSalted(docs, "t", "doc_id", chunkSize = chunkSize)
+        .as[(Long, Long)].collect().toSet
+      val plain = Text.winnowFingerprints(docs, "t", "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(salted == plain, s"chunkSize=$chunkSize diverged")
+    }
+    // and the salted window partitions are genuinely bounded: with
+    // chunkSize=4 the hot doc's 498 grams split across ~125 chunks
+    val chunks = Text.winnowFingerprintsSalted(docs, "t", "doc_id", chunkSize = 4)
+    assert(chunks.queryExecution.executedPlan.toString.contains("__chunk"))
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")

@@ -78,6 +78,50 @@ class StreamingAggsSpec extends SparkSpec {
     }
   }
 
+  test("stateful window state survives crash/restart under both HDFS and RocksDB stores") {
+    // The real state-store soak: an append-mode watermarked window keeps its
+    // OPEN window's partial aggregate only in the state store. Kill the
+    // query before the window finalizes, restart from the checkpoint, then
+    // advance the watermark — the emitted window must contain the
+    // pre-crash events, proving the state was recovered from the provider.
+    val providers = Seq(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      graft.GraftSession.RocksDbProvider)
+    for (provider <- providers) {
+      val s = spark.newSession()
+      s.conf.set(graft.GraftSession.StateStoreProviderKey, provider)
+      implicit val ctx = s.sqlContext
+      val stream = MemoryStream[(Timestamp, String, Double)]
+      val dir = java.nio.file.Files.createTempDirectory("state_soak").toString
+      def start(): StreamingQuery = StreamingAggs
+        .tumblingStats(stream.toDF().toDF("ts", "event_type", "value"),
+          "ts", "1 hour", Seq("event_type"), "value", watermark = Some("10 minutes"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .start()
+      val q1 = start()
+      withQuery(q1) {
+        stream.addData(
+          (ts("2024-01-01 10:05:00"), "click", 10.0),
+          (ts("2024-01-01 10:40:00"), "click", 30.0))
+        q1.processAllAvailable()
+      } // "crash": the 10:00 window is still open — its partials live ONLY in state
+      val q2 = start()
+      withQuery(q2) {
+        stream.addData((ts("2024-01-01 12:30:00"), "click", 1.0))
+        q2.processAllAvailable() // watermark 12:20 > 11:00 finalizes the window
+      }
+      val rows = s.read.parquet(s"$dir/out")
+        .filter(org.apache.spark.sql.functions.col("window_start") === "2024-01-01 10:00:00")
+        .select("event_type", "cnt", "avg_val")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 20.0)), s"provider $provider got $rows")
+    }
+  }
+
   test("batch and streaming share one code path: same result on a static frame") {
     val static = Seq(
       (ts("2024-01-01 10:05:00"), "click", 10.0),
