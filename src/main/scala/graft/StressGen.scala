@@ -29,10 +29,10 @@ object StressGen {
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val reps = spark.range(copies).select(F.col("id").as("__rep"))
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet"))) {
       val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       val nDocs = docs.agg(F.max("doc_id")).head.getLong(0) + 1
-      val reps = spark.range(copies).select(F.col("id").as("__rep"))
       docs.crossJoin(reps)
         .select(
           (F.col("doc_id") + F.col("__rep") * nDocs).as("doc_id"),
@@ -46,9 +46,32 @@ object StressGen {
         .select((F.col("vec_id") + F.col("__rep") * nVecs).as("vec_id"), F.col("embedding"))
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+    // 10× events with a DELIBERATE hot key: replicas shift user ids into
+    // fresh ranges, except every 5th event of each non-zero replica, which
+    // lands on user 0 — so user 0 accumulates ~18% of the replicated corpus
+    // (the one-pathological-key shape the salted as-of/window variants
+    // exist for), while the rest keeps realistic per-user cardinality.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/events_stress.parquet"))) {
+      val ev = sources.Tables.events(spark, srcDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val nEv = ev.agg(F.max("event_id")).head.getLong(0) + 1
+      val nUsers = ev.agg(F.max("user_id")).head.getLong(0) + 1
+      ev.crossJoin(reps)
+        .select(
+          (F.col("event_id") + F.col("__rep") * nEv).as("event_id"),
+          F.col("ts"),
+          F.when(F.col("__rep") > 0 && F.pmod(F.col("event_id"), F.lit(5)) === 0, 0L)
+            .otherwise(F.col("user_id") + F.col("__rep") * nUsers).as("user_id"),
+          F.col("event_type"), F.col("value"))
+        .write.mode("overwrite").parquet(s"$outDir/events_stress.parquet")
+    }
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
     val nv = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(s"GRAFT_STRESS corpus: $nd docs, $nv vectors at $outDir")
+    val ne = spark.read.parquet(s"$outDir/events_stress.parquet").count()
+    val nHot = spark.read.parquet(s"$outDir/events_stress.parquet")
+      .filter(F.col("user_id") === 0).count()
+    println(s"GRAFT_STRESS corpus: $nd docs, $nv vectors, $ne events " +
+      f"($nHot on the hot key = ${100.0 * nHot / ne}%.1f%%) at $outDir")
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -87,6 +110,46 @@ object StressGen {
           .select((F.col("doc_id") + 10000000L).as("doc_id"), F.col("text")))
       val kept = functions.Dedup.dedupAgainstHistory(history, incoming).count()
       println(s"GRAFT_STRESS   kept after history-dedup: $kept")
+    }
+    // ---- round-4 families: as-of under a hot key, session windows, TF-IDF,
+    // winnowing (salted parity) ----
+    val evStress = spark.read.parquet(s"$outDir/events_stress.parquet")
+    val ordersDedup = ops.Cleaning.dedupByKey(
+      sources.Tables.orders(spark, srcDir),
+      Seq("o_custkey", "o_orderdate"), Seq(F.col("o_orderkey").desc))
+    def asOfChecksum(joined: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = joined
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.coalesce(F.col("o_orderkey"), F.lit(-1L))).as("s"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val plain = time("q36_asof (10x skewed events, unsalted)") {
+      asOfChecksum(ops.AsOfJoin.asOf(evStress, ordersDedup,
+        "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey")))
+    }
+    val salted = time("q36_asof_salted nSalts=32 (same input)") {
+      asOfChecksum(ops.AsOfJoin.asOfSalted(evStress, ordersDedup,
+        "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey"), nSalts = 32))
+    }
+    println(s"GRAFT_STRESS   asof checksums plain=$plain salted=$salted " +
+      s"equal=${plain == salted}")
+    time("q40_session_windows (10x skewed events)") {
+      val n = evStress
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).as("n_events"))
+        .count()
+      println(s"GRAFT_STRESS   sessions: $n")
+    }
+    time("q50_tfidf_top_terms (10x corpus)") {
+      val n = functions.Text.tfidfTopTerms(docs, "text", "doc_id", 3).count()
+      println(s"GRAFT_STRESS   top-term rows: $n")
+    }
+    time("q54_winnow salted-parity (10x corpus)") {
+      val a = functions.Text.winnowFingerprints(docs, "text", "doc_id").count()
+      val b = functions.Text.winnowFingerprintsSalted(docs, "text", "doc_id", chunkSize = 64)
+        .count()
+      println(s"GRAFT_STRESS   fingerprints plain=$a salted=$b equal=${a == b}")
     }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
