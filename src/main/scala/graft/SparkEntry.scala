@@ -443,6 +443,16 @@ object SparkEntry {
         .select("media_id", "kind", "width", "height", "duration_ms")
         .orderBy("media_id")
     },
+    // ---- LLM-pipeline: corpus-global boilerplate filter — a trigram in
+    // more than dfThreshold distinct docs is boilerplate (nav chrome,
+    // license headers); each doc scored by its boilerplate-position
+    // fraction in exact basis points. Shuffles carry 60-bit gram hashes,
+    // never gram text ----
+    "q59_boilerplate_filter" -> { (s, dir) =>
+      Text.boilerplateStats(Tables.documents(s, dir), "text", "doc_id",
+          n = 3, dfThreshold = 10L, maxRatioE4 = 5000L)
+        .orderBy("doc_id")
+    },
     // ---- the reference's FULL job pipeline in the correctness gate:
     // synthesize raw all-string job records from orders, run
     // JobNormalize.normalizeLinkedIn + JobPipeline.enrich, emit the
@@ -990,6 +1000,25 @@ object SparkEntry {
         |  CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
         |  CAST(100 + 25 * (doc_id % 48) AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
+    // identical gram hashing (md5 15-hex prefix) and exact half-up basis
+    // points as the Spark side; thresholds inlined from the q59 call
+    "q59_boilerplate_filter" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(
+         |      concat_ws(' ', t[CAST(i AS INT)+1], t[CAST(i AS INT)+2], t[CAST(i AS INT)+3])), 1, 15)) AS BIGINT) AS h
+         |  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)),
+         |dc AS (SELECT doc_id, h, COUNT(*) AS c FROM grams GROUP BY doc_id, h),
+         |dfq AS (SELECT h, COUNT(*) AS df FROM dc GROUP BY h),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN df > 10 THEN c ELSE 0 END) AS BIGINT) AS n_boiler
+         |  FROM dc JOIN dfq USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_boiler,
+         |  CAST(${ExactAgg.Sql.divHalfUp("n_boiler * 10000", "n_grams")} AS BIGINT) AS boiler_e4,
+         |  CAST(${ExactAgg.Sql.divHalfUp("n_boiler * 10000", "n_grams")} AS BIGINT) <= 5000 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q47_json_raw_lake" ->
       """SELECT event_id, user_id, event_type, value, CAST(length(props) AS INTEGER) AS props_len
         |FROM read_json('/root/repo/target/fixtures/json_events/chunk=*/*.txt', format='array',

@@ -241,6 +241,48 @@ object Text {
       .filter(col("rank") <= k)
   }
 
+  /** Corpus-global boilerplate detection (the C4/RefinedWeb-style pass that
+    * drops navigation chrome, cookie banners and license headers): an
+    * n-gram is BOILERPLATE when it appears in more than `dfThreshold`
+    * distinct documents; each document is scored by the fraction of its
+    * n-gram positions covered by boilerplate grams, and kept when the
+    * fraction (in exact basis points, [[ExactAgg.divHalfUp]]) is at most
+    * `maxRatioE4`.
+    *
+    * Scale shape: the n-gram explode is the [[explodeNgrams]] codegen pass,
+    * but every shuffle after it carries the 60-bit [[Dedup.tokenHash64]] of
+    * the gram, never the gram text — (id, hash, cnt) rows into a two-phase
+    * count, (hash, df) back out, and a broadcast-friendly re-join. The
+    * document-frequency relation is corpus-vocabulary-sized, not
+    * corpus-sized. Collisions of the 60-bit hash conflate two grams'
+    * frequencies — at ~10⁹ distinct grams the birthday bound is ~0.04%% of
+    * pairs, noise against a >dfThreshold cutoff (and the DuckDB oracle
+    * reproduces the identical hashing, so the gate is still exact).
+    *
+    * Output: (idCol, n_grams, n_boiler, boiler_e4, keep) — documents with
+    * fewer than n tokens emit no grams and are absent, as in
+    * [[explodeNgrams]].
+    */
+  def boilerplateStats(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      dfThreshold: Long = 10L,
+      maxRatioE4: Long = 5000L): DataFrame = {
+    val grams = explodeNgrams(docs.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol), Dedup.tokenHash64(col("ng")).as("h"))
+    val perDoc = grams.groupBy(idCol, "h").agg(count(lit(1)).as("c"))
+    val dfreq = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
+    perDoc.join(dfreq, Seq("h"))
+      .groupBy(idCol)
+      .agg(
+        sum(col("c")).as("n_grams"),
+        sum(when(col("df") > dfThreshold, col("c")).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_e4", ExactAgg.divHalfUp(col("n_boiler") * 10000, col("n_grams")))
+      .withColumn("keep", col("boiler_e4") <= maxRatioE4)
+  }
+
   /** Strip URLs and email addresses (the C4-style pre-training scrub pass).
     * Patterns stay in the POSIX-compatible subset so the same regexes run
     * in the DuckDB oracle.

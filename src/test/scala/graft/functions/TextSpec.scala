@@ -128,6 +128,23 @@ class TextSpec extends SparkSpec {
     assert(chunks.queryExecution.executedPlan.toString.contains("__chunk"))
   }
 
+  test("boilerplateStats flags corpus-global grams, scores exact basis points") {
+    val shared = "cookie banner accept all cookies now"
+    val docs = ((1L to 12L).map(i => (i, s"$shared unique$i tail$i")) ++
+      Seq((20L, "completely fresh words without repeats"), (21L, "aa bb")))
+      .toDF("doc_id", "t")
+    val out = Text.boilerplateStats(docs, "t", "doc_id",
+        n = 3, dfThreshold = 10L, maxRatioE4 = 5000L)
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // each shared-prefix doc: 8 tokens -> 6 trigrams, 4 of which appear in
+    // all 12 docs (df 12 > 10): 4/6 = 6667 bp half-up -> dropped
+    assert(out(1L) == ((1L, 6L, 4L, 6667L, false)), out(1L).toString)
+    // the fresh doc: 3 trigrams, none shared -> kept at 0 bp
+    assert(out(20L) == ((20L, 3L, 0L, 0L, true)))
+    // 2-token doc emits no grams and is absent, like explodeNgrams
+    assert(!out.contains(21L) && out.size == 13)
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")
