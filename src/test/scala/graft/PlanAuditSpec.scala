@@ -88,4 +88,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text")),
       s"an exchange carries document text:\n${exchanges.mkString("\n")}")
   }
+
+  test("q59: boilerplate-filter exchanges carry 60-bit gram hashes, never gram text") {
+    val exchanges = plan("q59_boilerplate_filter")
+      .linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("text") || l.contains("ng#")),
+      s"an exchange carries document/gram text:\n${exchanges.mkString("\n")}")
+  }
 }
