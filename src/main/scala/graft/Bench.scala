@@ -87,15 +87,19 @@ object Bench {
       val best = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
       (name, best, t1)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // millisecond precision: sub-ms digits are noise, and the emitted line
+    // must stay short — the driver's log-tail window has truncated
+    // full-precision JSON mid-line before (round-3 postmortem)
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, _, t1) => s"\"" + k + "\":" + t1 }
+    val qsFirst = results.map { case (k, _, t1) => s"\"" + k + "\":" + fmt(t1) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$qsFirst,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_first":$qsFirst,"failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Two stdout forms: the bare line (round-1 contract) and a uniquely
     // prefixed copy the driver can grep out of sbt's [info]-wrapped stdout.
