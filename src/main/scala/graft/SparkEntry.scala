@@ -260,7 +260,7 @@ object SparkEntry {
           round(Dedup.jaccardTokens(col("a_text"), col("b_text")), 4).as("jaccard"))
         .orderBy("a_id")
     },
-    // ---- LLM-pipeline: MinHash/LSH near-dup candidates (non-SQL; rows-only check) ----
+    // ---- LLM-pipeline: MinHash/LSH near-dup candidates (oracled via generated SQL) ----
     "q26_minhash_pairs" -> { (s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")
     },
@@ -275,7 +275,7 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("query_id", "rank")
     },
-    // ---- LLM-pipeline: LSH-bucketed ANN pairs (scale path; rows-only check) ----
+    // ---- LLM-pipeline: LSH-bucketed ANN pairs (scale path; oracled via generated SQL) ----
     "q29_lsh_ann_pairs" -> { (s, dir) =>
       Similarity.lshCandidatePairs(Tables.embeddings(s, dir), dims = 64, nBits = 12, seed = 7L)
         .orderBy("a_id", "b_id")
@@ -536,13 +536,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
     // ---- sketch aggregates: HLL distinct + approx percentile (mergeable
-    // sketches, the 100 TB path; engine-specific values -> rows-only check) ----
+    // sketches, the 100 TB path) — with a TESTABLE contract: the sketch VALUES
+    // are engine-internal (HLL register layout, GK quantile summary) and
+    // can never hash-match another engine — but a sketch's actual promise
+    // is bounded error against the exact answer, and THAT is oracle-able.
+    // Emit the exact aggregates (DuckDB-checkable) plus in-engine booleans
+    // asserting each sketch landed inside its documented bound; the oracle
+    // predicts the exact values and `true` for every bound ----
     "q39_sketch_stats" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("p50_approx"))
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("__approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("__p50_approx"),
+          expr("percentile(value, 0.5)").as("__p50_exact"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          // default rsd 0.05; 3 sigma with margin
+          (abs(col("__approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.15).as("users_ok"),
+          // GK accuracy 10000 => rank error <= n/10000; 1% value tolerance
+          // is orders of magnitude above it on this distribution
+          (abs(col("__p50_approx") - col("__p50_exact"))
+            <= abs(col("__p50_exact")) * 0.01 + 1e-9).as("p50_ok"))
         .orderBy("event_type")
     },
     // ---- LLM-pipeline: URL/email scrub pass ----
@@ -968,10 +986,17 @@ object SparkEntry {
     * from the same constants as the Spark pipelines (md5-derived hashing is
     * portable); the multimodal oracles predict by formula what a correct
     * container decode must read back, because the encode side keys every
-    * decodable property by media_id. Omitted only for q39 (engine-specific
-    * sketch internals) → driver records the weaker rows-only check there.
+    * decodable property by media_id; the sketch oracle (q39) checks the
+    * exact aggregates plus `true` for every in-engine error-bound flag.
+    * Every registry query is oracled.
     */
   def oracleSql: Map[String, String] = Map(
+    // sketch values are engine-internal; the oracle checks what a sketch
+    // actually promises — the exact baseline, and bounded error against it
+    "q39_sketch_stats" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS users_ok, TRUE AS p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q37's blobs are real ImageIO-encoded PNGs whose dims are keyed by
     // media_id at encode time; the oracle predicts by formula what a
     // correct ImageIO decode must read back out of the pixel grid
