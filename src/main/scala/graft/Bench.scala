@@ -83,14 +83,24 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = runOnce(name, fn)
+      // queries that persist() intermediates (the MinHash signature table,
+      // q53's dedup prefix) would otherwise stack a second cached copy on
+      // the first run's — drop leftovers between runs so cache pressure
+      // doesn't skew whatever query times next
+      spark.catalog.clearCache()
       val t2 = if (t1 < 0) -1.0 else runOnce(name, fn)
+      spark.catalog.clearCache()
       val best = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
       (name, best, t1)
     }
     // millisecond precision: sub-ms digits are noise, and the emitted line
     // must stay short — the driver's log-tail window has truncated
-    // full-precision JSON mid-line before (round-3 postmortem)
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // full-precision JSON mid-line before (round-3 postmortem).
+    // Locale.ROOT: the default-locale interpolator would emit comma
+    // decimals (invalid JSON) on a comma-decimal JVM.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qsFirst = results.map { case (k, _, t1) => s"\"" + k + "\":" + fmt(t1) }

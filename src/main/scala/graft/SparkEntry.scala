@@ -550,17 +550,24 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id")).as("__approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("__p50_approx"),
-          expr("percentile(value, 0.5)").as("__p50_exact"))
+          expr("percentile(value, 0.45)").as("__p45"),
+          expr("percentile(value, 0.55)").as("__p55"))
         .select(
           col("event_type"),
           col("exact_users"),
-          // default rsd 0.05; 3 sigma with margin
+          // HLL default rsd 0.05; 3 sigma with margin. Flags are int64
+          // 0/1, not BOOLEAN: the round-1 postmortem showed the driver's
+          // hasher canonicalizing non-int64 output types differently than
+          // local DuckDB, and int64 is the proven-safe envelope.
           (abs(col("__approx_users") - col("exact_users"))
-            <= col("exact_users") * 0.15).as("users_ok"),
-          // GK accuracy 10000 => rank error <= n/10000; 1% value tolerance
-          // is orders of magnitude above it on this distribution
-          (abs(col("__p50_approx") - col("__p50_exact"))
-            <= abs(col("__p50_exact")) * 0.01 + 1e-9).as("p50_ok"))
+            <= col("exact_users") * 0.15).cast("long").as("users_ok"),
+          // the GK sketch's guarantee is on RANK error (<= n/10000 at
+          // accuracy 10000), not value error — a value tolerance would
+          // fail on gap-y distributions where adjacent ranks are far
+          // apart. Assert the rank contract: the approx median must lie
+          // within the exact [p45, p55] band, 500x the sketch's bound.
+          col("__p50_approx").between(col("__p45"), col("__p55"))
+            .cast("long").as("p50_ok"))
         .orderBy("event_type")
     },
     // ---- LLM-pipeline: URL/email scrub pass ----
@@ -995,7 +1002,7 @@ object SparkEntry {
     // actually promises — the exact baseline, and bounded error against it
     "q39_sketch_stats" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  TRUE AS users_ok, TRUE AS p50_ok
+        |  CAST(1 AS BIGINT) AS users_ok, CAST(1 AS BIGINT) AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q37's blobs are real ImageIO-encoded PNGs whose dims are keyed by
     // media_id at encode time; the oracle predicts by formula what a
@@ -1042,7 +1049,8 @@ object SparkEntry {
          |  FROM dc JOIN dfq USING (h) GROUP BY doc_id)
          |SELECT doc_id, n_grams, n_boiler,
          |  CAST(${ExactAgg.Sql.divHalfUp("n_boiler * 10000", "n_grams")} AS BIGINT) AS boiler_e4,
-         |  CAST(${ExactAgg.Sql.divHalfUp("n_boiler * 10000", "n_grams")} AS BIGINT) <= 5000 AS keep
+         |  CAST(CASE WHEN CAST(${ExactAgg.Sql.divHalfUp("n_boiler * 10000", "n_grams")} AS BIGINT) <= 5000
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM agg ORDER BY doc_id""".stripMargin,
     "q47_json_raw_lake" ->
       """SELECT event_id, user_id, event_type, value, CAST(length(props) AS INTEGER) AS props_len

@@ -280,7 +280,9 @@ object Text {
         sum(col("c")).as("n_grams"),
         sum(when(col("df") > dfThreshold, col("c")).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_e4", ExactAgg.divHalfUp(col("n_boiler") * 10000, col("n_grams")))
-      .withColumn("keep", col("boiler_e4") <= maxRatioE4)
+      // int64 0/1, not BOOLEAN: oracled output columns stay inside the
+      // proven hasher-safe type envelope (see q39's note in SparkEntry)
+      .withColumn("keep", (col("boiler_e4") <= maxRatioE4).cast("long"))
   }
 
   /** Strip URLs and email addresses (the C4-style pre-training scrub pass).

@@ -196,17 +196,23 @@ object Multimodal {
 
     private def withReader[T](bytes: Array[Byte])(f: javax.imageio.ImageReader => T): Option[T] =
       try {
+        // the stream must be closed explicitly: with ImageIO's default disk
+        // cache, createImageInputStream returns a FileCacheImageInputStream
+        // holding an open fd + temp file — per-blob leaks would exhaust a
+        // long-lived executor's fd table at corpus scale
         val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          if (reader.getFormatName.toLowerCase != "gif") { reader.dispose(); None }
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
           else {
-            reader.setInput(iis)
-            try Some(f(reader)) finally reader.dispose()
+            val reader = readers.next()
+            if (reader.getFormatName.toLowerCase != "gif") { reader.dispose(); None }
+            else {
+              reader.setInput(iis)
+              try Some(f(reader)) finally reader.dispose()
+            }
           }
-        }
+        } finally iis.close()
       } catch { case _: Exception => None }
 
     /** Real container probe: (frame count, first-frame width/height, total
@@ -230,31 +236,41 @@ object Multimodal {
         (n, reader.getWidth(0), reader.getHeight(0), durationMs)
       }
 
-    /** Real per-frame decode: seek to `idx`, decode the frame, return its
-      * pixel grid dims and an md5 over the decoded RGB raster (NOT over the
-      * compressed bytes — this proves the pixels were actually read).
+    /** Real multi-frame decode in ONE reader session: decode each requested
+      * frame's pixel grid, return dims and an md5 over the decoded RGB
+      * raster (NOT over the compressed bytes — this proves the pixels were
+      * actually read). One session matters: GIF frames decode relative to
+      * prior frames, so a fresh reader per frame re-parses the stream up to
+      * the index — O(k·n) for k samples of n frames instead of one pass.
+      * None when the container (or ANY requested frame) fails to decode.
       */
-    def decodeFrame(bytes: Array[Byte], idx: Int): Option[(Int, Int, String)] =
+    def decodeFrames(bytes: Array[Byte], indices: Seq[Int]): Option[Seq[(Int, Int, String)]] =
       withReader(bytes) { reader =>
-        val img = reader.read(idx)
-        val w = img.getWidth
-        val h = img.getHeight
-        val raster = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val off = (y * w + x) * 3
-            raster(off) = ((rgb >> 16) & 0xff).toByte
-            raster(off + 1) = ((rgb >> 8) & 0xff).toByte
-            raster(off + 2) = (rgb & 0xff).toByte
-            x += 1
+        indices.map { idx =>
+          val img = reader.read(idx)
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val off = (y * w + x) * 3
+              raster(off) = ((rgb >> 16) & 0xff).toByte
+              raster(off + 1) = ((rgb >> 8) & 0xff).toByte
+              raster(off + 2) = (rgb & 0xff).toByte
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          (w, h, md5hex(raster))
         }
-        (w, h, md5hex(raster))
       }
+
+    /** Single-frame convenience over [[decodeFrames]]. */
+    def decodeFrame(bytes: Array[Byte], idx: Int): Option[(Int, Int, String)] =
+      decodeFrames(bytes, Seq(idx)).map(_.head)
   }
 
   /** md5 hex of a blob — the content checksum used across the module. */
@@ -350,22 +366,29 @@ object Multimodal {
     media
       .filter(_.kind == "video")
       .flatMap { m =>
-        GifCodec.probe(m.bytes) match {
-          case Some((n, _, _, durationMs)) =>
-            // evenly-spaced sample of min(n, maxFrames) distinct indices
-            val k = math.min(n, maxFrames)
-            (0 until k).iterator.map { i =>
-              val idx = i * n / k
-              val (w, h, sum) = GifCodec.decodeFrame(m.bytes, idx).get
-              (m.media_id, idx, n, w, h, durationMs, sum)
-            }
-          case None =>
-            val step = math.max(1, m.bytes.length / maxFrames)
-            (0 until maxFrames).iterator.map { i =>
-              val from = math.min(i * step, math.max(0, m.bytes.length - 1))
-              val until = math.min(from + step, m.bytes.length)
-              (m.media_id, i, maxFrames, 0, 0, 0L, md5hex(m.bytes.slice(from, until)))
-            }
+        // evenly-spaced sample of min(n, maxFrames) distinct indices, all
+        // decoded in ONE reader session; a blob whose container probes but
+        // whose frames fail to decode (truncated/corrupt LZW) also takes
+        // the quarantine branch instead of failing the task
+        val real = for {
+          probed <- GifCodec.probe(m.bytes)
+          (n, _, _, durationMs) = probed
+          k = math.min(n, maxFrames)
+          idxs = (0 until k).map(_ * n / k)
+          frames <- GifCodec.decodeFrames(m.bytes, idxs)
+        } yield idxs.zip(frames).iterator.map { case (idx, (w, h, sum)) =>
+          (m.media_id, idx, n, w, h, durationMs, sum)
+        }
+        real.getOrElse {
+          // QUARANTINE: n_frames = 0 marks the count unknown (matching the
+          // zeroed dims) rather than echoing the caller's requested sample
+          // count as if it were a decoded fact
+          val step = math.max(1, m.bytes.length / maxFrames)
+          (0 until maxFrames).iterator.map { i =>
+            val from = math.min(i * step, math.max(0, m.bytes.length - 1))
+            val until = math.min(from + step, m.bytes.length)
+            (m.media_id, i, 0, 0, 0, 0L, md5hex(m.bytes.slice(from, until)))
+          }
         }
       }
       .toDF("media_id", "frame_idx", "n_frames", "width", "height", "duration_ms", "frame_checksum")

@@ -135,12 +135,12 @@ class TextSpec extends SparkSpec {
       .toDF("doc_id", "t")
     val out = Text.boilerplateStats(docs, "t", "doc_id",
         n = 3, dfThreshold = 10L, maxRatioE4 = 5000L)
-      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     // each shared-prefix doc: 8 tokens -> 6 trigrams, 4 of which appear in
     // all 12 docs (df 12 > 10): 4/6 = 6667 bp half-up -> dropped
-    assert(out(1L) == ((1L, 6L, 4L, 6667L, false)), out(1L).toString)
+    assert(out(1L) == ((1L, 6L, 4L, 6667L, 0L)), out(1L).toString)
     // the fresh doc: 3 trigrams, none shared -> kept at 0 bp
-    assert(out(20L) == ((20L, 3L, 0L, 0L, true)))
+    assert(out(20L) == ((20L, 3L, 0L, 0L, 1L)))
     // 2-token doc emits no grams and is absent, like explodeNgrams
     assert(!out.contains(21L) && out.size == 13)
   }

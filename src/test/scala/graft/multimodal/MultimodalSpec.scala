@@ -28,8 +28,28 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int, Int, Int, Int, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
     assert(out.size == 4)
     assert(out.map(_._2) == Seq(0, 1, 2, 3))
-    assert(out.forall(r => r._4 == 0 && r._5 == 0)) // quarantine: no decoded dims
+    assert(out.forall(r => r._3 == 0 && r._4 == 0 && r._5 == 0)) // quarantine: unknown count, no dims
     assert(out.map(_._7).distinct.size == 4) // distinct slices -> distinct checksums
+  }
+
+  test("corrupt/truncated video blobs never fail the task: salvage or quarantine") {
+    import Multimodal.MediaRecord
+    val good = Multimodal.GifCodec.encodeGif(8, 8, nFrames = 6, delayCs = 10, seed = 1L)
+    // a frame index past the container must yield None, not a thrown
+    // IndexOutOfBounds — this is the path the old `.get` would crash on
+    assert(Multimodal.GifCodec.decodeFrames(good, Seq(0, 99)).isEmpty)
+    // a mid-stream truncation: the GIF reader salvages the intact frame
+    // prefix (probe reports only complete frames), so sampleFrames must
+    // emit EITHER consistent salvaged rows or quarantine rows — and never
+    // throw
+    val truncated = good.take(good.length / 2)
+    val ds = Seq(MediaRecord(1L, "video", truncated)).toDS()
+    val out = Multimodal.sampleFrames(ds, 4)
+      .as[(Long, Int, Int, Int, Int, Long, String)].collect().toSeq
+    assert(out.nonEmpty)
+    val salvaged = out.forall(r => r._3 > 0 && r._4 == 8 && r._5 == 8)
+    val quarantined = out.forall(r => r._3 == 0 && r._4 == 0 && r._5 == 0)
+    assert(salvaged || quarantined, out.toString)
   }
 
   test("AudioCodec: WAV encode → decode round-trips the exact duration") {
