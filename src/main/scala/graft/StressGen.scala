@@ -151,6 +151,16 @@ object StressGen {
         .count()
       println(s"GRAFT_STRESS   fingerprints plain=$a salted=$b equal=${a == b}")
     }
+    time("q59_boilerplate_filter (10x corpus)") {
+      // the 10× replication is adversarial here too: every original's
+      // shared grams now sit in ≥10 documents, right at the df threshold
+      val scored = functions.Text.boilerplateStats(docs, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = scored.count()
+      val kept = scored.filter(F.col("keep") === 1).count()
+      scored.unpersist()
+      println(s"GRAFT_STRESS   docs scored: $n, kept: $kept")
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()
