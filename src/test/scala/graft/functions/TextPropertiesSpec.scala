@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Property-based invariants for the round-4 text operators: randomized
+  * corpora (not hand-picked fixtures) must uphold the algebraic contracts.
+  * Spark-per-case is slow, so cases are few and small — the point is shape
+  * coverage (empty docs, short docs, heavy repetition), not volume.
+  */
+class TextPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val token: Gen[String] = Gen.oneOf((1 to 12).map(i => s"t$i"))
+  private val doc: Gen[String] =
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+  private val corpus: Gen[Seq[(Long, String)]] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, doc)).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    })
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: salted winnowing equals the single-window form on random corpora") {
+    check(Prop.forAll(corpus) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val plain = Text.winnowFingerprints(df, "text", "doc_id")
+        .as[(Long, Long)].collect().toSet
+      val salted = Text.winnowFingerprintsSalted(df, "text", "doc_id", chunkSize = 4)
+        .as[(Long, Long)].collect().toSet
+      salted == plain
+    })
+  }
+
+  test("property: boilerplateStats counts bounded, keep consistent, gram totals exact") {
+    check(Prop.forAll(corpus) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val out = Text.boilerplateStats(df, "text", "doc_id",
+          n = 3, dfThreshold = 2L, maxRatioE4 = 5000L)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val gramCount = rows.map { case (id, t) =>
+        id -> math.max(0, t.split(" ").count(_.nonEmpty) - 2)
+      }.toMap
+      out.forall { case (id, nGrams, nBoiler, e4, keep) =>
+        0L <= nBoiler && nBoiler <= nGrams &&
+          // n_grams is exactly the doc's token count minus (n-1)
+          nGrams == gramCount(id) &&
+          // the flag is a pure function of the emitted score
+          keep == (if (e4 <= 5000L) 1L else 0L) &&
+          // basis points live in [0, 10000]
+          0L <= e4 && e4 <= 10000L
+      } &&
+        // docs with fewer than n tokens emit no row; everything else does
+        out.map(_._1).toSet == gramCount.filter(_._2 > 0).keySet
+    })
+  }
+}
