@@ -161,6 +161,57 @@ object StressGen {
       scored.unpersist()
       println(s"GRAFT_STRESS   docs scored: $n, kept: $kept")
     }
+    // ---- round-5 family: multimodal codecs at 10× — a mixed PNG/WAV/GIF
+    // corpus (one kind per doc_id mod 3) with a deterministic corrupt
+    // fraction (every 17th blob truncated to a quarter), exercising encode,
+    // probe/decode, quarantine routing and frame sampling. In local mode
+    // executors share this JVM, so /proc/self/fd watches the WHOLE codec
+    // path: a leaked ImageIO/audio stream anywhere shows up as monotone fd
+    // growth across the passes (the Multimodal withReader/encodeGif
+    // try/finally guards are what keep it flat). ----
+    def openFds(): Long = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get("/proc/self/fd"))
+      try s.count() finally s.close()
+    }
+    locally {
+      import spark.implicits._
+      val ids = docs.select(F.col("doc_id"))
+      def corrupt(ds: org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord]) =
+        ds.map { m =>
+          if (m.media_id % 17 == 0)
+            m.copy(bytes = m.bytes.take(math.max(1, m.bytes.length / 4)))
+          else m
+        }
+      val imgs = corrupt(multimodal.Multimodal.synthesizeImages(
+        ids.filter(F.col("doc_id") % 3 === 0), "doc_id"))
+      val auds = corrupt(multimodal.Multimodal.synthesizeAudio(
+        ids.filter(F.col("doc_id") % 3 === 1), "doc_id"))
+      val vids = corrupt(multimodal.Multimodal.synthesizeVideos(
+        ids.filter(F.col("doc_id") % 3 === 2), "doc_id"))
+      val fd0 = openFds()
+      time("q37_media_features (10x mixed media corpus + corrupt fraction)") {
+        val feats = multimodal.Multimodal.extractFeatures(imgs.unionByName(auds).unionByName(vids))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = feats.count()
+        // healthy dims are formula-bounded (< 33 px) or 0 (audio); the
+        // quarantine marker starts at 64 — so width >= 64 counts the blobs
+        // no real codec could parse
+        val quarantined = feats.filter(F.col("width") >= 64).count()
+        val mb = feats.agg(F.sum("n_bytes")).head.getLong(0) / (1 << 20)
+        feats.unpersist()
+        println(s"GRAFT_STRESS   blobs decoded: $n ($mb MiB payload), quarantined: $quarantined")
+      }
+      time("q38_frame_samples (10x video corpus + corrupt fraction)") {
+        val frames = multimodal.Multimodal.sampleFrames(vids, maxFrames = 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = frames.count()
+        val qRows = frames.filter(F.col("n_frames") === 0).count()
+        frames.unpersist()
+        println(s"GRAFT_STRESS   frame rows: $n, quarantine rows: $qRows")
+      }
+      val fd1 = openFds()
+      println(s"GRAFT_STRESS   open fds before=$fd0 after=$fd1 delta=${fd1 - fd0}")
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()

@@ -229,23 +229,24 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame,
       aCol: String = "a_id",
-      bCol: String = "b_id"): DataFrame = {
-    // Eager localCheckpoint after every round: an iterative DataFrame loop
-    // otherwise accumulates the WHOLE upstream pipeline plus every prior
-    // round in each new plan — planning/codegen blows the driver heap long
-    // before the data does. Checkpointing pins the rows and resets the
-    // lineage so each round plans O(1) work. (On a cluster with flaky
-    // executors, swap for reliable `checkpoint()` + setCheckpointDir —
-    // localCheckpoint blocks die with their executor.)
+      bCol: String = "b_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Checkpoint after every round: an iterative DataFrame loop otherwise
+    // accumulates the WHOLE upstream pipeline plus every prior round in
+    // each new plan — planning/codegen blows the driver heap long before
+    // the data does. Checkpointing pins the rows and resets the lineage so
+    // each round plans O(1) work. `checkpointDir` picks the durability:
+    // None → localCheckpoint (fast, but blocks die with their executor);
+    // Some(dir) → reliable checkpoint() into dir, surviving executor loss
+    // on a real cluster (see [[pinner]]).
+    val pin = pinner(pairs.sparkSession, checkpointDir)
     val edges = isolatedCopy(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct()
-        .localCheckpoint(true))
+        .distinct(), true))
     withIterationPartitions(edges) {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("rep", col("id"))
-        .localCheckpoint(true)
+      var labels = pin(edges.select(col("src").as("id")).distinct()
+        .withColumn("rep", col("id")), true)
       var converged = false
       while (!converged) {
         val nbrMin = edges
@@ -256,13 +257,12 @@ object Dedup {
         // ONE action per round: `old_rep` rides along into a LAZY checkpoint,
         // and the convergence aggregate below is the job that materializes
         // it — no separate change-detection join/count job on top.
-        val next = labels.withColumnRenamed("rep", "old_rep")
+        val next = pin(labels.withColumnRenamed("rep", "old_rep")
           .join(nbrMin, Seq("id"), "left")
           .select(
             col("id"),
             least(col("old_rep"), coalesce(col("nbr_rep"), col("old_rep"))).as("rep"),
-            col("old_rep"))
-          .localCheckpoint(false)
+            col("old_rep")), false)
         val changed = next
           .agg(sum(when(col("rep") < col("old_rep"), 1L).otherwise(0L)).as("n"))
           .first().getLong(0)
@@ -299,8 +299,9 @@ object Dedup {
   def duplicateClustersLogN(
       pairs: DataFrame,
       aCol: String = "a_id",
-      bCol: String = "b_id"): DataFrame =
-    duplicateClustersLogNWithRounds(pairs, aCol, bCol)._1
+      bCol: String = "b_id",
+      checkpointDir: Option[String] = None): DataFrame =
+    duplicateClustersLogNWithRounds(pairs, aCol, bCol, checkpointDir)._1
 
   /** [[duplicateClustersLogN]] plus the round count it took to converge —
     * exposed so specs can assert the O(log n) bound instead of trusting it.
@@ -308,17 +309,18 @@ object Dedup {
   def duplicateClustersLogNWithRounds(
       pairs: DataFrame,
       aCol: String = "a_id",
-      bCol: String = "b_id"): (DataFrame, Int) = {
+      bCol: String = "b_id",
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // No input distinct: candidate generators already emit distinct pairs,
     // and duplicates are harmless here anyway — every round's output is
     // distinct-ed, and round 1's min-aggregates are duplicate-insensitive —
     // so a distinct of the LARGEST relation in the computation would buy
     // nothing but its own shuffle. Lazy checkpoint: the sizing count() in
     // withIterationPartitions is the action that materializes it.
-    var edges = isolatedCopy(pairs
+    val pin = pinner(pairs.sparkSession, checkpointDir)
+    var edges = isolatedCopy(pin(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .localCheckpoint(false))
+      .filter(col("u") =!= col("v")), false))
     withIterationPartitions(edges) {
       var rounds = 0
       var converged = false
@@ -345,7 +347,7 @@ object Dedup {
           .unionByName(smallMin.select(col("u").as("u2"), col("m").as("v2")))
           .select(col("u2").as("u"), col("v2").as("v"))
           .distinct()
-          .localCheckpoint(false)
+          .transform(df => pin(df, false))
         // exact set equality via full-outer mismatch count — the ONE action
         // of the round; it also materializes `next`'s checkpoint.
         val mismatch = next.withColumn("ln", lit(1))
@@ -362,6 +364,28 @@ object Dedup {
     }
   }
 
+  /** Lineage-pinning strategy for the iterative CC loops, picked by
+    * `checkpointDir`:
+    *   - None → `localCheckpoint`: blocks live on executor local storage —
+    *     fast, but an executor loss mid-loop kills the computation;
+    *   - Some(dir) → reliable `checkpoint()` into `dir` (HDFS/S3 on a real
+    *     cluster): each round's state survives executor loss at the cost of
+    *     a filesystem write per round.
+    * `setCheckpointDir` is SparkContext-global (shared with the
+    * [[isolatedCopy]] session by design — the checkpoint RDDs themselves
+    * are session-independent).
+    */
+  private def pinner(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: Option[String]): (DataFrame, Boolean) => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        (df, eager) => df.checkpoint(eager)
+      case None =>
+        (df, eager) => df.localCheckpoint(eager)
+    }
+
   /** Re-bind a DataFrame onto a FRESH SparkSession (same SparkContext,
     * separate SQL conf) so the iterative loop's conf mutation below cannot
     * leak into queries concurrently planned on the caller's session. The
@@ -369,9 +393,23 @@ object Dedup {
     * extra row-conversion pass over the (already-checkpointed) narrow edge
     * relation, paid once — every derived frame inside the loop then plans
     * natively on the isolated session.
+    *
+    * `newSession()` starts from SparkContext-level conf only, so the
+    * caller's RUNTIME overrides (ANSI mode, session timezone, case
+    * sensitivity …) are replayed onto the fresh session first — the loop
+    * must plan under the caller's semantics, just not leak its own
+    * shuffle-partition mutation back. Static/immutable keys throw on set
+    * and are skipped (they're shared through the context anyway).
     */
   private def isolatedCopy(df: DataFrame): DataFrame = {
-    val fresh = df.sparkSession.newSession()
+    val caller = df.sparkSession
+    val fresh = caller.newSession()
+    caller.conf.getAll.foreach { case (k, v) =>
+      if (!fresh.conf.getOption(k).contains(v)) {
+        try fresh.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
     fresh.createDataFrame(df.rdd, df.schema)
   }
 

@@ -252,12 +252,19 @@ object Text {
     * Scale shape: the n-gram explode is the [[explodeNgrams]] codegen pass,
     * but every shuffle after it carries the 60-bit [[Dedup.tokenHash64]] of
     * the gram, never the gram text — (id, hash, cnt) rows into a two-phase
-    * count, (hash, df) back out, and a broadcast-friendly re-join. The
-    * document-frequency relation is corpus-vocabulary-sized, not
-    * corpus-sized. Collisions of the 60-bit hash conflate two grams'
-    * frequencies — at ~10⁹ distinct grams the birthday bound is ~0.04%% of
-    * pairs, noise against a >dfThreshold cutoff (and the DuckDB oracle
-    * reproduces the identical hashing, so the gate is still exact).
+    * count. Only grams with `df > dfThreshold` affect the result, so the
+    * document-frequency relation is filtered down to the BOILERPLATE
+    * vocabulary before it ever meets `perDoc` again: `n_grams` comes from
+    * `perDoc` alone, and `n_boiler` from a broadcast LEFT join against the
+    * filtered vocabulary. At a 10⁹-distinct-gram corpus this broadcasts the
+    * ~10⁴ grams repetitive enough to clear the cutoff instead of shuffling
+    * the full vocabulary (boilerplate is by definition a small set of very
+    * frequent grams; a corpus where most grams clear `dfThreshold` has
+    * bigger problems than this join). Collisions of the 60-bit hash
+    * conflate two grams' frequencies — at ~10⁹ distinct grams the birthday
+    * bound is ~0.04%% of pairs, noise against a >dfThreshold cutoff (and
+    * the DuckDB oracle reproduces the identical hashing, so the gate is
+    * still exact).
     *
     * Output: (idCol, n_grams, n_boiler, boiler_e4, keep) — documents with
     * fewer than n tokens emit no grams and are absent, as in
@@ -273,12 +280,16 @@ object Text {
     val grams = explodeNgrams(docs.select(col(idCol), col(textCol)), textCol, n)
       .select(col(idCol), Dedup.tokenHash64(col("ng")).as("h"))
     val perDoc = grams.groupBy(idCol, "h").agg(count(lit(1)).as("c"))
-    val dfreq = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
-    perDoc.join(dfreq, Seq("h"))
+    // the boilerplate vocabulary: grams frequent enough to clear the cutoff
+    // — tiny by construction, broadcast so perDoc is never shuffled again
+    val boilerVocab = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfThreshold)
+      .select(col("h"), lit(1L).as("is_boiler"))
+    perDoc.join(broadcast(boilerVocab), Seq("h"), "left")
       .groupBy(idCol)
       .agg(
         sum(col("c")).as("n_grams"),
-        sum(when(col("df") > dfThreshold, col("c")).otherwise(0L)).as("n_boiler"))
+        sum(when(col("is_boiler").isNotNull, col("c")).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_e4", ExactAgg.divHalfUp(col("n_boiler") * 10000, col("n_grams")))
       // int64 0/1, not BOOLEAN: oracled output columns stay inside the
       // proven hasher-safe type envelope (see q39's note in SparkEntry)

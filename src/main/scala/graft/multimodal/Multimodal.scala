@@ -160,6 +160,11 @@ object Multimodal {
       val writer = ImageIO.getImageWritersByFormatName("gif").next()
       val bos = new java.io.ByteArrayOutputStream()
       val ios = ImageIO.createImageOutputStream(bos)
+      // try/finally mirrors the decode side's withReader: with ImageIO's
+      // default disk cache the output stream holds an open fd + temp file,
+      // and encodeGif runs per row on executors — an exception mid-sequence
+      // must not leak either the fd or the native writer
+      try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       var f = 0
@@ -189,8 +194,10 @@ object Multimodal {
         f += 1
       }
       writer.endWriteSequence()
-      ios.close()
-      writer.dispose()
+      } finally {
+        // close before toByteArray: the image stream buffers ahead of bos
+        try ios.close() finally writer.dispose()
+      }
       bos.toByteArray
     }
 
@@ -382,11 +389,15 @@ object Multimodal {
         real.getOrElse {
           // QUARANTINE: n_frames = 0 marks the count unknown (matching the
           // zeroed dims) rather than echoing the caller's requested sample
-          // count as if it were a decoded fact
-          val step = math.max(1, m.bytes.length / maxFrames)
-          (0 until maxFrames).iterator.map { i =>
-            val from = math.min(i * step, math.max(0, m.bytes.length - 1))
-            val until = math.min(from + step, m.bytes.length)
+          // count as if it were a decoded fact. Row count is bounded by the
+          // blob itself — min(maxFrames, len) proportional DISJOINT slices —
+          // so a tiny corrupt blob can't fan out into maxFrames rows sharing
+          // one repeated checksum (and an empty blob yields exactly one row).
+          val len = m.bytes.length
+          val k = math.min(maxFrames, math.max(1, len))
+          (0 until k).iterator.map { i =>
+            val from = (i.toLong * len / k).toInt
+            val until = ((i + 1).toLong * len / k).toInt
             (m.media_id, i, 0, 0, 0, 0L, md5hex(m.bytes.slice(from, until)))
           }
         }

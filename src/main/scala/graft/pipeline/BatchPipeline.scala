@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.agg.BatchAggregates
 import graft.ops.Cleaning
@@ -24,35 +25,51 @@ object BatchPipeline {
     * @param outDir    sink root; detail + one dir per aggregate table
     * @param reportDate partition to process, `yyyy-MM-dd`
     */
-  def run(spark: SparkSession, lakePath: String, outDir: String, reportDate: String): Result = {
-    val raw = Sinks.readLakePartition(spark, lakePath, "event_date", reportDate)
+  def run(spark: SparkSession, lakePath: String, outDir: String, reportDate: String): Result =
+    run(spark, Sinks.readLakePartition(spark, lakePath, "event_date", reportDate),
+      outDir, reportDate)
+
+  /** Frame-input flavor: same pipeline with the scan supplied by the caller
+    * (tests instrument it with an accumulator to assert the single-pass
+    * contract below).
+    */
+  def run(spark: SparkSession, raw: DataFrame, outDir: String, reportDate: String): Result = {
     if (raw.isEmpty) return Result(0L, Map.empty) // P5 empty-input short-circuit
 
     val deduped = Cleaning.dedupByKey(raw, Seq("event_id"), Seq(col("ts").desc))
+    // Single-pass fan-out: the detail sink plus five aggregates all consume
+    // `enriched` — without a persist each sink's action re-executes the
+    // scan+dedup+enrich prefix, six full lake-partition scans at 100 TB
+    // (the reference accepts exactly this cost per streaming query, SURVEY
+    // §3.1; the streaming side here already fixed it via `startFanOut`).
+    // MEMORY_AND_DISK: a day's enriched partition that outgrows executor
+    // memory spills to local disk rather than recomputing.
     val enriched = EventsPipeline.enrich(deduped)
       .withColumn("report_date", lit(reportDate).cast("date")) // D6
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // detail docs: keyed upsert (S5 semantics)
+      Sinks.writeKeyedUpsert(
+        enriched, Seq("doc_id"), Seq(col("ts").desc), s"$outDir/detail")
 
-    // detail docs: keyed upsert (S5 semantics)
-    Sinks.writeKeyedUpsert(
-      enriched, Seq("doc_id"), Seq(col("ts").desc), s"$outDir/detail")
-
-    // aggregate tables (A2-A7 shapes)
-    val aggs: Map[String, DataFrame] = Map(
-      "type_stats" -> BatchAggregates.dimensionStats(
-        enriched, Seq("event_type_clean"), "value", col("is_high_value")),
-      "region_stats" -> BatchAggregates.dimensionStats(
-        enriched, Seq("region", "category"), "value", col("is_high_value")),
-      "category_percentiles" -> BatchAggregates.percentileStats(
-        enriched, Seq("category"), "value"),
-      "temporal_stats" -> BatchAggregates.temporalStats(
-        enriched, "dow", "month", "value"),
-      "tier_distribution" -> BatchAggregates.distribution(
-        enriched, "value_tier", "category"))
-    val counts = aggs.map { case (name, df) =>
-      val stamped = df.withColumn("report_date", lit(reportDate).cast("date"))
-      stamped.write.mode("overwrite").parquet(s"$outDir/$name")
-      name -> spark.read.parquet(s"$outDir/$name").count()
-    }
-    Result(spark.read.parquet(s"$outDir/detail").count(), counts)
+      // aggregate tables (A2-A7 shapes)
+      val aggs: Map[String, DataFrame] = Map(
+        "type_stats" -> BatchAggregates.dimensionStats(
+          enriched, Seq("event_type_clean"), "value", col("is_high_value")),
+        "region_stats" -> BatchAggregates.dimensionStats(
+          enriched, Seq("region", "category"), "value", col("is_high_value")),
+        "category_percentiles" -> BatchAggregates.percentileStats(
+          enriched, Seq("category"), "value"),
+        "temporal_stats" -> BatchAggregates.temporalStats(
+          enriched, "dow", "month", "value"),
+        "tier_distribution" -> BatchAggregates.distribution(
+          enriched, "value_tier", "category"))
+      val counts = aggs.map { case (name, df) =>
+        val stamped = df.withColumn("report_date", lit(reportDate).cast("date"))
+        stamped.write.mode("overwrite").parquet(s"$outDir/$name")
+        name -> spark.read.parquet(s"$outDir/$name").count()
+      }
+      Result(spark.read.parquet(s"$outDir/detail").count(), counts)
+    } finally enriched.unpersist(blocking = false)
   }
 }

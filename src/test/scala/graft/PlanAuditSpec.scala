@@ -81,6 +81,12 @@ class PlanAuditSpec extends SparkSpec {
       .forall(_.urlEncodedPath.contains("event_date=2026-01-03")))
   }
 
+  test("q61: ORC read path pushes both predicates into the ORC scan") {
+    val p = plan("q61_orc_lake")
+    assert(p.contains("PushedFilters"), p.take(800))
+    assert(p.contains("event_id") && p.contains("event_type"), p.take(800))
+  }
+
   test("q55: decontamination exchanges carry fingerprint/id longs, never document text") {
     val exchanges = plan("q55_decontamination")
       .linesIterator.filter(_.contains("Exchange")).toList
@@ -95,5 +101,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(l => l.contains("text") || l.contains("ng#")),
       s"an exchange carries document/gram text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q59: the boilerplate join's right side is the FILTERED vocabulary, broadcast") {
+    // perDoc must never be shuffled a second time against the full
+    // vocabulary: the plan joins it (left, broadcast) against only the
+    // df > threshold grams. A SortMergeJoin or a ShuffledHashJoin on the
+    // vocab relation means the filter/broadcast regressed to the round-4
+    // full-vocabulary shuffle join.
+    val p = plan("q59_boilerplate_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // the broadcast build side carries the df-threshold filter
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("df#")),
+      "no df > threshold Filter feeding the vocabulary broadcast:\n" +
+        p.linesIterator.filter(_.contains("Filter")).mkString("\n"))
   }
 }

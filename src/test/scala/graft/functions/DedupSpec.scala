@@ -124,6 +124,37 @@ class DedupSpec extends SparkSpec {
     assert(out.length == n + 1 && out.forall(_._2 == 0L))
   }
 
+  test("CC reliable-checkpoint mode: both loops agree with localCheckpoint mode, files land in the dir") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L)).toDF("a_id", "b_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
+    val viaReliable = Dedup.duplicateClusters(pairs, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    val viaReliableLogN = Dedup.duplicateClustersLogN(pairs, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(viaReliable == expected)
+    assert(viaReliableLogN == expected)
+    // reliable mode actually wrote checkpoint RDDs (the executor-loss-safe
+    // copies localCheckpoint doesn't make)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no checkpoint files under $ckpt")
+  }
+
+  test("isolatedCopy replays the caller's runtime conf onto the private CC session") {
+    val key = "spark.sql.session.timeZone"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try {
+      val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+      val labels = Dedup.duplicateClustersLogN(pairs)
+      assert(labels.sparkSession ne spark)
+      // the private session must plan under the caller's semantics
+      assert(labels.sparkSession.conf.get(key) == "America/New_York")
+      assert(labels.count() == 2)
+    } finally spark.conf.set(key, before)
+  }
+
   test("CC runs on an isolated session: caller conf untouched while the loop runs") {
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)

@@ -30,6 +30,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(0, 1, 2, 3))
     assert(out.forall(r => r._3 == 0 && r._4 == 0 && r._5 == 0)) // quarantine: unknown count, no dims
     assert(out.map(_._7).distinct.size == 4) // distinct slices -> distinct checksums
+    // blobs shorter than maxFrames emit one row per byte (disjoint slices,
+    // no repeated checksums of the same window); empty blobs exactly one row
+    val tiny = Multimodal.sampleFrames(media((3L, "video", "ab"), (4L, "video", "")), 4)
+      .as[(Long, Int, Int, Int, Int, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val (twoByte, empty) = tiny.partition(_._1 == 3L)
+    assert(twoByte.size == 2 && twoByte.map(_._7).distinct.size == 2, twoByte.toString)
+    assert(empty.size == 1, empty.toString)
   }
 
   test("corrupt/truncated video blobs never fail the task: salvage or quarantine") {

@@ -45,6 +45,31 @@ class PipelinesSpec extends SparkSpec {
     assert(r == BatchPipeline.Result(0L, Map.empty))
   }
 
+  test("BatchPipeline.run executes the scan+dedup+enrich prefix ONCE across the 6-sink fan-out") {
+    val out = tmpDir() + "/out"
+    val acc = spark.sparkContext.longAccumulator("batch-prefix-rows")
+    // instrument the raw scan so every evaluation of the shared prefix bumps
+    // the accumulator once per row; single partition so the isEmpty guard's
+    // limit-1 probe touches at most one extra row
+    val raw = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "click", 50.0, """{"k": 4}""", "2024-01-01"),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:01"), 5L, "click", 50.0, """{"k": 4}""", "2024-01-01"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 6L, "purchase", 120.0, """{"k": 2}""", "2024-01-01"),
+      (3L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "error", 10.0, """{"k": 1}""", "2024-01-01"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "event_date")
+      .repartition(1)
+      .as[(Long, Timestamp, Long, String, Double, String, String)]
+      .map { r => acc.add(1); r }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "event_date")
+    val r = BatchPipeline.run(spark, raw, out, "2024-01-01")
+    assert(r.detailRows == 3) // dup event_id collapsed
+    // detail sink + 5 aggregate tables all fan out of the persisted
+    // `enriched`: one pass over the 4 raw rows plus the isEmpty probe.
+    // Without the persist this is 6 passes = 24+ evaluations.
+    assert(acc.value <= 4L + 2L && acc.value >= 4L,
+      s"prefix row-evaluations = ${acc.value}, expected one pass (4) + isEmpty probe")
+  }
+
   test("StreamPipeline: decode -> enrich -> fan-out with upsert agg sinks") {
     val out = tmpDir() + "/out"
     val ckpt = tmpDir() + "/ckpt"
