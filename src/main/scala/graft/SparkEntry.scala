@@ -639,6 +639,31 @@ object SparkEntry {
         .where(col("event_type") === "click" && col("event_id") < 1000)
         .orderBy("event_id")
     },
+    // ---- k-means training as a GATED query (previously test-only): train
+    // 3 Lloyd's iterations, then emit the contract any correct trainer
+    // keeps — every vector lands in a cell of [0, k), and the trained
+    // model's cosine inertia is no worse than the init model's (Lloyd's
+    // monotonicity; 1e-6 relative slack for float summation). Exact
+    // centroid values are float-ulp engine-internal — like q39's sketches,
+    // the ORACLE-able part is the envelope, and the bench times the real
+    // training loop (assignment ladders + per-(cell,dim) means) ----
+    "q62_kmeans_train" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = 8
+      val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(k)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val trained = Similarity.kmeansCentroids(emb, k, iters = 3)
+      val improved = Similarity.kmeansInertia(emb, trained) <=
+        Similarity.kmeansInertia(emb, init) * (1 + 1e-6)
+      val centsIdx = trained.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      emb.select(Similarity.nearestCentroid(col("embedding"), centsIdx).as("cell_id"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          coalesce(
+            (max(col("cell_id")) < k && min(col("cell_id")) >= 0).cast("long"),
+            lit(0L)).as("cells_ok"))
+        .withColumn("inertia_improved", lit(if (improved) 1L else 0L))
+    },
     // ---- LLM-pipeline: URL/email scrub pass ----
     "q41_text_scrub" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -1088,6 +1113,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type = 'click' AND event_id < 1000
         |ORDER BY event_id""".stripMargin,
+    // q62: the envelope any correct k-means keeps (assignment range +
+    // Lloyd's inertia monotonicity) — exact centroids are float-ulp
+    // engine-internal, like q39's sketch registers
+    "q62_kmeans_train" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(1 AS BIGINT) AS cells_ok,
+        |  CAST(1 AS BIGINT) AS inertia_improved
+        |FROM embeddings""".stripMargin,
     // q37's blobs are real ImageIO-encoded PNGs whose dims are keyed by
     // media_id at encode time; the oracle predicts by formula what a
     // correct ImageIO decode must read back out of the pixel grid

@@ -179,6 +179,34 @@ object Similarity {
     corpus.select(col(idCol), nearestCentroid(col(embCol), centsIdx).as("cell_id"))
   }
 
+  /** Cosine inertia of a centroid model over a corpus:
+    * Σ (1 − cos(v, centroid(v))) with each row scored against its OWN
+    * nearest centroid. One linear pass — assignment is the zero-shuffle
+    * [[nearestCentroid]] ladder, and the per-row score reuses the same
+    * argmax structs' `s` field shape via a second cosine against the
+    * assigned centroid inlined from the (k × dims) model. The result is a
+    * model-quality scalar (Lloyd's iterations must not increase it), used
+    * by the q62 gate to assert training actually improved the model.
+    */
+  def kmeansInertia(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      embCol: String = "embedding"): Double = {
+    val centsIdx = centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // best score per row = max over cells — same ladder as nearestCentroid,
+    // keeping the `s` field instead of the id; pure per-row codegen
+    val best =
+      if (centsIdx.length == 1)
+        CosineSimilarity.cosineNative(col(embCol), litVec(centsIdx.head._2))
+      else
+        greatest(centsIdx.map { case (_, vec) =>
+          CosineSimilarity.cosineNative(col(embCol), litVec(vec))
+        }: _*)
+    corpus
+      .agg(sum(lit(1.0) - best).as("inertia"))
+      .head().getDouble(0)
+  }
+
   /** Deterministic random-hyperplane (SimHash) LSH bucket id: `nBits` sign
     * bits of projections onto pseudo-random hyperplanes derived from a seed.
     *

@@ -72,17 +72,26 @@ object Multimodal {
     }
 
     /** Real decode: parse the blob, return (width, height) from the pixel
-      * grid. None when the bytes aren't a parseable image.
+      * grid. None when the bytes aren't a parseable image — including the
+      * TRUNCATED case: `ImageIO.read` returns null only for unrecognized
+      * bytes, but THROWS (EOFException et al.) once a reader has matched
+      * the magic and then hits the cut — found by the 10× corrupt-fraction
+      * stress soak, where quarter-truncated PNGs killed tasks instead of
+      * quarantining.
       */
     def decode(bytes: Array[Byte]): Option[(Int, Int)] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map(img => (img.getWidth, img.getHeight))
+      catch { case _: Exception => None }
 
     /** Real resize: decode → bilinear scale to width×height → PNG
-      * re-encode. None when the input bytes aren't a parseable image.
+      * re-encode. None when the input bytes aren't a parseable image
+      * (truncated blobs included — see [[decode]]).
       */
-    def resizePng(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { src =>
+    def resizePng(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = (
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    ).map { src =>
         val dst = new java.awt.image.BufferedImage(
           width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = dst.createGraphics()

@@ -29,6 +29,35 @@ class SimilaritySpec extends SparkSpec {
     assert(cellsPerCone.flatten.toSet.size == 3)
   }
 
+  test("kmeansInertia: zero for a perfect model, monotone non-increasing under training") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      val eps = 0.05f * ((i % 7) - 3)
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = eps
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // a model that IS the corpus directions scores near 0: each row's cos
+    // to its cone axis is 1 − O(eps²) ≈ ≥ 0.989, so the 30-row SUM stays
+    // under 30 × 0.011 ≈ 0.33 — far below the ≥ 10 a wrong model scores
+    val axes = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    assert(Similarity.kmeansInertia(df, axes) < 0.35)
+    // Lloyd's monotonicity: each extra iteration can only reduce inertia
+    // (to float slack) — the q62 gate's contract
+    val init = df.orderBy("vec_id").limit(3)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val inertias = Seq(
+      Similarity.kmeansInertia(df, init),
+      Similarity.kmeansInertia(df, Similarity.kmeansCentroids(df, 3, iters = 1)),
+      Similarity.kmeansInertia(df, Similarity.kmeansCentroids(df, 3, iters = 3)))
+    assert(inertias.sliding(2).forall { case Seq(a, b) => b <= a * (1 + 1e-6) },
+      inertias.toString)
+  }
+
   test("single centroid (k=1 kmeans, nCells=1 IVF) assigns without greatest()'s 2-arg minimum") {
     import spark.implicits._
     val df = Seq(

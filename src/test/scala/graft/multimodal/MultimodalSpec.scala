@@ -22,6 +22,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.head.checksum == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
 
+  test("truncated PNG (magic intact, body cut) quarantines instead of failing the task") {
+    import Multimodal.MediaRecord
+    val good = Multimodal.ImageCodec.encodePng(16, 16, seed = 3L)
+    val truncated = good.take(good.length / 4) // PNG signature survives, IDAT doesn't
+    // ImageIO.read THROWS here rather than returning null — the decode
+    // guard must turn that into the quarantine path (10x stress finding)
+    assert(Multimodal.ImageCodec.decode(truncated).isEmpty)
+    assert(Multimodal.ImageCodec.resizePng(truncated, 4, 4).isEmpty)
+    val out = Multimodal.extractFeatures(
+      Seq(MediaRecord(1L, "image", truncated)).toDS()).collect()
+    assert(out.length == 1 && out.head.width >= 64) // quarantine marker dims
+  }
+
   test("sampleFrames: unparseable video quarantines to byte-slice checksums; non-video dropped") {
     val ds = media((1L, "video", "0123456789abcdef"), (2L, "image", "xyz"))
     val out = Multimodal.sampleFrames(ds, 4)
