@@ -81,6 +81,29 @@ class PlanAuditSpec extends SparkSpec {
       .forall(_.urlEncodedPath.contains("event_date=2026-01-03")))
   }
 
+  test("q60: sketches aggregate as map-side PARTIALS before the exchange (mergeable path)") {
+    // the whole point of the production sketch query: HLL registers and
+    // GK summaries must combine map-side (partial_*) and merge after one
+    // narrow shuffle — if the plan ever degrades to a single-phase
+    // aggregate, the 100 TB mergeability claim is gone
+    val p = plan("q60_sketch_production")
+    assert(p.contains("partial_approx_count_distinct"),
+      p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+    assert(p.contains("partial_percentile_approx"),
+      p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+  }
+
+  test("q62: k-means assignment evaluates as per-row expressions — no exchange before the final agg") {
+    // nearestCentroid inlines the (k x dims) model as literals; the corpus
+    // pass must be scan -> project -> partial agg, with exactly the one
+    // single-row final-aggregate exchange
+    val p = plan("q62_kmeans_train")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.size == 1, s"expected exactly 1 exchange:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"an exchange carries embedding payloads:\n${exchanges.mkString("\n")}")
+  }
+
   test("q61: ORC read path pushes both predicates into the ORC scan") {
     val p = plan("q61_orc_lake")
     assert(p.contains("PushedFilters"), p.take(800))
