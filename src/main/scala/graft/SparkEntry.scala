@@ -283,6 +283,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("query_id", "rank")
     },
+    // ---- LLM-pipeline: int8-quantized ANN (the 4x-memory scale path).
+    // Value-oracled exactly: quantized components come from identical IEEE
+    // floor(x/maxabs*127+0.5) ops in both engines, and the quantized
+    // cosine's dot/norm sums are integers < 2^53 (exact in any order),
+    // leaving one sqrt+division on identical doubles ----
+    "q63_int8_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    },
     // ---- LLM-pipeline: LSH-bucketed ANN pairs (scale path; oracled via generated SQL) ----
     "q29_lsh_ann_pairs" -> { (s, dir) =>
       Similarity.lshCandidatePairs(Tables.embeddings(s, dir), dims = 64, nBits = 12, seed = 7L)
@@ -1467,6 +1477,30 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS s
         |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, ROUND(s, 4) AS sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // q63: DuckDB reproduces the quantizer bit-for-bit (identical IEEE
+    // floor(x/ma*127+0.5) over exact float->double casts), and the
+    // quantized values are small integers, so the double-typed dot/norm
+    // sums below are EXACT — the one sqrt+division then matches the
+    // engine's Int8Cosine to the last ulp, same as q28's precedent
+    "q63_int8_ann" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_transform(dv, x -> floor(x / ma * 127.0 + 0.5)) AS qv
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) AS ma
+        |        FROM embeddings)),
+        |q AS (SELECT vec_id, qv FROM base WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) /
+        |      (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.qv, x -> x * x)))) AS s
+        |  FROM q CROSS JOIN base c WHERE c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, ROUND(s, 4) AS sim,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INTEGER) AS rank
         |FROM scored

@@ -54,6 +54,30 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Brute-force top-k over int8-QUANTIZED vectors ([[Int8Ops]]) — the
+    * memory-bandwidth scale path: the corpus-resident vector set shrinks 4×
+    * (64 bytes vs 256 per 64-dim vector), which at 100 TB is the difference
+    * between a cached ANN working set and a spilling one. Per-vector
+    * max-abs quantization preserves cosine ordering up to quantization
+    * error (cosine is scale-invariant). Same no-payload-exchange shape as
+    * [[bruteForceTopK]]: queries broadcast, scores projected narrow before
+    * the per-query top-k window.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), Int8Ops.quantizeInt8Native(col("embedding")).as("qvec"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), Int8Ops.quantizeInt8Native(col("embedding")).as("query_qvec"))
+    val scored = c
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Int8Ops.cosineInt8Native(col("query_qvec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `nCells` inverted
     * lists, probe the `nProbe` closest cells per query, exact-rank only
     * those candidates. Centroids are deterministic exemplars (the first

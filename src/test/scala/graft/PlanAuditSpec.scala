@@ -22,8 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(Seq("l_shipdate", "l_discount", "l_quantity").forall(p.contains), p.take(600))
   }
 
-  test("ANN plans never exchange embedding payloads (q29, q43)") {
-    Seq("q29_lsh_ann_pairs", "q43_ivf_ann").foreach { q =>
+  test("ANN plans never exchange embedding payloads (q29, q43, q63)") {
+    Seq("q29_lsh_ann_pairs", "q43_ivf_ann", "q63_int8_ann").foreach { q =>
       val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
       assert(exchanges.nonEmpty, s"$q: expected exchanges in the plan")
       assert(

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class Int8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quantizeRef(v: Array[Float]): Array[Byte] = {
+    val ma = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+    if (ma == 0.0) new Array[Byte](v.length)
+    else v.map(x => math.floor(x.toDouble / ma * 127.0 + 0.5).toByte)
+  }
+
+  private def cosineRef(a: Array[Byte], b: Array[Byte]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+    val na = a.map(x => x.toLong * x).sum
+    val nb = b.map(x => x.toLong * x).sum
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  test("quantizeInt8: known values, max element hits exactly ±127, zero vector stays zero") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(-2.0f, 1.0f, 0.0f, 0.5f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), Int8Ops.quantizeInt8Native(col("embedding")).as("q"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(out(1L).toSeq == Seq[Byte](127, -63, 32, 0))
+    assert(out(2L).toSeq == Seq[Byte](-127, 64, 0, 32))
+    assert(out(3L).toSeq == Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("codegen path matches the Scala reference on random vectors (quantize + cosine)") {
+    val rnd = new scala.util.Random(77)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 4.0f))
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), Int8Ops.quantizeInt8Native(col("embedding")).as("q"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id).toSeq == quantizeRef(v).toSeq, s"vec $id quantization diverged")
+    }
+    // pairwise int8 cosine through the engine == pure-Scala reference, bit-exact
+    val pairs = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Int8Ops.cosineInt8Native(
+          Int8Ops.quantizeInt8Native(col("a.embedding")),
+          Int8Ops.quantizeInt8Native(col("b.embedding"))).as("sim"))
+      .as[(Long, Long, Double)].collect()
+    val byId = vecs.toMap
+    pairs.foreach { case (a, b, sim) =>
+      val exp = cosineRef(quantizeRef(byId(a)), quantizeRef(byId(b)))
+      assert(sim == exp, s"pair ($a,$b): engine $sim != reference $exp")
+    }
+  }
+
+  test("int8 cosine approximates float cosine within quantization error; ranking preserved on separated clusters") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2.0f))
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val both = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("f"),
+        Int8Ops.cosineInt8Native(
+          Int8Ops.quantizeInt8Native(col("a.embedding")),
+          Int8Ops.quantizeInt8Native(col("b.embedding"))).as("i8"))
+      .as[(Double, Double)].collect()
+    // 64-dim max-abs int8: per-element error <= 0.5/127 of the scale; the
+    // cosine deviation stays comfortably inside 0.02 on random data
+    both.foreach { case (f, i8) => assert(math.abs(f - i8) < 0.02, s"float $f vs int8 $i8") }
+    // top-k agreement on the q63 shape: int8 ranking equals float ranking
+    // when neighbors are well separated (here: exact-duplicate vectors)
+    val clustered = (vecs.take(5) ++ vecs.take(5).map { case (id, v) => (id + 100, v) })
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val top = Similarity.int8TopK(clustered, clustered.filter(col("vec_id") < 5), 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach(q => assert(top(q) == q + 100, s"query $q: got ${top(q)}"))
+  }
+}
