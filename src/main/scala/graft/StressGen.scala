@@ -99,6 +99,20 @@ object StressGen {
         .lshCandidatePairs(embs, dims = 64, nBits = 12, seed = 7L)
       println(s"GRAFT_STRESS   ann pairs: ${p.count()}")
     }
+    time("q63_int8_ann (10x corpus, 100 queries)") {
+      // int8 vs float brute-force top-10 over the 10× vector corpus:
+      // recall@10 measures what the 4× memory saving costs in ranking
+      // fidelity (exact-duplicate cliques from the replication make the
+      // true neighbors unambiguous)
+      val queries = embs.filter(F.col("vec_id") < 100)
+      val i8 = functions.Similarity.int8TopK(embs, queries, 10)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val fl = functions.Similarity.bruteForceTopK(embs, queries, 10)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val overlap = i8.intersect(fl).count()
+      val total = fl.count()
+      println(f"GRAFT_STRESS   recall@10 vs float: $overlap/$total = ${100.0 * overlap / total}%.1f%%")
+    }
     time("q55_decontamination (10x corpus)") {
       val n = ops.Sampling.contaminationReport(docs, "text", "doc_id").count()
       println(s"GRAFT_STRESS   contaminated eval docs: $n")

@@ -109,5 +109,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      (children: Seq[Expression]) => QuantizeInt8(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_int8"),
+      new ExpressionInfo(classOf[Int8Cosine].getName, "cosine_int8"),
+      (children: Seq[Expression]) => Int8Cosine(children.head, children(1))))
   }
 }

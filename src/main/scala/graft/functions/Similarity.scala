@@ -115,23 +115,44 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Cell assignment is [[nearestCentroid]] — ZERO corpus shuffle. The
-    // earlier row_number() window on vec_id exchanged the whole corpus
-    // WITH embedding payloads just to pick each row's best cell.
-    val centroids: Array[(Long, Array[Float])] = corpus
+    // exemplar centroids: the nCells lowest-id vectors (deterministic, so
+    // the SQL oracle reproduces them); swap for [[kmeansCentroids]] output
+    // via [[ivfTopKWithCentroids]] with no other change
+    val exemplars: Array[Array[Float]] = corpus
       .filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    ivfTopKWithCentroids(corpus, queries, exemplars, nProbe, k)
+  }
+
+  /** [[ivfTopK]] with a caller-supplied centroid model (typically
+    * [[kmeansCentroids]] output) — cell ids are centroid indices, which is
+    * internal bookkeeping only: the output carries (query_id, neighbor_id,
+    * sim, rank) regardless of the id scheme.
+    */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      nProbe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsIdx = centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // Cell assignment is [[nearestCentroid]] — ZERO corpus shuffle. The
+    // earlier row_number() window on vec_id exchanged the whole corpus
+    // WITH embedding payloads just to pick each row's best cell.
     val assigned = corpus
-      .withColumn("cell_id", nearestCentroid(col("embedding"), centroids))
+      .withColumn("cell_id", nearestCentroid(col("embedding"), centsIdx))
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     // probe selection needs a top-nProbe rank over nCells scores per query;
-    // queries are a small probe set by contract, so a window there is cheap
-    val cents = corpus.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+    // queries are a small probe set by contract, so a window there is cheap.
+    // The centroid relation is the k × dims model, created locally.
+    val cents = corpus.sparkSession.createDataFrame(
+      centsIdx.map { case (i, v) => (i, v.toSeq) }.toSeq)
+      .toDF("cell_id", "cell_vec")
+      .select(col("cell_id"), col("cell_vec").cast("array<float>"))
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
     val probes = queries
       .crossJoin(broadcast(cents))

@@ -53,4 +53,15 @@ class CosineSimilaritySpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r == 7.0)
   }
+
+  test("GraftExtensions registers quantize_int8 + cosine_int8 for SQL users") {
+    // quantize [1, -0.5] -> [127, -63]; self-cosine of a quantized vector
+    // is 1 up to the sqrt(x)*sqrt(x) ulp
+    val r = spark.sql(
+      """SELECT cosine_int8(
+        |  quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))),
+        |  quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)))) AS s""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12, r.toString)
+  }
 }

@@ -29,6 +29,28 @@ class SimilaritySpec extends SparkSpec {
     assert(cellsPerCone.flatten.toSet.size == 3)
   }
 
+  test("ivfTopKWithCentroids: trained k-means centroids slot into IVF; nProbe=1 exact on separated clusters") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      val eps = 0.05f * ((i % 7) - 3)
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = eps
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(df, k = 3, iters = 4)
+    val queries = df.filter(col("vec_id") < 3)
+    // each query's true nearest neighbor lives in its own cone = its own
+    // trained cell, so probing ONE cell must already match brute force
+    val ivf = Similarity.ivfTopKWithCentroids(df, queries, trained, nProbe = 1, k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(df, queries, 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == brute, s"ivf $ivf\nbrute $brute")
+  }
+
   test("kmeansInertia: zero for a perfect model, monotone non-increasing under training") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
