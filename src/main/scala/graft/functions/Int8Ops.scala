@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Fl
   * Both operations are native codegen expressions for the same reason as
   * [[CosineSimilarity]]: Spark's higher-order array functions evaluate
   * interpreted (no `doGenCode`), and quantization is a corpus-scale pass.
+  * Like [[CosineSimilarity]], both assume non-null ARRAY ELEMENTS
+  * (embedding vectors); a null array input propagates null via the
+  * standard unary/binary expression null contract.
   *
   * Cross-engine exactness (what lets q63 be value-oracled in DuckDB): the
   * quantized values are produced by `floor(x / maxabs * 127.0 + 0.5)` over

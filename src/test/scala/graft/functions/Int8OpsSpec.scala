@@ -58,6 +58,28 @@ class Int8OpsSpec extends SparkSpec {
     }
   }
 
+  test("property: codegen quantize+cosine equals the Scala reference on arbitrary vectors") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // shape coverage over volume (Spark-per-case is slow): dims 1..8,
+    // values spanning sign/zero/magnitude mixes incl. whole-zero vectors
+    val vec: Gen[Array[Float]] = for {
+      n <- Gen.choose(1, 8)
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.const(0.0f), Gen.choose(-4.0f, 4.0f), Gen.choose(-0.01f, 0.01f)))
+    } yield xs.toArray
+    val prop = Prop.forAll(Gen.listOfN(3, vec)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val got = df.select(col("vec_id"), Int8Ops.quantizeInt8Native(col("embedding")).as("q"))
+        .as[(Long, Seq[Byte])].collect().toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        got(i.toLong).toSeq == quantizeRef(v).toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("int8 cosine approximates float cosine within quantization error; ranking preserved on separated clusters") {
     val rnd = new scala.util.Random(5)
     val vecs = (0 until 30).map { i =>
