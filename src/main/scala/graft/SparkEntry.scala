@@ -622,8 +622,15 @@ object SparkEntry {
         .select(
           col("event_type"),
           col("n_rows"),
+          // lower bound (>= 1 when any non-null user exists) is exact for
+          // any correct sketch; the UPPER bound is an envelope, not a hard
+          // invariant — a correct HLL at rsd 0.05 can legitimately estimate
+          // ABOVE the true distinct count, and a near-unique-per-row group
+          // puts the true count at ~n_rows, so `<= n_rows` could flip on a
+          // correct sketch. 1.3 × n_rows is ~6 sigma of headroom.
           coalesce(
-            col("__approx_users").between(lit(1L), col("n_rows")).cast("long"),
+            (col("__approx_users") >= 1L &&
+              col("__approx_users") <= col("n_rows") * 1.3).cast("long"),
             lit(0L)).as("users_ok"),
           coalesce(
             col("__p50").between(col("__lo"), col("__hi")).cast("long"),
@@ -650,29 +657,39 @@ object SparkEntry {
         .orderBy("event_id")
     },
     // ---- k-means training as a GATED query (previously test-only): train
-    // 3 Lloyd's iterations, then emit the contract any correct trainer
-    // keeps — every vector lands in a cell of [0, k), and the trained
-    // model's cosine inertia is no worse than the init model's (Lloyd's
-    // monotonicity; 1e-6 relative slack for float summation). Exact
-    // centroid values are float-ulp engine-internal — like q39's sketches,
-    // the ORACLE-able part is the envelope, and the bench times the real
-    // training loop (assignment ladders + per-(cell,dim) means) ----
+    // 3 SPHERICAL Lloyd's iterations, then emit the contract any correct
+    // trainer keeps — every vector lands in a cell of [0, k), and the
+    // trained model's cosine inertia is no worse than the init model's.
+    // Monotonicity is GUARANTEED (not merely empirical): the update step is
+    // the cosine objective's own maximizer (normalized-member mean — see
+    // kmeansCentroids' docstring); 1e-6 relative slack covers float
+    // summation order. Exact centroid values are float-ulp engine-internal
+    // — like q39's sketches, the ORACLE-able part is the envelope. The
+    // benched body deliberately includes the training loop (q62 IS the
+    // training query); the gate flags are single-pass PLAN aggregates over
+    // bestCosine ladders, not driver-computed lits, so the plan auditor
+    // sees them and the corpus is read exactly once beyond training ----
     "q62_kmeans_train" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val k = 8
       val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(k)
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       val trained = Similarity.kmeansCentroids(emb, k, iters = 3)
-      val improved = Similarity.kmeansInertia(emb, trained) <=
-        Similarity.kmeansInertia(emb, init) * (1 + 1e-6)
       val centsIdx = trained.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-      emb.select(Similarity.nearestCentroid(col("embedding"), centsIdx).as("cell_id"))
+      emb
+        .select(
+          Similarity.nearestCentroid(col("embedding"), centsIdx).as("cell_id"),
+          Similarity.bestCosine(col("embedding"), trained).as("__cos_trained"),
+          Similarity.bestCosine(col("embedding"), init).as("__cos_init"))
         .agg(
           count(lit(1)).as("n_vectors"),
           coalesce(
             (max(col("cell_id")) < k && min(col("cell_id")) >= 0).cast("long"),
-            lit(0L)).as("cells_ok"))
-        .withColumn("inertia_improved", lit(if (improved) 1L else 0L))
+            lit(0L)).as("cells_ok"),
+          coalesce(
+            (sum(lit(1.0) - col("__cos_trained"))
+              <= sum(lit(1.0) - col("__cos_init")) * (1 + 1e-6)).cast("long"),
+            lit(0L)).as("inertia_improved"))
     },
     // ---- LLM-pipeline: URL/email scrub pass ----
     "q41_text_scrub" -> { (s, dir) =>

@@ -174,14 +174,31 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
-  /** Lloyd's k-means over embedding vectors — the trained-centroid
-    * companion to [[ivfTopK]] (whose exemplar centroids are swappable for
-    * these with no other change). Init = the k lowest-id vectors; each
-    * iteration assigns every row with the zero-shuffle [[nearestCentroid]]
-    * ladder, then updates centroids from a per-(cell, dim) mean — a
-    * `posexplode` into narrow (cell, dim, v) rows and one two-phase
-    * aggregate whose k × dims result collects to the driver as the next
-    * model. Cells that lose all members keep their previous centroid.
+  /** SPHERICAL Lloyd's k-means over embedding vectors — the
+    * trained-centroid companion to [[ivfTopK]] (whose exemplar centroids
+    * are swappable for these with no other change). Init = the k lowest-id
+    * vectors; each iteration assigns every row with the zero-shuffle
+    * [[nearestCentroid]] ladder, then updates each centroid to the mean of
+    * its members' UNIT-NORMALIZED vectors — a `posexplode` into narrow
+    * (cell, dim, v) rows and one two-phase aggregate whose k × dims result
+    * collects to the driver as the next model.
+    *
+    * Why normalize before the mean: the assignment metric is COSINE, and
+    * for fixed assignments Σᵢ cos(xᵢ, c) = (Σᵢ xᵢ/‖xᵢ‖)·c/‖c‖ is maximized
+    * over the direction of c by any positive multiple of mean(xᵢ/‖xᵢ‖) —
+    * so assignment and update BOTH monotonically non-decrease Σ cos, which
+    * is exactly the inertia-monotonicity contract the q62 gate asserts.
+    * The raw-vector mean (the squared-Euclidean optimizer) does NOT carry
+    * that guarantee under varying-norm embeddings: a Lloyd's step could
+    * increase cosine inertia and flip the gate on a correct trainer.
+    * (Re-normalizing the new centroid is unnecessary — cosine is
+    * scale-invariant in the centroid.)
+    *
+    * Degenerate members: zero vectors have no direction and are excluded
+    * from the update (they cosine-score NaN everywhere and never move a
+    * mean meaningfully); a cell whose members' unit vectors sum to exactly
+    * zero (perfectly opposing pairs) keeps its previous centroid, like an
+    * emptied cell.
     *
     * This is a TRAINING procedure, not an oracled query: the mean uses
     * float summation, so centroids are partition-order deterministic only
@@ -198,16 +215,25 @@ object Similarity {
       .select(embCol).collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
       val centsIdx = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val nrm = norm(col(embCol))
       val stats = corpus
         .withColumn("cell_id", nearestCentroid(col(embCol), centsIdx))
-        .select(col("cell_id"), posexplode(col(embCol)).as(Seq("dim", "v")))
+        .filter(nrm > 0)
+        .select(col("cell_id"),
+          posexplode(transform(col(embCol), x => x.cast("double") / nrm)).as(Seq("dim", "v")))
         .groupBy("cell_id", "dim")
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
-      stats.foreach { r =>
-        val (cell, dim) = (r.getLong(0).toInt, r.getInt(1))
-        next(cell)(dim) = (r.getDouble(2) / r.getLong(3)).toFloat
+      val sums = stats.groupBy(_.getLong(0).toInt)
+      sums.foreach { case (cell, rows) =>
+        // all-dims-zero mean = no direction information; keep the previous
+        // centroid for this cell (same policy as an emptied cell)
+        if (rows.exists(r => math.abs(r.getDouble(2)) > 0.0)) {
+          rows.foreach { r =>
+            next(cell)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+          }
+        }
       }
       cents = next
     }
@@ -236,21 +262,20 @@ object Similarity {
   def kmeansInertia(
       corpus: DataFrame,
       centroids: Array[Array[Float]],
-      embCol: String = "embedding"): Double = {
-    val centsIdx = centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    // best score per row = max over cells — same ladder as nearestCentroid,
-    // keeping the `s` field instead of the id; pure per-row codegen
-    val best =
-      if (centsIdx.length == 1)
-        CosineSimilarity.cosineNative(col(embCol), litVec(centsIdx.head._2))
-      else
-        greatest(centsIdx.map { case (_, vec) =>
-          CosineSimilarity.cosineNative(col(embCol), litVec(vec))
-        }: _*)
+      embCol: String = "embedding"): Double =
     corpus
-      .agg(sum(lit(1.0) - best).as("inertia"))
+      .agg(sum(lit(1.0) - bestCosine(col(embCol), centroids)).as("inertia"))
       .head().getDouble(0)
-  }
+
+  /** Each row's cosine to its nearest centroid — the score half of the
+    * [[nearestCentroid]] argmax ladder (same `greatest` shape, keeping the
+    * score instead of the id). Pure per-row codegen over the inlined
+    * (k × dims) model; q62 builds both its trained- and init-model inertia
+    * sums from this in ONE corpus pass, as plan-visible aggregates.
+    */
+  def bestCosine(emb: Column, centroids: Array[Array[Float]]): Column =
+    if (centroids.length == 1) CosineSimilarity.cosineNative(emb, litVec(centroids.head))
+    else greatest(centroids.map(v => CosineSimilarity.cosineNative(emb, litVec(v))): _*)
 
   /** Deterministic random-hyperplane (SimHash) LSH bucket id: `nBits` sign
     * bits of projections onto pseudo-random hyperplanes derived from a seed.
