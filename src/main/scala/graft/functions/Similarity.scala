@@ -174,6 +174,72 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Trained-centroid IVF over INT8-QUANTIZED inverted lists — the
+    * composition a corpus-scale similarity search actually runs, and the
+    * 100 TB shape of this module: [[kmeansCentroids]] trains the coarse
+    * quantizer (model = k × dims floats on the driver), the corpus is
+    * assigned to cells with the zero-shuffle [[nearestCentroid]] ladder and
+    * stored QUANTIZED ([[Int8Ops.quantizeInt8Native]] — the resident list
+    * payload shrinks 4×, the difference between a cached ANN working set
+    * and a spilling one), queries probe their `nProbe` closest cells, and
+    * only those cells' candidates are ranked with the integer-exact
+    * [[Int8Cosine]].
+    *
+    * Scale shape, stage by stage:
+    *   - list build: ONE linear corpus pass — per-row assignment ladder +
+    *     per-row quantization inside the scan projection; float embeddings
+    *     never leave the scan and the corpus is never shuffled;
+    *   - probing: queries × broadcast(k-centroid relation) — model-sized
+    *     work, top-nProbe per query via a window over nCells scores;
+    *   - search: probes broadcast UNDER the lists (again no corpus
+    *     shuffle); each query touches ~nProbe/nCells of the corpus;
+    *   - top-k: scores projected to narrow (query_id, vec_id, sim) rows
+    *     BEFORE the per-query rank exchange, so the only shuffle in the
+    *     whole plan carries 20-byte score rows.
+    *
+    * Exactness note: scores are [[Int8Cosine]] over [[QuantizeInt8]] pairs
+    * — integer dot/norm sums (exact in any order) with one final
+    * sqrt+division, so ranking is deterministic given the lists; the
+    * TRAINED centroids are float-ulp partition-order sensitive, which is
+    * why q64 gates this through a recall envelope rather than row equality.
+    */
+  def ivfInt8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val centsIdx = centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val lists = corpus.select(
+      col("vec_id"),
+      Int8Ops.quantizeInt8Native(col("embedding")).as("qvec"),
+      nearestCentroid(col("embedding"), centsIdx).as("cell_id"))
+    val cents = corpus.sparkSession.createDataFrame(
+      centsIdx.map { case (i, v) => (i, v.toSeq) }.toSeq)
+      .toDF("cell_id", "cell_vec")
+      .select(col("cell_id"), col("cell_vec").cast("array<float>"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineNative(col("embedding"), col("cell_vec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"),
+        Int8Ops.quantizeInt8Native(col("embedding")).as("query_qvec"),
+        col("cell_id"))
+    val scored = lists
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        Int8Ops.cosineInt8Native(col("query_qvec"), col("qvec")).as("sim"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** SPHERICAL Lloyd's k-means over embedding vectors — the
     * trained-centroid companion to [[ivfTopK]] (whose exemplar centroids
     * are swappable for these with no other change). Init = the k lowest-id

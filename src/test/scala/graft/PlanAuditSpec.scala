@@ -22,14 +22,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(Seq("l_shipdate", "l_discount", "l_quantity").forall(p.contains), p.take(600))
   }
 
-  test("ANN plans never exchange embedding payloads (q29, q43, q63)") {
-    Seq("q29_lsh_ann_pairs", "q43_ivf_ann", "q63_int8_ann").foreach { q =>
+  test("ANN plans never exchange embedding payloads (q29, q43, q63, q64, q66)") {
+    Seq("q29_lsh_ann_pairs", "q43_ivf_ann", "q63_int8_ann",
+        "q64_ivf_int8_ann", "q66_ivf_int8_production").foreach { q =>
       val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
       assert(exchanges.nonEmpty, s"$q: expected exchanges in the plan")
       assert(
-        !exchanges.exists(l => l.contains("embedding") || l.contains("_vec")),
+        !exchanges.exists(l =>
+          l.contains("embedding") || l.contains("_vec") || l.contains("qvec")),
         s"$q: an exchange carries vector payloads:\n${exchanges.mkString("\n")}")
     }
+  }
+
+  test("q66: the composed IVF-int8 plan prunes lists by cell id and ranks via WindowGroupLimit") {
+    // the 100 TB composition's two load-bearing physical properties: the
+    // probe join is a BROADCAST against the (narrow) probe relation keyed
+    // on cell_id — the corpus-side inverted lists are never shuffled — and
+    // the per-query top-k prunes map-side before the one narrow exchange
+    val p = plan("q66_ivf_int8_production")
+    assert(p.contains("BroadcastHashJoin") && p.contains("cell_id"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
   test("q28: per-query top-k prunes map-side via WindowGroupLimit") {

@@ -51,6 +51,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute, s"ivf $ivf\nbrute $brute")
   }
 
+  test("ivfInt8TopK: trained centroids + int8 lists match brute force on separated clusters") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      val eps = 0.05f * ((i % 7) - 3)
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = eps
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(df, k = 3, iters = 4)
+    val queries = df.filter(col("vec_id") < 3)
+    // CONES are angularly separated far beyond int8 quantization error, so
+    // probing ONE trained cell must return only same-cone neighbors, k of
+    // them, ranked 1..k. (Exact neighbor-set equality with float brute
+    // force is deliberately NOT asserted: within a cone, candidates sit
+    // ~2e-5 apart in cosine — far below int8 resolution — so the quantized
+    // ranker may legitimately swap near-ties. Between-cone correctness is
+    // the property the composition owes.)
+    val ivf = Similarity.ivfInt8TopK(df, queries, trained, nProbe = 1, k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(ivf.length == 9)
+    assert(ivf.forall { case (q, n, _) => n % 3 == q % 3 && n != q }, ivf.mkString(", "))
+    val ranksPerQuery = ivf.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(ranksPerQuery.values.forall(_ == Seq(1, 2, 3)), ranksPerQuery.toString)
+  }
+
   test("kmeansInertia: zero for a perfect model, monotone non-increasing under training") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
