@@ -29,6 +29,27 @@ object SparkEntry {
   private val fixtureRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_FIXTURE_ROOT", "/root/repo/target/fixtures")
 
+  /** Write-once fixture stamp: a fixture directory is reusable when its
+    * `_GRAFT_STAMP` file records the exact (sfDir, source-fingerprint)
+    * string the caller derived from the CURRENT source slice. Rebuild on
+    * any mismatch — an SF switch or regenerated testdata must never be
+    * served a stale fixture — and skip the (expensive) write otherwise, so
+    * bench passes time the fixture's READ path, not its build (round-5
+    * verdict: q61's "ORC read" number was mostly write; with the stamp,
+    * pass A rebuilds at most once after an SF switch and pass B always
+    * reads only, so the min-of-two is a pure read). `_`-prefixed files are
+    * invisible to Spark's file listing and to the oracle's `*.parquet`
+    * glob alike.
+    */
+  private def fixtureReady(path: String, stamp: String): Boolean = {
+    val m = java.nio.file.Paths.get(path, "_GRAFT_STAMP")
+    java.nio.file.Files.exists(m) && java.nio.file.Files.readString(m) == stamp
+  }
+
+  private def stampFixture(path: String, stamp: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_GRAFT_STAMP"), stamp)
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
 
   // Exact-arithmetic aggregate helpers (why-docs in graft.functions.ExactAgg:
@@ -713,15 +734,48 @@ object SparkEntry {
     "q61_orc_lake" -> { (s, dir) =>
       import org.apache.spark.sql.types._
       val fixture = s"$fixtureRoot/orc_events"
-      Tables.events(s, dir)
+      val src = Tables.events(s, dir)
         .filter(col("event_id") < 2000)
         .select("event_id", "user_id", "event_type", "value")
-        .write.mode("overwrite").format("orc").save(fixture)
+      // source-slice fingerprint (count + sum of a key column): one cheap
+      // pushed-filter agg per attempt; write the ORC fixture only when the
+      // stamp says the on-disk copy came from different data, so the timed
+      // body is the READ path (write coverage lives in SourceFormatsSpec's
+      // S9 round-trip)
+      val fp = src.agg(count(lit(1)), sum(col("user_id"))).head()
+      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}"
+      if (!fixtureReady(fixture, stamp)) {
+        src.write.mode("overwrite").format("orc").save(fixture)
+        stampFixture(fixture, stamp)
+      }
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
       s.read.format("orc").schema(schema).load(fixture)
         .where(col("event_type") === "click" && col("event_id") < 1000)
+        .orderBy("event_id")
+    },
+    // ---- S1 partitioned-lake flavor: the date-partitioned layout a
+    // production lake uses (reference globs partition paths by hand,
+    // bigdata-project/src/spark_batch_v2.py:33 — here the predicate API
+    // prunes via Catalyst PartitionFilters, plan-asserted to exactly one
+    // selected directory). The fixture is the events table re-laid-out as
+    // event_date=YYYY-MM-DD directories (30 of them), stamped write-once
+    // like q61 so the benched body is the pruned READ, not the lake build;
+    // the DuckDB oracle reads the same lake through hive partitioning ----
+    "q65_lake_partition_scan" -> { (s, dir) =>
+      val fixture = s"$fixtureRoot/lake_events"
+      val src = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "event_date")
+      val fp = src.agg(count(lit(1)), sum(col("user_id"))).head()
+      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}"
+      if (!fixtureReady(fixture, stamp)) {
+        src.write.mode("overwrite").partitionBy("event_date").parquet(fixture)
+        stampFixture(fixture, stamp)
+      }
+      sinks.Sinks.readLakePartition(s, fixture, "event_date", "2024-01-15")
+        .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     },
     // ---- k-means training as a GATED query (previously test-only): train
@@ -1208,6 +1262,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type = 'click' AND event_id < 1000
         |ORDER BY event_id""".stripMargin,
+    // q65: DuckDB reads the SAME partitioned lake through hive
+    // partitioning, so the comparison closes the partitioned write+pruned
+    // read round trip (the _GRAFT_STAMP file is invisible to the glob)
+    "q65_lake_partition_scan" ->
+      s"""SELECT event_id, user_id, event_type, value
+         |FROM read_parquet('$fixtureRoot/lake_events/*/*.parquet', hive_partitioning=true)
+         |WHERE event_date = '2024-01-15'
+         |ORDER BY event_id""".stripMargin,
     // q62: the envelope any correct k-means keeps (assignment range +
     // Lloyd's inertia monotonicity) — exact centroids are float-ulp
     // engine-internal, like q39's sketch registers

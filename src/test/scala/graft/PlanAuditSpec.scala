@@ -94,6 +94,28 @@ class PlanAuditSpec extends SparkSpec {
       .forall(_.urlEncodedPath.contains("event_date=2026-01-03")))
   }
 
+  test("q65: the benched lake query prunes to exactly one of 30 date partitions") {
+    // the partitioned-lake pruning audit below proves the mechanism on a
+    // synthetic lake; this one asserts it on the REGISTRY query the driver
+    // benches and oracles, so PartitionFilters is a measured property
+    val df = SparkEntry.queries("q65_lake_partition_scan")(spark, dir)
+    // the presentation orderBy adds an exchange, so AQE wraps the plan;
+    // the scan (and its planning-time partition selection) lives in the
+    // adaptive node's input plan
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scan = phys.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf in the q65 plan"))
+    assert(scan.toString.contains("PartitionFilters"), scan.toString.take(800))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"q65 scan selected ${scan.selectedPartitions.partitionCount} partitions")
+    assert(scan.selectedPartitions.toPartitionArray
+      .forall(_.urlEncodedPath.contains("event_date=2024-01-15")))
+  }
+
   test("q60: sketches aggregate as map-side PARTIALS before the exchange (mergeable path)") {
     // the whole point of the production sketch query: HLL registers and
     // GK summaries must combine map-side (partial_*) and merge after one
