@@ -175,6 +175,21 @@ object StressGen {
       scored.unpersist()
       println(s"GRAFT_STRESS   docs scored: $n, kept: $kept")
     }
+    time("q59 adversarial all-boiler vocabulary (guarded broadcast)") {
+      // every doc shares every gram, so the boilerplate vocabulary is
+      // gram-count-sized instead of tiny — the r5-verdict scenario where an
+      // unconditional broadcast hint would hazard driver memory at corpus
+      // scale. maxBroadcastVocab=0 forces the no-hint path a genuinely
+      // oversized vocabulary takes; the row passing = the plan completes on
+      // AQE's sizing with every doc correctly dropped.
+      val adv = docs.select(F.col("doc_id"),
+        F.lit((1 to 40).map(i => s"g$i").mkString(" ")).as("text"))
+      val scored = functions.Text.boilerplateStats(adv, "text", "doc_id",
+        maxBroadcastVocab = 0L)
+      val n = scored.count()
+      val dropped = scored.filter(F.col("keep") === 0).count()
+      println(s"GRAFT_STRESS   adversarial docs: $n, dropped: $dropped, allDropped=${n == dropped}")
+    }
     // ---- round-5 family: multimodal codecs at 10× — a mixed PNG/WAV/GIF
     // corpus (one kind per doc_id mod 3) with a deterministic corrupt
     // fraction (every 17th blob truncated to a quarter), exercising encode,

@@ -438,25 +438,45 @@ object Dedup {
   /** Incremental-ingestion dedup: keep only `incoming` rows whose content
     * fingerprint does not already exist in the `history` corpus — the
     * daily-batch shape of exact dedup, where history is 100 TB and must be
-    * neither rewritten nor re-deduplicated.
+    * neither rewritten, re-deduplicated, nor SHUFFLED.
     *
-    * Plan: LEFT ANTI join on the 16-byte md5 fingerprint. History
-    * contributes one distinct (fp) row per unique document — a narrow
-    * long-pair shuffle; document text never moves on the history side.
-    * At scale Spark's runtime bloom-filter join optimization builds a
-    * bloom from the smaller side and prunes the bigger side's shuffle
-    * map-side — the classic "bloom prefilter + exact verify" incremental
-    * dedup, expressed declaratively so Catalyst owns the prefilter.
+    * Plan (two broadcast joins; zero history exchange):
+    *   1. the batch's distinct fingerprints broadcast UNDER the history
+    *      scan as a LEFT SEMI membership probe — the role a bloom
+    *      prefilter plays in the classic "bloom + exact verify" pipeline,
+    *      except exact (no false positives) and map-side by construction.
+    *      History contributes only the fingerprints the batch re-ingested;
+    *      its text never moves and the corpus is never exchanged.
+    *   2. that collision set — bounded by the batch's own distinct count
+    *      after the `distinct()` — broadcasts as the build side of the
+    *      LEFT ANTI join that drops replayed incoming rows.
+    *
+    * Contract: `incoming` is a bounded ingest batch whose distinct
+    * fingerprint set fits in a broadcast (16 B a row — millions of docs,
+    * not billions). Deduplicating two corpus-scale relations against each
+    * other is [[exactGroups]]' job, not this operator's.
+    *
+    * Why not Spark's runtime bloom filter (the earlier claim here,
+    * corrected): `InjectRuntimeFilter` never fires for LEFT ANTI — pruning
+    * the probe side is semantically invalid (rows that don't match are
+    * exactly the output), and creation-side pruning isn't implemented for
+    * anti joins — so a plain anti join against history would SortMergeJoin
+    * and shuffle the full history fingerprint set every batch. The
+    * broadcast-semi prefilter delivers the map-side prune explicitly;
+    * PlanAuditSpec's q57 case asserts the no-history-shuffle shape.
     */
   def dedupAgainstHistory(
       history: DataFrame,
       incoming: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val hFp = history.select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
-    incoming.withColumn("__fp", Text.fingerprint(col(textCol)))
-      .join(hFp, Seq("__fp"), "left_anti")
-      .drop("__fp")
+    val inFp = incoming.withColumn("__fp", Text.fingerprint(col(textCol)))
+    val batchFps = inFp.select("__fp").distinct()
+    val collisions = history
+      .select(Text.fingerprint(col(textCol)).as("__fp"))
+      .join(broadcast(batchFps), Seq("__fp"), "left_semi")
+      .distinct()
+    inFp.join(broadcast(collisions), Seq("__fp"), "left_anti").drop("__fp")
   }
 
   /** Exact token-set Jaccard for a candidate pair of text columns. */

@@ -258,13 +258,22 @@ object Text {
     * `perDoc` alone, and `n_boiler` from a broadcast LEFT join against the
     * filtered vocabulary. At a 10⁹-distinct-gram corpus this broadcasts the
     * ~10⁴ grams repetitive enough to clear the cutoff instead of shuffling
-    * the full vocabulary (boilerplate is by definition a small set of very
-    * frequent grams; a corpus where most grams clear `dfThreshold` has
-    * bigger problems than this join). Collisions of the 60-bit hash
+    * the full vocabulary. Collisions of the 60-bit hash
     * conflate two grams' frequencies — at ~10⁹ distinct grams the birthday
     * bound is ~0.04%% of pairs, noise against a >dfThreshold cutoff (and
     * the DuckDB oracle reproduces the identical hashing, so the gate is
     * still exact).
+    *
+    * The broadcast is GUARDED, not assumed: boilerplate is by definition a
+    * small set of very frequent grams, but a pathological corpus where
+    * most grams clear `dfThreshold` would make the "tiny" vocabulary
+    * corpus-sized and a blind broadcast hint a driver OOM. `perDoc` is
+    * persisted (it feeds both the vocabulary aggregate and the scoring
+    * join — previously it was simply computed twice), the vocabulary is
+    * counted, and only a vocabulary within `maxBroadcastVocab` rows gets
+    * the hint; above it the join is left to AQE, which shuffles the (id,
+    * hash, cnt) rows — slower, never a memory hazard (spec:
+    * `TextSpec` "boilerplate broadcast guard").
     *
     * Output: (idCol, n_grams, n_boiler, boiler_e4, keep) — documents with
     * fewer than n tokens emit no grams and are absent, as in
@@ -276,16 +285,20 @@ object Text {
       idCol: String,
       n: Int = 3,
       dfThreshold: Long = 10L,
-      maxRatioE4: Long = 5000L): DataFrame = {
+      maxRatioE4: Long = 5000L,
+      maxBroadcastVocab: Long = 5000000L): DataFrame = {
     val grams = explodeNgrams(docs.select(col(idCol), col(textCol)), textCol, n)
       .select(col(idCol), Dedup.tokenHash64(col("ng")).as("h"))
-    val perDoc = grams.groupBy(idCol, "h").agg(count(lit(1)).as("c"))
-    // the boilerplate vocabulary: grams frequent enough to clear the cutoff
-    // — tiny by construction, broadcast so perDoc is never shuffled again
+    val perDoc = grams.groupBy(idCol, "h").agg(count(lit(1)).as("c")).persist()
     val boilerVocab = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfThreshold)
       .select(col("h"), lit(1L).as("is_boiler"))
-    perDoc.join(broadcast(boilerVocab), Seq("h"), "left")
+    // one bounded action: materializes perDoc (reused by the join below)
+    // and sizes the vocabulary so the broadcast hint is earned, not blind
+    val vocabSide =
+      if (boilerVocab.count() <= maxBroadcastVocab) broadcast(boilerVocab)
+      else boilerVocab
+    perDoc.join(vocabSide, Seq("h"), "left")
       .groupBy(idCol)
       .agg(
         sum(col("c")).as("n_grams"),

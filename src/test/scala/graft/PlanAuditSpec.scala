@@ -145,6 +145,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("event_id") && p.contains("event_type"), p.take(800))
   }
 
+  test("q57: incremental dedup never shuffles history — broadcast semi prune + broadcast anti") {
+    // Spark's runtime bloom filter (InjectRuntimeFilter) never fires for
+    // LEFT ANTI joins: pruning the probe side is semantically invalid
+    // (non-matching rows ARE the output), and creation-side pruning isn't
+    // implemented for anti joins — so the operator builds the map-side
+    // prune explicitly. The plan must show the batch-fingerprint LEFT SEMI
+    // probe and the collision-set LEFT ANTI both as BROADCAST hash joins,
+    // no sort-merge join anywhere (an SMJ means the 100 TB history side
+    // got shuffled), and no text crossing an exchange.
+    val p = plan("q57_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+  }
+
   test("q55: decontamination exchanges carry fingerprint/id longs, never document text") {
     val exchanges = plan("q55_decontamination")
       .linesIterator.filter(_.contains("Exchange")).toList

@@ -145,6 +145,31 @@ class TextSpec extends SparkSpec {
     assert(!out.contains(21L) && out.size == 13)
   }
 
+  test("boilerplate broadcast guard: oversized vocabulary loses the hint, result unchanged") {
+    // adversarial corpus: EVERY gram clears dfThreshold (all docs share all
+    // text), so the "tiny by construction" vocabulary is gram-count-sized —
+    // the scenario where an unconditional broadcast hint is a driver OOM at
+    // corpus scale. maxBroadcastVocab=0 forces the path a real oversized
+    // vocabulary takes.
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 15L).map(i => (i, shared)).toDF("doc_id", "t")
+    val hinted = Text.boilerplateStats(docs, "t", "doc_id", n = 3, dfThreshold = 10L)
+    val guarded = Text.boilerplateStats(docs, "t", "doc_id", n = 3, dfThreshold = 10L,
+      maxBroadcastVocab = 0L)
+    // the guard removes the broadcast HINT — the hazard is the hint
+    // bypassing every size check; AQE may still broadcast at runtime when
+    // the relation is actually small, which is exactly the desired split
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      hinted.queryExecution.optimizedPlan.toString.take(600))
+    assert(!guarded.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      guarded.queryExecution.optimizedPlan.toString.take(600))
+    val a = hinted.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val b = guarded.as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // every gram sits in all 15 docs: everything is boilerplate, all dropped
+    assert(a.forall(_._5 == 0L), a.toString)
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")
