@@ -141,8 +141,15 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val canaryJson = canaryTimes.map(fmt).mkString("[", ",", "]")
+    // mechanical noise verdict so the driver can discount a dirty run
+    // without eyeballing the series: the canary is a fixed ~0.1-0.3 s
+    // scan+agg, so a >3x max/min spread (after the first, which can still
+    // carry stragglers of infrastructure warmup) means a sustained
+    // ambient-load window overlapped the run
+    val warmCanary = canaryTimes.drop(1)
+    val canaryNoisy = warmCanary.nonEmpty && warmCanary.max > warmCanary.min * 3
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_first":$qsFirst,"failed":$failed,"canary":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_first":$qsFirst,"failed":$failed,"canary":$canaryJson,"canary_noisy":$canaryNoisy,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Two stdout forms: the bare line (round-1 contract) and a uniquely
     // prefixed copy the driver can grep out of sbt's [info]-wrapped stdout.

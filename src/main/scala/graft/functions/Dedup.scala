@@ -239,9 +239,11 @@ object Dedup {
     // None → localCheckpoint (fast, but blocks die with their executor);
     // Some(dir) → reliable checkpoint() into dir, surviving executor loss
     // on a real cluster (see [[pinner]]).
-    val pin = pinner(pairs.sparkSession, checkpointDir)
+    val pin = new Pinner(pairs.sparkSession, checkpointDir)
+    // DURABLE pin: every round's min-join reads this edge relation, so it
+    // must survive the whole loop (the transient-pin GC would break it)
     val edges = isolatedCopy(
-      pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      pin.durable(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct(), true))
     withIterationPartitions(edges) {
@@ -317,7 +319,7 @@ object Dedup {
     // so a distinct of the LARGEST relation in the computation would buy
     // nothing but its own shuffle. Lazy checkpoint: the sizing count() in
     // withIterationPartitions is the action that materializes it.
-    val pin = pinner(pairs.sparkSession, checkpointDir)
+    val pin = new Pinner(pairs.sparkSession, checkpointDir)
     var edges = isolatedCopy(pin(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")), false))
@@ -374,17 +376,54 @@ object Dedup {
     * `setCheckpointDir` is SparkContext-global (shared with the
     * [[isolatedCopy]] session by design — the checkpoint RDDs themselves
     * are session-independent).
+    *
+    * Reliable mode GC's ITSELF: Spark only deletes reliable checkpoints
+    * through the ContextCleaner under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` (a context-creation
+    * setting this library can't assume), so without cleanup a long
+    * clustering loop grows `dir` by one edge-set per round, unbounded.
+    * Each pin lands in its own `pin-N` subdirectory; TRANSIENT pins
+    * ([[Pinner.apply]] — a round's state, consumed only by the next round)
+    * are deleted once two younger transient pins exist: by then their one
+    * consumer is itself checkpointed and materialized (the loops run
+    * exactly one action per round), so the files are unreachable. LONG-
+    * LIVED pins ([[Pinner.durable]] — min-label's edge set, joined by
+    * EVERY round) are never GC'd. The last two transient pins stay on
+    * disk deliberately — the returned labels frame still reads the final
+    * checkpoint; callers GC `dir` after consuming results
+    * (spec: `DedupSpec` "GC spent rounds").
     */
-  private def pinner(
+  private final class Pinner(
       spark: org.apache.spark.sql.SparkSession,
-      checkpointDir: Option[String]): (DataFrame, Boolean) => DataFrame =
-    checkpointDir match {
-      case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
-        (df, eager) => df.checkpoint(eager)
-      case None =>
-        (df, eager) => df.localCheckpoint(eager)
-    }
+      checkpointDir: Option[String]) {
+    private var seq = 0
+    private val gcQueue = scala.collection.mutable.Queue[String]()
+
+    /** Pin a transient round — GC-eligible two transient pins later. */
+    def apply(df: DataFrame, eager: Boolean): DataFrame = pin(df, eager, gc = true)
+
+    /** Pin a relation the whole loop keeps reading — never GC'd. */
+    def durable(df: DataFrame, eager: Boolean): DataFrame = pin(df, eager, gc = false)
+
+    private def pin(df: DataFrame, eager: Boolean, gc: Boolean): DataFrame =
+      checkpointDir match {
+        case None => df.localCheckpoint(eager)
+        case Some(dir) =>
+          val sc = spark.sparkContext
+          val sub = s"$dir/pin-$seq"
+          seq += 1
+          sc.setCheckpointDir(sub)
+          val out = df.checkpoint(eager)
+          if (gc) {
+            gcQueue.enqueue(sub)
+            if (gcQueue.size > 2) {
+              val stale = new org.apache.hadoop.fs.Path(gcQueue.dequeue())
+              stale.getFileSystem(sc.hadoopConfiguration).delete(stale, true)
+            }
+          }
+          out
+      }
+  }
 
   /** Re-bind a DataFrame onto a FRESH SparkSession (same SparkContext,
     * separate SQL conf) so the iterative loop's conf mutation below cannot
@@ -398,8 +437,11 @@ object Dedup {
     * caller's RUNTIME overrides (ANSI mode, session timezone, case
     * sensitivity …) are replayed onto the fresh session first — the loop
     * must plan under the caller's semantics, just not leak its own
-    * shuffle-partition mutation back. Static/immutable keys throw on set
-    * and are skipped (they're shared through the context anyway).
+    * shuffle-partition mutation back. ONLY the cannot-modify
+    * `AnalysisException` is swallowed (static/immutable keys, shared
+    * through the context anyway); any other set failure on a
+    * semantics-bearing key must surface, not leave the loop silently
+    * planning under different semantics.
     */
   private def isolatedCopy(df: DataFrame): DataFrame = {
     val caller = df.sparkSession
@@ -407,7 +449,7 @@ object Dedup {
     caller.conf.getAll.foreach { case (k, v) =>
       if (!fresh.conf.getOption(k).contains(v)) {
         try fresh.conf.set(k, v)
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
       }
     }
     fresh.createDataFrame(df.rdd, df.schema)

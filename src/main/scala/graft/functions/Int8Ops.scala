@@ -110,6 +110,15 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
   * dot product and norms (exact — bounded by dims·127² ≪ 2^53), then
   * `dot / (√na · √nb)` factored exactly like [[CosineSimilarity]] so the
   * DuckDB oracle reproduces the identical double.
+  *
+  * Edge conventions (shared with [[CosineSimilarity]]): inputs are
+  * expected EQUAL-LENGTH (a fixed embedding dimension); mismatched arrays
+  * score over the common prefix rather than failing. A zero-quantized
+  * vector (the all-zero embedding) scores 0/0 = NaN everywhere — and both
+  * Spark and DuckDB order NaN above every other double, so even a NaN row
+  * ranks identically in the two engines' top-k windows
+  * (`Int8OpsSpec` "zero vector" pins the behavior; the embeddings corpora
+  * contain no zero vectors, so no oracled row exercises it).
   */
 case class Int8Cosine(left: Expression, right: Expression) extends BinaryExpression {
 

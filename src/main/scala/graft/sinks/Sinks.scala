@@ -274,8 +274,12 @@ object Sinks {
       withVer.write.partitionBy(partitionCol).parquet(path)
       return
     }
-    // a micro-batch touches few partitions by construction; collecting the
-    // distinct partition values is a driver-side list of dates, not data
+    // BOUNDED collect (same contract as Similarity's centroid-model
+    // collects): the values fetched are PARTITION KEYS of one micro-batch —
+    // a handful of dates by construction, bounded by the table's partition
+    // count, never row data. A batch spanning unbounded distinct partition
+    // values would be mis-partitioned upstream, not a reason to
+    // distribute this list.
     val parts = withVer.select(partitionCol).distinct().collect().map(_.get(0))
     val existing = spark.read.parquet(path)
       .filter(col(partitionCol).isInCollection(parts.toSeq))

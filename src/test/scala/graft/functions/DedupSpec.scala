@@ -141,6 +141,22 @@ class DedupSpec extends SparkSpec {
     assert(wrote > 0, s"no checkpoint files under $ckpt")
   }
 
+  test("CC reliable checkpoints GC spent rounds: only the trailing round dirs remain") {
+    // without GC the loop grows the dir by one edge-set per round (Spark
+    // only deletes reliable checkpoints via the ContextCleaner, not set
+    // up here); after convergence only round R-1 and R may survive
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-gc").toString
+    val n = 2000L
+    val chain = spark.range(n).select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val (labels, rounds) =
+      Dedup.duplicateClustersLogNWithRounds(chain, checkpointDir = Some(ckpt))
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L))
+    assert(rounds >= 3, s"need >= 3 rounds to exercise the GC path, got $rounds")
+    val left = new java.io.File(ckpt).listFiles()
+      .filter(_.getName.startsWith("pin-")).map(_.getName).sorted
+    assert(left.length <= 2, s"stale checkpoint rounds not GC'd: ${left.mkString(", ")}")
+  }
+
   test("isolatedCopy replays the caller's runtime conf onto the private CC session") {
     val key = "spark.sql.session.timeZone"
     val before = spark.conf.get(key)

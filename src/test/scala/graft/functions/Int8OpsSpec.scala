@@ -80,6 +80,31 @@ class Int8OpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("zero vector scores NaN against everything and ranks FIRST in a desc top-k window") {
+    // Int8Cosine keeps CosineSimilarity's convention: a zero vector has no
+    // direction, so 0/0 = NaN. Both Spark and DuckDB order NaN ABOVE every
+    // other double, so a NaN score ranks identically (rank 1 in a desc
+    // window) in both engines — pinned here in case a future corpus ever
+    // carries an all-zero embedding into an oracled top-k.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.5f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.9f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val scored = df
+      .select(col("vec_id"),
+        Int8Ops.cosineInt8Native(
+          Int8Ops.quantizeInt8Native(typedLit(Seq(1.0f, 0.4f))),
+          Int8Ops.quantizeInt8Native(col("embedding"))).as("sim"))
+    val nan = scored.filter(col("vec_id") === 1L).select("sim").as[Double].head()
+    assert(nan.isNaN, s"zero vector scored $nan, expected NaN")
+    val ranked = scored
+      .select(col("vec_id"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("vec_id")))
+          .as("rank"))
+      .as[(Long, Int)].collect().toMap
+    assert(ranked(1L) == 1, s"NaN must outrank every real score, got rank ${ranked(1L)}")
+  }
+
   test("int8 cosine approximates float cosine within quantization error; ranking preserved on separated clusters") {
     val rnd = new scala.util.Random(5)
     val vecs = (0 until 30).map { i =>
