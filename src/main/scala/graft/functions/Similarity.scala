@@ -240,6 +240,78 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Persist an IVF-int8 index: the [[ivfInt8TopK]] inverted lists written
+    * as a `cell_id`-PARTITIONED parquet table plus the centroid model as a
+    * tiny sibling table. This is the serving half of the 100 TB story —
+    * training and quantization are paid ONCE, and every query batch after
+    * that reads only its probed cells' directories (Catalyst
+    * PartitionFilters — the scan never touches the other cells' files).
+    *
+    * Layout: `<path>/lists/cell_id=N/…` (vec_id, qvec) and
+    * `<path>/cells` (cell_id, cell_vec).
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      path: String): Unit = {
+    val centsIdx = centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    corpus.select(
+        col("vec_id"),
+        Int8Ops.quantizeInt8Native(col("embedding")).as("qvec"),
+        nearestCentroid(col("embedding"), centsIdx).as("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/lists")
+    corpus.sparkSession.createDataFrame(
+        centsIdx.map { case (i, v) => (i, v.toSeq) }.toSeq)
+      .toDF("cell_id", "cell_vec")
+      .select(col("cell_id"), col("cell_vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Serve top-k ANN from a persisted [[writeIvfIndex]] index. The centroid
+    * model loads to the driver (k × dims floats — model parameters, the
+    * documented bounded-collect contract), probes are computed per query,
+    * and the DISTINCT probed cell ids — bounded by nQueries × nProbe —
+    * become an `isin` partition predicate on the lists table, so the scan
+    * physically selects only the probed directories (plan-asserted in
+    * PlanAuditSpec). Ranking is the same broadcast-probe + narrow-score
+    * shape as [[ivfInt8TopK]].
+    */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/cells")
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineNative(col("embedding"), col("cell_vec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"),
+        Int8Ops.quantizeInt8Native(col("embedding")).as("query_qvec"),
+        col("cell_id"))
+    // bounded collect: nQueries × nProbe cell ids (probe-plan parameters,
+    // not data) — they must reach the driver to become a partition-pruning
+    // predicate the scan can evaluate against directory names
+    val probedCells = probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cell_id").isInCollection(probedCells))
+    val scored = lists
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        Int8Ops.cosineInt8Native(col("query_qvec"), col("qvec")).as("sim"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** SPHERICAL Lloyd's k-means over embedding vectors — the
     * trained-centroid companion to [[ivfTopK]] (whose exemplar centroids
     * are swappable for these with no other change). Init = the k lowest-id

@@ -116,6 +116,26 @@ class PlanAuditSpec extends SparkSpec {
       .forall(_.urlEncodedPath.contains("event_date=2024-01-15")))
   }
 
+  test("q67: the served IVF scan selects only the probed cells' partitions") {
+    // the index has 16 cell_id directories; 3 queries x nProbe=3 bound the
+    // probed set to <= 9, so the lists scan must select at most 9 (and at
+    // least 1) partitions via PartitionFilters — reading all 16 means the
+    // isin partition predicate fell out of the plan
+    val df = SparkEntry.queries("q67_ivf_index_serve")(spark, dir)
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = phys.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val lists = scans.find(_.toString.contains("qvec"))
+      .getOrElse(fail(s"no lists scan among ${scans.size} scans"))
+    assert(lists.toString.contains("PartitionFilters"), lists.toString.take(800))
+    val n = lists.selectedPartitions.partitionCount
+    assert(n >= 1 && n <= 9, s"lists scan selected $n of 16 cell partitions")
+  }
+
   test("q60: sketches aggregate as map-side PARTIALS before the exchange (mergeable path)") {
     // the whole point of the production sketch query: HLL registers and
     // GK summaries must combine map-side (partial_*) and merge after one

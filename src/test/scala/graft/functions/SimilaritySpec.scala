@@ -79,6 +79,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ranksPerQuery.values.forall(_ == Seq(1, 2, 3)), ranksPerQuery.toString)
   }
 
+  test("persisted IVF index serves the same results as the in-memory composition") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      val eps = 0.05f * ((i % 7) - 3)
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = eps
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(df, k = 3, iters = 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.writeIvfIndex(df, trained, idx)
+    val queries = df.filter(col("vec_id") < 3)
+    // same trained model, same quantization, same ranking arithmetic —
+    // the persisted round trip must be result-identical (int8 scores are
+    // integer-exact, so no float-order caveat applies here)
+    val served = Similarity.queryIvfIndex(spark, idx, queries, nProbe = 1, k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val direct = Similarity.ivfInt8TopK(df, queries, trained, nProbe = 1, k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(served == direct, s"served $served\ndirect $direct")
+  }
+
   test("kmeansInertia: zero for a perfect model, monotone non-increasing under training") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
