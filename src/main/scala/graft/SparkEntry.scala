@@ -389,6 +389,22 @@ object SparkEntry {
               min(col("__rmin")) === 1 && max(col("__rmax")) === 5).cast("long"),
             lit(0L)).as("results_ok"))
     },
+    // ---- LLM-pipeline: token budgeting — whitespace words vs BPE-ish
+    // pre-tokenizer pieces (Text.BpeishPattern, the GPT-2-style pre-split)
+    // per document, with the pieces-per-word ratio in exact basis points.
+    // The pattern is ONE shared constant interpolated into the oracle SQL,
+    // and both engines segment with leftmost-first alternation, so the
+    // counts are value-exact cross-engine ----
+    "q68_token_budget" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_words"),
+          Text.bpeishCount(col("text")).cast("long").as("n_pieces"))
+        .withColumn("pieces_per_word_e4",
+          ExactAgg.divHalfUp(col("n_pieces") * 10000, col("n_words")))
+        .orderBy("doc_id")
+    },
     // ---- q64's PRODUCTION sibling (the q39→q60 pattern): the same
     // trained-IVF × int8 composition WITHOUT the exact brute-force recall
     // baseline q64 carries to be gate-able — this is the shape a 100 TB
@@ -1704,6 +1720,16 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(1 AS BIGINT) AS results_ok
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    // q68: the SAME BpeishPattern constant, SQL-quoted; DuckDB's RE2 and
+    // Java regex both use leftmost-first ordered alternation
+    "q68_token_budget" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '${Text.BpeishPattern.replace("'", "''")}')) AS BIGINT) AS n_pieces,
+         |  CAST(${ExactAgg.Sql.divHalfUp(
+              s"CAST(len(regexp_extract_all(text, '${Text.BpeishPattern.replace("'", "''")}')) AS BIGINT) * 10000",
+              "len(string_split(text, ' '))")} AS BIGINT) AS pieces_per_word_e4
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS cnt,
          |  CAST(${ExactAgg.Sql.divHalfUp("SUM(ne6)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS avg_norm

@@ -21,6 +21,24 @@ object Text {
     */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit("[A-Za-z0-9]+"))
 
+  /** GPT-2-style pre-tokenizer segmentation pattern: English contractions,
+    * space-attached letter runs, digit runs, punctuation runs — the
+    * standard BPE pre-split, minus the lookahead tricks (kept inside the
+    * POSIX-compatible subset so Java regex and DuckDB's RE2 agree piece for
+    * piece; both engines use leftmost-first ordered alternation). ONE
+    * definition feeds both the Spark expression and the generated oracle
+    * SQL, so the two can't drift.
+    */
+  val BpeishPattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Number of BPE-ish pre-token pieces ([[BpeishPattern]]) — the
+    * tokens-per-word signal an LLM-data pipeline budgets corpora with
+    * (pieces ≈ what a trained BPE vocabulary would start from). Pure
+    * codegen `regexp_count`; no array materialization.
+    */
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
   /** Distinct-token set (shingle size 1). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 

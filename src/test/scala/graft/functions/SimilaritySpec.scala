@@ -133,6 +133,33 @@ class SimilaritySpec extends SparkSpec {
       inertias.toString)
   }
 
+  test("spherical training: cosine inertia is monotone on VARYING-NORM corpora (10 seeds)") {
+    import spark.implicits._
+    // the exact failure mode the spherical update exists for: raw-vector
+    // means optimize squared-Euclidean and CAN increase cosine inertia
+    // when member norms vary wildly; the normalized-member mean is the
+    // cosine objective's own maximizer, so every chain must be monotone
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 40).map { i =>
+        // directions spread over 4 dims, norms spanning 0.05..20x
+        val dir = Array.fill(4)((rnd.nextFloat() - 0.5f) * 2.0f)
+        val scale = math.pow(20.0, rnd.nextDouble() * 2 - 1).toFloat
+        (i.toLong, dir.map(_ * scale).toSeq)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val init = df.orderBy("vec_id").limit(4)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val chain = Seq(
+        Similarity.kmeansInertia(df, init),
+        Similarity.kmeansInertia(df, Similarity.kmeansCentroids(df, 4, iters = 1)),
+        Similarity.kmeansInertia(df, Similarity.kmeansCentroids(df, 4, iters = 2)),
+        Similarity.kmeansInertia(df, Similarity.kmeansCentroids(df, 4, iters = 4)))
+      assert(chain.sliding(2).forall { case Seq(a, b) => b <= a * (1 + 1e-6) },
+        s"seed $seed: non-monotone inertia chain $chain")
+    }
+  }
+
   test("single centroid (k=1 kmeans, nCells=1 IVF) assigns without greatest()'s 2-arg minimum") {
     import spark.implicits._
     val df = Seq(

@@ -170,6 +170,19 @@ class TextSpec extends SparkSpec {
     assert(a.forall(_._5 == 0L), a.toString)
   }
 
+  test("bpeishCount segments contractions, space-attached words, digit and punct runs") {
+    // "don't stop 123 now!!" -> don | 't | " stop" | " 123" | " now" | !!
+    val out = Seq(
+      ("don't stop 123 now!!", 6L),
+      ("hello world", 2L),
+      ("a1b2", 4L),          // letter/digit alternation splits every boundary
+      ("it's we're i'll", 6L))
+      .toDF("t", "expected")
+    val got = out.select(Text.bpeishCount(col("t")).cast("long").as("n"), col("expected"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, e) => assert(n == e, s"got $n expected $e") }
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")
