@@ -682,7 +682,13 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("dow")
     },
-    // ---- LLM-pipeline: IVF ANN (coarse quantize -> probe cells -> re-rank) ----
+    // ---- LLM-pipeline: IVF ANN (coarse quantize -> probe cells -> re-rank).
+    // Deliberately the VALUE-EXACT flavor: deterministic exemplar centroids
+    // + float cosine make every output row reproducible in the SQL oracle.
+    // The 100 TB flavor — trained centroids + int8 lists — is q64/q66, and
+    // its persisted serving shape is q67; this query pins the IVF
+    // mechanics (probe selection, cell-pruned candidate set, re-rank) by
+    // exact rows where those must gate by envelope ----
     "q43_ivf_ann" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), nCells = 32, nProbe = 4, k = 5)
