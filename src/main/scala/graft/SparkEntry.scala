@@ -333,7 +333,13 @@ object SparkEntry {
       val k = 10
       val queries = emb.filter(col("vec_id") < 10)
       val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+      // persisted like q53's shared prefix: the approx result feeds BOTH
+      // the recall join and the shape flags below — without the persist
+      // the whole IVF pipeline (corpus assignment + quantization included)
+      // executes twice. Narrow rows (4 columns, nQueries×k of them); the
+      // bench clears caches between queries.
       val approx = Similarity.ivfInt8TopK(emb, queries, cents, nProbe = 4, k = k)
+        .persist()
       val exact = Similarity.bruteForceTopK(emb, queries, k)
         .select(col("query_id"), col("neighbor_id"))
       val hits = approx
