@@ -99,16 +99,23 @@ object Bench {
     // the box is quiet. Timed every `canaryEvery` queries in both passes so
     // an ambient-load window shows up as a spike in the emitted series.
     val canaryTimes = scala.collection.mutable.ArrayBuffer[Double]()
-    def canary(): Unit = {
+    // canary_at[i] labels canary[i] with the pass and query index it ran
+    // BEFORE ("A:12" = pass A, right before query 12) so a spike is
+    // mechanically attributable to the queries timed inside its window —
+    // round 6's dirty driver run could flag itself but not localize which
+    // query timings the ambient window covered.
+    val canaryAt = scala.collection.mutable.ArrayBuffer[String]()
+    def canary(at: String): Unit = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/orders.parquet")
         .selectExpr("sum(o_totalprice) AS s", "count(DISTINCT o_orderstatus) AS c")
         .write.format("noop").mode("overwrite").save()
       canaryTimes += (System.nanoTime() - t0) / 1e9
+      canaryAt += at
     }
     val canaryEvery = 6
-    def runPass(): Seq[(String, Double)] = named.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % canaryEvery == 0) canary()
+    def runPass(pass: String): Seq[(String, Double)] = named.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % canaryEvery == 0) canary(s"$pass:$i")
       val t = runOnce(name, fn)
       // queries that persist() intermediates (the MinHash signature table,
       // q53's dedup prefix) would otherwise leave cached copies behind —
@@ -116,10 +123,11 @@ object Bench {
       spark.catalog.clearCache()
       (name, t)
     }
-    canary() // prime the canary's own codegen so its first timed run is comparable
+    canary("prime") // prime the canary's own codegen so its first timed run is comparable
     canaryTimes.clear()
-    val passA = runPass()
-    val passB = runPass()
+    canaryAt.clear()
+    val passA = runPass("A")
+    val passB = runPass("B")
     val firstByName = passA.toMap
     val results = passA.zip(passB).map { case ((name, t1), (_, t2)) =>
       val best = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
@@ -150,10 +158,26 @@ object Bench {
     // either way, so one-off spikes stay visible). The first sample is
     // excluded: it can still carry infrastructure-warmup stragglers.
     val warmCanary = canaryTimes.drop(1)
-    val canaryNoisy =
+    // Two independent noise conditions, either certifies the run dirty:
+    //   - SPIKES: >= 2 warm samples over 3x the warm minimum — a sustained
+    //     ambient window INSIDE the run (one blip is shed by min-of-2);
+    //   - ELEVATED FLOOR: the warm MINIMUM itself exceeds the quiet-box
+    //     envelope — load spanning the ENTIRE run inflates every sample
+    //     uniformly, so the relative-spike test sees a flat (clean-looking)
+    //     series while every query timing is still corrupted (round-6
+    //     advice). The canary is a fixed ~4M-row scan+agg that runs
+    //     0.1-0.3 s on this box when quiet at sf0.1 (and faster at smaller
+    //     SFs, so one absolute ceiling is safe across SFs); the threshold
+    //     is emitted alongside the verdict and env-overridable for a
+    //     different box.
+    val quietMax = sys.env.getOrElse("SPARK_GRAFT_CANARY_QUIET_MAX", "0.75").toDouble
+    val canarySpiky =
       warmCanary.nonEmpty && warmCanary.count(_ > warmCanary.min * 3) >= 2
+    val canaryElevated = warmCanary.nonEmpty && warmCanary.min > quietMax
+    val canaryNoisy = canarySpiky || canaryElevated
+    val canaryAtJson = canaryAt.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_first":$qsFirst,"failed":$failed,"canary":$canaryJson,"canary_noisy":$canaryNoisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_first":$qsFirst,"failed":$failed,"canary":$canaryJson,"canary_at":$canaryAtJson,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_quiet_max":${fmt(quietMax)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Two stdout forms: the bare line (round-1 contract) and a uniquely
     // prefixed copy the driver can grep out of sbt's [info]-wrapped stdout.

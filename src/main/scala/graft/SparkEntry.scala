@@ -41,14 +41,57 @@ object SparkEntry {
     * invisible to Spark's file listing and to the oracle's `*.parquet`
     * glob alike.
     */
-  private def fixtureReady(path: String, stamp: String): Boolean = {
+  private[graft] def fixtureReady(path: String, stamp: String): Boolean = {
     val m = java.nio.file.Paths.get(path, "_GRAFT_STAMP")
     java.nio.file.Files.exists(m) && java.nio.file.Files.readString(m) == stamp
   }
 
-  private def stampFixture(path: String, stamp: String): Unit =
+  private[graft] def stampFixture(path: String, stamp: String): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_GRAFT_STAMP"), stamp)
+
+  /** IVF model hyperparameters for the persisted-index queries (q67, q70).
+    * Constants here, not inline at call sites: they are part of the index
+    * FIXTURE's identity — [[ivfIndexStamp]] folds them into the stamp so a
+    * hyperparameter change rebuilds the index instead of silently serving
+    * a model trained under the old values (round-6 verdict #3).
+    */
+  private[graft] val IvfCells = 16
+  private[graft] val IvfIters = 2
+
+  /** Stamp for a persisted IVF index fixture. Three ingredient classes,
+    * each covering a distinct staleness mode:
+    *   - the source slice identity (sfDir + row count);
+    *   - a CONTENT hash (bit_xor of xxhash64 over (vec_id, embedding) —
+    *     order-insensitive like sum, but overflow-free under ANSI mode) —
+    *     the round-6 advice: count + sum(vec_id) is determined by the row
+    *     count under sequential ids, so regenerated fixtures with the same
+    *     cardinality but different VECTORS would serve a stale index;
+    *   - the model hyperparameters + quantizer scheme version, which live
+    *     in code where no data fingerprint can see them.
+    */
+  private[graft] def ivfIndexStamp(
+      emb: DataFrame, dir: String, k: Int, iters: Int): String = {
+    val fp = emb.agg(
+      count(lit(1)), bit_xor(xxhash64(col("vec_id"), col("embedding")))).head()
+    s"$dir|${fp.get(0)}|${fp.get(1)}|k=$k|iters=$iters|quant=${graft.functions.Int8Ops.QuantizerVersion}"
+  }
+
+  /** Train + persist the IVF index at `fixture` unless the stamp already
+    * matches the current corpus slice AND model hyperparameters (write-once
+    * semantics, same family as the q61/q65 lake fixtures). Extracted from
+    * q67 so the rebuild-on-hyperparameter-change behavior is directly
+    * spec-testable (`IvfIndexSpec` flips k and observes the rebuild).
+    */
+  private[graft] def ensureIvfIndex(
+      emb: DataFrame, dir: String, fixture: String, k: Int, iters: Int): Unit = {
+    val stamp = ivfIndexStamp(emb, dir, k, iters)
+    if (!fixtureReady(fixture, stamp)) {
+      Similarity.writeIvfIndex(
+        emb, Similarity.kmeansCentroids(emb, k = k, iters = iters), fixture)
+      stampFixture(fixture, stamp)
+    }
+  }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
 
@@ -332,7 +375,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val k = 10
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+      val cents = Similarity.kmeansCentroids(emb, k = IvfCells, iters = IvfIters)
       // persisted like q53's shared prefix: the approx result feeds BOTH
       // the recall join and the shape flags below — without the persist
       // the whole IVF pipeline (corpus assignment + quantization included)
@@ -375,13 +418,7 @@ object SparkEntry {
     "q67_ivf_index_serve" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val fixture = s"$fixtureRoot/ivf_index"
-      val fp = emb.agg(count(lit(1)), sum(col("vec_id"))).head()
-      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}"
-      if (!fixtureReady(fixture, stamp)) {
-        Similarity.writeIvfIndex(
-          emb, Similarity.kmeansCentroids(emb, k = 16, iters = 2), fixture)
-        stampFixture(fixture, stamp)
-      }
+      ensureIvfIndex(emb, dir, fixture, k = IvfCells, iters = IvfIters)
       Similarity.queryIvfIndex(s, fixture, emb.filter(col("vec_id") < 3), nProbe = 3, k = 5)
         .groupBy("query_id")
         .agg(
@@ -420,7 +457,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val k = 10
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+      val cents = Similarity.kmeansCentroids(emb, k = IvfCells, iters = IvfIters)
       Similarity.ivfInt8TopK(emb, queries, cents, nProbe = 4, k = k)
         .groupBy("query_id")
         .agg(
@@ -799,9 +836,13 @@ object SparkEntry {
       // pushed-filter agg per attempt; write the ORC fixture only when the
       // stamp says the on-disk copy came from different data, so the timed
       // body is the READ path (write coverage lives in SourceFormatsSpec's
-      // S9 round-trip)
+      // S9 round-trip). The stamp also records the SLICE DEFINITION
+      // (predicate + projected columns + format) — those live in code, so
+      // a data fingerprint alone would keep serving the old layout after
+      // an edit here changed what the fixture should contain (round-6 #8)
       val fp = src.agg(count(lit(1)), sum(col("user_id"))).head()
-      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}"
+      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}" +
+        "|slice=event_id<2000;cols=event_id,user_id,event_type,value;fmt=orc"
       if (!fixtureReady(fixture, stamp)) {
         src.write.mode("overwrite").format("orc").save(fixture)
         stampFixture(fixture, stamp)
@@ -826,8 +867,11 @@ object SparkEntry {
       val src = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .select("event_id", "user_id", "event_type", "value", "event_date")
+      // stamp = data fingerprint + the code-resident layout definition
+      // (projection + partition column + format), same rationale as q61's
       val fp = src.agg(count(lit(1)), sum(col("user_id"))).head()
-      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}"
+      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}" +
+        "|slice=cols=event_id,user_id,event_type,value;part=event_date;fmt=parquet"
       if (!fixtureReady(fixture, stamp)) {
         src.write.mode("overwrite").partitionBy("event_date").parquet(fixture)
         stampFixture(fixture, stamp)
@@ -1320,14 +1364,19 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type = 'click' AND event_id < 1000
         |ORDER BY event_id""".stripMargin,
-    // q65: DuckDB reads the SAME partitioned lake through hive
-    // partitioning, so the comparison closes the partitioned write+pruned
-    // read round trip (the _GRAFT_STAMP file is invisible to the glob)
+    // q65: the expectation is derived INDEPENDENTLY from the source events
+    // table (round-6 advice: an oracle that reads the Spark-written lake
+    // would reproduce a fixture-build bug — wrong partition values, dropped
+    // rows — and pass). Spark reads the lake through the pruned scan, DuckDB
+    // recomputes the partition's rows from source, so equality closes the
+    // partitioned write + pruned read round trip end-to-end: any defect in
+    // the fixture build now FAILS the gate instead of matching itself.
+    // CAST(naive ts AS DATE) ≡ Spark's to_date under the UTC session TZ.
     "q65_lake_partition_scan" ->
-      s"""SELECT event_id, user_id, event_type, value
-         |FROM read_parquet('$fixtureRoot/lake_events/*/*.parquet', hive_partitioning=true)
-         |WHERE event_date = '2024-01-15'
-         |ORDER BY event_id""".stripMargin,
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |ORDER BY event_id""".stripMargin,
     // q62: the envelope any correct k-means keeps (assignment range +
     // Lloyd's inertia monotonicity) — exact centroids are float-ulp
     // engine-internal, like q39's sketch registers

@@ -168,12 +168,15 @@ object StressGen {
     time("q59_boilerplate_filter (10x corpus)") {
       // the 10× replication is adversarial here too: every original's
       // shared grams now sit in ≥10 documents, right at the df threshold
-      val scored = functions.Text.boilerplateStats(docs, "text", "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = scored.count()
-      val kept = scored.filter(F.col("keep") === 1).count()
-      scored.unpersist()
-      println(s"GRAFT_STRESS   docs scored: $n, kept: $kept")
+      // managed form: the soak loop must not accumulate one cached perDoc
+      // relation per pass (the raw form's documented cache contract)
+      functions.Text.boilerplateStatsManaged(docs, "text", "doc_id") { out =>
+        val scored = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = scored.count()
+        val kept = scored.filter(F.col("keep") === 1).count()
+        scored.unpersist()
+        println(s"GRAFT_STRESS   docs scored: $n, kept: $kept")
+      }
     }
     time("q59 adversarial all-boiler vocabulary (guarded broadcast)") {
       // every doc shares every gram, so the boilerplate vocabulary is
@@ -184,11 +187,12 @@ object StressGen {
       // AQE's sizing with every doc correctly dropped.
       val adv = docs.select(F.col("doc_id"),
         F.lit((1 to 40).map(i => s"g$i").mkString(" ")).as("text"))
-      val scored = functions.Text.boilerplateStats(adv, "text", "doc_id",
-        maxBroadcastVocab = 0L)
-      val n = scored.count()
-      val dropped = scored.filter(F.col("keep") === 0).count()
-      println(s"GRAFT_STRESS   adversarial docs: $n, dropped: $dropped, allDropped=${n == dropped}")
+      functions.Text.boilerplateStatsManaged(adv, "text", "doc_id",
+        maxBroadcastVocab = 0L) { scored =>
+        val n = scored.count()
+        val dropped = scored.filter(F.col("keep") === 0).count()
+        println(s"GRAFT_STRESS   adversarial docs: $n, dropped: $dropped, allDropped=${n == dropped}")
+      }
     }
     // ---- round-5 family: multimodal codecs at 10× — a mixed PNG/WAV/GIF
     // corpus (one kind per doc_id mod 3) with a deterministic corrupt

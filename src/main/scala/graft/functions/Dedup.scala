@@ -392,11 +392,34 @@ object Dedup {
     * disk deliberately — the returned labels frame still reads the final
     * checkpoint; callers GC `dir` after consuming results
     * (spec: `DedupSpec` "GC spent rounds").
+    *
+    * CONCURRENCY: `setCheckpointDir` is SparkContext-global, so two CC
+    * loops sharing one context could interleave set/checkpoint and land
+    * one loop's live checkpoint under the other's GC-eligible pin dir —
+    * previously merely messy, data-destroying once GC deletes it. Two
+    * defenses, both structural: every Pinner instance pins under its own
+    * `pinner-N/` subdirectory of the caller's dir (so its GC can only ever
+    * delete paths it created), and the set+checkpoint pair runs under a
+    * process-wide lock so a checkpoint cannot land in another instance's
+    * directory. Eager pins materialize inside the lock — concurrent loops
+    * serialize their checkpoint ACTIONS (correctness over parallelism; the
+    * loops' other stages still overlap freely).
     */
+  private object Pinner {
+    /** Process-wide: guards the SparkContext-global setCheckpointDir +
+      * checkpoint pair across all Pinner instances (and contexts — one
+      * lock for all is coarser than needed but contention-free in
+      * practice: pins are per-iteration, not per-row).
+      */
+    private[Dedup] val checkpointLock = new Object
+    private[Dedup] val instanceIds = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
   private final class Pinner(
       spark: org.apache.spark.sql.SparkSession,
       checkpointDir: Option[String]) {
     private var seq = 0
+    private val instance = Pinner.instanceIds.getAndIncrement()
     private val gcQueue = scala.collection.mutable.Queue[String]()
 
     /** Pin a transient round — GC-eligible two transient pins later. */
@@ -410,10 +433,12 @@ object Dedup {
         case None => df.localCheckpoint(eager)
         case Some(dir) =>
           val sc = spark.sparkContext
-          val sub = s"$dir/pin-$seq"
+          val sub = s"$dir/pinner-$instance/pin-$seq"
           seq += 1
-          sc.setCheckpointDir(sub)
-          val out = df.checkpoint(eager)
+          val out = Pinner.checkpointLock.synchronized {
+            sc.setCheckpointDir(sub)
+            df.checkpoint(eager)
+          }
           if (gc) {
             gcQueue.enqueue(sub)
             if (gcQueue.size > 2) {

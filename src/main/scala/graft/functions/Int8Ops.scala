@@ -30,6 +30,15 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Fl
   */
 object Int8Ops {
 
+  /** Version tag for the quantization SCHEME, stamped into persisted-index
+    * fixtures (q67/q70): data quantized under one scheme must never be
+    * served after the scheme changes, and the scheme lives in code where a
+    * data-content stamp can't see it. Bump on any change to the quantized
+    * representation (currently per-vector max-abs, round-half-up to
+    * [-127, 127]).
+    */
+  val QuantizerVersion = "int8-maxabs-v1"
+
   /** Column API: `array<float>` → `array<byte>` max-abs quantization. */
   def quantizeInt8Native(v: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v)))

@@ -152,7 +152,15 @@ class DedupSpec extends SparkSpec {
       Dedup.duplicateClustersLogNWithRounds(chain, checkpointDir = Some(ckpt))
     assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L))
     assert(rounds >= 3, s"need >= 3 rounds to exercise the GC path, got $rounds")
-    val left = new java.io.File(ckpt).listFiles()
+    // pins live under per-Pinner-instance roots (pinner-N/pin-M) so one
+    // loop's GC can never delete another loop's live checkpoint; this run's
+    // loop used exactly one instance, and within it only the trailing
+    // transient rounds (plus never-GC'd durable pins) may survive
+    val instanceRoots = new java.io.File(ckpt).listFiles()
+      .filter(_.getName.startsWith("pinner-"))
+    assert(instanceRoots.length == 1,
+      s"one CC loop should pin under one instance root: ${instanceRoots.map(_.getName).mkString(", ")}")
+    val left = instanceRoots.head.listFiles()
       .filter(_.getName.startsWith("pin-")).map(_.getName).sorted
     assert(left.length <= 2, s"stale checkpoint rounds not GC'd: ${left.mkString(", ")}")
   }

@@ -170,6 +170,27 @@ class TextSpec extends SparkSpec {
     assert(a.forall(_._5 == 0L), a.toString)
   }
 
+  test("managed boilerplate unpersists its cached intermediate; raw form documents the leak") {
+    // the raw form's returned plan reads a persisted perDoc relation Spark
+    // gives us no consumption hook to release — the managed form owns the
+    // cleanup (round-6 advice: soak/library callers were accumulating one
+    // disk-persisted relation per call for the context lifetime)
+    val docs = (1L to 12L).map(i => (i, s"shared prefix words here unique$i"))
+      .toDF("doc_id", "t")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val rows = Text.boilerplateStatsManaged(docs, "t", "doc_id",
+      n = 3, dfThreshold = 10L) { out =>
+      val r = out.count()
+      // inside the scope the shared intermediate IS cached (both the
+      // vocabulary aggregate and the scoring join read it)
+      assert(spark.sparkContext.getPersistentRDDs.size > before)
+      r
+    }
+    assert(rows == 12L)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "managed scope must not leak its cached intermediate")
+  }
+
   test("bpeishCount segments contractions, space-attached words, digit and punct runs") {
     // "don't stop 123 now!!" -> don | 't | " stop" | " 123" | " now" | !!
     val out = Seq(
