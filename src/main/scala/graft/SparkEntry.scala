@@ -1083,6 +1083,41 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     },
+    // ---- q57's AMORTIZED serving shape (the q67 move applied to dedup):
+    // the history corpus's fingerprints persisted ONCE as a 16-byte/doc
+    // index, every ingest batch probed against the index — never the
+    // history text — and each accepted batch's fps APPENDED so the next
+    // batch dedups against them too. The fixture build (stamped write-once
+    // like the IVF index) writes the base index, dedups batch 1 and
+    // appends its survivors; the benched steady-state body is batch 2's
+    // probe: its replays of HISTORY docs drop via the base index, its
+    // replays of BATCH-1 docs drop via the appended rows (proving the
+    // append participates), and fresh docs survive. The oracle states the
+    // same semantics independently as NOT EXISTS over text ----
+    "q69_dedup_fp_index" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(col("doc_id") % 2 === 0)
+      val batch1 = docs.filter(col("doc_id") % 4 === 1).select("doc_id", "text")
+      val fixture = s"$fixtureRoot/fp_index"
+      val fp = docs.agg(
+        count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.FingerprintIndexVersion}"
+      if (!fixtureReady(fixture, stamp)) {
+        Dedup.writeFingerprintIndex(history, fixture)
+        val accepted1 = Dedup.dedupAgainstFingerprintIndex(s, fixture, batch1)
+        Dedup.appendFingerprintIndex(accepted1, fixture)
+        stampFixture(fixture, stamp)
+      }
+      val batch2 = docs.filter(col("doc_id") % 4 === 3)
+        .select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") % 20 === 0) // replays of history
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 1) // replays of batch 1
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      Dedup.dedupAgainstFingerprintIndex(s, fixture, batch2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
     // ---- gap-based session windows (session_window, batch parity) ----
     "q40_session_windows" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -1497,6 +1532,26 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
         |SELECT i.doc_id FROM incoming i
         |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
+    // q69: fingerprint-index membership ≡ text membership (md5 is
+    // injective on this corpus as q57 establishes), so the oracle states
+    // the two-generation semantics directly on text, INDEPENDENTLY of the
+    // persisted index: batch 2 survives iff its text is in neither the
+    // history nor batch 1's accepted set (the appended generation)
+    "q69_dedup_fp_index" ->
+      """WITH history AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |b1acc AS (
+        |  SELECT text FROM documents b1 WHERE doc_id % 4 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM history h WHERE h.text = b1.text)),
+        |b2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 1)
+        |SELECT doc_id FROM b2
+        |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text = b2.text)
+        |  AND NOT EXISTS (SELECT 1 FROM b1acc a WHERE a.text = b2.text)
         |ORDER BY doc_id""".stripMargin,
     // q56: the same md5 key-hash as q49, at basis-point resolution, with
     // the per-stratum rate ladder mirrored as a CASE

@@ -115,6 +115,14 @@ object Text {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** [[fingerprint]] packed to its raw 16 bytes (`unhex` of the hex md5) —
+    * the storage form for the persisted fingerprint index
+    * ([[Dedup.writeFingerprintIndex]]), where halving the 32-byte hex
+    * rendering matters: the index is re-read every ingest batch, so its
+    * bytes/doc IS the steady-state dedup I/O cost.
+    */
+  def fingerprintBinary(text: Column): Column = unhex(md5(text))
+
   /** Winnowing document fingerprints (the rolling-hash scheme of MOSS /
     * Schleimer et al. 2003): hash every word k-gram, slide a w-gram window
     * over the hash sequence, keep each window's minimum — the selected

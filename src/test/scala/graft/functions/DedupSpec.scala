@@ -215,6 +215,45 @@ class DedupSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("fingerprint index: probe matches dedupAgainstHistory; append-then-dedup == recompute-from-scratch") {
+    val h0 = docs(1L -> "seen before", 2L -> "also seen")
+    val b1 = docs(10L -> "seen before", 11L -> "fresh one", 12L -> "fresh two")
+    val b2 = docs(
+      20L -> "also seen",     // collides with base history
+      21L -> "fresh one",     // collides with batch-1 ACCEPTED (append must catch it)
+      22L -> "never before")  // genuinely new
+    val idx = java.nio.file.Files.createTempDirectory("graft-fp-idx").toString + "/idx"
+
+    // generation 0: index == history, probe must agree with the text form
+    Dedup.writeFingerprintIndex(h0, idx)
+    val acc1 = Dedup.dedupAgainstFingerprintIndex(spark, idx, b1)
+    assert(acc1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L),
+      "batch-1 probe must drop the history collision and keep the fresh rows")
+    assert(acc1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Dedup.dedupAgainstHistory(h0, b1).select("doc_id").as[Long].collect().sorted.toSeq)
+
+    // generation 1: append batch-1 survivors, dedup batch 2 against the
+    // appended index — must equal BOTH (a) an index rebuilt from scratch
+    // over h0 ∪ accepted, and (b) the unindexed text form over the same
+    val acc1Rows = acc1.select("doc_id", "text")
+    Dedup.appendFingerprintIndex(acc1Rows, idx)
+    val viaAppend = Dedup.dedupAgainstFingerprintIndex(spark, idx, b2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-fp-idx2").toString + "/idx"
+    Dedup.writeFingerprintIndex(h0.unionByName(acc1Rows), idx2)
+    val viaRebuild = Dedup.dedupAgainstFingerprintIndex(spark, idx2, b2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaText = Dedup.dedupAgainstHistory(h0.unionByName(acc1Rows), b2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaAppend == Seq(22L), viaAppend.toString)
+    assert(viaAppend == viaRebuild && viaAppend == viaText)
+
+    // a retried (duplicate) append is harmless: membership semantics
+    Dedup.appendFingerprintIndex(acc1Rows, idx)
+    assert(Dedup.dedupAgainstFingerprintIndex(spark, idx, b2)
+      .select("doc_id").as[Long].collect().toSeq == Seq(22L))
+  }
+
   test("jaccardTokens exact set semantics") {
     val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
       .select(Dedup.jaccardTokens(col("x"), col("y"))).as[Double].head()
