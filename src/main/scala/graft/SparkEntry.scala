@@ -432,6 +432,65 @@ object SparkEntry {
               min(col("__rmin")) === 1 && max(col("__rmax")) === 5).cast("long"),
             lit(0L)).as("results_ok"))
     },
+    // ---- the GROWTH half of the persisted-index story (q67 serves a
+    // static index; a real corpus grows): the index is built over 90% of
+    // the corpus with centroids trained on that base, then the remaining
+    // 10% is APPENDED — assigned to the persisted model, quantized, written
+    // into the existing cell partitions, no retrain, history lists never
+    // rewritten. The gate flag is the operator's defining equivalence,
+    // computed in-engine: serving the appended index must be ROW-IDENTICAL
+    // to the in-memory composition over the full corpus under the index's
+    // own centroids (assignment + int8 scores + vec_id tiebreaks are all
+    // deterministic given the model, so any divergence = a real append
+    // defect, not noise) ----
+    "q70_ivf_index_append" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val fixture = s"$fixtureRoot/ivf_index_append"
+      // stamp covers the FULL corpus content (base + batch both determine
+      // the post-append state) plus model hyperparameters + an append-
+      // protocol version; any mismatch rebuilds base AND re-appends, so
+      // the append runs exactly once per fixture build (a bare re-append
+      // would duplicate rows)
+      val stamp = ivfIndexStamp(emb, dir, IvfCells, IvfIters) + "|append-v1"
+      if (!fixtureReady(fixture, stamp)) {
+        val cents = Similarity.kmeansCentroids(base, k = IvfCells, iters = IvfIters)
+        Similarity.writeIvfIndex(base, cents, fixture)
+        Similarity.appendToIvfIndex(s, fixture, batch)
+        stampFixture(fixture, stamp)
+      }
+      val queries = emb.filter(col("vec_id") < 3)
+      val served = Similarity.queryIvfIndex(s, fixture, queries, nProbe = 3, k = 5)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("s_nid"), col("sim").as("s_sim"))
+      val rebuilt = Similarity.ivfInt8TopK(
+          emb, queries, Similarity.readIvfCentroids(s, fixture), nProbe = 3, k = 5)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("r_nid"), col("sim").as("r_sim"))
+      val diff = served.join(rebuilt, Seq("query_id", "rank"), "full_outer")
+        .agg(coalesce(sum(
+          when(col("s_nid").isNull || col("r_nid").isNull ||
+            col("s_nid") =!= col("r_nid") || col("s_sim") =!= col("r_sim"), 1L)
+            .otherwise(0L)), lit(0L)).as("__mismatches"))
+      served
+        .groupBy("query_id")
+        .agg(
+          count(lit(1)).as("__n"),
+          min(col("rank")).as("__rmin"),
+          max(col("rank")).as("__rmax"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          coalesce(
+            (min(col("__n")) === 5 && max(col("__n")) === 5 &&
+              min(col("__rmin")) === 1 && max(col("__rmax")) === 5).cast("long"),
+            lit(0L)).as("results_ok"))
+        .crossJoin(diff)
+        .select(
+          col("n_queries"),
+          col("results_ok"),
+          coalesce((col("__mismatches") === 0L).cast("long"), lit(0L)).as("append_match"))
+    },
     // ---- LLM-pipeline: token budgeting — whitespace words vs BPE-ish
     // pre-tokenizer pieces (Text.BpeishPattern, the GPT-2-style pre-split)
     // per document, with the pieces-per-word ratio in exact basis points.
@@ -1835,6 +1894,14 @@ object SparkEntry {
     "q67_ivf_index_serve" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(1 AS BIGINT) AS results_ok
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    // q70: append-vs-rebuild is deterministic given the persisted model
+    // (int8 scores + vec_id tiebreaks), so append_match is exactly 1 for
+    // any correct append — same envelope family as q62/q64/q67
+    "q70_ivf_index_append" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(1 AS BIGINT) AS results_ok,
+        |  CAST(1 AS BIGINT) AS append_match
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     // q68: the SAME BpeishPattern constant, SQL-quoted; DuckDB's RE2 and
     // Java regex both use leftmost-first ordered alternation

@@ -267,6 +267,44 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/cells")
   }
 
+  /** Load a persisted index's centroid model, ordered by cell id — k × dims
+    * floats, the documented bounded-collect contract (model parameters, not
+    * data). Returned in [[ivfInt8TopK]]'s positional form: element i is the
+    * centroid whose inverted list is `cell_id=i`.
+    */
+  def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/cells").orderBy("cell_id")
+      .select("cell_vec").collect().map(_.getSeq[Float](0).toArray)
+
+  /** Append a NEW embedding batch to a persisted [[writeIvfIndex]] index —
+    * the incremental growth path a real corpus needs: the batch is assigned
+    * to the index's PERSISTED centroids (no retrain — the model is the
+    * index's identity; retraining would orphan every already-quantized
+    * list) and its quantized rows land in the existing `cell_id=N`
+    * directories via parquet append. Cost is one linear pass over the
+    * batch; the history lists are never read, never rewritten.
+    *
+    * Serving afterwards is EXACTLY equivalent to serving an index rebuilt
+    * from scratch over (old corpus ∪ batch) with the same centroids:
+    * assignment, quantization and int8 scoring are all deterministic given
+    * the model, and ranking ties break on vec_id (spec:
+    * `SimilaritySpec` "appendToIvfIndex"). The caller owns re-stamping its
+    * fixture after a successful append, as with the fingerprint index.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newBatch: DataFrame): Unit = {
+    val centsIdx = readIvfCentroids(spark, path).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    newBatch.select(
+        col("vec_id"),
+        Int8Ops.quantizeInt8Native(col("embedding")).as("qvec"),
+        nearestCentroid(col("embedding"), centsIdx).as("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/lists")
+  }
+
   /** Serve top-k ANN from a persisted [[writeIvfIndex]] index. The centroid
     * model loads to the driver (k × dims floats — model parameters, the
     * documented bounded-collect contract), probes are computed per query,

@@ -136,6 +136,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(n >= 1 && n <= 9, s"lists scan selected $n of 16 cell partitions")
   }
 
+  test("q70: serving the APPENDED index still prunes to the probed cells' partitions") {
+    // append must not break the partition-pruning economics: after batch
+    // rows land in the existing cell_id directories, the serving scan is
+    // still bounded by nQueries x nProbe = 9 of the 16 cell partitions
+    val df = SparkEntry.queries("q70_ivf_index_append")(spark, dir)
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val lists = phys.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.find(_.toString.contains("ivf_index_append"))
+      .getOrElse(fail("no appended-index lists scan in the q70 plan"))
+    assert(lists.toString.contains("PartitionFilters"), lists.toString.take(800))
+    val n = lists.selectedPartitions.partitionCount
+    assert(n >= 1 && n <= 9, s"appended-index scan selected $n of 16 cell partitions")
+  }
+
   test("q60: sketches aggregate as map-side PARTIALS before the exchange (mergeable path)") {
     // the whole point of the production sketch query: HLL registers and
     // GK summaries must combine map-side (partial_*) and merge after one

@@ -104,6 +104,50 @@ class SimilaritySpec extends SparkSpec {
     assert(served == direct, s"served $served\ndirect $direct")
   }
 
+  test("appendToIvfIndex: serve-after-append == serve-on-rebuilt index, appends land in existing cells") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      val eps = 0.05f * ((i % 7) - 3)
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = eps
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") < 21)
+    val batch = df.filter(col("vec_id") >= 21)
+    // the model is trained on the BASE only and frozen — append assigns
+    // the new batch to the persisted centroids, never retrains
+    val trained = Similarity.kmeansCentroids(base, k = 3, iters = 4)
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.writeIvfIndex(base, trained, grown)
+    Similarity.appendToIvfIndex(spark, grown, batch)
+    // the reference: the full corpus indexed in ONE build under the same
+    // centroids (read back from the index so both sides share the model)
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-ivf-one").toString
+    Similarity.writeIvfIndex(df, Similarity.readIvfCentroids(spark, grown), oneShot)
+    val queries = df.filter(col("vec_id") < 3)
+    val viaAppend = Similarity.queryIvfIndex(spark, grown, queries, nProbe = 2, k = 4)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaRebuild = Similarity.queryIvfIndex(spark, oneShot, queries, nProbe = 2, k = 4)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // deterministic row identity, not set overlap: assignment, int8
+    // scoring and vec_id tiebreaks are all functions of the frozen model
+    assert(viaAppend == viaRebuild, s"append $viaAppend\nrebuild $viaRebuild")
+    // appended rows must EXTEND existing cell partitions, never mint new
+    // layout: the lists dir still has at most k cell_id directories
+    val cellDirs = new java.io.File(s"$grown/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 3, cellDirs.map(_.getName).mkString(", "))
+    // and the appended batch is actually THERE: every batch vec_id serves
+    val listed = spark.read.parquet(s"$grown/lists").select("vec_id")
+      .as[Long].collect().toSet
+    assert((21L until 30L).forall(listed.contains), listed.toString)
+  }
+
   test("kmeansInertia: zero for a perfect model, monotone non-increasing under training") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
