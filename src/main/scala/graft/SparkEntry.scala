@@ -939,6 +939,36 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     },
+    // ---- lake COMPACTION (the small-file antidote): the fixture is the
+    // events lake deliberately fragmented (repartition(40) before the
+    // partitioned write → 40 small files per date directory — the layout a
+    // streaming trigger leaves after a day of micro-batches, reference's
+    // 50-record flushes at kafka_to_minio.py:63-75). The benched body IS
+    // the operator: compact one date partition into target-sized files
+    // (crash-safe two-rename swap, idempotent on re-run) and read it back.
+    // The oracle recomputes the partition's rows INDEPENDENTLY from the
+    // source events table, q65-style, so equality proves the compaction
+    // preserved content exactly; the file-count + crash-safety claims live
+    // in SinksSpec ----
+    "q71_lake_compaction" -> { (s, dir) =>
+      val fixture = s"$fixtureRoot/frag_lake"
+      val src = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "event_date")
+      val fp = src.agg(count(lit(1)), sum(col("user_id"))).head()
+      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}" +
+        "|slice=cols=event_id,user_id,event_type,value;part=event_date;frag=40"
+      if (!fixtureReady(fixture, stamp)) {
+        src.repartition(40)
+          .write.mode("overwrite").partitionBy("event_date").parquet(fixture)
+        stampFixture(fixture, stamp)
+      }
+      sinks.Sinks.compactLakePartition(
+        s, fixture, "event_date", "2024-01-16", targetRecordsPerFile = 500000L)
+      sinks.Sinks.readLakePartition(s, fixture, "event_date", "2024-01-16")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
     // ---- k-means training as a GATED query (previously test-only): train
     // 3 SPHERICAL Lloyd's iterations, then emit the contract any correct
     // trainer keeps — every vector lands in a cell of [0, k), and the
@@ -1470,6 +1500,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
         |FROM events
         |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |ORDER BY event_id""".stripMargin,
+    // q71: same independent-derivation contract as q65 — DuckDB recomputes
+    // the compacted partition's rows from source, so equality proves the
+    // fragmented write + compaction rewrite + pruned read lost nothing
+    "q71_lake_compaction" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-16'
         |ORDER BY event_id""".stripMargin,
     // q62: the envelope any correct k-means keeps (assignment range +
     // Lloyd's inertia monotonicity) — exact centroids are float-ulp

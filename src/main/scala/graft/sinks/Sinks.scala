@@ -302,6 +302,54 @@ object Sinks {
     fs.delete(new org.apache.hadoop.fs.Path(path + OldSuffix), true)
   }
 
+  /** Compact ONE partition of a partitioned lake into files of
+    * `targetRecordsPerFile`: the antidote to small-file buildup under
+    * streaming triggers — the reference's 50-record JSON flushes
+    * (reference: bigdata-project/src/kafka_to_minio.py:63-75) write
+    * thousands of tiny objects per day, and at lake scale the resulting
+    * per-file open/footer overhead comes to dominate every scan.
+    *
+    * Scope is deliberately one partition per call: compaction cost is
+    * O(partition), never O(table), and the natural cadence is "compact
+    * yesterday's date partition once it stops receiving appends". The
+    * rewrite is `repartition(ceil(rows/target))` — one bounded shuffle of
+    * the partition's rows into evenly-sized files — staged to a temp dir
+    * and swapped in with the same two-rename crash-safe [[swapIn]] protocol
+    * as the keyed upserts, trash parked OUTSIDE the table root so readers
+    * never parse it as a partition value. A crash at any point leaves a
+    * complete generation recoverable ([[recoverSwap]] runs first, and
+    * [[recoverPartitions]] covers the read side); re-running after success
+    * is idempotent (same content, same file count).
+    *
+    * Single-writer contract (as [[swapIn]]): do not compact a partition
+    * concurrently with a writer appending to it — compact partitions that
+    * have gone cold.
+    */
+  def compactLakePartition(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      partitionCol: String,
+      partitionValue: String,
+      targetRecordsPerFile: Long = 1000000L): Unit = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dirName = s"$partitionCol=$partitionValue"
+    val live = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), dirName)
+    val trash = new org.apache.hadoop.fs.Path(path + OldSuffix, dirName)
+    recoverSwap(fs, live, trash)
+    if (!fs.exists(live)) return
+    val rows = spark.read.parquet(live.toString)
+    val n = rows.count()
+    if (n == 0L) return
+    val nFiles = ((n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp", dirName)
+    rows.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    swapIn(fs, tmp, live, trash = Some(trash))
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + OldSuffix), true)
+  }
+
   /** Restore any partition directories a crashed [[upsertBatchPartitioned]]
     * swap left parked in the table's `__old` trash: each parked partition
     * whose live directory is missing is renamed back in. Call before

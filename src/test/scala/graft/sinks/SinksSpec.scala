@@ -166,6 +166,58 @@ class SinksSpec extends SparkSpec {
       "replaying the compaction carrier batch MUST drop folded history; if not, the contract changed")
   }
 
+  test("compactLakePartition: file count hits ceil(rows/target), content exact, idempotent, others untouched") {
+    val dir = tmpDir() + "/fraglake"
+    // 250 rows over 2 dates, written through 25 tasks -> ~25 small files
+    // per date directory (the streaming-trigger buildup shape)
+    val df = spark.range(250).selectExpr(
+      "id", "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS event_date")
+    df.repartition(25).write.partitionBy("event_date").parquet(dir)
+    def filesIn(part: String): Array[java.io.File] =
+      new java.io.File(s"$dir/event_date=$part").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+    val beforeOther = filesIn("2024-01-02").map(_.getName).sorted.toSeq
+    assert(filesIn("2024-01-01").length > 5, "fixture failed to fragment")
+    // 125 rows at 50/file -> exactly ceil(125/50) = 3 files
+    Sinks.compactLakePartition(spark, dir, "event_date", "2024-01-01",
+      targetRecordsPerFile = 50L)
+    assert(filesIn("2024-01-01").length == 3,
+      s"expected 3 compacted files, got ${filesIn("2024-01-01").length}")
+    val ids = Sinks.readLakePartition(spark, dir, "event_date", "2024-01-01")
+      .select("id").as[Long].collect().toSet
+    assert(ids == (0L until 250L by 2).toSet, "compaction lost or invented rows")
+    // untouched partitions' files are never rewritten
+    assert(filesIn("2024-01-02").map(_.getName).sorted.toSeq == beforeOther)
+    // idempotent: a second compaction neither changes content nor count
+    Sinks.compactLakePartition(spark, dir, "event_date", "2024-01-01",
+      targetRecordsPerFile = 50L)
+    assert(filesIn("2024-01-01").length == 3)
+    assert(Sinks.readLakePartition(spark, dir, "event_date", "2024-01-01")
+      .select("id").as[Long].collect().toSet == ids)
+    // no staging/trash residue inside or beside the table
+    assert(!new java.io.File(dir + "__tmp").exists())
+    assert(!new java.io.File(dir + Sinks.OldSuffix).exists())
+  }
+
+  test("compactLakePartition: crashed swap (live parked in trash) is recovered, then compacts") {
+    val dir = tmpDir() + "/crashlake"
+    spark.range(60).selectExpr("id", "'2024-01-01' AS event_date")
+      .repartition(6).write.partitionBy("event_date").parquet(dir)
+    // simulate the swap's crash window between rename(live, trash) and
+    // rename(tmp, live): the only complete generation sits in the trash
+    val live = new java.io.File(s"$dir/event_date=2024-01-01")
+    val trashRoot = new java.io.File(dir + Sinks.OldSuffix)
+    trashRoot.mkdirs()
+    assert(live.renameTo(new java.io.File(trashRoot, "event_date=2024-01-01")))
+    Sinks.compactLakePartition(spark, dir, "event_date", "2024-01-01",
+      targetRecordsPerFile = 60L)
+    val out = Sinks.readLakePartition(spark, dir, "event_date", "2024-01-01")
+      .select("id").as[Long].collect().toSet
+    assert(out == (0L until 60L).toSet, "recovery lost the parked generation")
+    assert(new java.io.File(s"$dir/event_date=2024-01-01").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("ES/Cassandra sink configs build the reference's option surfaces") {
     val es = Sinks.EsSinkConfig("es1,es2", "jobs/_doc", "job_id",
       extra = Map("es.net.http.auth.user" -> "svc"))
