@@ -969,6 +969,46 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     },
+    // ---- SCHEMA-EVOLUTION read (SURVEY §4.1.6, the reference's declared
+    // v1/v2 drift made first-class): generation 1 writes `min_salary` as a
+    // STRING, generation 2 renames it `salary_min` as a DOUBLE and adds a
+    // `source` column. The evolved read surfaces the union of fields
+    // (mergeSchema null-fills gen-1's missing columns) and coalesceEvolved
+    // folds the renamed+retyped family into ONE declared double via
+    // try_cast. Oracled INDEPENDENTLY from the source events table (the
+    // q65/q71 contract: a fixture-build defect fails the gate) — the
+    // string→double round trip is exact in both engines because shortest-
+    // representation double rendering round-trips by construction ----
+    "q72_schema_evolution" -> { (s, dir) =>
+      val fixture = s"$fixtureRoot/evolved_lake"
+      val ev = Tables.events(s, dir)
+      val fp = ev.agg(count(lit(1)), sum(col("user_id"))).head()
+      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}" +
+        "|slice=v1:eid%3=0(min_salary:str);v2:eid%3=1(salary_min:dbl,source)"
+      if (!fixtureReady(fixture, stamp)) {
+        ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id").as("job_id"),
+            col("value").cast("string").as("min_salary"),
+            col("event_type").as("location"))
+          .write.mode("overwrite").parquet(s"$fixture/gen=1")
+        ev.filter(col("event_id") % 3 === 1)
+          .select(col("event_id").as("job_id"),
+            col("value").as("salary_min"),
+            col("event_type").as("location"),
+            lit("v2").as("source"))
+          .write.mode("overwrite").parquet(s"$fixture/gen=2")
+        stampFixture(fixture, stamp)
+      }
+      val merged = sources.SchemaEvolution.readMergedLake(s, fixture)
+      sources.SchemaEvolution
+        .coalesceEvolved(merged, "salary_usd", "DOUBLE", Seq("salary_min", "min_salary"))
+        .select(
+          col("job_id"),
+          col("salary_usd"),
+          col("location"),
+          coalesce(col("source"), lit("v1")).as("source"))
+        .orderBy("job_id")
+    },
     // ---- k-means training as a GATED query (previously test-only): train
     // 3 SPHERICAL Lloyd's iterations, then emit the contract any correct
     // trainer keeps — every vector lands in a cell of [0, k), and the
@@ -1509,6 +1549,19 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) = DATE '2024-01-16'
         |ORDER BY event_id""".stripMargin,
+    // q72: the drift + normalization restated independently from source —
+    // v1 rows pass through a string round trip (exact for shortest-repr
+    // doubles in both engines), v2 rows carry the double straight through
+    "q72_schema_evolution" ->
+      """SELECT job_id, salary_usd, location, source FROM (
+        |  SELECT event_id AS job_id,
+        |    TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS salary_usd,
+        |    event_type AS location, 'v1' AS source
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id, value, event_type, 'v2'
+        |  FROM events WHERE event_id % 3 = 1)
+        |ORDER BY job_id""".stripMargin,
     // q62: the envelope any correct k-means keeps (assignment range +
     // Lloyd's inertia monotonicity) — exact centroids are float-ulp
     // engine-internal, like q39's sketch registers
