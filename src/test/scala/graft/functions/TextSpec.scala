@@ -204,6 +204,31 @@ class TextSpec extends SparkSpec {
     got.foreach { case (n, e) => assert(n == e, s"got $n expected $e") }
   }
 
+  test("bpeishCount Unicode classes: non-Latin runs count as letter/number pieces, cross-engine-pinned") {
+    // regression pins from the round-7 cross-engine battery: these exact
+    // counts were verified PIECE-identical between Java regex (this path)
+    // and DuckDB's RE2 (the oracle path) before \p{L}/\p{N} replaced the
+    // ASCII classes — under which every row here collapsed into far fewer
+    // "other"-run pieces and understated multilingual token budgets
+    val out = Seq(
+      ("宇宙の始まりについて考える", 1L),            // one unbroken CJK letter run
+      ("这是一个中文句子 包含 数字 42", 4L),
+      ("Привет мир это тест", 4L),
+      ("مرحبا بالعالم 123", 3L),
+      ("٠١٢٣ arabic-indic digits", 5L),              // Arabic-Indic digits are \p{N}
+      ("mixed 中文 and English タブ ١٢٣ done", 7L),
+      ("emoji 😀🎉 test", 3L),                       // emoji stay "other" runs
+      ("½ vulgar fraction No. Ⅷ roman", 7L),         // No + Nl categories are \p{N}
+      ("ＡＢＣ ｆｕｌｌｗｉｄｔｈ １２３", 3L),      // fullwidth forms
+      ("𝐀𝐁𝐂 supplementary math letters", 4L),        // supplementary-plane Lu
+      ("नमस्ते दुनिया १२३", 11L),                    // Devanagari: Mn matras split letter runs
+      ("ภาษาไทยไม่มีช่องว่าง 555", 10L))              // Thai: tone marks (Mn) split runs
+      .toDF("t", "expected")
+    val got = out.select(Text.bpeishCount(col("t")).cast("long").as("n"), col("expected"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, e) => assert(n == e, s"got $n expected $e") }
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")
