@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.BatchAggregates
 import graft.functions.{Dedup, ExactAgg, Similarity, Text}
 import graft.ops.{Cleaning, Features}
-import graft.pipeline.EventsPipeline
+import graft.pipeline.{EventsPipeline, IngestPipeline}
 import graft.sources.Tables
 import graft.streaming.StreamingAggs
 
@@ -490,6 +490,47 @@ object SparkEntry {
           col("n_queries"),
           col("results_ok"),
           coalesce((col("__mismatches") === 0L).cast("long"), lit(0L)).as("append_match"))
+    },
+    // ---- the full ingest COMPOSITION (IngestPipeline): q69's fingerprint
+    // index + the versioned doc lake + the applied-batch manifest run as ONE
+    // crash-safe exactly-once transaction per micro-batch. Three batches
+    // carrying quality rejects, intra-batch duplicates, cross-batch
+    // duplicates AND a replayed already-committed batch are ingested; the
+    // output is the terminal lake itself — (doc_id, ingest_batch) — derived
+    // independently in DuckDB from the SOURCE table, so acceptance, dedup
+    // precedence (first batch wins, min id within a batch), replay-safety
+    // and partition placement are all inside the hash gate ----
+    "q73_incremental_ingest" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def slice(rem: Int) =
+        docs.filter(col("doc_id") % 3 === rem).select("doc_id", "text")
+      val b0 = slice(0)
+      val b1 = slice(1).unionByName(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))) // b0 content replayed
+      val b2 = slice(2).unionByName(docs.filter(col("doc_id") % 15 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))) // b1 content replayed
+      val fixture = s"$fixtureRoot/ingest_root"
+      val fp = docs.agg(
+        count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+      val stamp =
+        s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.FingerprintIndexVersion}|ingest-v1"
+      if (!fixtureReady(fixture, stamp)) {
+        // the root carries the manifest high-water mark, so a stale fixture
+        // must be wiped, not overwritten — a leftover manifest would gate
+        // the rebuild's batches out as "already applied"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(fixture), s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+        val paths = IngestPipeline.IngestPaths(fixture)
+        IngestPipeline.ingestBatch(s, paths, b0, 0L)
+        IngestPipeline.ingestBatch(s, paths, b1, 1L)
+        IngestPipeline.ingestBatch(s, paths, b1, 1L) // committed replay: must no-op
+        IngestPipeline.ingestBatch(s, paths, b2, 2L)
+        stampFixture(fixture, stamp)
+      }
+      s.read.parquet(s"$fixture/doc_lake")
+        .select(col("doc_id"), col("__ver").cast("long").as("ingest_batch"))
+        .orderBy("doc_id")
     },
     // ---- LLM-pipeline: token budgeting — whitespace words vs BPE-ish
     // pre-tokenizer pieces (Text.BpeishPattern, the GPT-2-style pre-split)
@@ -1702,6 +1743,35 @@ object SparkEntry {
         |SELECT doc_id FROM b2
         |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text = b2.text)
         |  AND NOT EXISTS (SELECT 1 FROM b1acc a WHERE a.text = b2.text)
+        |ORDER BY doc_id""".stripMargin,
+    // q73: the ingest loop's terminal lake, derived from the SOURCE table —
+    // quality filter mirrors q21's bucket bounds; intra-batch dedup is
+    // min(doc_id) per text; cross-batch precedence is NOT EXISTS against
+    // every earlier batch's accepted set. Independent of the fixture the
+    // Spark side writes, so a pipeline defect (dropped batch, clobbered
+    // partition, non-idempotent replay) fails the hash gate.
+    "q73_incremental_ingest" ->
+      """WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 15 = 0),
+        |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 15 = 1),
+        |a0 AS (SELECT MIN(doc_id) AS doc_id, text FROM b0
+        |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 5000 GROUP BY text),
+        |a1 AS (SELECT MIN(doc_id) AS doc_id, text FROM b1
+        |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 5000
+        |    AND NOT EXISTS (SELECT 1 FROM a0 WHERE a0.text = b1.text)
+        |  GROUP BY text),
+        |a2 AS (SELECT MIN(doc_id) AS doc_id, text FROM b2
+        |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 5000
+        |    AND NOT EXISTS (SELECT 1 FROM a0 WHERE a0.text = b2.text)
+        |    AND NOT EXISTS (SELECT 1 FROM a1 WHERE a1.text = b2.text)
+        |  GROUP BY text)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS ingest_batch FROM a0
+        |UNION ALL SELECT doc_id, 1 FROM a1
+        |UNION ALL SELECT doc_id, 2 FROM a2
         |ORDER BY doc_id""".stripMargin,
     // q56: the same md5 key-hash as q49, at basis-point resolution, with
     // the per-stratum rate ladder mirrored as a CASE

@@ -291,6 +291,11 @@ object Similarity {
     * the model, and ranking ties break on vec_id (spec:
     * `SimilaritySpec` "appendToIvfIndex"). The caller owns re-stamping its
     * fixture after a successful append, as with the fingerprint index.
+    *
+    * At-least-once safe: a crashed-and-replayed append duplicates list rows,
+    * which [[queryIvfIndex]] absorbs (distinct over its deterministic narrow
+    * score rows) — so an ingest loop (IngestPipeline) may replay this write
+    * in its crash window without corrupting served results.
     */
   def appendToIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -342,6 +347,13 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         Int8Ops.cosineInt8Native(col("query_qvec"), col("qvec")).as("sim"))
+      // At-least-once absorber: a crashed-and-replayed appendToIvfIndex (an
+      // ingest loop's crash window — see IngestPipeline) leaves duplicate
+      // list rows; their scored rows are bit-identical (int8 scoring is
+      // deterministic in the model), so one distinct over the NARROW score
+      // rows restores exactly-once serving. Without it a duplicated vector
+      // would occupy two of the k ranks.
+      .distinct()
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(wTop))

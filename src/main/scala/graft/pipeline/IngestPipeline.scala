@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.{Dedup, Similarity, Text}
+import graft.ops.Cleaning
+import graft.sinks.Sinks
+
+/** Incremental training-data ingest: the steady-state composition of the
+  * amortized primitives — per micro-batch, quality-filter, dedup within the
+  * batch, dedup against the persisted fingerprint index ([[Dedup]], q69's
+  * operator), land the accepted docs in the versioned lake, append their
+  * fingerprints to the index, and (when the batch carries embeddings and a
+  * served IVF index exists) grow the index with [[Similarity.appendToIvfIndex]]
+  * (q70's operator). This is the loop a 100 TB corpus actually runs: every
+  * per-cycle cost is O(batch) — the history is touched only through its
+  * 16-byte/doc fingerprint index and its centroid model, never its text or
+  * its resident vectors.
+  *
+  * Exactly-once across crash/replay, by construction rather than by lock:
+  *   - the whole transaction is gated on a last-applied-batch manifest
+  *     (foreachBatch delivers serially, so a single high-water mark
+  *     suffices); a replay of an already-recorded batch is a no-op;
+  *   - within the crash window (some writes done, manifest not yet
+  *     recorded) each write is individually replay-safe: the doc lake is
+  *     [[Sinks.appendVersioned]] (`__ver=batchId` dynamic partition
+  *     overwrite — the replay overwrites only its own partition), fingerprint
+  *     appends are membership state (duplicate fps cannot change a semi-join
+  *     probe), and IVF list appends are absorbed at serve time
+  *     ([[Similarity.queryIvfIndex]] deduplicates identical scored rows, so
+  *     an at-least-once append serves exactly-once results);
+  *   - write ORDER makes the recovery total: the fingerprint append is the
+  *     batch's dedup commit point (after it a replay recomputes an empty
+  *     accepted set), so it runs LAST among the data writes — see
+  *     [[ingestBatch]]'s in-line crash enumeration.
+  * The manifest write itself is temp+rename, so it is never observed
+  * half-written.
+  *
+  * Reference behavior being composed: the ingest loop the reference runs as
+  * separate jobs (stream archiver `kafka_to_minio.py`, batch dedup/clean
+  * `spark_batch_v2.py`) — re-expressed as one crash-safe Spark transaction.
+  */
+object IngestPipeline {
+
+  /** Directory layout of one ingest root. All state the loop owns lives
+    * under a single root so a fixture stamp over the root governs the whole
+    * composition.
+    */
+  final case class IngestPaths(root: String) {
+    val docLake: String = s"$root/doc_lake"
+    val fpIndex: String = s"$root/fp_index"
+    val ivfIndex: String = s"$root/ivf_index"
+    val manifest: String = s"$root/_ingest_applied"
+  }
+
+  /** Gopher/C4-shaped acceptance: keep docs whose [[Text.qualityBucket]] is
+    * an OK bucket (length bounds pass; terse vs fluent both land).
+    */
+  def qualityFilter(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.filter(Text.qualityBucket(col(textCol)).startsWith("OK"))
+
+  /** High-water mark of applied batch ids; -1 when no batch has committed. */
+  def lastApplied(spark: SparkSession, paths: IngestPaths): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(paths.manifest), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(paths.manifest)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def recordApplied(spark: SparkSession, paths: IngestPaths, batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(paths.manifest), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(paths.manifest)
+    val tmp = new org.apache.hadoop.fs.Path(paths.manifest + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** One ingest transaction. Returns the number of accepted (landed) docs;
+    * 0 for a replayed already-committed batch.
+    *
+    * `embedBatch`, when present, carries (vec_id, embedding) rows for the
+    * batch's docs; they are appended to the served IVF index if one is
+    * installed under [[IngestPaths.ivfIndex]] (the centroid model is trained
+    * offline and installed via [[Similarity.writeIvfIndex]] — ingest grows
+    * the index, it never retrains it). Embeddings are appended for the
+    * ACCEPTED docs only: `vec_id` must equal the doc id for the filter to
+    * apply; rows for rejected docs are dropped.
+    */
+  def ingestBatch(
+      spark: SparkSession,
+      paths: IngestPaths,
+      batch: DataFrame,
+      batchId: Long,
+      embedBatch: Option[DataFrame] = None,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    if (batchId <= lastApplied(spark, paths)) return 0L
+
+    val cleaned = qualityFilter(batch, textCol)
+    // intra-batch exact dedup, deterministic winner (min id per content)
+    val intra = Cleaning
+      .dedupByKey(
+        cleaned.withColumn("__fp", Text.fingerprintBinary(col(textCol))),
+        Seq("__fp"), Seq(col(idCol).asc))
+      .drop("__fp")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(paths.fpIndex), spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(paths.fpIndex))
+    val accepted =
+      (if (bootstrap) intra
+       else Dedup.dedupAgainstFingerprintIndex(spark, paths.fpIndex, intra, textCol, idCol))
+        .persist() // three consumers below; unpersisted before return
+
+    try {
+      // WRITE ORDER IS LOAD-BEARING. The fingerprint append is the batch's
+      // dedup COMMIT POINT: once it lands, a replay recomputes accepted = ∅
+      // (its own rows are now "history") and every later step no-ops. So
+      // every write that needs the recomputed accepted set must come BEFORE
+      // it: crash before the lake/IVF writes → replay redoes them from the
+      // same accepted set (lake: dynamic overwrite of its own partition;
+      // IVF: duplicate rows absorbed at serve time); crash after the fp
+      // append → replay is a pure no-op and only records the manifest.
+      // Either way the terminal state is identical.
+      Sinks.appendVersioned(accepted, paths.docLake, batchId)
+      embedBatch.foreach { emb =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"${paths.ivfIndex}/cells"))) {
+          val acceptedEmb = emb.join(
+            accepted.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
+          Similarity.appendToIvfIndex(spark, paths.ivfIndex, acceptedEmb)
+        }
+      }
+      val n = accepted.count()
+      if (bootstrap) Dedup.writeFingerprintIndex(accepted, paths.fpIndex, textCol, idCol)
+      else Dedup.appendFingerprintIndex(accepted, paths.fpIndex, textCol, idCol)
+      recordApplied(spark, paths, batchId)
+      n
+    } finally accepted.unpersist()
+  }
+
+  /** Streaming entry: the same transaction driven by foreachBatch. The
+    * checkpoint makes delivery at-least-once; the manifest gate upgrades the
+    * composition to exactly-once (a restart replays the last uncommitted
+    * batch into the same state).
+    */
+  def start(
+      docs: DataFrame,
+      paths: IngestPaths,
+      checkpointDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch.sparkSession, paths, batch, batchId,
+          embedBatch = None, textCol = textCol, idCol = idCol)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{Dedup, Similarity}
+import graft.pipeline.IngestPipeline.IngestPaths
+
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): IngestPaths =
+    IngestPaths(Files.createTempDirectory("graft-ingest").toString)
+
+  // ≥5 tokens so qualityBucket lands in an OK bucket; distinct texts.
+  private val tA = "alpha beta gamma delta epsilon zeta"
+  private val tB = "the quick brown fox jumps over the lazy dog"
+  private val tC = "the rain in spain stays mainly on the plain"
+  private val tD = "one two three four five six"
+  private val tE = "never gonna give you up never gonna let you down"
+
+  private def batch0: DataFrame = Seq(
+    (1L, tA), (2L, tB),
+    (3L, "hi"), // TOO_SHORT — quality reject
+    (4L, tA)    // intra-batch duplicate of 1 — 1 wins (min id)
+  ).toDF("doc_id", "text")
+
+  private def batch1: DataFrame = Seq(
+    (11L, tC),
+    (12L, tB), // cross-batch duplicate of 2 — rejected via fp index
+    (13L, tD)
+  ).toDF("doc_id", "text")
+
+  private def batch2: DataFrame = Seq(
+    (21L, tC), // duplicate of 11
+    (22L, tE),
+    (23L, "ok") // quality reject
+  ).toDF("doc_id", "text")
+
+  private def lakeState(p: IngestPaths): Seq[(Long, Long)] =
+    spark.read.parquet(p.docLake)
+      .select(col("doc_id"), col("__ver").cast("long"))
+      .as[(Long, Long)].collect().toSeq.sorted
+
+  private val expectedLake = Seq((1L, 0L), (2L, 0L), (11L, 1L), (13L, 1L), (22L, 2L))
+
+  test("three-batch ingest accepts exactly the quality-passing first occurrences") {
+    val p = tmpRoot()
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L) == 2L)
+    assert(IngestPipeline.ingestBatch(spark, p, batch1, 1L) == 2L)
+    assert(IngestPipeline.ingestBatch(spark, p, batch2, 2L) == 1L)
+    assert(lakeState(p) == expectedLake)
+    // the fp index holds exactly the accepted docs' fingerprints, once each
+    val fps = spark.read.parquet(p.fpIndex)
+    assert(fps.count() == 5 && fps.select("fp").distinct().count() == 5)
+    assert(IngestPipeline.lastApplied(spark, p) == 2L)
+  }
+
+  test("a replayed committed batch is a no-op") {
+    val p = tmpRoot()
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L)
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L)
+    val before = lakeState(p)
+    assert(IngestPipeline.ingestBatch(spark, p, batch1, 1L) == 0L) // manifest gate
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L) == 0L)
+    assert(lakeState(p) == before)
+    assert(spark.read.parquet(p.fpIndex).count() == 4)
+  }
+
+  test("crash after the fp append (before manifest) replays to the same state") {
+    val p = tmpRoot()
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L)
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L)
+    IngestPipeline.ingestBatch(spark, p, batch2, 2L)
+    // simulate: batch 2's data writes all landed but the manifest record did
+    // not — the replay must see its own rows as history (accepted = ∅),
+    // touch nothing, and converge by recording the manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p.manifest), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p.manifest), false)
+    assert(IngestPipeline.lastApplied(spark, p) == -1L)
+    assert(IngestPipeline.ingestBatch(spark, p, batch2, 2L) == 0L)
+    assert(lakeState(p) == expectedLake,
+      "replay after the dedup commit point must not clobber the batch's lake partition")
+    assert(spark.read.parquet(p.fpIndex).count() == 5)
+    assert(IngestPipeline.lastApplied(spark, p) == 2L)
+  }
+
+  test("crash before the fp append replays the lake write idempotently") {
+    val p = tmpRoot()
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L)
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L)
+    // simulate: batch 2 landed its lake partition, then crashed BEFORE its
+    // fp append (manifest also unrecorded) — replay recomputes the same
+    // accepted set and rewrites the same partition
+    val accepted2 = Seq((22L, tE)).toDF("doc_id", "text")
+    graft.sinks.Sinks.appendVersioned(accepted2, p.docLake, 2L)
+    assert(IngestPipeline.ingestBatch(spark, p, batch2, 2L) == 1L)
+    assert(lakeState(p) == expectedLake)
+    assert(spark.read.parquet(p.fpIndex).count() == 5)
+  }
+
+  test("ingest-grown IVF index serves identically to a one-shot rebuild") {
+    val p = tmpRoot()
+    val cents = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    def emb(id: Long, v: Array[Float]) = (id, v.toSeq)
+    val emb0 = Seq(
+      emb(1L, Array(0.9f, 0.1f, 0f, 0f)), emb(2L, Array(0.1f, 0.95f, 0.2f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    val emb1 = Seq(
+      emb(11L, Array(0.8f, 0.3f, 0.1f, 0f)), emb(12L, Array(0.2f, 0.9f, 0f, 0.1f)),
+      emb(13L, Array(0.7f, 0.7f, 0f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L, embedBatch = Some(emb0))
+    // install the served index AFTER batch 0 (trained offline on the corpus
+    // so far), then grow it through ingest
+    Similarity.writeIvfIndex(
+      spark.read.parquet(p.docLake).filter(col("__ver") === 0)
+        .select(col("doc_id").as("vec_id"))
+        .join(emb0, Seq("vec_id")),
+      cents, p.ivfIndex)
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L, embedBatch = Some(emb1))
+
+    // 12 was a duplicate doc: its vector must NOT have been appended
+    val indexed = spark.read.parquet(s"${p.ivfIndex}/lists")
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(indexed == Seq(1L, 2L, 11L, 13L))
+
+    val queries = emb1.filter(col("vec_id") === 11L)
+    val served = Similarity.queryIvfIndex(spark, p.ivfIndex, queries, 2, 3)
+    val rebuilt = Files.createTempDirectory("graft-ivf-oneshot").toString
+    Similarity.writeIvfIndex(
+      emb0.unionByName(emb1.filter(col("vec_id").isin(11L, 13L))), cents, rebuilt)
+    val oneShot = Similarity.queryIvfIndex(spark, rebuilt, queries, 2, 3)
+    assert(served.collect().toSeq.sortBy(_.getInt(3)) ==
+      oneShot.collect().toSeq.sortBy(_.getInt(3)))
+
+    // at-least-once absorber: a replayed IVF append (crash between the IVF
+    // and fp writes) duplicates list rows; serving must be unchanged
+    Similarity.appendToIvfIndex(spark, p.ivfIndex,
+      emb1.filter(col("vec_id").isin(11L, 13L)))
+    val servedDup = Similarity.queryIvfIndex(spark, p.ivfIndex, queries, 2, 3)
+    assert(servedDup.collect().toSeq.sortBy(_.getInt(3)) ==
+      oneShot.collect().toSeq.sortBy(_.getInt(3)),
+      "duplicate list rows must be absorbed at serve time")
+  }
+
+  test("streaming entry lands micro-batches exactly-once") {
+    val p = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = IngestPipeline.start(
+      stream.toDF().toDF("doc_id", "text"), p, ckpt)
+    try {
+      stream.addData((1L, tA), (2L, tB), (3L, "hi"), (4L, tA))
+      q.processAllAvailable()
+      stream.addData((11L, tC), (12L, tB), (13L, tD))
+      q.processAllAvailable()
+      assert(lakeState(p) == expectedLake.filter(_._2 <= 1))
+      assert(IngestPipeline.lastApplied(spark, p) == 1L)
+    } finally q.stop()
+  }
+}
