@@ -245,6 +245,89 @@ object StressGen {
       val fd1 = openFds()
       println(s"GRAFT_STRESS   open fds before=$fd0 after=$fd1 delta=${fd1 - fd0}")
     }
+    // ---- round-7 family: the incremental serving operators at 10× —
+    // the multi-batch ingest loop (fp-index dedup + versioned lake +
+    // manifest), fragmented-partition compaction, and IVF append. What the
+    // rows certify: per-batch ingest cost stays FLAT while history grows
+    // (the amortization q69 exists for), compaction is content-preserving
+    // with the predicted file count, and serve-after-append is row-identical
+    // to the in-memory composition over the full 10× corpus. ----
+    time("q73_ingest_loop (10x corpus, 8 batches, 10% replay fraction)") {
+      val root = s"$outDir/ingest10x"
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val paths = pipeline.IngestPipeline.IngestPaths(root)
+      val nB = 8
+      var landed = 0L
+      for (i <- 0 until nB) {
+        val own = docs.filter(F.pmod(F.col("doc_id"), F.lit(nB)) === i)
+          .select("doc_id", "text")
+        // every batch after the first replays ~10% of the PREVIOUS batch's
+        // content under fresh ids — the cross-batch duplicates the fp probe
+        // must reject
+        val b =
+          if (i == 0) own
+          else own.unionByName(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(nB)) === (i - 1) &&
+                F.pmod(F.col("doc_id"), F.lit(10 * nB)) === (i - 1))
+              .select((F.col("doc_id") + 90000000L).as("doc_id"), F.col("text")))
+        val t0 = System.nanoTime()
+        val n = pipeline.IngestPipeline.ingestBatch(spark, paths, b, i.toLong)
+        landed += n
+        println(f"GRAFT_STRESS   batch $i: accepted $n in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          s"(history=${landed - n} docs at probe time)")
+      }
+      val expected = docs
+        .filter(F.size(F.split(F.col("text"), " ")).between(5, 5000))
+        .select("text").distinct().count()
+      val lake = spark.read.parquet(paths.docLake).count()
+      val idx = spark.read.parquet(paths.fpIndex).count()
+      println(s"GRAFT_STRESS   landed=$landed lake=$lake fpIndex=$idx " +
+        s"expectedUnique=$expected allEqual=${landed == expected && lake == expected && idx == expected}")
+    }
+    time("q71_lake_compaction (400-file partition)") {
+      val lakePath = s"$outDir/frag_lake"
+      fs.delete(new org.apache.hadoop.fs.Path(lakePath), true)
+      // the streaming-trigger pathology: one date partition fragmented into
+      // 400 tiny files (the reference's 50-record flushes at day scale)
+      docs.select(F.col("doc_id"), F.col("text"), F.lit("2024-01-15").as("dt"))
+        .repartition(400)
+        .write.partitionBy("dt").parquet(lakePath)
+      def partFiles() = {
+        val st = fs.listStatus(new org.apache.hadoop.fs.Path(s"$lakePath/dt=2024-01-15"))
+        st.count(s => s.getPath.getName.endsWith(".parquet"))
+      }
+      val before = spark.read.parquet(lakePath).count()
+      val filesBefore = partFiles()
+      sinks.Sinks.compactLakePartition(spark, lakePath, "dt", "2024-01-15",
+        targetRecordsPerFile = 10000L)
+      val after = spark.read.parquet(lakePath).count()
+      val filesAfter = partFiles()
+      val want = ((before + 9999) / 10000).toInt
+      println(s"GRAFT_STRESS   rows $before->$after files $filesBefore->$filesAfter " +
+        s"(target $want) ok=${before == after && filesAfter == want}")
+    }
+    time("q70_ivf_append (10x vectors: train on 90%, append 10%, serve parity)") {
+      val idxPath = s"$outDir/ivf10x"
+      fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+      val base = embs.filter(F.pmod(F.col("vec_id"), F.lit(10)) =!= 7)
+      val batch = embs.filter(F.pmod(F.col("vec_id"), F.lit(10)) === 7)
+      val cents = functions.Similarity.kmeansCentroids(base, k = 16, iters = 2)
+      functions.Similarity.writeIvfIndex(base, cents, idxPath)
+      val t0 = System.nanoTime()
+      functions.Similarity.appendToIvfIndex(spark, idxPath, batch)
+      println(f"GRAFT_STRESS   append of ${batch.count()} vectors: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val queries = embs.filter(F.col("vec_id") < 100)
+      val served = functions.Similarity
+        .queryIvfIndex(spark, idxPath, queries, nProbe = 3, k = 10)
+        .select("query_id", "rank", "neighbor_id", "sim")
+      val rebuilt = functions.Similarity
+        .ivfInt8TopK(embs, queries,
+          functions.Similarity.readIvfCentroids(spark, idxPath), nProbe = 3, k = 10)
+        .select("query_id", "rank", "neighbor_id", "sim")
+      val diff = served.exceptAll(rebuilt).count() + rebuilt.exceptAll(served).count()
+      println(s"GRAFT_STRESS   serve-after-append vs in-memory full corpus: " +
+        s"${served.count()} rows, symmetric diff $diff, identical=${diff == 0L}")
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()
