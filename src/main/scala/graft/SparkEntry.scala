@@ -532,6 +532,43 @@ object SparkEntry {
         .select(col("doc_id"), col("__ver").cast("long").as("ingest_batch"))
         .orderBy("doc_id")
     },
+    // ---- q73's lake-maintenance half: the same three-batch ingest, then
+    // compactCommitted(upTo=1) folds the first two __ver partitions into
+    // one via the intent-logged two-rename protocol (one partition per
+    // micro-batch is ~525k partitions/year at a per-minute cadence — the
+    // fold is what keeps the versioned lake scannable). The output exposes
+    // the COARSENED provenance (batches 0-1 now report ingest_batch=1), so
+    // the hash gate checks content preservation AND that exactly the
+    // committed range was folded ----
+    "q74_ingest_compaction" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def slice(rem: Int) =
+        docs.filter(col("doc_id") % 3 === rem).select("doc_id", "text")
+      val b0 = slice(0)
+      val b1 = slice(1).unionByName(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val b2 = slice(2).unionByName(docs.filter(col("doc_id") % 15 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val fixture = s"$fixtureRoot/ingest_root_c"
+      val fp = docs.agg(
+        count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+      val stamp =
+        s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.FingerprintIndexVersion}|ingest-compact-v1"
+      if (!fixtureReady(fixture, stamp)) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(fixture), s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+        val paths = IngestPipeline.IngestPaths(fixture)
+        IngestPipeline.ingestBatch(s, paths, b0, 0L)
+        IngestPipeline.ingestBatch(s, paths, b1, 1L)
+        IngestPipeline.compactCommitted(s, paths, 1L)
+        IngestPipeline.ingestBatch(s, paths, b2, 2L)
+        stampFixture(fixture, stamp)
+      }
+      s.read.parquet(s"$fixture/doc_lake")
+        .select(col("doc_id"), col("__ver").cast("long").as("ingest_batch"))
+        .orderBy("doc_id")
+    },
     // ---- LLM-pipeline: token budgeting — whitespace words vs BPE-ish
     // pre-tokenizer pieces (Text.BpeishPattern, the GPT-2-style pre-split)
     // per document, with the pieces-per-word ratio in exact basis points.
@@ -1770,6 +1807,31 @@ object SparkEntry {
         |    AND NOT EXISTS (SELECT 1 FROM a1 WHERE a1.text = b2.text)
         |  GROUP BY text)
         |SELECT doc_id, CAST(0 AS BIGINT) AS ingest_batch FROM a0
+        |UNION ALL SELECT doc_id, 1 FROM a1
+        |UNION ALL SELECT doc_id, 2 FROM a2
+        |ORDER BY doc_id""".stripMargin,
+    // q74: q73's derivation with the fold's provenance coarsening applied —
+    // batches 0 and 1 (the compacted range) report ingest_batch 1
+    "q74_ingest_compaction" ->
+      """WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 15 = 0),
+        |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 15 = 1),
+        |a0 AS (SELECT MIN(doc_id) AS doc_id, text FROM b0
+        |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 5000 GROUP BY text),
+        |a1 AS (SELECT MIN(doc_id) AS doc_id, text FROM b1
+        |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 5000
+        |    AND NOT EXISTS (SELECT 1 FROM a0 WHERE a0.text = b1.text)
+        |  GROUP BY text),
+        |a2 AS (SELECT MIN(doc_id) AS doc_id, text FROM b2
+        |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 5000
+        |    AND NOT EXISTS (SELECT 1 FROM a0 WHERE a0.text = b2.text)
+        |    AND NOT EXISTS (SELECT 1 FROM a1 WHERE a1.text = b2.text)
+        |  GROUP BY text)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS ingest_batch FROM a0
         |UNION ALL SELECT doc_id, 1 FROM a1
         |UNION ALL SELECT doc_id, 2 FROM a2
         |ORDER BY doc_id""".stripMargin,

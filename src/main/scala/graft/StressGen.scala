@@ -283,6 +283,15 @@ object StressGen {
       val idx = spark.read.parquet(paths.fpIndex).count()
       println(s"GRAFT_STRESS   landed=$landed lake=$lake fpIndex=$idx " +
         s"expectedUnique=$expected allEqual=${landed == expected && lake == expected && idx == expected}")
+      // lake maintenance at the same scale: fold the first 7 committed
+      // partitions (intent-logged swap) and prove content survives
+      val t1 = System.nanoTime()
+      pipeline.IngestPipeline.compactCommitted(spark, paths, (nB - 2).toLong)
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(paths.docLake))
+        .count(_.getPath.getName.startsWith("__ver="))
+      val afterFold = spark.read.parquet(paths.docLake).count()
+      println(f"GRAFT_STRESS   compactCommitted(upTo=${nB - 2}): ${(System.nanoTime() - t1) / 1e9}%.1f s, " +
+        s"partitions $nB->$dirs, rows $lake->$afterFold ok=${dirs == 2 && afterFold == lake}")
     }
     time("q71_lake_compaction (400-file partition)") {
       val lakePath = s"$outDir/frag_lake"

@@ -149,24 +149,181 @@ object IngestPipeline {
     } finally accepted.unpersist()
   }
 
+  // ---------------------------------------------------------------------
+  // Lake maintenance: consolidate committed __ver partitions.
+  //
+  // The ingest loop writes ONE `__ver=batchId` partition per micro-batch —
+  // the price of idempotent replays. At a per-minute trigger cadence that
+  // is ~525k partitions/year: the listing/footer overhead comes to dominate
+  // every scan long before the data does. compactCommitted folds all
+  // partitions ≤ upToBatch into a single one. Only COMMITTED batches are
+  // eligible (≤ the manifest high-water mark): the manifest gate guarantees
+  // no replay of a compacted batch can ever run, so losing the per-batch
+  // partition boundaries loses nothing the replay protocol still needs.
+  //
+  // Crash safety is an INTENT LOG, not a lock: after staging the
+  // consolidated partition, a `_compact_intent` marker (temp+rename, never
+  // half-written) records the swap target and the directories to delete.
+  // From that point the compaction is re-executable from the marker alone:
+  // [[recoverCompaction]] finishes the swap (two-rename [[Sinks.swapIn]],
+  // itself crash-recoverable) and the deletes, each step idempotent. A
+  // crash BEFORE the intent lands leaves only an orphaned staging dir —
+  // the lake itself is untouched. The one observable window is
+  // post-swap/pre-delete, where a naive reader double-counts the
+  // not-yet-deleted originals; the single-writer ingest loop owns that by
+  // running recoverCompaction on startup (and [[ingestBatch]] is unaffected
+  // — it reads only the fp index and manifest, never the lake).
+  // ---------------------------------------------------------------------
+
+  private val VerPrefix = "__ver="
+
+  private def lakeFs(spark: SparkSession, paths: IngestPaths) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(paths.docLake), spark.sparkContext.hadoopConfiguration)
+
+  private def intentPath(paths: IngestPaths) =
+    new org.apache.hadoop.fs.Path(paths.root, "_compact_intent")
+  private def stageRoot(paths: IngestPaths) =
+    new org.apache.hadoop.fs.Path(paths.docLake + "__compact_tmp")
+  private def trashRoot(paths: IngestPaths) =
+    new org.apache.hadoop.fs.Path(paths.docLake + Sinks.OldSuffix)
+
+  /** The re-executable compaction plan the intent marker encodes: fold the
+    * `deleteDirs` partitions (and any existing target partition) into
+    * `__ver=<upTo>`, whose consolidated rows are staged under
+    * [[stageRoot]].
+    */
+  private[pipeline] final case class CompactionIntent(upTo: Long, deleteDirs: Seq[String])
+
+  private def writeIntent(
+      spark: SparkSession, paths: IngestPaths, intent: CompactionIntent): Unit = {
+    val fs = lakeFs(spark, paths)
+    val tmp = new org.apache.hadoop.fs.Path(intentPath(paths).toString + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write((intent.upTo.toString +: intent.deleteDirs).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(intentPath(paths))) fs.delete(intentPath(paths), false)
+    fs.rename(tmp, intentPath(paths))
+  }
+
+  private def readIntent(
+      spark: SparkSession, paths: IngestPaths): Option[CompactionIntent] = {
+    val fs = lakeFs(spark, paths)
+    if (!fs.exists(intentPath(paths))) None
+    else {
+      val in = fs.open(intentPath(paths))
+      val lines =
+        try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+        finally in.close()
+      Some(CompactionIntent(lines.head.trim.toLong, lines.tail.filter(_.nonEmpty)))
+    }
+  }
+
+  /** Stage the consolidated partition and record the intent marker. Returns
+    * None when fewer than two partitions are eligible (nothing to fold).
+    * Split from [[finishCompaction]] so the spec can exercise each crash
+    * window; production callers use [[compactCommitted]].
+    */
+  private[pipeline] def stageCompaction(
+      spark: SparkSession, paths: IngestPaths, upToBatch: Long): Option[CompactionIntent] = {
+    val fs = lakeFs(spark, paths)
+    val lake = new org.apache.hadoop.fs.Path(paths.docLake)
+    if (!fs.exists(lake)) return None
+    val eligible = fs.listStatus(lake).map(_.getPath.getName)
+      .filter(_.startsWith(VerPrefix))
+      .filter(_.drop(VerPrefix.length).toLong <= upToBatch)
+      .sorted.toSeq
+    if (eligible.size < 2) return None
+    // partition pruning keeps this read to the eligible directories; the
+    // partition column itself lives in the directory name, so the staged
+    // files must not carry it
+    val consolidated = spark.read.parquet(paths.docLake)
+      .filter(col("__ver").cast("long") <= upToBatch)
+      .drop("__ver")
+    fs.delete(stageRoot(paths), true)
+    consolidated.write.parquet(
+      new org.apache.hadoop.fs.Path(stageRoot(paths), s"$VerPrefix$upToBatch").toString)
+    val intent = CompactionIntent(
+      upToBatch, eligible.filterNot(_ == s"$VerPrefix$upToBatch"))
+    writeIntent(spark, paths, intent)
+    Some(intent)
+  }
+
+  /** Execute (or re-execute — every step is idempotent) a recorded intent:
+    * swap the staged partition in, delete the folded originals, clear the
+    * marker and staging/trash dirs.
+    */
+  private[pipeline] def finishCompaction(
+      spark: SparkSession, paths: IngestPaths, intent: CompactionIntent): Unit = {
+    val fs = lakeFs(spark, paths)
+    val dirName = s"$VerPrefix${intent.upTo}"
+    val staged = new org.apache.hadoop.fs.Path(stageRoot(paths), dirName)
+    val live = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(paths.docLake), dirName)
+    val trash = new org.apache.hadoop.fs.Path(trashRoot(paths), dirName)
+    if (fs.exists(staged)) Sinks.swapIn(fs, staged, live, trash = Some(trash))
+    else Sinks.recoverSwap(fs, live, trash)
+    intent.deleteDirs.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(paths.docLake), d), true)
+    }
+    fs.delete(intentPath(paths), false)
+    fs.delete(stageRoot(paths), true)
+    fs.delete(trashRoot(paths), true)
+  }
+
+  /** Finish any compaction a crash interrupted. A no-op without an intent
+    * marker (an orphaned staging dir from a pre-intent crash is cleaned).
+    * The ingest loop calls this on startup; ad-hoc readers of the doc lake
+    * should call it after an unclean shutdown (same contract as
+    * [[Sinks.recoverPartitions]]).
+    */
+  def recoverCompaction(spark: SparkSession, paths: IngestPaths): Unit =
+    readIntent(spark, paths) match {
+      case Some(intent) => finishCompaction(spark, paths, intent)
+      case None => lakeFs(spark, paths).delete(stageRoot(paths), true)
+    }
+
+  /** Fold all committed `__ver ≤ upToBatch` doc-lake partitions into one.
+    * Requires `upToBatch ≤ lastApplied`: compaction must never outrun the
+    * manifest, or a crash-replay of an uncommitted batch would re-append
+    * rows whose partition boundary no longer exists. Idempotent; safe to
+    * run on any cadence from the loop that owns the lake (single-writer, as
+    * [[Sinks.swapIn]]).
+    */
+  def compactCommitted(spark: SparkSession, paths: IngestPaths, upToBatch: Long): Unit = {
+    require(upToBatch <= lastApplied(spark, paths),
+      s"compaction of uncommitted batches (upTo=$upToBatch > manifest=${lastApplied(spark, paths)})")
+    recoverCompaction(spark, paths)
+    stageCompaction(spark, paths, upToBatch).foreach(finishCompaction(spark, paths, _))
+  }
+
   /** Streaming entry: the same transaction driven by foreachBatch. The
     * checkpoint makes delivery at-least-once; the manifest gate upgrades the
     * composition to exactly-once (a restart replays the last uncommitted
-    * batch into the same state).
+    * batch into the same state). Any compaction a previous run's crash
+    * interrupted is finished before the stream starts (the loop owns the
+    * lake, so startup is the safe point). A stream carrying an `embedding`
+    * column feeds the IVF growth path: each accepted doc's vector is
+    * appended under `vec_id = doc id` (no-op until an index is installed).
     */
   def start(
       docs: DataFrame,
       paths: IngestPaths,
       checkpointDir: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): StreamingQuery =
+      idCol: String = "doc_id"): StreamingQuery = {
+    recoverCompaction(docs.sparkSession, paths)
+    val hasEmbedding = docs.columns.contains("embedding")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch.sparkSession, paths, batch, batchId,
-          embedBatch = None, textCol = textCol, idCol = idCol)
+        val emb =
+          if (hasEmbedding) Some(batch.select(col(idCol).as("vec_id"), col("embedding")))
+          else None
+        ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
+          embedBatch = emb, textCol = textCol, idCol = idCol)
         ()
       }
       .start()
+  }
 }

@@ -151,20 +151,110 @@ class IngestPipelineSpec extends SparkSpec {
       "duplicate list rows must be absorbed at serve time")
   }
 
-  test("streaming entry lands micro-batches exactly-once") {
+  private val expectedCompacted =
+    Seq((1L, 1L), (2L, 1L), (11L, 1L), (13L, 1L), (22L, 2L))
+
+  private def ingestThree(p: IngestPaths): Unit = {
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L)
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L)
+    IngestPipeline.ingestBatch(spark, p, batch2, 2L)
+  }
+
+  private def verDirs(p: IngestPaths): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p.docLake), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(p.docLake))
+      .map(_.getPath.getName).filter(_.startsWith("__ver=")).sorted.toSeq
+  }
+
+  test("compactCommitted folds committed partitions and the loop continues") {
+    val p = tmpRoot()
+    ingestThree(p)
+    IngestPipeline.compactCommitted(spark, p, 1L)
+    assert(verDirs(p) == Seq("__ver=1", "__ver=2"))
+    assert(lakeState(p) == expectedCompacted, "content must survive the fold")
+    // the loop continues: a new batch lands in its own partition, a replay
+    // of a compacted batch is still manifest-gated
+    val batch3 = Seq((31L, "seven words are enough for quality pass")).toDF("doc_id", "text")
+    assert(IngestPipeline.ingestBatch(spark, p, batch3, 3L) == 1L)
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L) == 0L)
+    assert(verDirs(p) == Seq("__ver=1", "__ver=2", "__ver=3"))
+    // idempotent: re-folding the same range changes nothing
+    IngestPipeline.compactCommitted(spark, p, 1L)
+    assert(lakeState(p) == expectedCompacted :+ ((31L, 3L)))
+    // compaction may never outrun the manifest
+    intercept[IllegalArgumentException] {
+      IngestPipeline.compactCommitted(spark, p, 99L)
+    }
+  }
+
+  test("compaction crash BEFORE the swap recovers to the compacted state") {
+    val p = tmpRoot()
+    ingestThree(p)
+    // crash point: staged + intent recorded, swap never ran
+    assert(IngestPipeline.stageCompaction(spark, p, 1L).isDefined)
+    assert(verDirs(p) == Seq("__ver=0", "__ver=1", "__ver=2"), "lake untouched pre-swap")
+    IngestPipeline.recoverCompaction(spark, p)
+    assert(verDirs(p) == Seq("__ver=1", "__ver=2"))
+    assert(lakeState(p) == expectedCompacted)
+  }
+
+  test("compaction crash AFTER the swap (duplicate window) recovers") {
+    val p = tmpRoot()
+    ingestThree(p)
+    val intent = IngestPipeline.stageCompaction(spark, p, 1L).get
+    // manually perform ONLY the swap, leaving the folded originals behind —
+    // the post-swap/pre-delete window where a naive reader double-counts
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p.docLake), spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.swapIn(fs,
+      new org.apache.hadoop.fs.Path(p.docLake + "__compact_tmp/__ver=1"),
+      new org.apache.hadoop.fs.Path(p.docLake + "/__ver=1"),
+      trash = Some(new org.apache.hadoop.fs.Path(p.docLake + "__old/__ver=1")))
+    assert(spark.read.parquet(p.docLake).count() > 5, "window visibly double-counts")
+    IngestPipeline.recoverCompaction(spark, p)
+    assert(verDirs(p) == Seq("__ver=1", "__ver=2"))
+    assert(lakeState(p) == expectedCompacted)
+  }
+
+  test("an orphaned staging dir without an intent is cleaned, lake untouched") {
+    val p = tmpRoot()
+    ingestThree(p)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p.docLake), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p.docLake + "__compact_tmp/__ver=1"))
+    IngestPipeline.recoverCompaction(spark, p)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p.docLake + "__compact_tmp")))
+    assert(verDirs(p) == Seq("__ver=0", "__ver=1", "__ver=2"))
+    assert(lakeState(p) == expectedLake)
+  }
+
+  test("streaming entry lands micro-batches exactly-once and grows the index") {
     val p = tmpRoot()
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
     implicit val ctx = spark.sqlContext
-    val stream = MemoryStream[(Long, String)]
+    def vec(i: Int) = Seq(1f / i, 1f - 1f / i, 0f, 0f)
+    val stream = MemoryStream[(Long, String, Seq[Float])]
     val q = IngestPipeline.start(
-      stream.toDF().toDF("doc_id", "text"), p, ckpt)
+      stream.toDF().toDF("doc_id", "text", "embedding"), p, ckpt)
     try {
-      stream.addData((1L, tA), (2L, tB), (3L, "hi"), (4L, tA))
+      stream.addData((1L, tA, vec(1)), (2L, tB, vec(2)), (3L, "hi", vec(3)), (4L, tA, vec(4)))
       q.processAllAvailable()
-      stream.addData((11L, tC), (12L, tB), (13L, tD))
+      assert(lakeState(p) == expectedLake.filter(_._2 == 0))
+      // index installed mid-stream (trained offline over the corpus so far);
+      // later micro-batches grow it with their ACCEPTED docs' vectors
+      Similarity.writeIvfIndex(
+        Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>")),
+        Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f)), p.ivfIndex)
+      stream.addData((11L, tC, vec(11)), (12L, tB, vec(12)), (13L, tD, vec(13)))
       q.processAllAvailable()
       assert(lakeState(p) == expectedLake.filter(_._2 <= 1))
       assert(IngestPipeline.lastApplied(spark, p) == 1L)
+      val indexed = spark.read.parquet(s"${p.ivfIndex}/lists")
+        .select("vec_id").as[Long].collect().toSeq.sorted
+      assert(indexed == Seq(1L, 2L, 11L, 13L),
+        "accepted docs' vectors appended; the duplicate doc 12's vector is not")
     } finally q.stop()
   }
 }
