@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
 import graft.functions.{Dedup, ExactAgg, Similarity, Text}
-import graft.ops.{Cleaning, Features}
+import graft.ops.{Cleaning, Features, Packing}
 import graft.pipeline.{EventsPipeline, IngestPipeline}
-import graft.sources.Tables
+import graft.sources.{Bucketing, Tables}
 import graft.streaming.StreamingAggs
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -584,6 +584,67 @@ object SparkEntry {
         .withColumn("pieces_per_word_e4",
           ExactAgg.divHalfUp(col("n_pieces") * 10000, col("n_words")))
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: sequence packing — concatenate documents into a
+    // token stream and slice it into 2048-token context windows (GPT-style
+    // packing; docs straddle boundaries, nothing padded or dropped). The
+    // stream is SHARDED (doc_id % 8) so each shard packs independently —
+    // a single global running sum would serialize the corpus through one
+    // window partition; the only exchange moves narrow (doc_id, n_tokens)
+    // rows. Budget is a power of two, so the floor-division window ids are
+    // exact in both engines' arithmetic ----
+    "q75_sequence_packing" -> { (s, dir) =>
+      Packing.packSequences(Tables.documents(s, dir), "text", "doc_id",
+        budget = 2048, shards = 8)
+        .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: structural PII redaction with typed placeholders
+    // and per-type audit counts. The synthetic corpus carries no PII, so
+    // known-positive rows are INJECTED deterministically from doc_id —
+    // identically in both engines (string concat of the same integers) —
+    // giving every pattern positive AND negative rows. The three patterns
+    // are the SAME shared constants in the Spark expression and the oracle
+    // SQL (the q68 regex contract); the full redacted text is an output
+    // column, so a wrong replacement cannot hash-pass ----
+    "q76_pii_redaction" -> { (s, dir) =>
+      val d = col("doc_id")
+      val injected = concat(col("text"),
+        when(d % 4 === 0,
+          concat(lit(" contact user"), d.cast("string"), lit("@mail.example.com")))
+          .when(d % 4 === 1,
+            concat(lit(" call 415-555-"),
+              lpad((d % 10000).cast("string"), 4, "0")))
+          .when(d % 4 === 2,
+            concat(lit(" from 10."), (d % 256).cast("string"), lit(".0."),
+              ((d * 7) % 256).cast("string"),
+              lit(" or user"), d.cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), injected.as("__t"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("__t"), lit(Text.PiiEmailPattern)).cast("long").as("n_emails"),
+          regexp_count(col("__t"), lit(Text.PiiPhonePattern)).cast("long").as("n_phones"),
+          regexp_count(col("__t"), lit(Text.PiiIpv4Pattern)).cast("long").as("n_ips"),
+          Text.redactPii(col("__t")).as("redacted"))
+        .withColumn("red_len", length(col("redacted")).cast("long"))
+        .orderBy("doc_id")
+    },
+    // ---- co-located bucketed fact join: the PLANS.md "Joins" 100 TB path
+    // made executable. Orders and customer are bucketed+sorted on custkey
+    // at LAYOUT time (Bucketing.ensureCustomerOrders — once per session,
+    // the catalog carries the metadata), so the join itself needs no
+    // exchange of either side — asserted with broadcast disabled in
+    // PlanAuditSpec; this entry carries the value oracle. Revenue in exact
+    // cents ----
+    "q77_bucketed_join" -> { (s, dir) =>
+      val (o, c) = Bucketing.ensureCustomerOrders(s, dir, s"$fixtureRoot/bucketed")
+      s.table(o).join(s.table(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_c"))
+        .orderBy("c_mktsegment")
     },
     // ---- q64's PRODUCTION sibling (the q39→q60 pattern): the same
     // trained-IVF × int8 composition WITHOUT the exact brute-force recall
@@ -2136,6 +2197,60 @@ object SparkEntry {
               s"CAST(len(regexp_extract_all(text, '${Text.BpeishPattern.replace("'", "''")}')) AS BIGINT) * 10000",
               "len(string_split(text, ' '))")} AS BIGINT) AS pieces_per_word_e4
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // q75: same sharded running sum; the 2048 budget is a power of two so
+    // floor(cum / 2048.0) is exact binary64 in both engines
+    "q75_sequence_packing" ->
+      """SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(cumb / 2048.0) AS BIGINT) AS pack_first,
+        |  CAST(floor((cumb + n_tokens - 1) / 2048.0) AS BIGINT) AS pack_last,
+        |  CAST(floor((cumb + n_tokens - 1) / 2048.0) AS BIGINT)
+        |    - CAST(floor(cumb / 2048.0) AS BIGINT) + 1 AS n_windows
+        |FROM (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    // q76: identical injected text (string concat of the same integers),
+    // the SAME three shared pattern constants, and the same
+    // email -> ip -> phone replacement order
+    "q76_pii_redaction" -> {
+      val email = Text.PiiEmailPattern
+      val phone = Text.PiiPhonePattern
+      val ip = Text.PiiIpv4Pattern
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS BIGINT) AS red_len
+         |FROM (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0
+         |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |         WHEN doc_id % 4 = 1
+         |           THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         WHEN doc_id % 4 = 2
+         |           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |                || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |                || ' or user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |         ELSE '' END AS t
+         |  FROM documents) s
+         |ORDER BY doc_id""".stripMargin
+    },
+    // q77: the bucketed layout changes the PLAN, never the values — the
+    // oracle is the plain join over the source tables
+    "q77_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(SUM(${sqlCents("o_totalprice")}) AS BIGINT) AS revenue_c
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q30_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS cnt,
          |  CAST(${ExactAgg.Sql.divHalfUp("SUM(ne6)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS avg_norm

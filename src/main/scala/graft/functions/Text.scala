@@ -393,6 +393,38 @@ object Text {
     (out, perDoc)
   }
 
+  /** PII patterns for the redaction pass ([[redactPii]]). Each is ONE
+    * shared constant interpolated into both the Spark expression and the
+    * generated DuckDB oracle SQL (the q68 contract: Java regex and RE2
+    * agree on this POSIX-compatible subset — character classes, bounded
+    * repetition, no lookaround), so the two engines cannot drift.
+    *
+    * These are deliberately the high-precision structural shapes a
+    * pre-training scrub uses as its first pass (an address with a TLD, a
+    * NANP-dashed phone, a dotted quad) — recall-oriented PII detection
+    * (names, free-form addresses) is a model problem, not a regex one.
+    */
+  val PiiEmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpv4Pattern: String =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Replace structural PII with typed placeholder tokens, keeping the
+    * document (unlike [[scrub]], which deletes matches): redacted corpora
+    * train, deleted spans change token statistics. Order matters only
+    * for overlap, and the three patterns are disjoint by construction
+    * (emails carry `@`, phones are dash-separated, IPs dot-separated
+    * digits), but email runs first anyway so a digit-heavy local-part can
+    * never be seen by the narrower patterns. Pure codegen
+    * `regexp_replace` chain — per-row, no shuffle, distributes trivially.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, PiiEmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, PiiIpv4Pattern, "<IP>")
+    regexp_replace(noIp, PiiPhonePattern, "<PHONE>")
+  }
+
   /** Strip URLs and email addresses (the C4-style pre-training scrub pass).
     * Patterns stay in the POSIX-compatible subset so the same regexes run
     * in the DuckDB oracle.

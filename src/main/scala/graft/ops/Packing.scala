@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Sequence packing for LLM pre-training: concatenate documents into a
+  * token stream and slice the stream into fixed-size context windows
+  * (GPT-style packing — documents straddle window boundaries; nothing is
+  * padded or dropped). The output maps each document to the window range
+  * it lands in, which is what a downstream tokenizer shard-writer needs to
+  * emit `(window_id, token_slice)` pairs.
+  *
+  * Reference behavior anchor: the reference pipeline batches records into
+  * fixed-size flush units before writing
+  * (bigdata-project/src/kafka_to_minio.py:63-75 — count-based chunking of
+  * a record stream); this operator is the token-budget generalization a
+  * training-data pipeline actually packs with.
+  *
+  * Scale design: a single global running sum would serialize the corpus
+  * through one window partition — instead the stream is SHARDED (shard =
+  * doc_id % shards) and each shard packs independently, which is exactly
+  * how production packing runs (one packer per input shard, each emitting
+  * its own window sequence). The only exchange moves narrow
+  * (doc_id, n_tokens) rows — text never shuffles; per-shard state is one
+  * running sum. At 100 TB: shards = O(total cores), each shard's window
+  * is a linear scan, and window ids are (shard, local_window) pairs so no
+  * cross-shard coordination exists. The window budget is a power of two so
+  * the `floor(cum / budget)` division is exact in ANY engine's arithmetic
+  * (binary64 division by 2^k is lossless), keeping the DuckDB oracle
+  * value-identical.
+  *
+  * Output per document: (idCol, shard, n_tokens, pack_first, pack_last,
+  * n_windows) — all int64, the driver-hasher-safe envelope.
+  */
+object Packing {
+
+  /** @param budget tokens per context window; MUST be a power of two (the
+    *               cross-engine exactness argument above relies on it)
+    * @param shards independent packing streams; parallelism of the pack
+    */
+  def packSequences(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      budget: Int = 2048,
+      shards: Int = 8): DataFrame = {
+    require(budget > 0 && (budget & (budget - 1)) == 0,
+      s"budget must be a power of two, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val id = col(idCol)
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(
+        id,
+        (id % shards).as("shard"),
+        Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__cumb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        id,
+        col("shard"),
+        col("n_tokens"),
+        floor(col("__cumb") / budget.toDouble).cast("long").as("pack_first"),
+        floor((col("__cumb") + col("n_tokens") - 1) / budget.toDouble)
+          .cast("long").as("pack_last"))
+      .withColumn("n_windows", col("pack_last") - col("pack_first") + 1)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Bucketed-table layout for co-located fact joins — the catalog-level
+  * answer to the one shuffle Catalyst cannot remove on its own: a join of
+  * two large tables hash-partitions BOTH sides on the key every time it
+  * runs. Bucketing pre-hashes each table into `buckets` files sorted by
+  * the key at WRITE time; a join of two tables bucketed+sorted on the same
+  * key with the same bucket count is then a SortMergeJoin with NO Exchange
+  * and no per-query sort — paid once at layout time, amortized over every
+  * subsequent join (PLANS.md "Joins" called this out as the 100 TB path;
+  * `BucketedJoinSpec` + `PlanAuditSpec` hold the executable no-Exchange
+  * proof, q77 carries the value oracle).
+  *
+  * Bucket metadata lives in the session CATALOG, not in the parquet files,
+  * so each session materializes the tables once via `saveAsTable`
+  * (`tableExists` makes every later call within the session free). The
+  * bench's min-of-two therefore times the joined READ, with the one-time
+  * layout cost visible only in the first pass — the same accounting as the
+  * stamped lake fixtures. At 100 TB the equivalent is a real metastore
+  * where the layout survives sessions and the write happens once per
+  * ingest, not per job.
+  */
+object Bucketing {
+
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Bucketed+sorted copies of customer and orders on their join key.
+    * Table names and file paths carry the source dir tag, so an SF switch
+    * lands in fresh tables instead of serving the other SF's layout.
+    *
+    * @return (ordersTable, customerTable) catalog names
+    */
+  def ensureCustomerOrders(
+      spark: SparkSession,
+      dir: String,
+      pathRoot: String,
+      buckets: Int = 8): (String, String) = {
+    val tag = sanitize(dir)
+    val o = s"graft_orders_bkt_$tag"
+    val c = s"graft_customer_bkt_$tag"
+    if (!spark.catalog.tableExists(o))
+      Tables.orders(spark, dir).write
+        .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$pathRoot/orders_$tag")
+        .mode("overwrite").format("parquet").saveAsTable(o)
+    if (!spark.catalog.tableExists(c))
+      Tables.customer(spark, dir).write
+        .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$pathRoot/customer_$tag")
+        .mode("overwrite").format("parquet").saveAsTable(c)
+    (o, c)
+  }
+}

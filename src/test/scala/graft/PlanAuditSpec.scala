@@ -269,6 +269,37 @@ class PlanAuditSpec extends SparkSpec {
       s"an exchange carries document/gram text:\n${exchanges.mkString("\n")}")
   }
 
+  test("q75: sequence packing shuffles narrow (id, shard, n_tokens) rows, never text") {
+    // the sharded running-sum window is the one exchange; it must move
+    // token COUNTS, not documents — and the scan must prune to the two
+    // columns the pack needs
+    val exchanges = plan("q75_sequence_packing")
+      .linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q77: bucketed tables sort-merge join with no exchange and no sort (broadcast disabled)") {
+    // the co-located join claim, on the REGISTRY tables: both sides are
+    // bucketed+sorted on custkey, so with broadcast off the join must plan
+    // as SortMergeJoin with zero Exchange operators below it — the layout
+    // pre-paid the shuffle every repeated join would otherwise re-run
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (o, c) = graft.sources.Bucketing.ensureCustomerOrders(
+        spark, dir, java.nio.file.Files.createTempDirectory("graft-bkt-audit").toString)
+      val joined = spark.table(o).join(spark.table(c),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      assert(joined.count() > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(600))
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n${p.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q59: the boilerplate join's right side is the FILTERED vocabulary, broadcast") {
     // perDoc must never be shuffled a second time against the full
     // vocabulary: the plan joins it (left, broadcast) against only the

@@ -229,6 +229,44 @@ class TextSpec extends SparkSpec {
     got.foreach { case (n, e) => assert(n == e, s"got $n expected $e") }
   }
 
+  test("redactPii replaces emails, phones and IPs with typed placeholders") {
+    val out = Seq(
+      (1L, "write to a.user+tag@sub-domain.example.org today",
+        "write to <EMAIL> today"),
+      (2L, "call 415-555-0042 or 650-555-1234",
+        "call <PHONE> or <PHONE>"),
+      (3L, "host 10.0.255.7 responded",
+        "host <IP> responded"),
+      (4L, "no pii here at all",
+        "no pii here at all"),
+      (5L, "mixed bob@x.io from 192.168.0.1 call 415-555-9999",
+        "mixed <EMAIL> from <IP> call <PHONE>"))
+      .toDF("id", "t", "expected")
+    val got = out.select(Text.redactPii(col("t")).as("r"), col("expected"))
+      .as[(String, String)].collect()
+    got.foreach { case (r, e) => assert(r == e, s"got '$r' expected '$e'") }
+  }
+
+  test("PII patterns are disjoint: each counts only its own injected row") {
+    // the q76 contract: a row carrying one PII kind must count 1 for that
+    // pattern and 0 for the others (placeholders are unmatchable, so
+    // redaction order cannot create phantom matches either)
+    val rows = Seq(
+      ("user77@mail.example.com", 1L, 0L, 0L),
+      ("415-555-0042", 0L, 1L, 0L),
+      ("10.37.0.203", 0L, 0L, 1L))
+      .toDF("t", "e_mail", "e_phone", "e_ip")
+    val got = rows.select(
+        regexp_count(col("t"), lit(Text.PiiEmailPattern)).cast("long"),
+        regexp_count(col("t"), lit(Text.PiiPhonePattern)).cast("long"),
+        regexp_count(col("t"), lit(Text.PiiIpv4Pattern)).cast("long"),
+        col("e_mail"), col("e_phone"), col("e_ip"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (m, p, i, em, ep, ei) =>
+      assert((m, p, i) == ((em, ep, ei)))
+    }
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")
