@@ -1373,7 +1373,7 @@ object SparkEntry {
       if (!fixtureReady(fixture, stamp)) {
         Dedup.writeFingerprintIndex(history, fixture)
         val accepted1 = Dedup.dedupAgainstFingerprintIndex(s, fixture, batch1)
-        Dedup.appendFingerprintIndex(accepted1, fixture)
+        Dedup.appendFingerprintIndex(accepted1, fixture, generation = 1L)
         stampFixture(fixture, stamp)
       }
       val batch2 = docs.filter(col("doc_id") % 4 === 3)

@@ -559,13 +559,16 @@ object Dedup {
     * form), stamped into persisted-index fixtures like
     * [[Int8Ops.QuantizerVersion]]: fingerprints written under one scheme
     * must never be probed under another, and the scheme lives in code where
-    * a data-content stamp can't see it.
+    * a data-content stamp can't see it. v2: one immutable `batch=<gen>`
+    * subdirectory per publish (atomic single-rename appends) instead of
+    * flat append-mode files.
     */
-  val FingerprintIndexVersion = "md5-bin-v1"
+  val FingerprintIndexVersion = "md5-bin-v2"
 
   /** Persist the history corpus's content fingerprints as a compact index
     * table: (idCol, fp) with fp = the raw 16-byte md5
-    * ([[Text.fingerprintBinary]]).
+    * ([[Text.fingerprintBinary]]), landed as the index's first `batch=<gen>`
+    * generation directory.
     *
     * This is [[dedupAgainstHistory]]'s amortization story — the q67 move
     * applied to dedup. dedupAgainstHistory already never SHUFFLES history,
@@ -576,8 +579,8 @@ object Dedup {
     * documents), and [[appendFingerprintIndex]] keeps it current without
     * ever recomputing old fingerprints.
     *
-    * The index is membership state, so duplicate fp rows (e.g. a crashed
-    * append retried) are HARMLESS — probes are semi-join membership tests —
+    * The index is membership state, so duplicate fp rows (e.g. a re-folded
+    * generation) are HARMLESS — probes are semi-join membership tests —
     * and idempotency is owned by the caller's write-once stamp, like the
     * IVF index fixture.
     */
@@ -585,10 +588,16 @@ object Dedup {
       history: DataFrame,
       path: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): Unit =
-    history
-      .select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
-      .write.mode("overwrite").parquet(path)
+      idCol: String = "doc_id",
+      generation: Long = 0L): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), history.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.sinks.Sinks.publishDir(
+      history.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp")),
+      path, s"batch=$generation")
+    ()
+  }
 
   /** Append an ACCEPTED batch's fingerprints to the index — the incremental
     * update the operator family's name promises: each ingest cycle hashes
@@ -596,15 +605,80 @@ object Dedup {
     * history. Accepted-only by contract: appending rejected rows would be
     * redundant (their fps are already present — that is why they were
     * rejected).
+    *
+    * The batch lands as its own immutable `batch=<generation>` directory
+    * via [[graft.sinks.Sinks.publishDir]] — stage + ONE atomic rename — so
+    * the append is all-or-nothing. That matters beyond tidiness: the fp
+    * append is an ingest loop's dedup COMMIT POINT, and a half-visible
+    * append (what parquet `mode("append")`'s file-at-a-time job commit can
+    * leave after a crash) would make the crash-replay recompute a SMALLER
+    * accepted set and dynamically overwrite the lake partition without the
+    * partially-indexed docs — dropping them forever while their fps block
+    * re-entry. With the rename, a replay sees either nothing (re-publishes
+    * identically) or everything (no-ops: returns false).
     */
   def appendFingerprintIndex(
       accepted: DataFrame,
       path: String,
+      generation: Long,
       textCol: String = "text",
-      idCol: String = "doc_id"): Unit =
-    accepted
-      .select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
-      .write.mode("append").parquet(path)
+      idCol: String = "doc_id"): Boolean =
+    graft.sinks.Sinks.publishDir(
+      accepted.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp")),
+      path, s"batch=$generation")
+
+  /** Fold all `batch=<gen> ≤ upToGen` generation directories of a
+    * fingerprint index into one — the maintenance pass that keeps the
+    * index's FILE count O(1) while its data stays 16 bytes/doc: at a
+    * per-minute ingest cadence the per-batch publishes are ~525k
+    * directories/year, and listing cost would come to dominate every probe
+    * long before the data does (the same small-files math as the doc
+    * lake's compactCommitted).
+    *
+    * No intent log needed, unlike the doc lake: the index is MEMBERSHIP
+    * state, so every crash window is benign by semantics rather than by
+    * protocol — before the swap the originals are untouched (an orphaned
+    * `__tmp` is cleaned on the next run); the swap itself is the two-rename
+    * [[graft.sinks.Sinks.swapIn]] (a crash between its renames parks the
+    * target generation in `__old`, restored by
+    * [[graft.sinks.Sinks.recoverPartitions]] — run here on entry and by the
+    * ingest loop on startup); after the swap, not-yet-deleted folded
+    * originals are pure duplicates of the consolidated generation, which a
+    * semi-join probe cannot observe, and a re-run folds them away.
+    * Single-writer contract as always: don't fold concurrently with an
+    * appender.
+    */
+  def compactFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      upToGen: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(rootP)) return
+    graft.sinks.Sinks.recoverPartitions(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
+    val gens = fs.listStatus(rootP).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.drop("batch=".length).toLong)
+      .filter(_ <= upToGen).sorted.toSeq
+    if (gens.size < 2) return
+    val dirName = s"batch=$upToGen"
+    // distinct restores canonical one-row-per-doc content even when a
+    // previous fold's post-swap crash left duplicate generations behind
+    val consolidated = spark.read.parquet(path)
+      .filter(col("batch").cast("long") <= upToGen)
+      .drop("batch").distinct()
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp", dirName)
+    consolidated.write.parquet(tmp.toString)
+    graft.sinks.Sinks.swapIn(fs, tmp, new org.apache.hadoop.fs.Path(rootP, dirName),
+      trash = Some(new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix, dirName)))
+    gens.filter(_ != upToGen).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"batch=$g"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix), true)
+  }
 
   /** [[dedupAgainstHistory]] served from a persisted [[writeFingerprintIndex]]
     * table instead of the history text: keep only `incoming` rows whose

@@ -310,6 +310,44 @@ object Similarity {
       .write.mode("append").partitionBy("cell_id").parquet(s"$path/lists")
   }
 
+  /** Fold each inverted-list cell directory of a persisted [[writeIvfIndex]]
+    * index into `targetRecordsPerFile`-sized files. [[appendToIvfIndex]]
+    * deliberately never rewrites history — the price is one file set per
+    * append per touched cell, which at an ingest loop's per-minute cadence
+    * is the same ~525k-files/year listing-cost cliff the doc lake's
+    * compaction answers; this is that answer for the index.
+    *
+    * Per-cell [[graft.sinks.Sinks.compactLakePartition]]: cost is O(cell),
+    * each swap is the two-rename crash-safe protocol, and cells below
+    * `minFilesToCompact` data files are skipped so a maintenance cadence
+    * doesn't rewrite already-compact cells. Duplicate list rows from a
+    * crashed append are preserved as-is — [[queryIvfIndex]]'s distinct
+    * absorbs them before and after the fold alike, so folding commutes
+    * with serving (spec: `SimilaritySpec`). Single-writer contract: don't
+    * fold concurrently with an appender; the ingest loop runs this from
+    * its own maintenance cadence.
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetRecordsPerFile: Long = 1000000L,
+      minFilesToCompact: Int = 2): Unit = {
+    val lists = s"$path/lists"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(lists), spark.sparkContext.hadoopConfiguration)
+    val listsP = new org.apache.hadoop.fs.Path(lists)
+    if (!fs.exists(listsP)) return
+    graft.sinks.Sinks.recoverPartitions(spark, lists)
+    fs.listStatus(listsP).map(_.getPath)
+      .filter(_.getName.startsWith("cell_id=")).foreach { cell =>
+        val dataFiles = fs.listStatus(cell).count(_.getPath.getName.endsWith(".parquet"))
+        if (dataFiles >= minFilesToCompact)
+          graft.sinks.Sinks.compactLakePartition(
+            spark, lists, "cell_id", cell.getName.drop("cell_id=".length),
+            targetRecordsPerFile)
+      }
+  }
+
   /** Serve top-k ANN from a persisted [[writeIvfIndex]] index. The centroid
     * model loads to the driver (k × dims floats — model parameters, the
     * documented bounded-collect contract), probes are computed per query,

@@ -132,7 +132,14 @@ object IngestPipeline {
       // same accepted set (lake: dynamic overwrite of its own partition;
       // IVF: duplicate rows absorbed at serve time); crash after the fp
       // append → replay is a pure no-op and only records the manifest.
-      // Either way the terminal state is identical.
+      // Either way the terminal state is identical. The commit point itself
+      // is ALL-OR-NOTHING: the fp batch publishes as one `batch=<id>`
+      // directory via a single atomic rename (Sinks.publishDir) — a
+      // parquet append's file-at-a-time job commit could crash half-visible,
+      // and a replay probing that partial set would recompute a smaller
+      // accepted set and overwrite the lake partition without the
+      // partially-indexed docs (dropped forever, fps still blocking
+      // re-entry). With the rename there is no partial state to observe.
       Sinks.appendVersioned(accepted, paths.docLake, batchId)
       embedBatch.foreach { emb =>
         if (fs.exists(new org.apache.hadoop.fs.Path(s"${paths.ivfIndex}/cells"))) {
@@ -142,8 +149,9 @@ object IngestPipeline {
         }
       }
       val n = accepted.count()
-      if (bootstrap) Dedup.writeFingerprintIndex(accepted, paths.fpIndex, textCol, idCol)
-      else Dedup.appendFingerprintIndex(accepted, paths.fpIndex, textCol, idCol)
+      if (bootstrap)
+        Dedup.writeFingerprintIndex(accepted, paths.fpIndex, textCol, idCol, generation = batchId)
+      else Dedup.appendFingerprintIndex(accepted, paths.fpIndex, batchId, textCol, idCol)
       recordApplied(spark, paths, batchId)
       n
     } finally accepted.unpersist()
@@ -276,11 +284,36 @@ object IngestPipeline {
     * should call it after an unclean shutdown (same contract as
     * [[Sinks.recoverPartitions]]).
     */
-  def recoverCompaction(spark: SparkSession, paths: IngestPaths): Unit =
+  def recoverCompaction(spark: SparkSession, paths: IngestPaths): Unit = {
     readIntent(spark, paths) match {
       case Some(intent) => finishCompaction(spark, paths, intent)
       case None => lakeFs(spark, paths).delete(stageRoot(paths), true)
     }
+    // the index folds' crash windows (a swap interrupted between its two
+    // renames parks the live generation dir in __old): restore on startup,
+    // BEFORE any probe reads the index — a probe that misses a parked
+    // generation would accept duplicates
+    Sinks.recoverPartitions(spark, paths.fpIndex)
+    Sinks.recoverPartitions(spark, s"${paths.ivfIndex}/lists")
+  }
+
+  /** Fold the append-mode INDEX state the ingest loop grows — the
+    * fingerprint index's per-batch `batch=<id>` publishes
+    * ([[Dedup.compactFingerprintIndex]]) and the IVF index's per-append
+    * cell-list file sets ([[Similarity.compactIvfIndex]]) — on the same
+    * maintenance cadence as [[compactCommitted]]. Same manifest bound, and
+    * for the same reason: folding an UNCOMMITTED batch's fp generation
+    * would erase the `batch=<id>` existence check that makes its
+    * crash-replay publish a no-op (the replay would re-publish into a
+    * generation the fold already absorbed, duplicating fps — harmless for
+    * membership, but the bound keeps the invariant crisp and free).
+    */
+  def compactIndexes(spark: SparkSession, paths: IngestPaths, upToBatch: Long): Unit = {
+    require(upToBatch <= lastApplied(spark, paths),
+      s"index fold of uncommitted batches (upTo=$upToBatch > manifest=${lastApplied(spark, paths)})")
+    Dedup.compactFingerprintIndex(spark, paths.fpIndex, upToBatch)
+    Similarity.compactIvfIndex(spark, paths.ivfIndex)
+  }
 
   /** Fold all committed `__ver ≤ upToBatch` doc-lake partitions into one.
     * Requires `upToBatch ≤ lastApplied`: compaction must never outrun the

@@ -110,6 +110,43 @@ object Sinks {
       .partitionBy("__ver")
       .parquet(path)
 
+  /** Publish a DataFrame as ONE immutable subdirectory of an append-
+    * structured table, all-or-nothing: the rows are staged OUTSIDE the
+    * table root and moved in with a single atomic rename, so a reader can
+    * never observe a partial publish — a parquet `mode("append")` job
+    * commit moves task files one by one, and a crash mid-commit leaves a
+    * visible subset, which is fatal when downstream ACCEPTANCE decisions
+    * read the table (the fingerprint index: a partially-visible batch
+    * would make a crash-replay recompute a smaller accepted set and
+    * permanently drop the partially-indexed docs from the lake).
+    *
+    * `dirName` should be `col=value`-shaped (e.g. `batch=7`) so Spark's
+    * partition discovery reads the directory set as one table with the
+    * publish generation as a partition column.
+    *
+    * Replay-idempotent by construction: an existing target means this
+    * generation already published (the rename happened, hence the whole
+    * content is present) — the call returns false and writes nothing.
+    * Crash windows: before the rename, only `<root>__stage` holds files
+    * (cleaned on the next publish of the same generation); the rename
+    * itself is atomic on HDFS and local filesystems.
+    */
+  def publishDir(df: DataFrame, root: String, dirName: String): Boolean = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val target = new org.apache.hadoop.fs.Path(rootP, dirName)
+    if (fs.exists(target)) return false
+    val stage = new org.apache.hadoop.fs.Path(root + "__stage", dirName)
+    fs.delete(stage, true)
+    df.write.mode("overwrite").parquet(stage.toString)
+    if (!fs.exists(rootP)) fs.mkdirs(rootP)
+    fs.rename(stage, target)
+    fs.delete(new org.apache.hadoop.fs.Path(root + "__stage"), true)
+    true
+  }
+
   /** Merge-on-read of [[appendVersioned]] partials: sums every partial
     * state per key. Downstream finalizers (e.g. exact averages from
     * (sum_cents, n)) run on the merged states.

@@ -236,7 +236,7 @@ class DedupSpec extends SparkSpec {
     // appended index — must equal BOTH (a) an index rebuilt from scratch
     // over h0 ∪ accepted, and (b) the unindexed text form over the same
     val acc1Rows = acc1.select("doc_id", "text")
-    Dedup.appendFingerprintIndex(acc1Rows, idx)
+    assert(Dedup.appendFingerprintIndex(acc1Rows, idx, generation = 1L))
     val viaAppend = Dedup.dedupAgainstFingerprintIndex(spark, idx, b2)
       .select("doc_id").as[Long].collect().sorted.toSeq
     val idx2 = java.nio.file.Files.createTempDirectory("graft-fp-idx2").toString + "/idx"
@@ -248,10 +248,59 @@ class DedupSpec extends SparkSpec {
     assert(viaAppend == Seq(22L), viaAppend.toString)
     assert(viaAppend == viaRebuild && viaAppend == viaText)
 
-    // a retried (duplicate) append is harmless: membership semantics
-    Dedup.appendFingerprintIndex(acc1Rows, idx)
+    // a retried (replayed) append is a no-op: its generation directory
+    // already exists, so publishDir declines — all-or-nothing semantics
+    assert(!Dedup.appendFingerprintIndex(acc1Rows, idx, generation = 1L))
     assert(Dedup.dedupAgainstFingerprintIndex(spark, idx, b2)
       .select("doc_id").as[Long].collect().toSeq == Seq(22L))
+  }
+
+  test("fingerprint-index fold: one generation dir survives, probes unchanged, crash windows benign") {
+    val h0 = docs(1L -> "seen before", 2L -> "also seen")
+    val idx = java.nio.file.Files.createTempDirectory("graft-fp-fold").toString + "/idx"
+    Dedup.writeFingerprintIndex(h0, idx)
+    Dedup.appendFingerprintIndex(docs(11L -> "fresh one"), idx, generation = 1L)
+    Dedup.appendFingerprintIndex(docs(21L -> "fresh two"), idx, generation = 2L)
+    Dedup.appendFingerprintIndex(docs(31L -> "fresh three"), idx, generation = 3L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    def genDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(genDirs() == Seq("batch=0", "batch=1", "batch=2", "batch=3"),
+      "one immutable directory per publish before the fold")
+    val probe = docs(
+      40L -> "seen before", 41L -> "fresh one", 42L -> "fresh two",
+      43L -> "fresh three", 44L -> "genuinely new")
+    def survivors() = Dedup.dedupAgainstFingerprintIndex(spark, idx, probe)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors() == Seq(44L))
+
+    // fold generations ≤ 2: directory count drops, membership unchanged
+    Dedup.compactFingerprintIndex(spark, idx, 2L)
+    assert(genDirs() == Seq("batch=2", "batch=3"))
+    assert(survivors() == Seq(44L), "the fold must not change probe results")
+    assert(spark.read.parquet(idx).count() == 5) // 4 folded + 1 in batch=3
+
+    // crash window A: swap interrupted between renames — the consolidated
+    // generation is parked in __old; the startup recovery restores it
+    Dedup.appendFingerprintIndex(docs(51L -> "fresh four"), idx, generation = 4L)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx + graft.sinks.Sinks.OldSuffix))
+    fs.rename(
+      new org.apache.hadoop.fs.Path(idx, "batch=4"),
+      new org.apache.hadoop.fs.Path(idx + graft.sinks.Sinks.OldSuffix, "batch=4"))
+    graft.sinks.Sinks.recoverPartitions(spark, idx)
+    assert(genDirs() == Seq("batch=2", "batch=3", "batch=4"))
+
+    // crash window B: post-swap, folded originals not yet deleted — pure
+    // duplicates, invisible to a membership probe; the re-run folds them
+    val dup = spark.read.parquet(s"$idx/batch=2").drop("batch")
+    dup.write.parquet(s"$idx/batch=1")
+    assert(survivors() == Seq(44L), "duplicate generations are membership-invisible")
+    Dedup.compactFingerprintIndex(spark, idx, 4L)
+    assert(genDirs() == Seq("batch=4"))
+    assert(survivors() == Seq(44L))
+    assert(spark.read.parquet(idx).count() == 6,
+      "the fold's distinct restores one row per doc")
   }
 
   test("jaccardTokens exact set semantics") {

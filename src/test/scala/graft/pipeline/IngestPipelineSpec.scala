@@ -229,6 +229,55 @@ class IngestPipelineSpec extends SparkSpec {
     assert(lakeState(p) == expectedLake)
   }
 
+  test("compactIndexes folds fp generations and IVF cell files; probes and serving unchanged") {
+    val p = tmpRoot()
+    def vec(i: Int) = Seq(1f / i, 1f - 1f / i, 0f, 0f)
+    val emb0 = Seq((1L, vec(1)), (2L, vec(2)), (4L, vec(4)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    val emb1 = Seq((11L, vec(11)), (12L, vec(12)), (13L, vec(13)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    val emb2 = Seq((21L, vec(21)), (22L, vec(22)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L, embedBatch = Some(emb0))
+    Similarity.writeIvfIndex(
+      emb0.filter(col("vec_id").isin(1L, 2L)),
+      Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f)), p.ivfIndex)
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L, embedBatch = Some(emb1))
+    IngestPipeline.ingestBatch(spark, p, batch2, 2L, embedBatch = Some(emb2))
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p.fpIndex), spark.sparkContext.hadoopConfiguration)
+    def fpGens() = fs.listStatus(new org.apache.hadoop.fs.Path(p.fpIndex))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    def cellFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(s"${p.ivfIndex}/lists"))
+      .filter(_.getPath.getName.startsWith("cell_id="))
+      .map(c => fs.listStatus(c.getPath).count(_.getPath.getName.endsWith(".parquet"))).sum
+    assert(fpGens() == Seq("batch=0", "batch=1", "batch=2"))
+    val filesBefore = cellFiles()
+    assert(filesBefore >= 3, s"two appends should have multiplied cell files, saw $filesBefore")
+
+    val queries = emb1.filter(col("vec_id") === 11L)
+    val servedBefore = Similarity.queryIvfIndex(spark, p.ivfIndex, queries, 2, 3)
+      .collect().toSeq.sortBy(_.getInt(3))
+
+    IngestPipeline.compactIndexes(spark, p, 2L)
+    assert(fpGens() == Seq("batch=2"), "fp generations folded to one")
+    assert(cellFiles() < filesBefore, s"cell files must drop (before=$filesBefore, after=${cellFiles()})")
+    assert(Similarity.queryIvfIndex(spark, p.ivfIndex, queries, 2, 3)
+      .collect().toSeq.sortBy(_.getInt(3)) == servedBefore,
+      "folding must commute with serving")
+    // the fold may never outrun the manifest
+    intercept[IllegalArgumentException] { IngestPipeline.compactIndexes(spark, p, 99L) }
+
+    // the loop continues identically: a replayed duplicate still drops via
+    // the folded index, and a fresh batch lands + appends a new generation
+    val batch3 = Seq((31L, tB), (32L, "completely new sentence with enough words here"))
+      .toDF("doc_id", "text")
+    assert(IngestPipeline.ingestBatch(spark, p, batch3, 3L) == 1L)
+    assert(fpGens() == Seq("batch=2", "batch=3"))
+    assert(lakeState(p) == expectedLake :+ ((32L, 3L)))
+  }
+
   test("streaming entry lands micro-batches exactly-once and grows the index") {
     val p = tmpRoot()
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
