@@ -651,6 +651,19 @@ object Dedup {
   def compactFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
+      upToGen: Long): Unit = compactGenerationalIndex(spark, path, upToGen)
+
+  /** The shared fold for ANY membership-state table published as immutable
+    * `batch=<gen>` directories (the fp index, and the band index's sigs and
+    * bands subtables): consolidate generations ≤ upToGen into one. See
+    * [[compactFingerprintIndex]]'s scaladoc for the crash-window argument;
+    * it holds for every caller because it relies only on membership
+    * semantics (duplicate rows invisible to semi-join probes, distinct
+    * restoring canonical content).
+    */
+  private def compactGenerationalIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
       upToGen: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -678,6 +691,197 @@ object Dedup {
     }
     fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix), true)
+  }
+
+  // -----------------------------------------------------------------------
+  // Persisted MinHash BAND index — incremental NEAR-dup dedup.
+  //
+  // The fp index gives the ingest loop exact dedup at O(batch) per cycle; a
+  // replayed document with one word changed sails through it. The batch
+  // near-dup operator (minhashCandidates) catches that form but re-computes
+  // signatures for the FULL corpus every run — O(corpus) per batch, the
+  // same cost class the fp index eliminated for exact dedup. This index is
+  // the q69 move applied to the banded-LSH pipeline: persist each doc's
+  // band keys (the LSH probe structure) and its minhash signature (the
+  // verification payload), probe each batch's bands against the persisted
+  // bands, and verify the bounded collision set by signature agreement —
+  // history TEXT is never read, never re-hashed, never shuffled.
+  //
+  // Layout (two generational subtables, each published as immutable
+  // batch=<gen> dirs via the same atomic-rename protocol as the fp index):
+  //   <path>/sigs/batch=<g>/   (doc_id, sig: array<long>)   ~8·nHashes B/doc
+  //   <path>/bands/batch=<g>/  (band: md5 hex, doc_id)      nBands rows/doc
+  // Appends publish sigs FIRST, bands second: a band row whose sig is
+  // missing could silently drop a candidate pair, while a sig row with no
+  // band rows is unreachable — so with this order every crash prefix
+  // behaves as if the append never happened, and the replay completes it.
+  // -----------------------------------------------------------------------
+
+  /** Version tag of the band-index scheme (hash derivation + banding +
+    * storage form), for fixture stamps — the model hyperparameters
+    * (nHashes, nBands, seed) are part of the index identity and must be
+    * stamped alongside by callers, like the IVF index's (k, iters).
+    */
+  val BandIndexVersion = "minhash-band-v1"
+
+  /** (sigs, bands) projections for one document set — the rows both the
+    * index build and the append publish. Band keys are EXACTLY
+    * [[minhashCandidates]]' construction (md5 over the band's signature
+    * slice), so the SQL oracle machinery reproduces them verbatim.
+    */
+  private def bandIndexRows(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nHashes: Int,
+      nBands: Int,
+      seed: Long): (DataFrame, DataFrame) = {
+    val rowsPerBand = nHashes / nBands
+    val sig = minhashSignatures(docs.select(col(idCol), col(textCol)), textCol, idCol, nHashes, seed)
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
+    }
+    (sig.select(col("id").as("doc_id"), col("sig")),
+      sig.select(col("id").as("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select("band", "doc_id"))
+  }
+
+  /** Build the band index over a history corpus (generation 0 of both
+    * subtables). One signature pass over the corpus — paid ONCE; every
+    * later batch costs only its own signatures plus a bounded probe.
+    */
+  def writeBandIndex(
+      history: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nHashes: Int = 64,
+      nBands: Int = 4,
+      seed: Long = 42L,
+      generation: Long = 0L): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), history.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val (sigs, bands) = bandIndexRows(history, textCol, idCol, nHashes, nBands, seed)
+    graft.sinks.Sinks.publishDir(sigs, s"$path/sigs", s"batch=$generation")
+    graft.sinks.Sinks.publishDir(bands, s"$path/bands", s"batch=$generation")
+    ()
+  }
+
+  /** Append an ACCEPTED batch's signatures and band keys as generation
+    * `generation` — the incremental growth path: each cycle signs only its
+    * own batch. Sigs publish before bands (see the layout note above);
+    * both are single-rename all-or-nothing, and an existing generation
+    * no-ops, so a crash-replay converges. Returns whether the bands
+    * generation was newly published.
+    */
+  def appendBandIndex(
+      accepted: DataFrame,
+      path: String,
+      generation: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nHashes: Int = 64,
+      nBands: Int = 4,
+      seed: Long = 42L): Boolean = {
+    val (sigs, bands) = bandIndexRows(accepted, textCol, idCol, nHashes, nBands, seed)
+    graft.sinks.Sinks.publishDir(sigs, s"$path/sigs", s"batch=$generation")
+    graft.sinks.Sinks.publishDir(bands, s"$path/bands", s"batch=$generation")
+  }
+
+  /** Keep only `incoming` rows that are not near-duplicates of the indexed
+    * history: a row is dropped when it shares ≥ 1 band with an indexed doc
+    * AND the signature agreement (fraction of equal positions — the same
+    * est_jaccard as [[minhashCandidates]]) reaches `minEstJaccard`.
+    *
+    * Plan shape — bounded-batch contract throughout, zero history text:
+    *   1. the batch's signatures (one pass over ITS text) explode to band
+    *      keys, whose distinct set broadcast-SEMI-probes the persisted
+    *      bands table — the index scan reads (band, doc_id) rows only;
+    *   2. the batch's own ids are broadcast-ANTI-excluded from the
+    *      collisions: a crash-replayed batch whose append already published
+    *      must recompute the SAME acceptance it did the first time, so its
+    *      own generation (and any intra-batch near-pair) must be invisible
+    *      — this is what lets the band appends sit before the ingest
+    *      loop's fp commit point without perturbing replays;
+    *   3. hot-band escape valve ([[minhashCandidates]]' `maxBandBucket`
+    *      carried over): bands whose surviving collision count exceeds
+    *      `maxBandCollisions` are excluded from pair generation — one
+    *      degenerate boilerplate cluster in the index would otherwise make
+    *      every matching batch doc pay O(cluster) verification. Exact
+    *      dedup (the fp index) owns identical content and runs first in
+    *      the ingest composition;
+    *   4. the bounded candidate ids broadcast-SEMI-select their signatures
+    *      from the sigs table; agreement is the interpreted HOF on
+    *      candidate PAIRS only (the one deliberate no-HOF-rule inversion,
+    *      same as minhashCandidates).
+    */
+  def dedupAgainstBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      incoming: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nHashes: Int = 64,
+      nBands: Int = 4,
+      minEstJaccard: Double = 0.9,
+      seed: Long = 42L,
+      maxBandCollisions: Int = Int.MaxValue): DataFrame = {
+    val rowsPerBand = nHashes / nBands
+    // persisted like minhashCandidates' signature table and for the same
+    // reason: bands + verification both read it; 2-column rows, batch-sized
+    val sig = minhashSignatures(
+      incoming.select(col(idCol), col(textCol)), textCol, idCol, nHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
+    }
+    val batchBands = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val collisions = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("doc_id").as("hist_id"))
+      .join(broadcast(batchBands.select("band").distinct()), Seq("band"), "left_semi")
+      .join(broadcast(sig.select(col("id").as("hist_id"))), Seq("hist_id"), "left_anti")
+    val capped =
+      if (maxBandCollisions == Int.MaxValue) collisions
+      else collisions.join(
+        collisions.groupBy("band").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBandCollisions).select("band"),
+        Seq("band"))
+    val pairs = capped
+      .join(broadcast(batchBands), Seq("band"))
+      .select(col("id"), col("hist_id"))
+      .distinct()
+    val histSigs = spark.read.parquet(s"$path/sigs")
+      .join(broadcast(pairs.select(col("hist_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("hist_id"), col("sig").as("h_sig"))
+    val agree = aggregate(
+      zip_with(col("b_sig"), col("h_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x)
+    val nearIds = pairs
+      .join(broadcast(histSigs), Seq("hist_id"))
+      .join(sig.select(col("id"), col("sig").as("b_sig")), Seq("id"))
+      .select(col("id"), round(agree.cast("double") / nHashes, 4).as("est"))
+      .filter(col("est") >= minEstJaccard)
+      .select(col("id").as(idCol))
+      .distinct()
+    incoming.join(broadcast(nearIds), Seq(idCol), "left_anti")
+  }
+
+  /** Fold both band-index subtables' generations ≤ upToGen — the same
+    * maintenance as [[compactFingerprintIndex]] (both subtables are
+    * membership state published as `batch=<gen>` dirs, so the identical
+    * crash-window argument applies).
+    */
+  def compactBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      upToGen: Long): Unit = {
+    compactGenerationalIndex(spark, s"$path/sigs", upToGen)
+    compactGenerationalIndex(spark, s"$path/bands", upToGen)
   }
 
   /** [[dedupAgainstHistory]] served from a persisted [[writeFingerprintIndex]]

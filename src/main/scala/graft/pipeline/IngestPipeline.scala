@@ -11,13 +11,16 @@ import graft.sinks.Sinks
 /** Incremental training-data ingest: the steady-state composition of the
   * amortized primitives — per micro-batch, quality-filter, dedup within the
   * batch, dedup against the persisted fingerprint index ([[Dedup]], q69's
-  * operator), land the accepted docs in the versioned lake, append their
-  * fingerprints to the index, and (when the batch carries embeddings and a
-  * served IVF index exists) grow the index with [[Similarity.appendToIvfIndex]]
-  * (q70's operator). This is the loop a 100 TB corpus actually runs: every
-  * per-cycle cost is O(batch) — the history is touched only through its
-  * 16-byte/doc fingerprint index and its centroid model, never its text or
-  * its resident vectors.
+  * operator), optionally NEAR-dup against the persisted band index
+  * ([[Dedup.dedupAgainstBandIndex]], q78's operator — see [[NearDupConfig]]),
+  * land the accepted docs in the versioned lake, append their fingerprints
+  * (and band generations) to the indexes, and (when the batch carries
+  * embeddings and a served IVF index exists) grow the index with
+  * [[Similarity.appendToIvfIndex]] (q70's operator). This is the loop a
+  * 100 TB corpus actually runs: every per-cycle cost is O(batch) — the
+  * history is touched only through its 16-byte/doc fingerprint index, its
+  * ~(nBands+signature)-bytes/doc band index, and its centroid model, never
+  * its text or its resident vectors.
   *
   * Exactly-once across crash/replay, by construction rather than by lock:
   *   - the whole transaction is gated on a last-applied-batch manifest
@@ -52,8 +55,24 @@ object IngestPipeline {
     val docLake: String = s"$root/doc_lake"
     val fpIndex: String = s"$root/fp_index"
     val ivfIndex: String = s"$root/ivf_index"
+    val bandIndex: String = s"$root/band_index"
     val manifest: String = s"$root/_ingest_applied"
   }
+
+  /** Opt-in NEAR-dup stage for [[ingestBatch]]: hyperparameters of the
+    * persisted band index ([[Dedup.writeBandIndex]] — part of the index's
+    * identity, so changing them requires a fresh index) plus the
+    * acceptance gate. The defaults mirror q78: 8 × 8 banding (~0.77 LSH
+    * threshold) with est ≥ 0.85 verification, and a hot-band cap — the
+    * exact stage runs first and owns identical content, so capped bands
+    * only ever skip near-misses of degenerate boilerplate clusters.
+    */
+  final case class NearDupConfig(
+      nHashes: Int = 64,
+      nBands: Int = 8,
+      minEstJaccard: Double = 0.85,
+      seed: Long = 42L,
+      maxBandCollisions: Int = 1000)
 
   /** Gopher/C4-shaped acceptance: keep docs whose [[Text.qualityBucket]] is
     * an OK bucket (length bounds pass; terse vs fluent both land).
@@ -104,7 +123,8 @@ object IngestPipeline {
       batchId: Long,
       embedBatch: Option[DataFrame] = None,
       textCol: String = "text",
-      idCol: String = "doc_id"): Long = {
+      idCol: String = "doc_id",
+      nearDup: Option[NearDupConfig] = None): Long = {
     if (batchId <= lastApplied(spark, paths)) return 0L
 
     val cleaned = qualityFilter(batch, textCol)
@@ -118,10 +138,24 @@ object IngestPipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(paths.fpIndex), spark.sparkContext.hadoopConfiguration)
     val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(paths.fpIndex))
-    val accepted =
-      (if (bootstrap) intra
-       else Dedup.dedupAgainstFingerprintIndex(spark, paths.fpIndex, intra, textCol, idCol))
-        .persist() // three consumers below; unpersisted before return
+    val afterExact =
+      if (bootstrap) intra
+      else Dedup.dedupAgainstFingerprintIndex(spark, paths.fpIndex, intra, textCol, idCol)
+    // NEAR-dup stage (opt-in): after the exact stage — identical content is
+    // already gone, so band probes only ever verify near-misses — and
+    // before the lake write, so acceptance is settled when rows land. The
+    // probe is replay-invariant by construction: a crash-replay may find
+    // its own batch's band generation already published, but
+    // dedupAgainstBandIndex excludes the batch's own ids from collisions,
+    // so acceptance recomputes identically in every crash window.
+    val bandBootstrap = nearDup.isDefined &&
+      !fs.exists(new org.apache.hadoop.fs.Path(paths.bandIndex))
+    val accepted = (nearDup match {
+      case Some(cfg) if !bandBootstrap =>
+        Dedup.dedupAgainstBandIndex(spark, paths.bandIndex, afterExact, textCol, idCol,
+          cfg.nHashes, cfg.nBands, cfg.minEstJaccard, cfg.seed, cfg.maxBandCollisions)
+      case _ => afterExact
+    }).persist() // consumers below; unpersisted before return
 
     try {
       // WRITE ORDER IS LOAD-BEARING. The fingerprint append is the batch's
@@ -149,6 +183,19 @@ object IngestPipeline {
         }
       }
       val n = accepted.count()
+      // band generations publish BEFORE the fp commit point: each is its
+      // own atomic rename (sigs first, bands second — see appendBandIndex),
+      // every prefix of which leaves the replayed probe's acceptance
+      // unchanged (own-batch exclusion above), and the completed replay
+      // re-publishes whatever is missing
+      nearDup.foreach { cfg =>
+        if (bandBootstrap)
+          Dedup.writeBandIndex(accepted, paths.bandIndex, textCol, idCol,
+            cfg.nHashes, cfg.nBands, cfg.seed, generation = batchId)
+        else
+          Dedup.appendBandIndex(accepted, paths.bandIndex, batchId, textCol, idCol,
+            cfg.nHashes, cfg.nBands, cfg.seed)
+      }
       if (bootstrap)
         Dedup.writeFingerprintIndex(accepted, paths.fpIndex, textCol, idCol, generation = batchId)
       else Dedup.appendFingerprintIndex(accepted, paths.fpIndex, batchId, textCol, idCol)
@@ -295,6 +342,8 @@ object IngestPipeline {
     // generation would accept duplicates
     Sinks.recoverPartitions(spark, paths.fpIndex)
     Sinks.recoverPartitions(spark, s"${paths.ivfIndex}/lists")
+    Sinks.recoverPartitions(spark, s"${paths.bandIndex}/sigs")
+    Sinks.recoverPartitions(spark, s"${paths.bandIndex}/bands")
   }
 
   /** Fold the append-mode INDEX state the ingest loop grows — the
@@ -312,6 +361,7 @@ object IngestPipeline {
     require(upToBatch <= lastApplied(spark, paths),
       s"index fold of uncommitted batches (upTo=$upToBatch > manifest=${lastApplied(spark, paths)})")
     Dedup.compactFingerprintIndex(spark, paths.fpIndex, upToBatch)
+    Dedup.compactBandIndex(spark, paths.bandIndex, upToBatch)
     Similarity.compactIvfIndex(spark, paths.ivfIndex)
   }
 
@@ -343,7 +393,8 @@ object IngestPipeline {
       paths: IngestPaths,
       checkpointDir: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): StreamingQuery = {
+      idCol: String = "doc_id",
+      nearDup: Option[NearDupConfig] = None): StreamingQuery = {
     recoverCompaction(docs.sparkSession, paths)
     val hasEmbedding = docs.columns.contains("embedding")
     docs.writeStream
@@ -354,7 +405,7 @@ object IngestPipeline {
           if (hasEmbedding) Some(batch.select(col(idCol).as("vec_id"), col("embedding")))
           else None
         ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
-          embedBatch = emb, textCol = textCol, idCol = idCol)
+          embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup)
         ()
       }
       .start()

@@ -239,7 +239,10 @@ class PlanAuditSpec extends SparkSpec {
       s.toString.contains("documents.parquet") && s.toString.contains("% 2)")))
     val fpScans = q69.filter(_.toString.contains("fp_index"))
     assert(fpScans.nonEmpty, s"no fp-index scan among ${q69.size} scans")
-    assert(fpScans.forall(_.schema.fieldNames.sameElements(Array("fp"))),
+    // `batch` is the generation PARTITION column (directory names, no file
+    // I/O) and may ride along; the read schema's DATA columns must still be
+    // pruned to the 16-byte fp
+    assert(fpScans.forall(_.schema.fieldNames.filterNot(_ == "batch").sameElements(Array("fp"))),
       s"fp-index read schema not pruned to fp: ${fpScans.map(_.schema.fieldNames.mkString(",")).mkString(" | ")}")
     // same no-history-shuffle shape as q57: both joins broadcast, no SMJ,
     // no text crossing an exchange
@@ -251,6 +254,46 @@ class PlanAuditSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!p.linesIterator.filter(_.contains("Exchange")).exists(_.contains("text")),
       "an exchange carries document text")
+  }
+
+  test("q78: the banded near-dup probe never scans history text — band/sig index only") {
+    // the near-dup analog of the q69 assertion: the probe's only
+    // documents.parquet scans are the batch-2 branches (batch predicates
+    // % 4 / % 20); the history side is served entirely by the persisted
+    // bands table (band, doc_id) and sigs table (doc_id, sig) — a
+    // documents scan carrying the history slice's % 2 = 0 predicate would
+    // be exactly the per-batch O(corpus-text) signature pass the index
+    // eliminates vs q26
+    val df = SparkEntry.queries("q78_neardup_band_index")(spark, dir)
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = phys.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val docScans = scans.filter(_.toString.contains("documents.parquet"))
+    assert(docScans.nonEmpty)
+    assert(docScans.forall(s => s.toString.contains("% 4)") || s.toString.contains("% 20)")),
+      docScans.map(_.toString.take(200)).mkString("\n"))
+    assert(!docScans.exists(_.toString.contains("% 2)")),
+      "q78 scans the HISTORY slice's text — the pass the band index exists to eliminate")
+    // the `batch` partition column reads from directory names (no file
+    // I/O), so it may ride along in the scan schema; DATA columns must be
+    // exactly the probe's needs
+    val idxScans = scans.filter(_.toString.contains("band_index"))
+    def dataCols(f: org.apache.spark.sql.execution.FileSourceScanExec) =
+      f.schema.fieldNames.filterNot(_ == "batch").toSeq
+    assert(idxScans.exists(dataCols(_) == Seq("band", "doc_id")),
+      s"no bands scan among: ${idxScans.map(_.schema.fieldNames.mkString(",")).mkString(" | ")}")
+    assert(idxScans.exists(dataCols(_) == Seq("doc_id", "sig")),
+      s"no sigs scan among: ${idxScans.map(_.schema.fieldNames.mkString(",")).mkString(" | ")}")
+    // no corpus-scale shuffle of text, and the index probes are broadcasts
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.linesIterator.filter(_.contains("Exchange")).exists(_.contains("text")),
+      "an exchange carries document text")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi") && p.contains("LeftAnti"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
   test("q55: decontamination exchanges carry fingerprint/id longs, never document text") {

@@ -303,6 +303,105 @@ class DedupSpec extends SparkSpec {
       "the fold's distinct restores one row per doc")
   }
 
+  test("band index: probe rejects near-duplicates of history; append participates; append == rebuild") {
+    val h = docs(
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> "one two three four five six seven eight")
+    val idx = java.nio.file.Files.createTempDirectory("graft-band-idx").toString + "/idx"
+    // 16 bands × 4 rows: LSH match threshold ≈ (1/16)^(1/4) ≈ 0.5, so a
+    // jaccard-0.78 near-dup collides with near-certainty — the default
+    // (4 × 16) banding targets ~0.92 and would correctly let it pass
+    Dedup.writeBandIndex(h, idx, nBands = 16)
+    // batch 1: an exact replay (est 1.0), a ONE-TOKEN near-dup (true
+    // jaccard 7/9 — est lands well above the 0.5 gate used here), fresh text
+    val b1 = docs(
+      11L -> "alpha beta gamma delta epsilon zeta eta theta", // exact replay of 2
+      13L -> "one two three four five six seven NINE",        // near-dup of 4
+      15L -> "completely different words nothing shared here at all")
+    def probe(batch: org.apache.spark.sql.DataFrame, path: String) =
+      Dedup.dedupAgainstBandIndex(spark, path, batch, nBands = 16, minEstJaccard = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val acc1 = probe(b1, idx)
+    assert(acc1 == Seq(15L),
+      "the exact replay AND the one-token near-dup must both drop — near-dup is the point")
+
+    // append batch-1 survivors; batch 2 near-dups of THEM must now drop
+    val acc1Rows = b1.filter(col("doc_id") === 15L)
+    assert(Dedup.appendBandIndex(acc1Rows, idx, generation = 1L, nBands = 16))
+    val b2 = docs(
+      21L -> "completely different words nothing shared here at all", // replay of 15
+      22L -> "genuinely novel content appearing for the first time")
+    val viaAppend = probe(b2, idx)
+    assert(viaAppend == Seq(22L), "the appended generation must participate in the probe")
+    // append-then-probe == an index rebuilt from scratch over h ∪ accepted
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-band-idx2").toString + "/idx"
+    Dedup.writeBandIndex(h.unionByName(acc1Rows), idx2, nBands = 16)
+    assert(viaAppend == probe(b2, idx2))
+    // a replayed append is a no-op (generation exists)
+    assert(!Dedup.appendBandIndex(acc1Rows, idx, generation = 1L))
+  }
+
+  test("band index: a batch's own published rows are invisible to its replayed probe") {
+    // the ingest loop's crash window: band generations publish BEFORE the
+    // fp commit point, so a replay probes an index already containing the
+    // batch's own rows — acceptance must recompute IDENTICALLY, including
+    // for intra-batch near-pairs (26 vs 27 below would otherwise reject
+    // each other on replay)
+    val h = docs(2L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val idx = java.nio.file.Files.createTempDirectory("graft-band-replay").toString + "/idx"
+    Dedup.writeBandIndex(h, idx)
+    val b1 = docs(
+      25L -> "alpha beta gamma delta epsilon zeta eta theta", // rejected vs history
+      26L -> "one two three four five six seven eight",
+      27L -> "one two three four five six seven eight")       // intra-batch pair with 26
+    def probe() = Dedup.dedupAgainstBandIndex(spark, idx, b1, minEstJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first = probe()
+    assert(first == Seq(26L, 27L),
+      "this operator dedups against HISTORY only — intra-batch dedup is the exact stage's job")
+    Dedup.appendBandIndex(b1.filter(col("doc_id") > 24L), idx, generation = 1L)
+    assert(probe() == first, "replay acceptance must not see the batch's own generation")
+  }
+
+  test("band index: maxBandCollisions excludes degenerate hot bands (escape valve)") {
+    val boiler = "identical boilerplate repeated across the whole mirror set"
+    val h = docs((1L to 5L).map(i => i -> boiler): _*)
+    val idx = java.nio.file.Files.createTempDirectory("graft-band-hot").toString + "/idx"
+    Dedup.writeBandIndex(h, idx)
+    val b = docs(10L -> boiler)
+    // uncapped: the replay is rejected through the 5-member hot bands
+    assert(Dedup.dedupAgainstBandIndex(spark, idx, b, minEstJaccard = 0.5).count() == 0)
+    // capped below the cluster size: hot bands excluded, the replay passes —
+    // identical content is the EXACT stage's responsibility, which runs
+    // first in the ingest composition
+    assert(Dedup.dedupAgainstBandIndex(
+      spark, idx, b, minEstJaccard = 0.5, maxBandCollisions = 4).count() == 1)
+  }
+
+  test("band index fold: generations collapse, probes unchanged") {
+    val h = docs(2L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val idx = java.nio.file.Files.createTempDirectory("graft-band-fold").toString + "/idx"
+    Dedup.writeBandIndex(h, idx)
+    Dedup.appendBandIndex(docs(11L -> "one two three four five six seven eight"), idx, 1L)
+    Dedup.appendBandIndex(docs(21L -> "completely different words nothing shared here at all"), idx, 2L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    def gens(sub: String) = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/$sub"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(gens("sigs") == Seq("batch=0", "batch=1", "batch=2") && gens("sigs") == gens("bands"))
+    val probe = docs(
+      31L -> "alpha beta gamma delta epsilon zeta eta theta",
+      32L -> "one two three four five six seven eight",
+      33L -> "completely different words nothing shared here at all",
+      34L -> "genuinely novel content appearing for the first time")
+    def survivors() = Dedup.dedupAgainstBandIndex(spark, idx, probe, minEstJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors() == Seq(34L))
+    Dedup.compactBandIndex(spark, idx, 2L)
+    assert(gens("sigs") == Seq("batch=2") && gens("bands") == Seq("batch=2"))
+    assert(survivors() == Seq(34L), "the fold must not change probe results")
+  }
+
   test("jaccardTokens exact set semantics") {
     val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
       .select(Dedup.jaccardTokens(col("x"), col("y"))).as[Double].head()

@@ -278,6 +278,65 @@ class IngestPipelineSpec extends SparkSpec {
     assert(lakeState(p) == expectedLake :+ ((32L, 3L)))
   }
 
+  // 16 bands × 4 rows ≈ 0.5 LSH threshold, needed for these short test
+  // sentences (one-word changes are j ≈ 0.78 — under the production 8 × 8
+  // banding they would correctly NOT band-collide)
+  private val nearCfg = Some(IngestPipeline.NearDupConfig(nBands = 16, minEstJaccard = 0.5))
+
+  test("near-dup stage: one-word-changed replays drop across batches; crash replay converges") {
+    val p = tmpRoot()
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L, nearDup = nearCfg) == 2L)
+    // 11: fresh; 12: ONE-WORD change of tB — the case the exact stage
+    // cannot catch; 13: exact replay of tA, caught by the fp stage first
+    val nb1 = Seq((11L, tC), (12L, tB.replace("dog", "cat")), (13L, tA)).toDF("doc_id", "text")
+    assert(IngestPipeline.ingestBatch(spark, p, nb1, 1L, nearDup = nearCfg) == 1L)
+    assert(lakeState(p) == Seq((1L, 0L), (2L, 0L), (11L, 1L)))
+    // a near-replay of batch 1's survivor must drop via the APPENDED band
+    // generation; a fresh doc still lands
+    val nb2 = Seq((21L, tC.replace("rain", "snow")), (22L, tE)).toDF("doc_id", "text")
+    assert(IngestPipeline.ingestBatch(spark, p, nb2, 2L, nearDup = nearCfg) == 1L)
+    assert(lakeState(p) == Seq((1L, 0L), (2L, 0L), (11L, 1L), (22L, 2L)))
+
+    // crash window: batch 3's lake + band writes landed, fp append and
+    // manifest did not — the replay probes a band index already holding its
+    // own generation, must recompute the SAME acceptance (own-batch
+    // exclusion) and converge
+    val nb3 = Seq((31L, tD), (32L, tD.replace("six", "ten"))).toDF("doc_id", "text")
+    assert(IngestPipeline.ingestBatch(spark, p, nb3, 3L, nearDup = nearCfg) == 2L,
+      "32 is near 31 but near-dup is HISTORY-only — intra-batch near-pairs both land")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p.manifest), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p.manifest), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${p.fpIndex}/batch=3"), true)
+    val before = lakeState(p)
+    assert(IngestPipeline.ingestBatch(spark, p, nb3, 3L, nearDup = nearCfg) == 2L)
+    assert(lakeState(p) == before, "replay must reproduce the identical lake state")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${p.fpIndex}/batch=3")))
+    assert(IngestPipeline.lastApplied(spark, p) == 3L)
+  }
+
+  test("streaming entry with near-dup enabled drops near-replays exactly-once") {
+    val p = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft-ingest-nd-ckpt").toString
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = IngestPipeline.start(
+      stream.toDF().toDF("doc_id", "text"), p, ckpt, nearDup = nearCfg)
+    try {
+      stream.addData((1L, tA), (2L, tB))
+      q.processAllAvailable()
+      stream.addData((11L, tC), (12L, tB.replace("dog", "cat")), (13L, tA))
+      q.processAllAvailable()
+      assert(lakeState(p) == Seq((1L, 0L), (2L, 0L), (11L, 1L)),
+        "the near-replay and the exact replay both drop; the fresh doc lands")
+      assert(IngestPipeline.lastApplied(spark, p) == 1L)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p.bandIndex), spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"${p.bandIndex}/bands/batch=1")),
+        "the accepted micro-batch published its band generation")
+    } finally q.stop()
+  }
+
   test("streaming entry lands micro-batches exactly-once and grows the index") {
     val p = tmpRoot()
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
