@@ -93,6 +93,30 @@ object SparkEntry {
     }
   }
 
+  /** The GROWN-index fixture q70 (append gate) and q79 (health monitor)
+    * share: an index trained+built over 90% of the corpus, then the
+    * remaining 10% appended against the frozen centroids. The stamp covers
+    * the FULL corpus content (base + batch both determine the post-append
+    * state) plus model hyperparameters + an append-protocol version; any
+    * mismatch rebuilds base AND re-appends, so the append runs exactly
+    * once per fixture build (a bare re-append would duplicate rows).
+    */
+  private[graft] def ensureAppendedIvfIndex(
+      s: SparkSession, dir: String): String = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val fixture = s"$fixtureRoot/ivf_index_append"
+    val stamp = ivfIndexStamp(emb, dir, IvfCells, IvfIters) + "|append-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      val cents = Similarity.kmeansCentroids(base, k = IvfCells, iters = IvfIters)
+      Similarity.writeIvfIndex(base, cents, fixture)
+      Similarity.appendToIvfIndex(s, fixture, batch)
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
 
   // Exact-arithmetic aggregate helpers (why-docs in graft.functions.ExactAgg:
@@ -445,21 +469,7 @@ object SparkEntry {
     // defect, not noise) ----
     "q70_ivf_index_append" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val base = emb.filter(col("vec_id") % 10 =!= 7)
-      val batch = emb.filter(col("vec_id") % 10 === 7)
-      val fixture = s"$fixtureRoot/ivf_index_append"
-      // stamp covers the FULL corpus content (base + batch both determine
-      // the post-append state) plus model hyperparameters + an append-
-      // protocol version; any mismatch rebuilds base AND re-appends, so
-      // the append runs exactly once per fixture build (a bare re-append
-      // would duplicate rows)
-      val stamp = ivfIndexStamp(emb, dir, IvfCells, IvfIters) + "|append-v1"
-      if (!fixtureReady(fixture, stamp)) {
-        val cents = Similarity.kmeansCentroids(base, k = IvfCells, iters = IvfIters)
-        Similarity.writeIvfIndex(base, cents, fixture)
-        Similarity.appendToIvfIndex(s, fixture, batch)
-        stampFixture(fixture, stamp)
-      }
+      val fixture = ensureAppendedIvfIndex(s, dir)
       val queries = emb.filter(col("vec_id") < 3)
       val served = Similarity.queryIvfIndex(s, fixture, queries, nProbe = 3, k = 5)
         .select(col("query_id"), col("rank"),
@@ -490,6 +500,44 @@ object SparkEntry {
           col("n_queries"),
           col("results_ok"),
           coalesce((col("__mismatches") === 0L).cast("long"), lit(0L)).as("append_match"))
+    },
+    // ---- the MONITORING half of the frozen-centroid story (q70 grows the
+    // index against centroids trained once; nothing previously measured
+    // what freezing costs): per-cell SKEW telemetry over the same grown
+    // fixture q70 serves — a drifting corpus concentrates appends into few
+    // cells, pushing probe cost toward O(corpus) — plus a sampled RECALL
+    // re-gate of the served index against an exhaustive int8 ranking over
+    // the index's own vectors (all cells, no probe pruning). The skew
+    // stats are exact int64s the oracle recomputes independently from the
+    // index FILES (hive-partitioned read — the q47 fixture-read contract);
+    // recall is deterministic-but-engine-internal and gates as an envelope
+    // flag with q64's 0.60 floor. When the monitor trips, the repair is
+    // Similarity.migrateIvfIndex (build-alongside + two-rename swap;
+    // SimilaritySpec proves serve-equivalence and the crash window) ----
+    "q79_ivf_index_health" -> { (s, dir) =>
+      val fixture = ensureAppendedIvfIndex(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val k = 10
+      val sizes = s.read.parquet(s"$fixture/lists")
+        .select(col("cell_id"), col("vec_id")).distinct()
+        .groupBy("cell_id").agg(count(lit(1)).as("n"))
+      val stats = sizes.agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("n")).as("n_vecs"),
+          max(col("n")).as("max_list"),
+          min(col("n")).as("min_list"))
+        .select(
+          col("n_cells"), col("n_vecs"), col("max_list"), col("min_list"),
+          ExactAgg.divHalfUp(col("max_list") * 100 * col("n_cells"), col("n_vecs"))
+            .as("skew_e2"),
+          coalesce((col("max_list") * col("n_cells") <= col("n_vecs") * 10).cast("long"),
+            lit(0L)).as("skew_ok"))
+      val recall = Similarity.ivfIndexRecall(
+          s, fixture, emb.filter(col("vec_id") < 8), nProbe = 4, k = k)
+        .agg(coalesce(sum(col("hits")), lit(0L)).as("__hits"), count(lit(1)).as("__nq"))
+        .select(coalesce(
+          (col("__hits") * 100 >= col("__nq") * k * 60).cast("long"), lit(0L)).as("recall_ok"))
+      stats.crossJoin(recall)
     },
     // ---- the full ingest COMPOSITION (IngestPipeline): q69's fingerprint
     // index + the versioned doc lake + the applied-batch manifest run as ONE
@@ -1989,6 +2037,24 @@ object SparkEntry {
     // q26 minhash/band SQL machinery — see bandIndexOracleSql's doc
     "q78_neardup_band_index" ->
       bandIndexOracleSql(BandIdxHashes, BandIdxBands, BandIdxSeed, BandIdxMinJ, BandIdxCap),
+    // q79: the skew stats recomputed INDEPENDENTLY from the grown index's
+    // files (hive-partitioned read, the q47 fixture-read contract) — a
+    // wrong cell count, a dropped append row or a stats-aggregation defect
+    // all hash-fail; recall_ok is the engine-internal envelope constant
+    // (q62/q64 family)
+    "q79_ivf_index_health" ->
+      s"""WITH cells AS (
+         |  SELECT cell_id, COUNT(DISTINCT vec_id) AS n
+         |  FROM read_parquet('$fixtureRoot/ivf_index_append/lists/*/*.parquet', hive_partitioning=1)
+         |  GROUP BY cell_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |  CAST(MAX(n) AS BIGINT) AS max_list,
+         |  CAST(MIN(n) AS BIGINT) AS min_list,
+         |  ${ExactAgg.Sql.divHalfUp("MAX(n) * 100 * COUNT(*)", "SUM(n)")} AS skew_e2,
+         |  CAST(CASE WHEN MAX(n) * COUNT(*) <= SUM(n) * 10 THEN 1 ELSE 0 END AS BIGINT) AS skew_ok,
+         |  CAST(1 AS BIGINT) AS recall_ok
+         |FROM cells""".stripMargin,
     // q73: the ingest loop's terminal lake, derived from the SOURCE table —
     // quality filter mirrors q21's bucket bounds; intra-batch dedup is
     // min(doc_id) per text; cross-batch precedence is NOT EXISTS against

@@ -400,6 +400,102 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Sampled recall re-gate of a persisted (typically GROWN) index: for
+    * each probe query, the overlap between [[queryIvfIndex]]'s top-k and an
+    * exhaustive int8 ranking over the index's OWN resident vectors (all
+    * cells, no probe pruning — the ground truth the IVF approximation
+    * forgoes). Output: (query_id, hits) with hits = |served ∩ exhaustive|
+    * ∈ [0, k]; callers aggregate to recall@k.
+    *
+    * This is the drift monitor frozen centroids need: [[appendToIvfIndex]]
+    * assigns every future batch to centroids trained once, and a drifting
+    * corpus concentrates appends into few cells — probe cost creeps toward
+    * O(corpus) while recall against the TRUE neighbors sags, invisibly to
+    * the model's own training-time gate. Cheap by construction: one pass
+    * over the (quantized, 4×-smaller) lists per probe batch, scores
+    * projected narrow before the top-k exchanges; run it on the q64 gate's
+    * cadence (sampled queries, maintenance windows, not per-serve). When
+    * it trips, [[migrateIvfIndex]] is the repair.
+    *
+    * Both rankings are deterministic given the index (integer scoring,
+    * vec_id tiebreaks), so the result is exactly reproducible — the
+    * at-least-once duplicate absorber (distinct) applies to both sides.
+    */
+  def ivfIndexRecall(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val served = queryIvfIndex(spark, path, queries, nProbe, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      Int8Ops.quantizeInt8Native(col("embedding")).as("query_qvec"))
+    val scored = spark.read.parquet(s"$path/lists")
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Int8Ops.cosineInt8Native(col("query_qvec"), col("qvec")).as("sim"))
+      .distinct()
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val exhaustive = scored
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    q.select("query_id")
+      .join(served.join(exhaustive, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Re-index migration for when the drift monitor trips: train NEW
+    * centroids on the caller-supplied corpus (the float vectors — the index
+    * stores only int8, so re-quantization must start from the source),
+    * build the replacement index ALONGSIDE the serving one, and swap it in
+    * with the two-rename crash-safe [[graft.sinks.Sinks.swapIn]] protocol.
+    * The old index (centroids + all lists) is discarded wholesale — frozen
+    * centroids are the index's identity, so a retrain orphans every
+    * existing list by definition; this is the one operation allowed to pay
+    * the O(corpus) rebuild, in exchange for resetting the append path's
+    * drift debt to zero.
+    *
+    * Crash windows: before the swap, the serving index is untouched (the
+    * staged `__next` is orphaned and overwritten by the next attempt);
+    * between the swap's renames, the index is parked at `<path>__old` —
+    * [[recoverIvfIndex]] restores it (the ingest loop runs that on
+    * startup). Single-writer contract as ever: no appends during the
+    * migration. The caller re-stamps its fixture after success, as with
+    * every persisted index.
+    */
+  def migrateIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      k: Int,
+      iters: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    recoverIvfIndex(spark, path)
+    val next = path + "__next"
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    writeIvfIndex(corpus, kmeansCentroids(corpus, k = k, iters = iters), next)
+    graft.sinks.Sinks.swapIn(fs,
+      new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+  }
+
+  /** Restore an index a crashed [[migrateIvfIndex]] swap left parked at
+    * `<path>__old`. No-op when the live path exists. */
+  def recoverIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.recoverSwap(fs,
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix))
+  }
+
   /** SPHERICAL Lloyd's k-means over embedding vectors — the
     * trained-centroid companion to [[ivfTopK]] (whose exemplar centroids
     * are swappable for these with no other change). Init = the k lowest-id

@@ -341,6 +341,7 @@ object IngestPipeline {
     // BEFORE any probe reads the index — a probe that misses a parked
     // generation would accept duplicates
     Sinks.recoverPartitions(spark, paths.fpIndex)
+    Similarity.recoverIvfIndex(spark, paths.ivfIndex) // a crashed migration swap
     Sinks.recoverPartitions(spark, s"${paths.ivfIndex}/lists")
     Sinks.recoverPartitions(spark, s"${paths.bandIndex}/sigs")
     Sinks.recoverPartitions(spark, s"${paths.bandIndex}/bands")

@@ -274,6 +274,65 @@ class SimilaritySpec extends SparkSpec {
     assert(b1(0) + b1(1) == 63)
   }
 
+  test("ivfIndexRecall: exhaustive-truth overlap is k for an exact index, 0 for a missed cell") {
+    // 2 cells far apart; with nProbe = 2 (all cells) the served set IS the
+    // exhaustive set -> hits = k; with nProbe = 1 a query whose true
+    // neighbors live in the unprobed cell scores 0 — the monitor detects
+    // exactly the probe-miss pathology drift causes
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f, 0f)), (2L, Seq(0.8f, 0.2f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-recall").toString + "/idx"
+    Similarity.writeIvfIndex(emb, Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f)), idx)
+    val q = emb.filter(col("vec_id") === 0L)
+    val full = Similarity.ivfIndexRecall(spark, idx, q, nProbe = 2, k = 2)
+      .select("hits").as[Long].collect().toSeq
+    assert(full == Seq(2L), s"all-cells probe must be exhaustive, got $full")
+    val partial = Similarity.ivfIndexRecall(spark, idx, q, nProbe = 1, k = 4)
+      .select("hits").as[Long].collect().toSeq
+    // k=4 truth spans both cells (4 non-self vectors); probing only cell 0
+    // serves its 2 residents -> recall 2/4
+    assert(partial == Seq(2L), s"single-cell probe must miss the other cell's truth, got $partial")
+  }
+
+  test("migrateIvfIndex: migrated index == fresh build with the same model; crash window recovers") {
+    val base = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)), (3L, Seq(0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    val grown = Seq((10L, Seq(0.7f, 0.3f, 0f, 0f)), (11L, Seq(0.2f, 0.8f, 0f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    val corpus = base.unionByName(grown)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-mig").toString + "/idx"
+    Similarity.writeIvfIndex(base, Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f)), idx)
+    Similarity.appendToIvfIndex(spark, idx, grown)
+
+    Similarity.migrateIvfIndex(spark, idx, corpus, k = 2, iters = 2)
+    // serve-equivalence against a FRESH one-shot build under the migrated
+    // index's own (retrained) model — proves the alongside-build + swap
+    // produced a complete index, independent of k-means ulp concerns
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivf-mig2").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, Similarity.readIvfCentroids(spark, idx), fresh)
+    val q = corpus.filter(col("vec_id") === 10L)
+    def serve(p: String) = Similarity.queryIvfIndex(spark, p, q, 2, 3)
+      .collect().toSeq.sortBy(_.getInt(3))
+    assert(serve(idx) == serve(fresh))
+    // the migration swallowed the append-era duplicates risk: no vec twice
+    val served = spark.read.parquet(s"$idx/lists").select("vec_id").as[Long].collect().toSeq
+    assert(served.sorted == served.distinct.sorted)
+
+    // crash window: between the swap's renames the index is parked in
+    // __old; startup recovery restores it and serving resumes
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + graft.sinks.Sinks.OldSuffix))
+    Similarity.recoverIvfIndex(spark, idx)
+    assert(serve(idx) == serve(fresh), "recovery must restore the parked generation")
+  }
+
   test("ivfTopK finds the true nearest neighbor when it shares the probed cell") {
     val emb = Seq(
       (0L, Seq(1f, 0f)),    // exemplar centroid 0
