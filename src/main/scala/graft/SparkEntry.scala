@@ -666,7 +666,11 @@ object SparkEntry {
             concat(lit(" from 10."), (d % 256).cast("string"), lit(".0."),
               ((d * 7) % 256).cast("string"),
               lit(" or user"), d.cast("string"), lit("@mail.example.com")))
-          .otherwise(lit("")))
+          // adversarial arm (round-7 advice): the bounded-octet pattern
+          // must NOT match any substring of 999.999.999.999, and must
+          // match the range-valid quad EMBEDDED in v1.2.3.4 (the
+          // documented no-lookaround residual) — n_ips = 1 for these rows
+          .otherwise(lit(" version v1.2.3.4 build 999.999.999.999")))
       Tables.documents(s, dir)
         .select(col("doc_id"), injected.as("__t"))
         .select(
@@ -693,6 +697,23 @@ object SparkEntry {
           count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("revenue_c"))
         .orderBy("c_mktsegment")
+    },
+    // ---- the SECOND consumer of q77's bucketed layout — the amortization
+    // made executable: the layout is paid once per ingest and every
+    // subsequent custkey join rides it exchange-free, so a DIFFERENT
+    // query over the same two catalog tables (per-priority stats instead
+    // of per-segment revenue) must plan the same zero-Exchange
+    // SortMergeJoin and build nothing (ensureCustomerOrders is a catalog
+    // hit; `BucketedJoinSpec` asserts the files are untouched) ----
+    "q80_bucketed_reuse" -> { (s, dir) =>
+      val (o, c) = Bucketing.ensureCustomerOrders(s, dir, s"$fixtureRoot/bucketed")
+      s.table(o).join(s.table(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("acctbal_c"))
+        .orderBy("o_orderpriority")
     },
     // ---- q64's PRODUCTION sibling (the q39→q60 pattern): the same
     // trained-IVF × int8 composition WITHOUT the exact brute-force recall
@@ -1143,16 +1164,34 @@ object SparkEntry {
         .withColumn("event_date", to_date(col("ts")))
         .select("event_id", "user_id", "event_type", "value", "event_date")
       val fp = src.agg(count(lit(1)), sum(col("user_id"))).head()
+      // scratch-v2: pre-v2 fixtures were compacted IN PLACE by the first
+      // run (the advice finding) — the marker forces one rebuild so the
+      // on-disk fixture is actually 40-file fragmented again
       val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}" +
-        "|slice=cols=event_id,user_id,event_type,value;part=event_date;frag=40"
+        "|slice=cols=event_id,user_id,event_type,value;part=event_date;frag=40|scratch-v2"
       if (!fixtureReady(fixture, stamp)) {
         src.repartition(40)
           .write.mode("overwrite").partitionBy("event_date").parquet(fixture)
         stampFixture(fixture, stamp)
       }
+      // The timed body compacts a SCRATCH copy of the fragmented partition,
+      // re-made every run (round-7 advice: compacting the stamped fixture
+      // in place defragmented it permanently after the first pass — the
+      // stamp still matched, so every later run timed compacting an
+      // already-compact partition). The copy keeps the fixture's 40-file
+      // pathology the stamp claims, so both bench passes and later
+      // sessions all pay the real small-file work.
+      val scratch = s"$fixtureRoot/frag_lake_scratch"
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(scratch), s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fsys, new org.apache.hadoop.fs.Path(s"$fixture/event_date=2024-01-16"),
+        fsys, new org.apache.hadoop.fs.Path(s"$scratch/event_date=2024-01-16"),
+        false, s.sparkContext.hadoopConfiguration)
       sinks.Sinks.compactLakePartition(
-        s, fixture, "event_date", "2024-01-16", targetRecordsPerFile = 500000L)
-      sinks.Sinks.readLakePartition(s, fixture, "event_date", "2024-01-16")
+        s, scratch, "event_date", "2024-01-16", targetRecordsPerFile = 500000L)
+      sinks.Sinks.readLakePartition(s, scratch, "event_date", "2024-01-16")
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     },
@@ -2453,7 +2492,7 @@ object SparkEntry {
          |           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
          |                || CAST((doc_id * 7) % 256 AS VARCHAR)
          |                || ' or user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
-         |         ELSE '' END AS t
+         |         ELSE ' version v1.2.3.4 build 999.999.999.999' END AS t
          |  FROM documents) s
          |ORDER BY doc_id""".stripMargin
     },
@@ -2464,6 +2503,13 @@ object SparkEntry {
          |  CAST(SUM(${sqlCents("o_totalprice")}) AS BIGINT) AS revenue_c
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q80: same contract as q77 — the reused layout is plan-only
+    "q80_bucketed_reuse" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT c_custkey) AS n_customers,
+         |  CAST(SUM(${sqlCents("c_acctbal")}) AS BIGINT) AS acctbal_c
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q30_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS cnt,
          |  CAST(${ExactAgg.Sql.divHalfUp("SUM(ne6)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS avg_norm

@@ -125,6 +125,21 @@ object StressGen {
       val kept = functions.Dedup.dedupAgainstHistory(history, incoming).count()
       println(s"GRAFT_STRESS   kept after history-dedup: $kept")
     }
+    time("q75_sequence_packing (10x corpus, derived shards)") {
+      // shards derives from defaultParallelism (32 here): the running sum
+      // splits into 32 independent streams, so the window exchange carries
+      // narrow (id, shard, n_tokens) rows across 32-way parallelism — the
+      // per-shard row counts printed below must stay balanced (each shard
+      // is id % 32, so ±1 of corpus/32) for the flat-cost claim to hold
+      val packed = ops.Packing.packSequences(docs, "text", "doc_id").cache()
+      val shardSizes = packed.groupBy("shard").count()
+        .agg(F.count(F.lit(1)), F.min("count"), F.max("count")).head
+      val windows = packed.agg(F.sum("n_windows")).head.getLong(0)
+      packed.unpersist()
+      println(s"GRAFT_STRESS   shards: ${shardSizes.getLong(0)} " +
+        s"(rows/shard ${shardSizes.getLong(1)}..${shardSizes.getLong(2)}), " +
+        s"doc-window assignments: $windows")
+    }
     // ---- round-4 families: as-of under a hot key, session windows, TF-IDF,
     // winnowing (salted parity) ----
     val evStress = spark.read.parquet(s"$outDir/events_stress.parquet")

@@ -407,8 +407,26 @@ object Text {
   val PiiEmailPattern: String =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiPhonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  val PiiIpv4Pattern: String =
-    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Dotted quad with RANGE-VALID octets (0–255), via a longest-first
+    * alternation — POSIX-compatible (no lookaround), and leftmost-first
+    * alternation order is shared by Java regex and RE2, so both engines
+    * segment identically (the q68 contract, exercised by q76's injected
+    * adversarial rows). Bounding the octets kills the out-of-range false
+    * positives the unbounded `[0-9]{1,3}` quad matched (999.999.999.999
+    * now matches NOTHING — no 4-octet substring is range-valid).
+    *
+    * Documented residual scope (structural patterns cannot see context
+    * without lookaround, which RE2 lacks): a range-valid quad EMBEDDED in
+    * a longer token still matches — "v1.2.3.4" redacts to "v<IP>", and
+    * "256.1.1.1" contains the valid "56.1.1.1". These are tested
+    * decisions (`TextSpec`), not accidents; a scrub wanting token-exact
+    * quads needs a tokenizer, not a regex.
+    */
+  val PiiIpv4Pattern: String = {
+    val oct = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+    s"$oct\\.$oct\\.$oct\\.$oct"
+  }
 
   /** Replace structural PII with typed placeholder tokens, keeping the
     * document (unlike [[scrub]], which deletes matches): redacted corpora

@@ -39,24 +39,37 @@ object Packing {
 
   /** @param budget tokens per context window; MUST be a power of two (the
     *               cross-engine exactness argument above relies on it)
-    * @param shards independent packing streams; parallelism of the pack
+    * @param shards independent packing streams; parallelism of the pack.
+    *               ≤ 0 (the default) derives it from the session's
+    *               `defaultParallelism` — one packing stream per core —
+    *               so the pack's parallelism scales with the cluster
+    *               instead of pinning a constant: each shard's running
+    *               sum is ONE sorted window partition, so a fixed small
+    *               value would run a 100 TB corpus through that many
+    *               tasks no matter how many executors exist. Pass an
+    *               explicit value only when window ids must be stable
+    *               across differently-sized clusters (shard membership is
+    *               `id % shards`, part of the output's identity — q75
+    *               pins 8 for its oracle).
     */
   def packSequences(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       budget: Int = 2048,
-      shards: Int = 8): DataFrame = {
+      shards: Int = 0): DataFrame = {
     require(budget > 0 && (budget & (budget - 1)) == 0,
       s"budget must be a power of two, got $budget")
-    require(shards > 0, s"shards must be positive, got $shards")
+    val nShards =
+      if (shards > 0) shards else docs.sparkSession.sparkContext.defaultParallelism
+    require(nShards > 0, s"shards must be positive, got $nShards")
     val id = col(idCol)
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(
         id,
-        (id % shards).as("shard"),
+        (id % nShards).as("shard"),
         Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__cumb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(

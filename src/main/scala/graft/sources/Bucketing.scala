@@ -27,8 +27,11 @@ object Bucketing {
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Bucketed+sorted copies of customer and orders on their join key.
-    * Table names and file paths carry the source dir tag, so an SF switch
-    * lands in fresh tables instead of serving the other SF's layout.
+    * Table names and file paths carry the source dir tag AND the bucket
+    * count, so an SF switch or a buckets-parameter change lands in fresh
+    * tables instead of silently serving a stale layout (the bucket count
+    * is a code-resident layout parameter `tableExists` alone cannot see —
+    * the same staleness class the IVF/ORC fixture stamps close).
     *
     * @return (ordersTable, customerTable) catalog names
     */
@@ -38,17 +41,17 @@ object Bucketing {
       pathRoot: String,
       buckets: Int = 8): (String, String) = {
     val tag = sanitize(dir)
-    val o = s"graft_orders_bkt_$tag"
-    val c = s"graft_customer_bkt_$tag"
+    val o = s"graft_orders_bkt_${tag}_b$buckets"
+    val c = s"graft_customer_bkt_${tag}_b$buckets"
     if (!spark.catalog.tableExists(o))
       Tables.orders(spark, dir).write
         .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$pathRoot/orders_$tag")
+        .option("path", s"$pathRoot/orders_${tag}_b$buckets")
         .mode("overwrite").format("parquet").saveAsTable(o)
     if (!spark.catalog.tableExists(c))
       Tables.customer(spark, dir).write
         .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$pathRoot/customer_$tag")
+        .option("path", s"$pathRoot/customer_${tag}_b$buckets")
         .mode("overwrite").format("parquet").saveAsTable(c)
     (o, c)
   }

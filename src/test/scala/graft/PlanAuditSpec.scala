@@ -321,6 +321,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("text")),
       s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+    // same narrow-exchange property at the DERIVED shard count (shards ≤ 0
+    // → defaultParallelism), and the derivation actually widens the pack:
+    // as many shard streams as cores
+    val derived = ops.Packing.packSequences(
+      sources.Tables.documents(spark, dir), "text", "doc_id")
+    val dp = derived.queryExecution.executedPlan.toString
+    assert(!dp.linesIterator.filter(_.contains("Exchange")).exists(_.contains("text")),
+      "derived-shards pack shuffles text")
+    val nShards = derived.select("shard").distinct().count()
+    val cores = spark.sparkContext.defaultParallelism
+    assert(nShards == cores.toLong, s"expected $cores derived shards, got $nShards")
   }
 
   test("q77: bucketed tables sort-merge join with no exchange and no sort (broadcast disabled)") {
@@ -340,6 +351,25 @@ class PlanAuditSpec extends SparkSpec {
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), p.take(600))
       assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n${p.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q80: the layout's second consumer also joins with no Exchange and no fresh Sort (broadcast disabled)") {
+    // the amortization claim: one layout, MANY exchange-free joins. q77's
+    // audit proves the first consumer; this proves a different aggregation
+    // over the same catalog tables plans the identical co-located shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (o, c) = graft.sources.Bucketing.ensureCustomerOrders(
+        spark, dir, java.nio.file.Files.createTempDirectory("graft-bkt-audit2").toString)
+      val joined = spark.table(o).join(spark.table(c),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      assert(joined.count() > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(600))
+      assert(!p.contains("Exchange"), s"reused bucketed join still shuffles:\n${p.take(800)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -267,6 +267,31 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("PiiIpv4Pattern: octet bounds and the documented embedded-quad residual") {
+    // the round-7 advice: the unbounded quad matched 999.999.999.999 and
+    // version strings wholesale. The bounded pattern's scope is now a
+    // TESTED decision: out-of-range quads match nothing (no range-valid
+    // 4-octet substring exists), boundary values 0/255 match, and a valid
+    // quad EMBEDDED in a longer token still matches (no lookaround in the
+    // POSIX-compatible subset — "v1.2.3.4" → "v<IP>" is the accepted
+    // residual, as is the valid tail "56.1.1.1" inside "256.1.1.1")
+    val cases = Seq(
+      ("999.999.999.999", 0L, "999.999.999.999"),
+      ("1.999.1.1", 0L, "1.999.1.1"),
+      ("0.0.0.0 and 255.255.255.255", 2L, "<IP> and <IP>"),
+      ("v1.2.3.4", 1L, "v<IP>"),
+      ("256.1.1.1", 1L, "2<IP>"),
+      ("10.37.0.203 fine", 1L, "<IP> fine"))
+      .toDF("t", "e_n", "e_red")
+    val got = cases.select(
+        regexp_count(col("t"), lit(Text.PiiIpv4Pattern)).cast("long"),
+        Text.redactPii(col("t")), col("e_n"), col("e_red"))
+      .as[(Long, String, Long, String)].collect()
+    got.foreach { case (n, red, en, ered) =>
+      assert(n == en && red == ered, s"got ($n, '$red') expected ($en, '$ered')")
+    }
+  }
+
   test("fingerprint is a stable md5") {
     val out = Seq("hello").toDF("t").select(Text.fingerprint(col("t"))).as[String].head()
     assert(out == "5d41402abc4b2a76b9719d911017c592")

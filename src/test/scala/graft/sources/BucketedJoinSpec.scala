@@ -33,4 +33,36 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_t2")
     }
   }
+
+  test("ensureCustomerOrders: layout built once per (dir, buckets); a buckets change lands fresh tables") {
+    val dir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-bucket-reuse").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def mtimes(sub: String): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val (o1, c1) = Bucketing.ensureCustomerOrders(spark, dir, root, buckets = 4)
+    try {
+      val ordersDir = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).find(_.startsWith("orders_")).get
+      val t0 = mtimes(ordersDir)
+      // second consumer, same layout parameters: catalog hit, files untouched
+      val (o2, c2) = Bucketing.ensureCustomerOrders(spark, dir, root, buckets = 4)
+      assert((o2, c2) == (o1, c1))
+      assert(mtimes(ordersDir) == t0, "a reuse call must not rewrite the layout")
+      // a buckets-parameter change must NOT serve the stale 4-bucket layout
+      // (the round-7 advice: tableExists alone couldn't see the parameter)
+      val (o3, _) = Bucketing.ensureCustomerOrders(spark, dir, root, buckets = 2)
+      assert(o3 != o1, "bucket count is part of the layout identity")
+      val meta = spark.sql(s"DESCRIBE TABLE EXTENDED $o3").collect().map(_.mkString(" "))
+      assert(meta.exists(l => l.contains("Num Buckets") && l.contains("2")),
+        meta.filter(_.contains("Bucket")).mkString("\n"))
+    } finally {
+      Seq(4, 2).foreach { b =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt__root_testdata_sf0_001_b$b")
+        spark.sql(s"DROP TABLE IF EXISTS graft_customer_bkt__root_testdata_sf0_001_b$b")
+      }
+    }
+  }
 }
