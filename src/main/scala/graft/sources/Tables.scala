@@ -34,16 +34,40 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond long via
-    * `spark.sql.legacy.parquet.nanosAsLong` and convert with integer division
-    * (`div`, not `/` — double division loses precision above 2^53, and epoch
-    * nanos ~1.7e18 is far above it).
+  /** `events.ts` has shipped in three parquet physical types across testdata
+    * generations, so the loader adapts to whatever schema is on disk instead
+    * of assuming one:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]); read as a raw nanosecond long via
+    *    `spark.sql.legacy.parquet.nanosAsLong` and convert with integer
+    *    division (`div`, not `/` — double division loses precision above
+    *    2^53, and epoch nanos ~1.7e18 is far above it).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=0): Spark reads TIMESTAMP_NTZ;
+    *    cast to session-timezone TIMESTAMP (the session runs UTC, so the
+    *    wall-clock values are reinterpreted as the same UTC instants the
+    *    oracles assume).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=1): already TimestampType; as-is.
+    *
+    * The branch costs one footer read on the driver; the returned plan is
+    * still a plain pushdown-friendly scan either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"testdata contract drift: events.ts loaded as $other " +
+            "(expected LongType [nanosAsLong], TimestampNTZType, or TimestampType); " +
+            s"inspect $dir/events.parquet — the driver likely regenerated testdata " +
+            "with a new physical type and Tables.events needs a new branch")
+    }
   }
 }

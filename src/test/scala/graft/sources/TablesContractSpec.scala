@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Testdata-contract guard (VERDICT r8 #2).
+  *
+  * The driver regenerates `/root/testdata` between rounds and has already
+  * changed a physical type once (`events.ts` TIMESTAMP(NANOS) →
+  * TIMESTAMP(MICROS, NTZ) on 2026-08-13), which silently errored 22 queries.
+  * This spec pins the loaded Spark schema of every driver table so the NEXT
+  * drift fails here with one explicit message instead of 22 opaque
+  * AnalysisExceptions downstream.
+  *
+  * Timestamp-ish columns accept TimestampType OR TimestampNTZType: both are
+  * oracle-compatible (DuckDB reads NTZ as naive TIMESTAMP; the session runs
+  * UTC so instants agree), and the driver has shipped both flavors.
+  */
+class TablesContractSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** `TS` marks columns that may be TimestampType or TimestampNTZType. */
+  private val TS: DataType = TimestampNTZType
+
+  private def tsOk(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  private val expected: Map[String, Seq[(String, DataType)]] = Map(
+    "region"   -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation"   -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+                      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+                      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+                      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+                      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part"     -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+                      "p_brand" -> StringType, "p_type" -> StringType,
+                      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders"   -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+                      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+                      "o_orderdate" -> TS, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+                      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+                      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+                      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+                      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+                      "l_shipdate" -> TS),
+    "events"   -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+                      "user_id" -> LongType, "event_type" -> StringType,
+                      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+                       "lang" -> StringType, "source" -> StringType,
+                       "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+                        "embedding" -> ArrayType(FloatType),
+                        "label" -> IntegerType)
+  )
+
+  for (name <- Tables.all) {
+    test(s"contract: $name loads with the expected schema") {
+      val df   = Tables(spark, sf, name)
+      val want = expected(name)
+      val got  = df.schema.map(f => f.name -> f.dataType)
+      assert(got.map(_._1) == want.map(_._1),
+        s"testdata contract drift: $name columns are ${got.map(_._1).mkString(",")}; " +
+          s"expected ${want.map(_._1).mkString(",")} — the driver regenerated " +
+          s"testdata with a new layout; update Tables/$name consumers")
+      for (((gn, gd), (wn, wd)) <- got.zip(want)) {
+        val ok =
+          if (name == "events" && gn == "ts") gd == TimestampType // loader normalizes
+          else if (wd == TS) tsOk(gd)
+          else gd == wd
+        assert(ok,
+          s"testdata contract drift: $name.$gn loads as $gd (expected $wd" +
+            (if (wd == TS) " or TimestampType" else "") +
+            s") — the driver regenerated testdata with a new physical type; " +
+            s"adapt the loader in sources/Tables.scala")
+      }
+    }
+  }
+
+  test("events loader normalizes NTZ micros to session-TZ timestamps deterministically") {
+    // 2026-ish micros epoch values must round-trip to the same instants the
+    // oracle (DuckDB, naive read, UTC session) sees.
+    val df = Tables.events(spark, sf)
+    val ts = df.selectExpr("min(ts)", "max(ts)").collect()(0)
+    assert(ts.get(0) != null && ts.get(1) != null)
+    assert(df.schema("ts").dataType == TimestampType)
+  }
+
+  test("events loader fails with one clear message on an unknown ts physical type") {
+    val dir = Files.createTempDirectory("drift").toString
+    spark.range(3).selectExpr(
+      "id as event_id", "cast(id as string) as ts", "id as user_id",
+      "'x' as event_type", "cast(id as double) as value", "'{}' as props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("testdata contract drift"))
+    assert(e.getMessage.contains("events.ts"))
+  }
+}
