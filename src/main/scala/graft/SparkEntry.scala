@@ -29,6 +29,23 @@ object SparkEntry {
   private val fixtureRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_FIXTURE_ROOT", "/root/repo/target/fixtures")
 
+  /** SF-scoped fixture path: `<root>/<name>_<sanitized sfDir>`.
+    *
+    * Every fixture a query writes is keyed by the source dir it was built
+    * from (the `Bucketing` tag pattern). Without the tag, verify (sf0.01)
+    * and bench (sf0.1) share ONE mutable path and the write-once stamp
+    * makes "whichever ran last" own it — the round-8 q79 hash-fail was the
+    * sf0.1 bench rewriting `ivf_index_append` between the sf0.01 Spark
+    * dump and the DuckDB oracle's file read. With the tag, each SF owns a
+    * distinct directory and concurrent phases can never invalidate each
+    * other's on-disk state.
+    */
+  private[graft] def sfTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def scopedFixture(dir: String, name: String): String =
+    s"$fixtureRoot/${name}_${sfTag(dir)}"
+
   /** Write-once fixture stamp: a fixture directory is reusable when its
     * `_GRAFT_STAMP` file records the exact (sfDir, source-fingerprint)
     * string the caller derived from the CURRENT source slice. Rebuild on
@@ -106,7 +123,7 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val base = emb.filter(col("vec_id") % 10 =!= 7)
     val batch = emb.filter(col("vec_id") % 10 === 7)
-    val fixture = s"$fixtureRoot/ivf_index_append"
+    val fixture = scopedFixture(dir, "ivf_index_append")
     val stamp = ivfIndexStamp(emb, dir, IvfCells, IvfIters) + "|append-v1"
     if (!fixtureReady(fixture, stamp)) {
       val cents = Similarity.kmeansCentroids(base, k = IvfCells, iters = IvfIters)
@@ -115,6 +132,75 @@ object SparkEntry {
       stampFixture(fixture, stamp)
     }
     fixture
+  }
+
+  /** Stamped build of the q69 fingerprint-index fixture: gen 0 over the
+    * even-doc_id history, batch 1's survivors appended as gen 1. Extracted
+    * from the query body so the bench warmup can pre-build it untimed
+    * ([[prebuildFixtures]]) — the benched body is then the pure O(batch)
+    * probe both passes.
+    */
+  private[graft] def ensureFpIndexFixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val batch1 = docs.filter(col("doc_id") % 4 === 1).select("doc_id", "text")
+    val fixture = scopedFixture(dir, "fp_index")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.FingerprintIndexVersion}"
+    if (!fixtureReady(fixture, stamp)) {
+      Dedup.writeFingerprintIndex(history, fixture)
+      val accepted1 = Dedup.dedupAgainstFingerprintIndex(s, fixture, batch1)
+      Dedup.appendFingerprintIndex(accepted1, fixture, generation = 1L)
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
+  /** Stamped build of the q78 MinHash band-index fixture (gen 0 over
+    * history + gen 1 appended survivors) — the near-dup sibling of
+    * [[ensureFpIndexFixture]], same warmup motivation: the r8 bench billed
+    * the 83.6 s one-time index build to q78's first pass.
+    */
+  private[graft] def ensureBandIndexFixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val batch1 = docs.filter(col("doc_id") % 4 === 1).select("doc_id", "text")
+    val fixture = scopedFixture(dir, "band_index")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.BandIndexVersion}" +
+      s"|h=$BandIdxHashes|b=$BandIdxBands|seed=$BandIdxSeed" +
+      s"|minj=$BandIdxMinJ|cap=$BandIdxCap|append-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      Dedup.writeBandIndex(history, fixture,
+        nHashes = BandIdxHashes, nBands = BandIdxBands, seed = BandIdxSeed)
+      val accepted1 = Dedup.dedupAgainstBandIndex(s, fixture, batch1,
+        nHashes = BandIdxHashes, nBands = BandIdxBands,
+        minEstJaccard = BandIdxMinJ, seed = BandIdxSeed,
+        maxBandCollisions = BandIdxCap)
+      Dedup.appendBandIndex(accepted1.select("doc_id", "text"), fixture, generation = 1L,
+        nHashes = BandIdxHashes, nBands = BandIdxBands, seed = BandIdxSeed)
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
+  /** Pre-build the expensive write-once index fixtures so a bench run's
+    * pass A times the probe/serve path, not a one-time index build (round-8
+    * advice: q78's first pass carried its 83.6 s fixture build). All builds
+    * are stamped, so this is a cheap fingerprint probe whenever the fixture
+    * already matches the current corpus slice. The lake fixtures (q47/q61/
+    * q65/q71/q72) are NOT pre-built: their builds are sub-5 s and their
+    * stamps amortize identically without warmup help.
+    */
+  private[graft] def prebuildFixtures(s: SparkSession, dir: String): Unit = {
+    ensureFpIndexFixture(s, dir)
+    ensureBandIndexFixture(s, dir)
+    ensureIvfIndex(Tables.embeddings(s, dir), dir,
+      scopedFixture(dir, "ivf_index"), k = IvfCells, iters = IvfIters)
+    ensureAppendedIvfIndex(s, dir)
+    Bucketing.ensureCustomerOrders(s, dir, s"$fixtureRoot/bucketed")
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
@@ -441,7 +527,7 @@ object SparkEntry {
     // run; a production corpus pays it once and serves from here ----
     "q67_ivf_index_serve" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val fixture = s"$fixtureRoot/ivf_index"
+      val fixture = scopedFixture(dir, "ivf_index")
       ensureIvfIndex(emb, dir, fixture, k = IvfCells, iters = IvfIters)
       Similarity.queryIvfIndex(s, fixture, emb.filter(col("vec_id") < 3), nProbe = 3, k = 5)
         .groupBy("query_id")
@@ -557,7 +643,7 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))) // b0 content replayed
       val b2 = slice(2).unionByName(docs.filter(col("doc_id") % 15 === 1)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))) // b1 content replayed
-      val fixture = s"$fixtureRoot/ingest_root"
+      val fixture = scopedFixture(dir, "ingest_root")
       val fp = docs.agg(
         count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
       val stamp =
@@ -597,7 +683,7 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       val b2 = slice(2).unionByName(docs.filter(col("doc_id") % 15 === 1)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-      val fixture = s"$fixtureRoot/ingest_root_c"
+      val fixture = scopedFixture(dir, "ingest_root_c")
       val fp = docs.agg(
         count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
       val stamp =
@@ -1095,7 +1181,7 @@ object SparkEntry {
     // hash-equality to the parquet-backed oracle closes the round-trip ----
     "q61_orc_lake" -> { (s, dir) =>
       import org.apache.spark.sql.types._
-      val fixture = s"$fixtureRoot/orc_events"
+      val fixture = scopedFixture(dir, "orc_events")
       val src = Tables.events(s, dir)
         .filter(col("event_id") < 2000)
         .select("event_id", "user_id", "event_type", "value")
@@ -1130,7 +1216,7 @@ object SparkEntry {
     // like q61 so the benched body is the pruned READ, not the lake build;
     // the DuckDB oracle reads the same lake through hive partitioning ----
     "q65_lake_partition_scan" -> { (s, dir) =>
-      val fixture = s"$fixtureRoot/lake_events"
+      val fixture = scopedFixture(dir, "lake_events")
       val src = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .select("event_id", "user_id", "event_type", "value", "event_date")
@@ -1159,7 +1245,7 @@ object SparkEntry {
     // preserved content exactly; the file-count + crash-safety claims live
     // in SinksSpec ----
     "q71_lake_compaction" -> { (s, dir) =>
-      val fixture = s"$fixtureRoot/frag_lake"
+      val fixture = scopedFixture(dir, "frag_lake")
       val src = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .select("event_id", "user_id", "event_type", "value", "event_date")
@@ -1181,7 +1267,7 @@ object SparkEntry {
       // already-compact partition). The copy keeps the fixture's 40-file
       // pathology the stamp claims, so both bench passes and later
       // sessions all pay the real small-file work.
-      val scratch = s"$fixtureRoot/frag_lake_scratch"
+      val scratch = scopedFixture(dir, "frag_lake_scratch")
       val fsys = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(scratch), s.sparkContext.hadoopConfiguration)
       fsys.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -1206,7 +1292,7 @@ object SparkEntry {
     // string→double round trip is exact in both engines because shortest-
     // representation double rendering round-trips by construction ----
     "q72_schema_evolution" -> { (s, dir) =>
-      val fixture = s"$fixtureRoot/evolved_lake"
+      val fixture = scopedFixture(dir, "evolved_lake")
       val ev = Tables.events(s, dir)
       val fp = ev.agg(count(lit(1)), sum(col("user_id"))).head()
       val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}" +
@@ -1389,7 +1475,7 @@ object SparkEntry {
     // oracle reads the very same files with read_json ----
     "q47_json_raw_lake" -> { (s, dir) =>
       import org.apache.spark.sql.types._
-      val fixture = s"$fixtureRoot/json_events"
+      val fixture = scopedFixture(dir, "json_events")
       val src = Tables.events(s, dir)
         .filter(col("event_id") < 1000)
         .select("event_id", "user_id", "event_type", "value", "props")
@@ -1451,18 +1537,7 @@ object SparkEntry {
     // same semantics independently as NOT EXISTS over text ----
     "q69_dedup_fp_index" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val history = docs.filter(col("doc_id") % 2 === 0)
-      val batch1 = docs.filter(col("doc_id") % 4 === 1).select("doc_id", "text")
-      val fixture = s"$fixtureRoot/fp_index"
-      val fp = docs.agg(
-        count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
-      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.FingerprintIndexVersion}"
-      if (!fixtureReady(fixture, stamp)) {
-        Dedup.writeFingerprintIndex(history, fixture)
-        val accepted1 = Dedup.dedupAgainstFingerprintIndex(s, fixture, batch1)
-        Dedup.appendFingerprintIndex(accepted1, fixture, generation = 1L)
-        stampFixture(fixture, stamp)
-      }
+      val fixture = ensureFpIndexFixture(s, dir)
       val batch2 = docs.filter(col("doc_id") % 4 === 3)
         .select("doc_id", "text")
         .unionByName(docs.filter(col("doc_id") % 20 === 0) // replays of history
@@ -1488,25 +1563,7 @@ object SparkEntry {
     // text via the same minhash/band/agreement SQL machinery as q26 ----
     "q78_neardup_band_index" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val history = docs.filter(col("doc_id") % 2 === 0)
-      val batch1 = docs.filter(col("doc_id") % 4 === 1).select("doc_id", "text")
-      val fixture = s"$fixtureRoot/band_index"
-      val fp = docs.agg(
-        count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
-      val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.BandIndexVersion}" +
-        s"|h=$BandIdxHashes|b=$BandIdxBands|seed=$BandIdxSeed" +
-        s"|minj=$BandIdxMinJ|cap=$BandIdxCap|append-v1"
-      if (!fixtureReady(fixture, stamp)) {
-        Dedup.writeBandIndex(history, fixture,
-          nHashes = BandIdxHashes, nBands = BandIdxBands, seed = BandIdxSeed)
-        val accepted1 = Dedup.dedupAgainstBandIndex(s, fixture, batch1,
-          nHashes = BandIdxHashes, nBands = BandIdxBands,
-          minEstJaccard = BandIdxMinJ, seed = BandIdxSeed,
-          maxBandCollisions = BandIdxCap)
-        Dedup.appendBandIndex(accepted1.select("doc_id", "text"), fixture, generation = 1L,
-          nHashes = BandIdxHashes, nBands = BandIdxBands, seed = BandIdxSeed)
-        stampFixture(fixture, stamp)
-      }
+      val fixture = ensureBandIndexFixture(s, dir)
       val batch2 = docs.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
         .unionByName(docs.filter(col("doc_id") % 20 === 0) // exact replays of history
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
@@ -1874,8 +1931,16 @@ object SparkEntry {
     * decodable property by media_id; the sketch oracle (q39) checks the
     * exact aggregates plus `true` for every in-engine error-bound flag.
     * Every registry query is oracled.
+    *
+    * The two fixture-reading oracles (q47, q79) interpolate the SF-SCOPED
+    * fixture path, so the map is parameterized by the sfDir the dump ran
+    * against ([[oracleSqlFor]]); `Verify` emits `oracleSqlFor(sfDir)`.
+    * The driver contract's bare `oracleSql` stays available and targets
+    * the driver's correctness SF (sf0.01, TESTDATA.md).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  def oracleSqlFor(dir: String): Map[String, String] = Map(
     // sketch values are engine-internal; the oracle checks what a sketch
     // actually promises — the exact baseline, and bounded error against it
     "q39_sketch_stats" ->
@@ -1991,7 +2056,7 @@ object SparkEntry {
          |FROM agg ORDER BY doc_id""".stripMargin,
     "q47_json_raw_lake" ->
       s"""SELECT event_id, user_id, event_type, value, CAST(length(props) AS INTEGER) AS props_len
-         |FROM read_json('$fixtureRoot/json_events/chunk=*/*.txt', format='array',
+         |FROM read_json('${scopedFixture(dir, "json_events")}/chunk=*/*.txt', format='array',
          |  columns={event_id:'BIGINT', user_id:'BIGINT', event_type:'VARCHAR', value:'DOUBLE', props:'VARCHAR'})
          |ORDER BY event_id""".stripMargin,
     "q26_minhash_pairs" -> minhashOracleSql(nHashes = 64, nBands = 4, seed = 42L),
@@ -2084,7 +2149,7 @@ object SparkEntry {
     "q79_ivf_index_health" ->
       s"""WITH cells AS (
          |  SELECT cell_id, COUNT(DISTINCT vec_id) AS n
-         |  FROM read_parquet('$fixtureRoot/ivf_index_append/lists/*/*.parquet', hive_partitioning=1)
+         |  FROM read_parquet('${scopedFixture(dir, "ivf_index_append")}/lists/*/*.parquet', hive_partitioning=1)
          |  GROUP BY cell_id)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
          |  CAST(SUM(n) AS BIGINT) AS n_vecs,
