@@ -664,7 +664,8 @@ object Dedup {
   private def compactGenerationalIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      upToGen: Long): Unit = {
+      upToGen: Long,
+      partitionBy: Seq[String] = Nil): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val rootP = new org.apache.hadoop.fs.Path(path)
@@ -683,7 +684,12 @@ object Dedup {
       .filter(col("batch").cast("long") <= upToGen)
       .drop("batch").distinct()
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp", dirName)
-    consolidated.write.parquet(tmp.toString)
+    // a partitioned subtable (the band index's bp layout) must fold into
+    // the same layout — an unpartitioned folded generation next to
+    // partitioned live ones would break partition discovery
+    val cw = consolidated.write
+    (if (partitionBy.nonEmpty) cw.partitionBy(partitionBy: _*) else cw)
+      .parquet(tmp.toString)
     graft.sinks.Sinks.swapIn(fs, tmp, new org.apache.hadoop.fs.Path(rootP, dirName),
       trash = Some(new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix, dirName)))
     gens.filter(_ != upToGen).foreach { g =>
@@ -709,8 +715,11 @@ object Dedup {
   //
   // Layout (two generational subtables, each published as immutable
   // batch=<gen> dirs via the same atomic-rename protocol as the fp index):
-  //   <path>/sigs/batch=<g>/   (doc_id, sig: array<long>)   ~8·nHashes B/doc
-  //   <path>/bands/batch=<g>/  (band: md5 hex, doc_id)      nBands rows/doc
+  //   <path>/sigs/batch=<g>/          (doc_id, sig: array<long>) ~8·nHashes B/doc
+  //   <path>/bands/batch=<g>/bp=<xx>/ (band: md5 hex, doc_id)    nBands rows/doc
+  // `bp` is the band's first [[BandPrefixLen]] hex chars: the probe filters
+  // on it with the batch's own prefix set, so partition pruning skips the
+  // directories the batch cannot collide with (see [[BandPrefixLen]]).
   // Appends publish sigs FIRST, bands second: a band row whose sig is
   // missing could silently drop a candidate pair, while a sig row with no
   // band rows is unreachable — so with this order every crash prefix
@@ -722,7 +731,18 @@ object Dedup {
     * (nHashes, nBands, seed) are part of the index identity and must be
     * stamped alongside by callers, like the IVF index's (k, iters).
     */
-  val BandIndexVersion = "minhash-band-v1"
+  val BandIndexVersion = "minhash-band-v2"
+
+  /** Width (hex chars) of the band-prefix partition key `bp`. 2 chars = 256
+    * directories per generation: at 1e10 docs × 8 bands ≈ 3 TB of band
+    * rows, each bp directory holds ~12 GB — small enough to list fast,
+    * large enough that per-partition files stay parquet-sized. The probe
+    * filters on `bp` with the batch's own prefix set, so partition pruning
+    * skips DIRECTORIES the batch cannot collide with — the round-8 gap:
+    * the broadcast semi-join pruned rows but still file-scanned the whole
+    * band table every micro-batch.
+    */
+  val BandPrefixLen = 2
 
   /** (sigs, bands) projections for one document set — the rows both the
     * index build and the append publish. Band keys are EXACTLY
@@ -744,7 +764,8 @@ object Dedup {
     }
     (sig.select(col("id").as("doc_id"), col("sig")),
       sig.select(col("id").as("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select("band", "doc_id"))
+        .select(col("band"), col("doc_id"),
+          substring(col("band"), 1, BandPrefixLen).as("bp")))
   }
 
   /** Build the band index over a history corpus (generation 0 of both
@@ -765,7 +786,8 @@ object Dedup {
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     val (sigs, bands) = bandIndexRows(history, textCol, idCol, nHashes, nBands, seed)
     graft.sinks.Sinks.publishDir(sigs, s"$path/sigs", s"batch=$generation")
-    graft.sinks.Sinks.publishDir(bands, s"$path/bands", s"batch=$generation")
+    graft.sinks.Sinks.publishDir(bands, s"$path/bands", s"batch=$generation",
+      partitionBy = Seq("bp"))
     ()
   }
 
@@ -787,7 +809,8 @@ object Dedup {
       seed: Long = 42L): Boolean = {
     val (sigs, bands) = bandIndexRows(accepted, textCol, idCol, nHashes, nBands, seed)
     graft.sinks.Sinks.publishDir(sigs, s"$path/sigs", s"batch=$generation")
-    graft.sinks.Sinks.publishDir(bands, s"$path/bands", s"batch=$generation")
+    graft.sinks.Sinks.publishDir(bands, s"$path/bands", s"batch=$generation",
+      partitionBy = Seq("bp"))
   }
 
   /** Keep only `incoming` rows that are not near-duplicates of the indexed
@@ -839,7 +862,20 @@ object Dedup {
         lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
     }
     val batchBands = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    // Partition pruning first, row pruning second. The batch's distinct
+    // band PREFIXES (≤ 256 two-hex-char values — a model-sized driver
+    // action over the persisted batch signatures, same class as the q67
+    // isin move) become a literal `bp IN (...)` predicate, so the scan
+    // lists and reads only the bp directories the batch can collide with;
+    // the broadcast semi-join then prunes to exact band matches within
+    // them. A small batch probes a handful of directories instead of
+    // file-scanning the full band table (the round-8 q78 gap); a corpus-
+    // sized batch degrades gracefully to the old full scan.
+    val prefixes = batchBands
+      .select(substring(col("band"), 1, BandPrefixLen).as("bp"))
+      .distinct().collect().map(_.getString(0)).toSeq
     val collisions = spark.read.parquet(s"$path/bands")
+      .filter(col("bp").isin(prefixes: _*))
       .select(col("band"), col("doc_id").as("hist_id"))
       .join(broadcast(batchBands.select("band").distinct()), Seq("band"), "left_semi")
       .join(broadcast(sig.select(col("id").as("hist_id"))), Seq("hist_id"), "left_anti")
@@ -881,7 +917,7 @@ object Dedup {
       path: String,
       upToGen: Long): Unit = {
     compactGenerationalIndex(spark, s"$path/sigs", upToGen)
-    compactGenerationalIndex(spark, s"$path/bands", upToGen)
+    compactGenerationalIndex(spark, s"$path/bands", upToGen, partitionBy = Seq("bp"))
   }
 
   /** [[dedupAgainstHistory]] served from a persisted [[writeFingerprintIndex]]

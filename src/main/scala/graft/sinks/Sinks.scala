@@ -131,7 +131,9 @@ object Sinks {
     * (cleaned on the next publish of the same generation); the rename
     * itself is atomic on HDFS and local filesystems.
     */
-  def publishDir(df: DataFrame, root: String, dirName: String): Boolean = {
+  def publishDir(
+      df: DataFrame, root: String, dirName: String,
+      partitionBy: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -140,7 +142,11 @@ object Sinks {
     if (fs.exists(target)) return false
     val stage = new org.apache.hadoop.fs.Path(root + "__stage", dirName)
     fs.delete(stage, true)
-    df.write.mode("overwrite").parquet(stage.toString)
+    // hive-style subdirs inside the staged generation survive the rename
+    // untouched, so a partitioned generation publishes just as atomically
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
     if (!fs.exists(rootP)) fs.mkdirs(rootP)
     fs.rename(stage, target)
     fs.delete(new org.apache.hadoop.fs.Path(root + "__stage"), true)

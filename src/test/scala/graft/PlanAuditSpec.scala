@@ -278,16 +278,23 @@ class PlanAuditSpec extends SparkSpec {
       docScans.map(_.toString.take(200)).mkString("\n"))
     assert(!docScans.exists(_.toString.contains("% 2)")),
       "q78 scans the HISTORY slice's text — the pass the band index exists to eliminate")
-    // the `batch` partition column reads from directory names (no file
-    // I/O), so it may ride along in the scan schema; DATA columns must be
-    // exactly the probe's needs
+    // the `batch`/`bp` partition columns read from directory names (no
+    // file I/O), so they may ride along in the scan schema; DATA columns
+    // must be exactly the probe's needs
     val idxScans = scans.filter(_.toString.contains("band_index"))
     def dataCols(f: org.apache.spark.sql.execution.FileSourceScanExec) =
-      f.schema.fieldNames.filterNot(_ == "batch").toSeq
+      f.schema.fieldNames.filterNot(c => c == "batch" || c == "bp").toSeq
     assert(idxScans.exists(dataCols(_) == Seq("band", "doc_id")),
       s"no bands scan among: ${idxScans.map(_.schema.fieldNames.mkString(",")).mkString(" | ")}")
     assert(idxScans.exists(dataCols(_) == Seq("doc_id", "sig")),
       s"no sigs scan among: ${idxScans.map(_.schema.fieldNames.mkString(",")).mkString(" | ")}")
+    // the bands scan must carry the batch's bp prefix set as a PARTITION
+    // filter — directory pruning, not just row pruning: without it every
+    // micro-batch file-scans the entire band table (round-8 verdict #5)
+    val bandsScan = idxScans.find(dataCols(_) == Seq("band", "doc_id")).get
+    val pf = bandsScan.partitionFilters.mkString(";")
+    assert(pf.contains("bp") && (pf.contains("IN") || pf.contains("isin") || pf.contains("=")),
+      s"bands scan has no bp partition filter: $pf")
     // no corpus-scale shuffle of text, and the index probes are broadcasts
     val p = df.queryExecution.executedPlan.toString
     assert(!p.linesIterator.filter(_.contains("Exchange")).exists(_.contains("text")),
