@@ -74,6 +74,37 @@ object IngestPipeline {
       seed: Long = 42L,
       maxBandCollisions: Int = 1000)
 
+  /** Steady-state maintenance cadence for the ingest loop: every
+    * `everyNBatches` committed batches, fold the lake's `__ver` partitions
+    * and every index's generations up to the manifest high-water mark
+    * ([[maintain]]). The cadence is what keeps per-object counts BOUNDED
+    * rather than merely foldable: without it the loop accretes one lake
+    * partition + one fp/sigs/bands generation per micro-batch (~525k/year
+    * at a per-minute trigger) and listing overhead eventually dominates
+    * every probe. With cadence K the live count oscillates in [1, K+1] —
+    * the compaction cost is O(committed-state), so K trades fold frequency
+    * against fold size; the default folds every 8 batches, keeping listing
+    * O(10) while paying the fold ~12% of cycles. Runs inside foreachBatch
+    * (serial, single-writer — the lock-free protocols' standing
+    * assumption) and is crash-safe mid-fold: the lake fold is intent-
+    * logged, the index folds are swap-in + startup recovery.
+    */
+  final case class MaintenanceConfig(everyNBatches: Int = 8)
+
+  /** One maintenance round: fold committed lake partitions and index
+    * generations up to the current manifest high-water mark. Idempotent;
+    * callable from any single-writer context (the streaming loop on its
+    * [[MaintenanceConfig]] cadence, or a batch driver between ingest
+    * calls).
+    */
+  def maintain(spark: SparkSession, paths: IngestPaths): Unit = {
+    val upTo = lastApplied(spark, paths)
+    if (upTo >= 0L) {
+      compactCommitted(spark, paths, upTo)
+      compactIndexes(spark, paths, upTo)
+    }
+  }
+
   /** Gopher/C4-shaped acceptance: keep docs whose [[Text.qualityBucket]] is
     * an OK bucket (length bounds pass; terse vs fluent both land).
     */
@@ -395,7 +426,8 @@ object IngestPipeline {
       checkpointDir: String,
       textCol: String = "text",
       idCol: String = "doc_id",
-      nearDup: Option[NearDupConfig] = None): StreamingQuery = {
+      nearDup: Option[NearDupConfig] = None,
+      maintenance: Option[MaintenanceConfig] = None): StreamingQuery = {
     recoverCompaction(docs.sparkSession, paths)
     val hasEmbedding = docs.columns.contains("embedding")
     docs.writeStream
@@ -407,6 +439,17 @@ object IngestPipeline {
           else None
         ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
           embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup)
+        // maintenance AFTER the commit: the fold reads only the manifest
+        // high-water mark, so a crash between commit and fold just defers
+        // the fold to a later cycle (or to startup recovery). Cadence on
+        // batchId, not a counter — foreachBatch ids are stable across
+        // restarts, so a replayed cycle re-runs (idempotent) rather than
+        // drifting the schedule.
+        maintenance.foreach { m =>
+          if (batchId > 0 && batchId % m.everyNBatches.toLong == 0) {
+            maintain(batch.sparkSession, paths)
+          }
+        }
         ()
       }
       .start()

@@ -365,4 +365,59 @@ class IngestPipelineSpec extends SparkSpec {
         "accepted docs' vectors appended; the duplicate doc 12's vector is not")
     } finally q.stop()
   }
+
+  test("maintenance cadence keeps lake partitions and index generations bounded over a long run") {
+    val p = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft-ingest-mx-ckpt").toString
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val everyN = 3
+    val q = IngestPipeline.start(
+      stream.toDF().toDF("doc_id", "text"), p, ckpt, nearDup = nearCfg,
+      maintenance = Some(IngestPipeline.MaintenanceConfig(everyNBatches = everyN)))
+    // 8 distinct-content micro-batches (ids 0..7): folds fire after batches
+    // 3 and 6, so the run crosses the cadence twice. Every doc is unique
+    // and quality-OK (≥5 distinct tokens), so all 16 land.
+    // every token embeds (b, j), so distinct docs share ZERO tokens — the
+    // nearCfg gate is a deliberately loose 0.5 (for the short near-replay
+    // texts below) and any shared filler would make honest docs near-dups
+    def doc(b: Int, j: Int): (Long, String) =
+      (b * 100L + j,
+        (0 until 7).map(t => s"u${b}x${j}t$t").mkString(" "))
+    try {
+      for (b <- 0 until 8) {
+        stream.addData(doc(b, 1), doc(b, 2))
+        q.processAllAvailable()
+      }
+      def gens(sub: String): Seq[String] = {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(p.root), spark.sparkContext.hadoopConfiguration)
+        val path = new org.apache.hadoop.fs.Path(sub)
+        if (!fs.exists(path)) Seq.empty
+        else fs.listStatus(path).map(_.getPath.getName)
+          .filter(_.startsWith("batch=")).sorted.toSeq
+      }
+      // last fold ran after batch 6 (manifest=6); batch 7 appended one more
+      // partition/generation on top of each folded table — the live count
+      // is the folded 1 + at most everyN un-folded, never the full history
+      assert(verDirs(p).size <= everyN + 1,
+        s"lake partitions unbounded: ${verDirs(p)}")
+      assert(gens(p.fpIndex).size <= everyN + 1,
+        s"fp generations unbounded: ${gens(p.fpIndex)}")
+      assert(gens(s"${p.bandIndex}/sigs").size <= everyN + 1,
+        s"sig generations unbounded: ${gens(s"${p.bandIndex}/sigs")}")
+      assert(gens(s"${p.bandIndex}/bands").size <= everyN + 1,
+        s"band generations unbounded: ${gens(s"${p.bandIndex}/bands")}")
+      // the folds preserved content: all 16 unique docs, exactly once each
+      val lake = spark.read.parquet(p.docLake).select("doc_id").as[Long].collect().sorted
+      assert(lake.toSeq == (0 until 8).flatMap(b => Seq(b * 100L + 1, b * 100L + 2)).sorted)
+      // ... and the folded indexes still serve: an exact replay of a doc
+      // folded three cadences ago and a near-replay of another both drop
+      stream.addData((9001L, doc(0, 1)._2), (9002L, doc(1, 2)._2 + " tail"))
+      q.processAllAvailable()
+      val after = spark.read.parquet(p.docLake).select("doc_id").as[Long].collect()
+      assert(!after.contains(9001L), "exact replay must drop via the folded fp index")
+      assert(!after.contains(9002L), "near-replay must drop via the folded band index")
+    } finally q.stop()
+  }
 }
