@@ -561,9 +561,20 @@ object Dedup {
     * must never be probed under another, and the scheme lives in code where
     * a data-content stamp can't see it. v2: one immutable `batch=<gen>`
     * subdirectory per publish (atomic single-rename appends) instead of
-    * flat append-mode files.
+    * flat append-mode files. v3: rows partitioned by `fpp` (hex of the
+    * fingerprint's first byte) inside each generation, so probes
+    * directory-prune like the band index's `bp` layout.
     */
-  val FingerprintIndexVersion = "md5-bin-v2"
+  val FingerprintIndexVersion = "md5-bin-v3"
+
+  /** Fingerprint-prefix partition column: hex of the md5's FIRST byte, 256
+    * directories per generation — the fp-index twin of the band index's
+    * [[BandPrefixLen]] layout. At 1e10 docs × 16 B the index is ~160 GB;
+    * without pruning every micro-batch probe file-scans all of it, with
+    * pruning a batch reads only the ≤256ths of the index its own
+    * fingerprints can collide with.
+    */
+  private def fpPrefix(fp: Column): Column = hex(substring(fp, 1, 1))
 
   /** Persist the history corpus's content fingerprints as a compact index
     * table: (idCol, fp) with fp = the raw 16-byte md5
@@ -593,9 +604,10 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), history.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val rows = history.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
     graft.sinks.Sinks.publishDir(
-      history.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp")),
-      path, s"batch=$generation")
+      rows.withColumn("fpp", fpPrefix(col("fp"))),
+      path, s"batch=$generation", partitionBy = Seq("fpp"))
     ()
   }
 
@@ -624,8 +636,9 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): Boolean =
     graft.sinks.Sinks.publishDir(
-      accepted.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp")),
-      path, s"batch=$generation")
+      accepted.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
+        .withColumn("fpp", fpPrefix(col("fp"))),
+      path, s"batch=$generation", partitionBy = Seq("fpp"))
 
   /** Fold all `batch=<gen> ≤ upToGen` generation directories of a
     * fingerprint index into one — the maintenance pass that keeps the
@@ -651,7 +664,8 @@ object Dedup {
   def compactFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      upToGen: Long): Unit = compactGenerationalIndex(spark, path, upToGen)
+      upToGen: Long): Unit =
+    compactGenerationalIndex(spark, path, upToGen, partitionBy = Seq("fpp"))
 
   /** The shared fold for ANY membership-state table published as immutable
     * `batch=<gen>` directories (the fp index, and the band index's sigs and
@@ -941,7 +955,15 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val inFp = incoming.withColumn("__fp", Text.fingerprintBinary(col(textCol)))
     val batchFps = inFp.select("__fp").distinct()
+    // directory pruning before the semi-join row pruning: the batch's
+    // distinct fp PREFIXES (≤ 256 hex pairs, a model-sized driver action —
+    // the band index's bp move) become a literal fpp IN (...) partition
+    // predicate, so a small batch reads only the index directories its own
+    // fingerprints can land in instead of file-scanning all generations
+    val prefixes = batchFps.select(fpPrefix(col("__fp")).as("fpp"))
+      .distinct().collect().map(_.getString(0)).toSeq
     val collisions = spark.read.parquet(path)
+      .filter(col("fpp").isin(prefixes: _*))
       .select(col("fp").as("__fp"))
       .join(broadcast(batchFps), Seq("__fp"), "left_semi")
       .distinct()

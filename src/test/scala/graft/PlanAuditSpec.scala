@@ -239,11 +239,19 @@ class PlanAuditSpec extends SparkSpec {
       s.toString.contains("documents.parquet") && s.toString.contains("% 2)")))
     val fpScans = q69.filter(_.toString.contains("fp_index"))
     assert(fpScans.nonEmpty, s"no fp-index scan among ${q69.size} scans")
-    // `batch` is the generation PARTITION column (directory names, no file
-    // I/O) and may ride along; the read schema's DATA columns must still be
+    // `batch`/`fpp` are PARTITION columns (directory names, no file I/O)
+    // and may ride along; the read schema's DATA columns must still be
     // pruned to the 16-byte fp
-    assert(fpScans.forall(_.schema.fieldNames.filterNot(_ == "batch").sameElements(Array("fp"))),
+    assert(fpScans.forall(
+        _.schema.fieldNames.filterNot(c => c == "batch" || c == "fpp").sameElements(Array("fp"))),
       s"fp-index read schema not pruned to fp: ${fpScans.map(_.schema.fieldNames.mkString(",")).mkString(" | ")}")
+    // ... and the probe must carry the batch's fpp prefix set as a
+    // PARTITION filter — directory pruning, not just the broadcast
+    // semi-join's row pruning (the band index's bp assertion, fp twin)
+    assert(fpScans.exists { f =>
+      val pf = f.partitionFilters.mkString(";")
+      pf.contains("fpp") && (pf.contains("IN") || pf.contains("isin") || pf.contains("="))
+    }, s"fp-index scan has no fpp partition filter: ${fpScans.map(_.partitionFilters.mkString(";")).mkString(" | ")}")
     // same no-history-shuffle shape as q57: both joins broadcast, no SMJ,
     // no text crossing an exchange
     val p = SparkEntry.queries("q69_dedup_fp_index")(spark, dir)

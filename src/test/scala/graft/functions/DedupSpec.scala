@@ -293,8 +293,10 @@ class DedupSpec extends SparkSpec {
 
     // crash window B: post-swap, folded originals not yet deleted — pure
     // duplicates, invisible to a membership probe; the re-run folds them
+    // (a real crash leaves the original PARTITIONED generation dir behind,
+    // so the simulation must re-create the fpp layout, not a flat dir)
     val dup = spark.read.parquet(s"$idx/batch=2").drop("batch")
-    dup.write.parquet(s"$idx/batch=1")
+    dup.write.partitionBy("fpp").parquet(s"$idx/batch=1")
     assert(survivors() == Seq(44L), "duplicate generations are membership-invisible")
     Dedup.compactFingerprintIndex(spark, idx, 4L)
     assert(genDirs() == Seq("batch=4"))
@@ -406,5 +408,42 @@ class DedupSpec extends SparkSpec {
     val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
       .select(Dedup.jaccardTokens(col("x"), col("y"))).as[Double].head()
     assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("index probes partition-prune: a small batch reads a fraction of the index directories") {
+    // 300 distinct docs spread fingerprints over most of the 256 fpp
+    // prefixes (md5 first byte is uniform); a ONE-doc probe must select
+    // only its own prefix's directory, not the whole index — the numeric
+    // form of the PlanAuditSpec partition-filter assertions
+    val h = docs((1L to 300L).map(i => i -> s"history document number $i"): _*)
+    def leafScans(df: org.apache.spark.sql.DataFrame, marker: String) = {
+      val phys = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      phys.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains(marker) => f
+      }
+    }
+    locally {
+      val idx = java.nio.file.Files.createTempDirectory("graft-fp-prune").toString + "/fpidx"
+      Dedup.writeFingerprintIndex(h, idx)
+      val out = Dedup.dedupAgainstFingerprintIndex(spark, idx, docs(9001L -> "a fresh probe doc"))
+      val scan = leafScans(out, "fpidx").head
+      val selected = scan.selectedPartitions.partitionCount
+      // one probe doc = one fp prefix; the index spans ~200+ prefixes
+      assert(selected <= 2, s"probe read $selected partitions — no directory pruning")
+    }
+    locally {
+      val idx = java.nio.file.Files.createTempDirectory("graft-band-prune").toString + "/bandidx"
+      Dedup.writeBandIndex(h, idx, nBands = 16)
+      val out = Dedup.dedupAgainstBandIndex(
+        spark, idx, docs(9001L -> "a fresh probe doc"), nBands = 16, minEstJaccard = 0.5)
+      val scan = leafScans(out, "bandidx").filter(_.schema.fieldNames.contains("band")).head
+      val selected = scan.selectedPartitions.partitionCount
+      // one probe doc = ≤16 band prefixes vs the index's ~200+ populated
+      assert(selected <= 16, s"probe read $selected partitions — no directory pruning")
+    }
   }
 }
