@@ -561,20 +561,71 @@ object Dedup {
     * must never be probed under another, and the scheme lives in code where
     * a data-content stamp can't see it. v2: one immutable `batch=<gen>`
     * subdirectory per publish (atomic single-rename appends) instead of
-    * flat append-mode files. v3: rows partitioned by `fpp` (hex of the
-    * fingerprint's first byte) inside each generation, so probes
-    * directory-prune like the band index's `bp` layout.
+    * flat append-mode files. v4: rows partitioned by `fpp` (hash of the
+    * fingerprint mod a scale-derived directory count) inside each
+    * generation, so probes directory-prune like the band index's `bp`
+    * layout.
     */
-  val FingerprintIndexVersion = "md5-bin-v3"
+  val FingerprintIndexVersion = "md5-bin-v4"
 
-  /** Fingerprint-prefix partition column: hex of the md5's FIRST byte, 256
-    * directories per generation — the fp-index twin of the band index's
-    * [[BandPrefixLen]] layout. At 1e10 docs × 16 B the index is ~160 GB;
-    * without pruning every micro-batch probe file-scans all of it, with
-    * pruning a batch reads only the ≤256ths of the index its own
-    * fingerprints can collide with.
+  // ---------------------------------------------------------------------
+  // Prefix-partitioned index layout, shared by the fp index (`fpp`) and
+  // the band index (`bp`).
+  //
+  // Probes directory-prune: the batch's distinct prefix values become a
+  // literal IN predicate on the partition column, so a small batch reads
+  // only the directories its own keys can land in instead of file-scanning
+  // every generation (at 1e10 docs the fp index is ~160 GB and the band
+  // table ~3 TB — per-batch full scans of either would dominate the loop).
+  //
+  // The directory count is SCALE-DERIVED at build time (the q75 packing-
+  // shards pattern): rows/[[IndexDirTargetRows]] clamped to
+  // [[[MinIndexDirs]], [[MaxIndexDirs]]]. A fixed 256 would be right at
+  // production scale but pathological at small scale — each generation
+  // becomes 256 near-empty files whose parquet footer opens cost more than
+  // the rows, which is exactly the small-files disease compactLakePartition
+  // exists to cure. The chosen modulus is recorded in a `_GRAFT_LAYOUT`
+  // file at the index root: every append and probe MUST hash under the
+  // same modulus or pruning would silently miss collisions, so the layout
+  // travels with the index, not with the code. Production installs sizing
+  // for growth pass `bpMod = Some(...)` explicitly (the modulus is part of
+  // the install, like IVF's k); re-partitioning an index whose corpus has
+  // outgrown its modulus is a fold-rewrite (all rows already flow through
+  // compactGenerationalIndex) under a new explicit modulus + meta rewrite.
+  // ---------------------------------------------------------------------
+
+  private[graft] val IndexDirTargetRows = 1L << 20
+  private[graft] val MinIndexDirs = 16
+  private[graft] val MaxIndexDirs = 256
+
+  private[graft] def indexDirCount(rows: Long): Int =
+    math.min(MaxIndexDirs.toLong, math.max(MinIndexDirs.toLong, rows / IndexDirTargetRows)).toInt
+
+  /** Prefix partition value: uniform hash of the key, mod the index's
+    * recorded modulus. Murmur3 over the raw fp bytes / band string — an
+    * engine-internal routing value, never part of an oracle.
     */
-  private def fpPrefix(fp: Column): Column = hex(substring(fp, 1, 1))
+  private def prefixCol(key: Column, mod: Int): Column = pmod(hash(key), lit(mod))
+
+  private def layoutPath(path: String) = new org.apache.hadoop.fs.Path(path, "_GRAFT_LAYOUT")
+
+  private def writeLayout(spark: org.apache.spark.sql.SparkSession, path: String, mod: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(layoutPath(path), true)
+    try out.write(s"mod=$mod".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readLayout(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = layoutPath(path)
+    require(fs.exists(p),
+      s"index at $path has no _GRAFT_LAYOUT — built under a pre-v4 scheme or the build crashed; rebuild it")
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    s.stripPrefix("mod=").toInt
+  }
 
   /** Persist the history corpus's content fingerprints as a compact index
     * table: (idCol, fp) with fp = the raw 16-byte md5
@@ -600,13 +651,21 @@ object Dedup {
       path: String,
       textCol: String = "text",
       idCol: String = "doc_id",
-      generation: Long = 0L): Unit = {
+      generation: Long = 0L,
+      bpMod: Option[Int] = None): Unit = {
+    val spark = history.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), history.sparkSession.sparkContext.hadoopConfiguration)
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     val rows = history.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
+    // modulus derived from the BUILD corpus unless the install sizes for
+    // growth explicitly; recorded before the first generation publishes so
+    // no readable index ever lacks its layout
+    val mod = bpMod.getOrElse(indexDirCount(rows.count()))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    writeLayout(spark, path, mod)
     graft.sinks.Sinks.publishDir(
-      rows.withColumn("fpp", fpPrefix(col("fp"))),
+      rows.withColumn("fpp", prefixCol(col("fp"), mod)),
       path, s"batch=$generation", partitionBy = Seq("fpp"))
     ()
   }
@@ -634,11 +693,16 @@ object Dedup {
       path: String,
       generation: Long,
       textCol: String = "text",
-      idCol: String = "doc_id"): Boolean =
+      idCol: String = "doc_id"): Boolean = {
+    // appends hash under the INDEX's recorded modulus — a drifted modulus
+    // would route the same fp to different directories across generations
+    // and the probe's pruning would silently miss collisions
+    val mod = readLayout(accepted.sparkSession, path)
     graft.sinks.Sinks.publishDir(
       accepted.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
-        .withColumn("fpp", fpPrefix(col("fp"))),
+        .withColumn("fpp", prefixCol(col("fp"), mod)),
       path, s"batch=$generation", partitionBy = Seq("fpp"))
+  }
 
   /** Fold all `batch=<gen> ≤ upToGen` generation directories of a
     * fingerprint index into one — the maintenance pass that keeps the
@@ -729,11 +793,12 @@ object Dedup {
   //
   // Layout (two generational subtables, each published as immutable
   // batch=<gen> dirs via the same atomic-rename protocol as the fp index):
-  //   <path>/sigs/batch=<g>/          (doc_id, sig: array<long>) ~8·nHashes B/doc
-  //   <path>/bands/batch=<g>/bp=<xx>/ (band: md5 hex, doc_id)    nBands rows/doc
-  // `bp` is the band's first [[BandPrefixLen]] hex chars: the probe filters
-  // on it with the batch's own prefix set, so partition pruning skips the
-  // directories the batch cannot collide with (see [[BandPrefixLen]]).
+  //   <path>/sigs/batch=<g>/         (doc_id, sig: array<long>) ~8·nHashes B/doc
+  //   <path>/bands/batch=<g>/bp=<n>/ (band: md5 hex, doc_id)    nBands rows/doc
+  // `bp` = hash(band) mod the index's recorded `_GRAFT_LAYOUT` modulus
+  // (scale-derived at build; see the prefix-layout note above the fp
+  // index): the probe filters on it with the batch's own prefix set, so
+  // partition pruning skips the directories the batch cannot collide with.
   // Appends publish sigs FIRST, bands second: a band row whose sig is
   // missing could silently drop a candidate pair, while a sig row with no
   // band rows is unreachable — so with this order every crash prefix
@@ -745,18 +810,7 @@ object Dedup {
     * (nHashes, nBands, seed) are part of the index identity and must be
     * stamped alongside by callers, like the IVF index's (k, iters).
     */
-  val BandIndexVersion = "minhash-band-v2"
-
-  /** Width (hex chars) of the band-prefix partition key `bp`. 2 chars = 256
-    * directories per generation: at 1e10 docs × 8 bands ≈ 3 TB of band
-    * rows, each bp directory holds ~12 GB — small enough to list fast,
-    * large enough that per-partition files stay parquet-sized. The probe
-    * filters on `bp` with the batch's own prefix set, so partition pruning
-    * skips DIRECTORIES the batch cannot collide with — the round-8 gap:
-    * the broadcast semi-join pruned rows but still file-scanned the whole
-    * band table every micro-batch.
-    */
-  val BandPrefixLen = 2
+  val BandIndexVersion = "minhash-band-v3"
 
   /** (sigs, bands) projections for one document set — the rows both the
     * index build and the append publish. Band keys are EXACTLY
@@ -769,7 +823,8 @@ object Dedup {
       idCol: String,
       nHashes: Int,
       nBands: Int,
-      seed: Long): (DataFrame, DataFrame) = {
+      seed: Long,
+      bpMod: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = nHashes / nBands
     val sig = minhashSignatures(docs.select(col(idCol), col(textCol)), textCol, idCol, nHashes, seed)
     val bandCols = (0 until nBands).map { b =>
@@ -778,8 +833,7 @@ object Dedup {
     }
     (sig.select(col("id").as("doc_id"), col("sig")),
       sig.select(col("id").as("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("band"), col("doc_id"),
-          substring(col("band"), 1, BandPrefixLen).as("bp")))
+        .select(col("band"), col("doc_id"), prefixCol(col("band"), bpMod).as("bp")))
   }
 
   /** Build the band index over a history corpus (generation 0 of both
@@ -794,11 +848,18 @@ object Dedup {
       nHashes: Int = 64,
       nBands: Int = 4,
       seed: Long = 42L,
-      generation: Long = 0L): Unit = {
+      generation: Long = 0L,
+      bpMod: Option[Int] = None): Unit = {
+    val spark = history.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), history.sparkSession.sparkContext.hadoopConfiguration)
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val (sigs, bands) = bandIndexRows(history, textCol, idCol, nHashes, nBands, seed)
+    // band rows per doc = nBands, so the modulus derives from docs × nBands
+    // (or the install's explicit growth sizing) — see the layout note above
+    val mod = bpMod.getOrElse(indexDirCount(history.count() * nBands))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    writeLayout(spark, path, mod)
+    val (sigs, bands) = bandIndexRows(history, textCol, idCol, nHashes, nBands, seed, mod)
     graft.sinks.Sinks.publishDir(sigs, s"$path/sigs", s"batch=$generation")
     graft.sinks.Sinks.publishDir(bands, s"$path/bands", s"batch=$generation",
       partitionBy = Seq("bp"))
@@ -821,7 +882,8 @@ object Dedup {
       nHashes: Int = 64,
       nBands: Int = 4,
       seed: Long = 42L): Boolean = {
-    val (sigs, bands) = bandIndexRows(accepted, textCol, idCol, nHashes, nBands, seed)
+    val mod = readLayout(accepted.sparkSession, path)
+    val (sigs, bands) = bandIndexRows(accepted, textCol, idCol, nHashes, nBands, seed, mod)
     graft.sinks.Sinks.publishDir(sigs, s"$path/sigs", s"batch=$generation")
     graft.sinks.Sinks.publishDir(bands, s"$path/bands", s"batch=$generation",
       partitionBy = Seq("bp"))
@@ -877,7 +939,7 @@ object Dedup {
     }
     val batchBands = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
     // Partition pruning first, row pruning second. The batch's distinct
-    // band PREFIXES (≤ 256 two-hex-char values — a model-sized driver
+    // band PREFIXES (≤ the index's recorded modulus — a model-sized driver
     // action over the persisted batch signatures, same class as the q67
     // isin move) become a literal `bp IN (...)` predicate, so the scan
     // lists and reads only the bp directories the batch can collide with;
@@ -885,9 +947,10 @@ object Dedup {
     // them. A small batch probes a handful of directories instead of
     // file-scanning the full band table (the round-8 q78 gap); a corpus-
     // sized batch degrades gracefully to the old full scan.
+    val mod = readLayout(spark, path)
     val prefixes = batchBands
-      .select(substring(col("band"), 1, BandPrefixLen).as("bp"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .select(prefixCol(col("band"), mod).as("bp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     val collisions = spark.read.parquet(s"$path/bands")
       .filter(col("bp").isin(prefixes: _*))
       .select(col("band"), col("doc_id").as("hist_id"))
@@ -954,14 +1017,20 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val inFp = incoming.withColumn("__fp", Text.fingerprintBinary(col(textCol)))
+    // persisted: the prefix collect below and the semi-join probe both need
+    // the batch's distinct fps — without the cache the prefix action would
+    // re-scan and re-hash the batch text a second time
     val batchFps = inFp.select("__fp").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // directory pruning before the semi-join row pruning: the batch's
-    // distinct fp PREFIXES (≤ 256 hex pairs, a model-sized driver action —
-    // the band index's bp move) become a literal fpp IN (...) partition
-    // predicate, so a small batch reads only the index directories its own
-    // fingerprints can land in instead of file-scanning all generations
-    val prefixes = batchFps.select(fpPrefix(col("__fp")).as("fpp"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    // distinct fp PREFIXES (≤ the index's recorded modulus, a model-sized
+    // driver action — the band index's bp move) become a literal
+    // fpp IN (...) partition predicate, so a small batch reads only the
+    // index directories its own fingerprints can land in instead of
+    // file-scanning all generations
+    val mod = readLayout(spark, path)
+    val prefixes = batchFps.select(prefixCol(col("__fp"), mod).as("fpp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     val collisions = spark.read.parquet(path)
       .filter(col("fpp").isin(prefixes: _*))
       .select(col("fp").as("__fp"))

@@ -72,7 +72,12 @@ object IngestPipeline {
       nBands: Int = 8,
       minEstJaccard: Double = 0.85,
       seed: Long = 42L,
-      maxBandCollisions: Int = 1000)
+      maxBandCollisions: Int = 1000,
+      // directory-count modulus for the band index built at bootstrap; None
+      // sizes it from the FIRST batch, so a production install expecting the
+      // corpus to grow far beyond it should set this explicitly (the modulus
+      // is part of the index install, like IVF's k)
+      bpMod: Option[Int] = None)
 
   /** Steady-state maintenance cadence for the ingest loop: every
     * `everyNBatches` committed batches, fold the lake's `__ver` partitions
@@ -222,7 +227,8 @@ object IngestPipeline {
       nearDup.foreach { cfg =>
         if (bandBootstrap)
           Dedup.writeBandIndex(accepted, paths.bandIndex, textCol, idCol,
-            cfg.nHashes, cfg.nBands, cfg.seed, generation = batchId)
+            cfg.nHashes, cfg.nBands, cfg.seed, generation = batchId,
+            bpMod = cfg.bpMod)
         else
           Dedup.appendBandIndex(accepted, paths.bandIndex, batchId, textCol, idCol,
             cfg.nHashes, cfg.nBands, cfg.seed)

@@ -411,10 +411,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("index probes partition-prune: a small batch reads a fraction of the index directories") {
-    // 300 distinct docs spread fingerprints over most of the 256 fpp
-    // prefixes (md5 first byte is uniform); a ONE-doc probe must select
-    // only its own prefix's directory, not the whole index — the numeric
-    // form of the PlanAuditSpec partition-filter assertions
+    // 300 distinct docs spread hashed prefixes over most of an explicit
+    // 64-way layout (the production-install sizing path); a ONE-doc probe
+    // must select only its own prefixes' directories, not the whole index
+    // — the numeric form of the PlanAuditSpec partition-filter assertions
     val h = docs((1L to 300L).map(i => i -> s"history document number $i"): _*)
     def leafScans(df: org.apache.spark.sql.DataFrame, marker: String) = {
       val phys = df.queryExecution.executedPlan match {
@@ -428,22 +428,26 @@ class DedupSpec extends SparkSpec {
     }
     locally {
       val idx = java.nio.file.Files.createTempDirectory("graft-fp-prune").toString + "/fpidx"
-      Dedup.writeFingerprintIndex(h, idx)
+      Dedup.writeFingerprintIndex(h, idx, bpMod = Some(64))
       val out = Dedup.dedupAgainstFingerprintIndex(spark, idx, docs(9001L -> "a fresh probe doc"))
       val scan = leafScans(out, "fpidx").head
       val selected = scan.selectedPartitions.partitionCount
-      // one probe doc = one fp prefix; the index spans ~200+ prefixes
+      // one probe doc = one fp prefix of 64; the index populates ~60+
       assert(selected <= 2, s"probe read $selected partitions — no directory pruning")
     }
     locally {
       val idx = java.nio.file.Files.createTempDirectory("graft-band-prune").toString + "/bandidx"
-      Dedup.writeBandIndex(h, idx, nBands = 16)
+      Dedup.writeBandIndex(h, idx, nBands = 16, bpMod = Some(64))
       val out = Dedup.dedupAgainstBandIndex(
         spark, idx, docs(9001L -> "a fresh probe doc"), nBands = 16, minEstJaccard = 0.5)
       val scan = leafScans(out, "bandidx").filter(_.schema.fieldNames.contains("band")).head
       val selected = scan.selectedPartitions.partitionCount
-      // one probe doc = ≤16 band prefixes vs the index's ~200+ populated
+      // one probe doc = ≤16 band prefixes of 64 vs the index's ~60+ populated
       assert(selected <= 16, s"probe read $selected partitions — no directory pruning")
     }
+    // an index built without an explicit modulus derives it from scale:
+    // small corpus → the 16-dir floor, not 256 near-empty directories
+    assert(Dedup.indexDirCount(300) == 16)
+    assert(Dedup.indexDirCount(300L << 20) == 256)
   }
 }
