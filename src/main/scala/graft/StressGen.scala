@@ -352,6 +352,60 @@ object StressGen {
       println(s"GRAFT_STRESS   serve-after-append vs in-memory full corpus: " +
         s"${served.count()} rows, symmetric diff $diff, identical=${diff == 0L}")
     }
+    // ---- round-9 family: the persisted dedup indexes at 10× — the
+    // steady-state ingest shape. The claim under test: once history lives
+    // in an index, probing a micro-batch must cost O(batch), not
+    // O(corpus), and must agree row-for-row with the text-rescanning form.
+    // A 500-doc batch against the 10× corpus makes the asymmetry visible
+    // in wall clock, not just in plan shape. ----
+    locally {
+      val fpIdx = s"$outDir/fp_index_stress"
+      val bandIdx = s"$outDir/band_index_stress"
+      fs.delete(new org.apache.hadoop.fs.Path(fpIdx), true)
+      fs.delete(new org.apache.hadoop.fs.Path(bandIdx), true)
+      time("fp index build (10x corpus, one-time)") {
+        functions.Dedup.writeFingerprintIndex(docs, fpIdx)
+      }
+      time("band index build (10x corpus, one-time)") {
+        functions.Dedup.writeBandIndex(docs, bandIdx, nHashes = 64, nBands = 8)
+      }
+      val nDocs10 = docs.agg(F.max("doc_id")).head.getLong(0) + 1
+      // 500 genuinely-fresh docs (token sets disjoint from the corpus; the
+      // probe excludes the batch's OWN ids from collisions, so their shared
+      // scaffold tokens are invisible) + 250 exact replays + 250
+      // near-replays (one token appended)
+      val batch = docs.filter(F.col("doc_id") % 100 === 1).limit(500)
+        .select((F.col("doc_id") + nDocs10).as("doc_id"),
+          F.concat(F.lit("genuinely fresh stress document number "),
+            F.col("doc_id")).as("text"))
+        .unionByName(docs.filter(F.col("doc_id") % 200 === 2).limit(250)
+          .select((F.col("doc_id") + 2 * nDocs10).as("doc_id"), F.col("text")))
+        .unionByName(docs.filter(F.col("doc_id") % 200 === 4).limit(250)
+          .select((F.col("doc_id") + 3 * nDocs10).as("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).as("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"GRAFT_STRESS   probe batch: ${batch.count()} docs vs $nd-doc corpus")
+      val viaIndex = time("fp probe via index (O(batch))") {
+        functions.Dedup.dedupAgainstFingerprintIndex(spark, fpIdx, batch).count()
+      }
+      val viaText = time("fp dedup via history text re-scan (O(corpus))") {
+        functions.Dedup.dedupAgainstHistory(docs, batch).count()
+      }
+      println(s"GRAFT_STRESS   exact-dedup survivors index=$viaIndex text=$viaText " +
+        s"equal=${viaIndex == viaText}")
+      val nearKept = time("band probe via index (near-dup, O(batch))") {
+        functions.Dedup.dedupAgainstBandIndex(spark, bandIdx, batch,
+          nHashes = 64, nBands = 8, minEstJaccard = 0.85,
+          maxBandCollisions = 1000).count()
+      }
+      // exact replays are caught by banding too (est 1.0), near-replays
+      // through the 8×8 bands; fresh docs carry a unique marker token but
+      // stay ≥96% similar to their originals — the replication's
+      // adversarial point is that the INDEX must separate "same doc plus
+      // one token" (drop) from "distinct near-boilerplate" (judge by est)
+      println(s"GRAFT_STRESS   near-dup survivors: $nearKept of ${batch.count()}")
+      batch.unpersist()
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()
