@@ -91,7 +91,7 @@ object SparkEntry {
       emb: DataFrame, dir: String, k: Int, iters: Int): String = {
     val fp = emb.agg(
       count(lit(1)), bit_xor(xxhash64(col("vec_id"), col("embedding")))).head()
-    s"$dir|${fp.get(0)}|${fp.get(1)}|k=$k|iters=$iters|quant=${graft.functions.Int8Ops.QuantizerVersion}"
+    s"$dir|${fp.get(0)}|${fp.get(1)}|k=$k|iters=$iters|quant=${graft.functions.Int8Ops.QuantizerVersion}|km=${Similarity.KmeansVersion}"
   }
 
   /** Train + persist the IVF index at `fixture` unless the stamp already
@@ -184,6 +184,45 @@ object SparkEntry {
       stampFixture(fixture, stamp)
     }
     fixture
+  }
+
+  /** q79 diagnostic sidecar (round-9 verdict #1a): one JSON string that
+    * pins everything the hash gate can disagree about — the fixture's
+    * on-disk identity (stamp + data file count), the per-cell list sizes
+    * the skew stats derive from, and the engine's RAW recall inputs
+    * (hits, nq, recall×10⁴) behind the thresholded `recall_ok` the query
+    * emits. One read of this artifact attributes any future q79 mismatch
+    * to fixture build-divergence (stamp/file/cell rows differ), read-
+    * divergence (cells agree, stats don't), or the recall envelope (raw
+    * recall near the 0.60 floor). Verify writes it next to the q79 dump.
+    */
+  private[graft] def q79Diagnostics(s: SparkSession, dir: String): String = {
+    val fixture = ensureAppendedIvfIndex(s, dir)
+    val stampPath = java.nio.file.Paths.get(fixture, "_GRAFT_STAMP")
+    val stamp =
+      if (java.nio.file.Files.exists(stampPath))
+        java.nio.file.Files.readString(stampPath)
+      else "<missing>"
+    val dataFiles = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(fixture))
+      try it.filter(p => p.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    val cells = s.read.parquet(s"$fixture/lists")
+      .select(col("cell_id"), col("vec_id")).distinct()
+      .groupBy("cell_id").agg(count(lit(1)).as("n"))
+      .orderBy("cell_id").collect()
+      .map(r => s"""[${r.get(0)},${r.getLong(1)}]""").mkString("[", ",", "]")
+    val k = 10
+    val rec = Similarity.ivfIndexRecall(
+        s, fixture, Tables.embeddings(s, dir).filter(col("vec_id") < 8),
+        nProbe = 4, k = k)
+      .agg(coalesce(sum(col("hits")), lit(0L)).as("h"), count(lit(1)).as("n")).head()
+    val (hits, nq) = (rec.getLong(0), rec.getLong(1))
+    val recallE4 = if (nq == 0) -1L else hits * 10000L / (nq * k)
+    s"""{"fixture":"$fixture","stamp":"${stamp.replace("\"", "\\\"")}",""" +
+      s""""data_files":$dataFiles,"cells":$cells,""" +
+      s""""hits":$hits,"nq":$nq,"k":$k,"recall_e4":$recallE4}"""
   }
 
   /** Pre-build the expensive write-once index fixtures so a bench run's

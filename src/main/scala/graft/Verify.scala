@@ -22,6 +22,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // q79 diagnostic sidecar (round-9 verdict): fixture stamp + per-cell
+    // sizes + raw recall, so any driver-side hash mismatch is attributable
+    // in one read. `_`-prefixed → invisible to the driver's query globs.
+    try Files.writeString(Paths.get(s"$outDir/_q79_diag.json"),
+      SparkEntry.q79Diagnostics(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] q79 diag failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

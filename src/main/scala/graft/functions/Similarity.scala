@@ -522,9 +522,21 @@ object Similarity {
     * zero (perfectly opposing pairs) keeps its previous centroid, like an
     * emptied cell.
     *
-    * This is a TRAINING procedure, not an oracled query: the mean uses
-    * float summation, so centroids are partition-order deterministic only
-    * to the last ulp — irrelevant for IVF cell quality.
+    * DETERMINISM (round-10, the q79 root cause): the update accumulates
+    * each unit-normalized component as a FIXED-POINT long (component ×
+    * 10⁸, rounded per row) and sums longs — long addition is exactly
+    * associative/commutative, so the trained model is bit-identical under
+    * ANY partitioning, thread count, or partial-aggregate merge order.
+    * The previous double `sum` made every rebuild a slightly different
+    * model (partial sums merge in completion order), which meant an index
+    * fixture rebuilt in a different environment could serve different
+    * cell assignments — and a recall gate measured against it could flip.
+    * Quantizing at 1e-8 is below float32's own resolution for unit-vector
+    * components, so model quality is unaffected; the long sum overflows
+    * only past ~9×10¹⁰ members per (cell, dim), far beyond any real cell
+    * (and a 100 TB trainer samples its training slice anyway).
+    * [[KmeansVersion]] names this accumulation scheme so index fixture
+    * stamps can fold it in and rebuild stale float-summed models.
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -542,7 +554,9 @@ object Similarity {
         .withColumn("cell_id", nearestCentroid(col(embCol), centsIdx))
         .filter(nrm > 0)
         .select(col("cell_id"),
-          posexplode(transform(col(embCol), x => x.cast("double") / nrm)).as(Seq("dim", "v")))
+          posexplode(transform(col(embCol),
+            x => round(x.cast("double") / nrm * KmeansScale).cast("long")))
+            .as(Seq("dim", "v")))
         .groupBy("cell_id", "dim")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -551,9 +565,10 @@ object Similarity {
       sums.foreach { case (cell, rows) =>
         // all-dims-zero mean = no direction information; keep the previous
         // centroid for this cell (same policy as an emptied cell)
-        if (rows.exists(r => math.abs(r.getDouble(2)) > 0.0)) {
+        if (rows.exists(_.getLong(2) != 0L)) {
           rows.foreach { r =>
-            next(cell)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+            next(cell)(r.getInt(1)) =
+              (r.getLong(2).toDouble / KmeansScale / r.getLong(3)).toFloat
           }
         }
       }
@@ -561,6 +576,19 @@ object Similarity {
     }
     cents
   }
+
+  /** Fixed-point scale for the [[kmeansCentroids]] update accumulator:
+    * unit-vector components quantize to 1e-8 (below float32 resolution),
+    * and the exact long sum overflows only past ~9×10¹⁰ cell members.
+    */
+  val KmeansScale: Long = 100000000L
+
+  /** Names the centroid-accumulation scheme; index fixture stamps fold
+    * this in so a model trained under the pre-round-10 float summation is
+    * rebuilt rather than served (see the determinism note on
+    * [[kmeansCentroids]]).
+    */
+  val KmeansVersion = "kmeans-fx8-v2"
 
   /** Assignment table for trained centroids: (idCol, cell_id). */
   def kmeansAssign(

@@ -29,6 +29,31 @@ class SimilaritySpec extends SparkSpec {
     assert(cellsPerCone.flatten.toSet.size == 3)
   }
 
+  test("kmeansCentroids is bit-identical under any partitioning (q79 root cause)") {
+    import spark.implicits._
+    // messy, varying-norm vectors so float-sum order WOULD have mattered:
+    // pre-round-10 double accumulation diverged in the last ulp between
+    // partitionings, which across two Lloyd's iterations could flip
+    // assignments — fixed-point long sums are exactly order-invariant
+    val rows = (0 until 97).map { i =>
+      val v = Array.tabulate(16) { d =>
+        (math.sin(i * 31 + d * 7).toFloat * (1 + (i % 5))) / (1 + d % 3)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Seq(1, 3, 13, 32).map { p =>
+      Similarity.kmeansCentroids(df.repartition(p), k = 5, iters = 3)
+    }
+    trained.tail.foreach { t =>
+      assert(t.length == trained.head.length)
+      t.zip(trained.head).zipWithIndex.foreach { case ((a, b), c) =>
+        assert(java.util.Arrays.equals(a, b),
+          s"centroid $c differs across partitionings")
+      }
+    }
+  }
+
   test("ivfTopKWithCentroids: trained k-means centroids slot into IVF; nProbe=1 exact on separated clusters") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
