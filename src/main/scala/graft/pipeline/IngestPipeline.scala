@@ -173,7 +173,13 @@ object IngestPipeline {
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(paths.fpIndex), spark.sparkContext.hadoopConfiguration)
-    val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(paths.fpIndex))
+    // readable-index detection, NOT bare fs.exists: a build that crashed
+    // between its layout write and the first generation's atomic publish
+    // leaves a layout-only directory, and probing it throws on the
+    // data-less read — every replay would then crash identically instead
+    // of re-running the bootstrap build (round-9 advice; the builders
+    // delete the debris when they rebuild)
+    val bootstrap = !Dedup.fingerprintIndexReadable(spark, paths.fpIndex)
     val afterExact =
       if (bootstrap) intra
       else Dedup.dedupAgainstFingerprintIndex(spark, paths.fpIndex, intra, textCol, idCol)
@@ -185,7 +191,7 @@ object IngestPipeline {
     // dedupAgainstBandIndex excludes the batch's own ids from collisions,
     // so acceptance recomputes identically in every crash window.
     val bandBootstrap = nearDup.isDefined &&
-      !fs.exists(new org.apache.hadoop.fs.Path(paths.bandIndex))
+      !Dedup.bandIndexReadable(spark, paths.bandIndex)
     val accepted = (nearDup match {
       case Some(cfg) if !bandBootstrap =>
         Dedup.dedupAgainstBandIndex(spark, paths.bandIndex, afterExact, textCol, idCol,

@@ -67,6 +67,44 @@ class DedupSpec extends SparkSpec {
     assert(arr == wide.productIterator.toSeq)
   }
 
+  test("native minhash signature is bit-equal to the explode+aggregate form") {
+    // the pre-round-10 shape, inlined as the reference: explode distinct
+    // tokens -> h = pmod(tokenHash64, p) -> 64 min(pmod(h*a+b, p)) aggs
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha alpha alpha beta",  // duplicate tokens: min is idempotent
+      3L -> "",                        // split("") = [""] -> one empty token
+      4L -> "solo")
+    val nHashes = 64
+    val p = Dedup.minhashP
+    val exploded = d
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(graft.functions.Text.tokens(col("text")))).as("tok"))
+      .select(col("id"), pmod(Dedup.tokenHash64(col("tok")), lit(p)).as("h"))
+    val aggs = (0 until nHashes).map { i =>
+      val (a, b) = Dedup.minhashCoeffs(i, 42L)
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    val expected = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = Dedup.minhashSignatures(d, "text", "doc_id", nHashes, 42L)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == expected)
+  }
+
+  test("native minhash signature: null text drops the row; empty token array is null") {
+    val d = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ids = Dedup.minhashSignatures(d, "text", "doc_id", 16, 42L)
+      .select("id").as[Long].collect().toSeq
+    assert(ids == Seq(1L)) // null-text doc vanishes, like the explode form
+    val emptyToks = Seq((9L, Seq.empty[String])).toDF("doc_id", "toks")
+      .select(col("doc_id"),
+        graft.functions.MinHash.signatureNative(col("toks"), 16, 42L).as("sig"))
+    assert(emptyToks.filter(col("sig").isNull).count() == 1)
+  }
+
   test("simhashSignatures: identical docs equal, near docs close in hamming distance") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val d = docs(
@@ -253,6 +291,44 @@ class DedupSpec extends SparkSpec {
     assert(!Dedup.appendFingerprintIndex(acc1Rows, idx, generation = 1L))
     assert(Dedup.dedupAgainstFingerprintIndex(spark, idx, b2)
       .select("doc_id").as[Long].collect().toSeq == Seq(22L))
+  }
+
+  test("index readability: layout-only debris reads as bootstrap, not as an index") {
+    // the crash window between mkdirs+writeLayout and the first
+    // generation's atomic publish leaves only _GRAFT_LAYOUT — detection by
+    // bare fs.exists would send a replay down the probe path, which throws
+    // on the data-less read and crash-loops forever (round-9 advice)
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-debris").toString
+    val fpDebris = s"$root/fp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fpDebris))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fpDebris, "_GRAFT_LAYOUT"), "mod=16")
+    assert(!Dedup.fingerprintIndexReadable(spark, fpDebris))
+    assert(!Dedup.fingerprintIndexReadable(spark, s"$root/never-created"))
+    val fpReal = s"$root/fp-real"
+    Dedup.writeFingerprintIndex(docs(1L -> "hello"), fpReal)
+    assert(Dedup.fingerprintIndexReadable(spark, fpReal))
+
+    // band index: a sigs-only prefix (crash between the two publishes) is
+    // also bootstrap — the probe would throw on the missing bands table
+    val bandReal = s"$root/band"
+    Dedup.writeBandIndex(docs(1L -> "hello world one two"), bandReal)
+    assert(Dedup.bandIndexReadable(spark, bandReal))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(bandReal), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bandReal/bands"), true)
+    assert(!Dedup.bandIndexReadable(spark, bandReal))
+  }
+
+  test("index probes leave no cache entries behind (steady-state ingest loop)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-nocache").toString
+    Dedup.writeFingerprintIndex(docs(1L -> "seen before"), s"$root/fp")
+    Dedup.writeBandIndex(docs(1L -> "alpha beta gamma delta"), s"$root/band")
+    spark.catalog.clearCache()
+    Dedup.dedupAgainstFingerprintIndex(spark, s"$root/fp", docs(2L -> "fresh")).count()
+    Dedup.dedupAgainstBandIndex(spark, s"$root/band", docs(2L -> "epsilon zeta")).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a probe registered a cached relation it never unpersists — one leak per micro-batch")
   }
 
   test("fingerprint-index fold: one generation dir survives, probes unchanged, crash windows benign") {
