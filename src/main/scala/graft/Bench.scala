@@ -133,8 +133,34 @@ object Bench {
     val passA = runPass("A")
     val passB = runPass("B")
     val firstByName = passA.toMap
+    // Contention-resilient third pass (round-9 verdict #4): when a query's
+    // two passes disagree >2x, an ambient-load window likely landed on one
+    // of them — and if it landed on parts of BOTH (the r8/r9 driver runs),
+    // the min is still inflated. Re-run those queries once more and take
+    // the min of three. Guards: only queries whose CURRENT min exceeds
+    // 0.3 s (sub-0.3 s disagreement is scheduler jitter, not contention),
+    // capped at 12 reruns from the slowest down (bounds added wall time),
+    // each reported with its own canary sample so the artifact shows the
+    // conditions the rerun ran under.
+    val disagree = passA.zip(passB).collect {
+      case ((name, t1), (_, t2))
+        if t1 >= 0 && t2 >= 0 &&
+          math.max(t1, t2) > 2 * math.min(t1, t2) &&
+          math.min(t1, t2) > 0.3 => (name, math.min(t1, t2))
+    }.sortBy(-_._2).take(12).map(_._1)
+    val thirdPass = disagree.zipWithIndex.map { case (name, i) =>
+      canary(s"R:$i")
+      val t = runOnce(name, SparkEntry.queries(name))
+      spark.catalog.clearCache()
+      (name, t)
+    }.toMap
     val results = passA.zip(passB).map { case ((name, t1), (_, t2)) =>
-      val best = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
+      val best =
+        if (t1 < 0 || t2 < 0) -1.0
+        else thirdPass.get(name) match {
+          case Some(t3) if t3 >= 0 => math.min(math.min(t1, t2), t3)
+          case _ => math.min(t1, t2)
+        }
       (name, best, firstByName(name))
     }
     // millisecond precision: sub-ms digits are noise, and the emitted line
@@ -146,12 +172,6 @@ object Bench {
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // stdout variant: min map ordered slowest-first, so when the driver's
-    // 2000-char tail window clips the map's head, what is lost is the
-    // cheapest (least diagnostic) queries, not the graded heavy ones
-    val qsBySlowest = results.sortBy(-_._2)
-      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qsFirst = results.map { case (k, _, t1) => s"\"" + k + "\":" + fmt(t1) }
       .mkString("{", ",", "}")
@@ -186,25 +206,32 @@ object Bench {
     val canaryElevated = warmCanary.nonEmpty && warmCanary.min > quietMax
     val canaryNoisy = canarySpiky || canaryElevated
     val canaryAtJson = canaryAt.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Field order is deliberate: the driver archives only the LAST 2000
-    // chars of output (every round's BENCH_r*.json has parsed:null with a
-    // mid-line tail), so the min-of-two "queries" map — the graded number —
-    // goes at the END of the line where the tail window preserves it, and
-    // the first-pass map (diagnostic only) sits earlier where truncation
-    // costs nothing. The STDOUT line additionally drops the canary_at
-    // labels (~350 chars) so the whole min map + sf fits inside the tail
-    // window; the full artifact including canary_at is written to
-    // BENCH_OUT.json, which is git-tracked as the citable evidence.
-    def render(forTail: Boolean): String = {
-      val at = if (forTail) "" else s""""canary_at":$canaryAtJson,"""
-      val minMap = if (forTail) qsBySlowest else qs
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_first":$qsFirst,"canary":$canaryJson,$at"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_quiet_max":${fmt(quietMax)},"failed":$failed,"queries":$minMap,"sf":"$sfDir"}"""
+    val rerunMap = disagree.map { n =>
+      s"\"" + n + "\":" + fmt(thirdPass.getOrElse(n, -1.0))
+    }.mkString("{", ",", "}")
+    // Full artifact: every pass, all 80 queries, canary series + labels.
+    // Written to BENCH_OUT.json (git-tracked, the citable evidence) and
+    // printed as the bare stdout line (round-1 contract, for any consumer
+    // capturing full stdout).
+    def renderFull: String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_first":$qsFirst,"canary":$canaryJson,"canary_at":$canaryAtJson,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_quiet_max":${fmt(quietMax)},"reruns":$rerunMap,"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // Compact tail line (round-9 verdict #3): the driver archives only the
+    // LAST 2000 chars of stdout, and three rounds of full-map lines never
+    // fit — BENCH_r07..r09 all have parsed:null with a tail decapitated
+    // mid-key. This line carries total, failure list, noise verdict, the
+    // TOP-10 slowest mins (the graded heavy queries) and the artifact path
+    // in well under 1500 chars, and is printed LAST so the tail window
+    // always contains it whole. The full 80-query map lives in the
+    // artifact file it points to.
+    def renderCompact: String = {
+      val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+        .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"rerun_count":${disagree.size},"queries":$top10,"artifact":"$outFile","sf":"$sfDir"}"""
     }
-    Files.writeString(Paths.get(outFile), render(forTail = false) + "\n")
-    // Two stdout forms: the bare line (round-1 contract) and a uniquely
-    // prefixed copy the driver can grep out of sbt's [info]-wrapped stdout.
-    println(render(forTail = false))
-    println("GRAFT_BENCH " + render(forTail = true))
+    Files.writeString(Paths.get(outFile), renderFull + "\n")
+    println(renderFull)
+    println("GRAFT_BENCH " + renderCompact)
     spark.stop()
   }
 }
