@@ -53,6 +53,7 @@ object IngestPipeline {
     */
   final case class IngestPaths(root: String) {
     val docLake: String = s"$root/doc_lake"
+    val embLake: String = s"$root/emb_lake"
     val fpIndex: String = s"$root/fp_index"
     val ivfIndex: String = s"$root/ivf_index"
     val bandIndex: String = s"$root/band_index"
@@ -94,7 +95,50 @@ object IngestPipeline {
     * assumption) and is crash-safe mid-fold: the lake fold is intent-
     * logged, the index folds are swap-in + startup recovery.
     */
-  final case class MaintenanceConfig(everyNBatches: Int = 8)
+  final case class MaintenanceConfig(
+      everyNBatches: Int = 8,
+      ivfHealth: Option[IvfHealthConfig] = None)
+
+  /** Drift monitor thresholds for the served IVF index, run on the
+    * maintenance cadence. Two trips, matching q79's gates:
+    *   - SKEW: `max_list × n_cells > maxSkewRatio × n_vecs` — frozen
+    *     centroids under a drifting corpus concentrate appends into few
+    *     cells, creeping probe cost toward O(corpus);
+    *   - RECALL: a sampled re-gate ([[Similarity.ivfIndexRecall]], the
+    *     `sampleQueries` lowest vec_ids of the float-embedding lake as the
+    *     deterministic probe set) below `minRecallPct` of k per query.
+    * Either trip triggers [[Similarity.migrateIvfIndex]] — retrain NEW
+    * centroids on the float-embedding lake (the int8 index cannot be
+    * re-quantized from itself; retaining the floats is the price of being
+    * able to migrate at all) and swap the rebuilt index in crash-safely.
+    * `retrainK = None` keeps the serving index's current cell count.
+    *
+    * Cost model at 100 TB: the skew stats are an ids-only aggregate over
+    * the lists table; the recall re-gate is one pass over the (4×-smaller)
+    * int8 lists per Ο(sample) probe rows — both bounded, run every
+    * `MaintenanceConfig.everyNBatches` cycles, not per serve. The
+    * migration is the one O(corpus) repair and only runs when tripped.
+    */
+  final case class IvfHealthConfig(
+      nProbe: Int = 4,
+      k: Int = 10,
+      sampleQueries: Int = 8,
+      maxSkewRatio: Int = 10,
+      minRecallPct: Int = 60,
+      retrainIters: Int = 5,
+      retrainK: Option[Int] = None)
+
+  /** One health-check outcome: the pre-repair telemetry plus whether the
+    * monitor tripped and the migration ran. */
+  final case class IvfHealthReport(
+      nCells: Long,
+      nVecs: Long,
+      maxList: Long,
+      skewOk: Boolean,
+      hits: Long,
+      nQueries: Long,
+      recallOk: Boolean,
+      migrated: Boolean)
 
   /** One maintenance round: fold committed lake partitions and index
     * generations up to the current manifest high-water mark. Idempotent;
@@ -102,12 +146,62 @@ object IngestPipeline {
     * [[MaintenanceConfig]] cadence, or a batch driver between ingest
     * calls).
     */
-  def maintain(spark: SparkSession, paths: IngestPaths): Unit = {
+  def maintain(
+      spark: SparkSession,
+      paths: IngestPaths,
+      health: Option[IvfHealthConfig] = None): Option[IvfHealthReport] = {
     val upTo = lastApplied(spark, paths)
     if (upTo >= 0L) {
       compactCommitted(spark, paths, upTo)
       compactIndexes(spark, paths, upTo)
+      health.flatMap(checkIvfHealth(spark, paths, _))
+    } else None
+  }
+
+  /** Run the drift monitor over the served IVF index and, when it trips,
+    * the [[Similarity.migrateIvfIndex]] repair — closing the loop frozen
+    * centroids leave open (q70 grows the index, q79 measures the cost of
+    * freezing, this wires measurement to repair). No-op (None) when no
+    * index is installed or no float-embedding corpus has been landed.
+    * Single-writer contract as the rest of the loop: runs from the
+    * foreachBatch cadence or a batch driver, never concurrent with appends.
+    */
+  def checkIvfHealth(
+      spark: SparkSession,
+      paths: IngestPaths,
+      cfg: IvfHealthConfig): Option[IvfHealthReport] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(paths.ivfIndex), spark.sparkContext.hadoopConfiguration)
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"${paths.ivfIndex}/cells"))
+    val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(paths.embLake))
+    if (!hasIndex || !hasCorpus) return None
+
+    // skew: ids-only distinct (the at-least-once append absorber) then an
+    // exact int64 aggregate — cheap relative to any serve
+    val sizes = spark.read.parquet(s"${paths.ivfIndex}/lists")
+      .select(col("cell_id"), col("vec_id")).distinct()
+      .groupBy("cell_id").agg(count(lit(1)).as("n"))
+    val s = sizes.agg(
+      count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+      max(col("n")).as("max_list")).head()
+    val (nCells, nVecs, maxList) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val skewOk = maxList * nCells <= nVecs * cfg.maxSkewRatio
+
+    // recall re-gate: deterministic sample — the lowest-id corpus vectors
+    val corpus = spark.read.parquet(paths.embLake).drop("__ver")
+    val probe = corpus.orderBy("vec_id").limit(cfg.sampleQueries)
+    val r = Similarity.ivfIndexRecall(spark, paths.ivfIndex, probe, cfg.nProbe, cfg.k)
+      .agg(coalesce(sum(col("hits")), lit(0L)), count(lit(1))).head()
+    val (hits, nq) = (r.getLong(0), r.getLong(1))
+    val recallOk = hits * 100 >= nq.toLong * cfg.k * cfg.minRecallPct
+
+    val tripped = !skewOk || !recallOk
+    if (tripped) {
+      val k = cfg.retrainK.getOrElse(nCells.toInt)
+      Similarity.migrateIvfIndex(spark, paths.ivfIndex, corpus, k, cfg.retrainIters)
     }
+    Some(IvfHealthReport(nCells, nVecs, maxList, skewOk, hits, nq, recallOk,
+      migrated = tripped))
   }
 
   /** Gopher/C4-shaped acceptance: keep docs whose [[Text.qualityBucket]] is
@@ -218,9 +312,14 @@ object IngestPipeline {
       // re-entry). With the rename there is no partial state to observe.
       Sinks.appendVersioned(accepted, paths.docLake, batchId)
       embedBatch.foreach { emb =>
+        val acceptedEmb = emb.join(
+          accepted.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
+        // float embeddings land in their own versioned lake (same dynamic-
+        // overwrite replay contract as the doc lake): the int8 IVF index
+        // cannot be re-quantized from itself, so the floats are what makes
+        // a health-tripped migrateIvfIndex possible at all
+        Sinks.appendVersioned(acceptedEmb, paths.embLake, batchId)
         if (fs.exists(new org.apache.hadoop.fs.Path(s"${paths.ivfIndex}/cells"))) {
-          val acceptedEmb = emb.join(
-            accepted.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
           Similarity.appendToIvfIndex(spark, paths.ivfIndex, acceptedEmb)
         }
       }
@@ -275,16 +374,24 @@ object IngestPipeline {
 
   private val VerPrefix = "__ver="
 
-  private def lakeFs(spark: SparkSession, paths: IngestPaths) =
-    org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(paths.docLake), spark.sparkContext.hadoopConfiguration)
+  /** One versioned lake the compaction protocol manages: the doc lake and
+    * the float-embedding lake share the identical `__ver=` layout and fold
+    * contract, differing only in location and intent-marker name (each lake
+    * owns its own marker so their crash recoveries are independent). */
+  private[pipeline] final case class LakeRef(lakePath: String, intentName: String)
+  private def docLakeRef(paths: IngestPaths) = LakeRef(paths.docLake, "_compact_intent")
+  private def embLakeRef(paths: IngestPaths) = LakeRef(paths.embLake, "_compact_intent_emb")
 
-  private def intentPath(paths: IngestPaths) =
-    new org.apache.hadoop.fs.Path(paths.root, "_compact_intent")
-  private def stageRoot(paths: IngestPaths) =
-    new org.apache.hadoop.fs.Path(paths.docLake + "__compact_tmp")
-  private def trashRoot(paths: IngestPaths) =
-    new org.apache.hadoop.fs.Path(paths.docLake + Sinks.OldSuffix)
+  private def lakeFs(spark: SparkSession, lake: LakeRef) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(lake.lakePath), spark.sparkContext.hadoopConfiguration)
+
+  private def intentPath(paths: IngestPaths, lake: LakeRef) =
+    new org.apache.hadoop.fs.Path(paths.root, lake.intentName)
+  private def stageRoot(lake: LakeRef) =
+    new org.apache.hadoop.fs.Path(lake.lakePath + "__compact_tmp")
+  private def trashRoot(lake: LakeRef) =
+    new org.apache.hadoop.fs.Path(lake.lakePath + Sinks.OldSuffix)
 
   /** The re-executable compaction plan the intent marker encodes: fold the
     * `deleteDirs` partitions (and any existing target partition) into
@@ -294,22 +401,25 @@ object IngestPipeline {
   private[pipeline] final case class CompactionIntent(upTo: Long, deleteDirs: Seq[String])
 
   private def writeIntent(
-      spark: SparkSession, paths: IngestPaths, intent: CompactionIntent): Unit = {
-    val fs = lakeFs(spark, paths)
-    val tmp = new org.apache.hadoop.fs.Path(intentPath(paths).toString + "__tmp")
+      spark: SparkSession, paths: IngestPaths, lake: LakeRef,
+      intent: CompactionIntent): Unit = {
+    val fs = lakeFs(spark, lake)
+    val marker = intentPath(paths, lake)
+    val tmp = new org.apache.hadoop.fs.Path(marker.toString + "__tmp")
     val out = fs.create(tmp, true)
     try out.write((intent.upTo.toString +: intent.deleteDirs).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(intentPath(paths))) fs.delete(intentPath(paths), false)
-    fs.rename(tmp, intentPath(paths))
+    if (fs.exists(marker)) fs.delete(marker, false)
+    fs.rename(tmp, marker)
   }
 
   private def readIntent(
-      spark: SparkSession, paths: IngestPaths): Option[CompactionIntent] = {
-    val fs = lakeFs(spark, paths)
-    if (!fs.exists(intentPath(paths))) None
+      spark: SparkSession, paths: IngestPaths, lake: LakeRef): Option[CompactionIntent] = {
+    val fs = lakeFs(spark, lake)
+    val marker = intentPath(paths, lake)
+    if (!fs.exists(marker)) None
     else {
-      val in = fs.open(intentPath(paths))
+      val in = fs.open(marker)
       val lines =
         try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
         finally in.close()
@@ -323,9 +433,14 @@ object IngestPipeline {
     * window; production callers use [[compactCommitted]].
     */
   private[pipeline] def stageCompaction(
-      spark: SparkSession, paths: IngestPaths, upToBatch: Long): Option[CompactionIntent] = {
-    val fs = lakeFs(spark, paths)
-    val lake = new org.apache.hadoop.fs.Path(paths.docLake)
+      spark: SparkSession, paths: IngestPaths, upToBatch: Long): Option[CompactionIntent] =
+    stageCompaction(spark, paths, docLakeRef(paths), upToBatch)
+
+  private def stageCompaction(
+      spark: SparkSession, paths: IngestPaths, lakeRef: LakeRef,
+      upToBatch: Long): Option[CompactionIntent] = {
+    val fs = lakeFs(spark, lakeRef)
+    val lake = new org.apache.hadoop.fs.Path(lakeRef.lakePath)
     if (!fs.exists(lake)) return None
     val eligible = fs.listStatus(lake).map(_.getPath.getName)
       .filter(_.startsWith(VerPrefix))
@@ -335,15 +450,15 @@ object IngestPipeline {
     // partition pruning keeps this read to the eligible directories; the
     // partition column itself lives in the directory name, so the staged
     // files must not carry it
-    val consolidated = spark.read.parquet(paths.docLake)
+    val consolidated = spark.read.parquet(lakeRef.lakePath)
       .filter(col("__ver").cast("long") <= upToBatch)
       .drop("__ver")
-    fs.delete(stageRoot(paths), true)
+    fs.delete(stageRoot(lakeRef), true)
     consolidated.write.parquet(
-      new org.apache.hadoop.fs.Path(stageRoot(paths), s"$VerPrefix$upToBatch").toString)
+      new org.apache.hadoop.fs.Path(stageRoot(lakeRef), s"$VerPrefix$upToBatch").toString)
     val intent = CompactionIntent(
       upToBatch, eligible.filterNot(_ == s"$VerPrefix$upToBatch"))
-    writeIntent(spark, paths, intent)
+    writeIntent(spark, paths, lakeRef, intent)
     Some(intent)
   }
 
@@ -352,20 +467,27 @@ object IngestPipeline {
     * marker and staging/trash dirs.
     */
   private[pipeline] def finishCompaction(
-      spark: SparkSession, paths: IngestPaths, intent: CompactionIntent): Unit = {
-    val fs = lakeFs(spark, paths)
+      spark: SparkSession, paths: IngestPaths, intent: CompactionIntent): Unit =
+    finishCompaction(spark, paths, docLakeRef(paths), intent)
+
+  private def finishCompaction(
+      spark: SparkSession, paths: IngestPaths, lakeRef: LakeRef,
+      intent: CompactionIntent): Unit = {
+    val fs = lakeFs(spark, lakeRef)
     val dirName = s"$VerPrefix${intent.upTo}"
-    val staged = new org.apache.hadoop.fs.Path(stageRoot(paths), dirName)
-    val live = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(paths.docLake), dirName)
-    val trash = new org.apache.hadoop.fs.Path(trashRoot(paths), dirName)
+    val staged = new org.apache.hadoop.fs.Path(stageRoot(lakeRef), dirName)
+    val live = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(lakeRef.lakePath), dirName)
+    val trash = new org.apache.hadoop.fs.Path(trashRoot(lakeRef), dirName)
     if (fs.exists(staged)) Sinks.swapIn(fs, staged, live, trash = Some(trash))
     else Sinks.recoverSwap(fs, live, trash)
     intent.deleteDirs.foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(paths.docLake), d), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(lakeRef.lakePath), d), true)
     }
-    fs.delete(intentPath(paths), false)
-    fs.delete(stageRoot(paths), true)
-    fs.delete(trashRoot(paths), true)
+    fs.delete(intentPath(paths, lakeRef), false)
+    fs.delete(stageRoot(lakeRef), true)
+    fs.delete(trashRoot(lakeRef), true)
   }
 
   /** Finish any compaction a crash interrupted. A no-op without an intent
@@ -375,9 +497,11 @@ object IngestPipeline {
     * [[Sinks.recoverPartitions]]).
     */
   def recoverCompaction(spark: SparkSession, paths: IngestPaths): Unit = {
-    readIntent(spark, paths) match {
-      case Some(intent) => finishCompaction(spark, paths, intent)
-      case None => lakeFs(spark, paths).delete(stageRoot(paths), true)
+    Seq(docLakeRef(paths), embLakeRef(paths)).foreach { lakeRef =>
+      readIntent(spark, paths, lakeRef) match {
+        case Some(intent) => finishCompaction(spark, paths, lakeRef, intent)
+        case None => lakeFs(spark, lakeRef).delete(stageRoot(lakeRef), true)
+      }
     }
     // the index folds' crash windows (a swap interrupted between its two
     // renames parks the live generation dir in __old): restore on startup,
@@ -420,7 +544,10 @@ object IngestPipeline {
     require(upToBatch <= lastApplied(spark, paths),
       s"compaction of uncommitted batches (upTo=$upToBatch > manifest=${lastApplied(spark, paths)})")
     recoverCompaction(spark, paths)
-    stageCompaction(spark, paths, upToBatch).foreach(finishCompaction(spark, paths, _))
+    Seq(docLakeRef(paths), embLakeRef(paths)).foreach { lakeRef =>
+      stageCompaction(spark, paths, lakeRef, upToBatch)
+        .foreach(finishCompaction(spark, paths, lakeRef, _))
+    }
   }
 
   /** Streaming entry: the same transaction driven by foreachBatch. The
@@ -459,7 +586,7 @@ object IngestPipeline {
         // drifting the schedule.
         maintenance.foreach { m =>
           if (batchId > 0 && batchId % m.everyNBatches.toLong == 0) {
-            maintain(batch.sparkSession, paths)
+            maintain(batch.sparkSession, paths, m.ivfHealth)
           }
         }
         ()

@@ -420,4 +420,75 @@ class IngestPipelineSpec extends SparkSpec {
       assert(!after.contains(9002L), "near-replay must drop via the folded band index")
     } finally q.stop()
   }
+
+  test("ivf health monitor trips on drift and the loop migrates + serves correctly") {
+    val p = tmpRoot()
+    val dims = 16
+    def oneHot(i: Int): Seq[Float] =
+      Seq.tabulate(dims)(d => if (d == i) 1f else 0f)
+    // drift vector j: dominated by e0 with a DISTINCT strong secondary
+    // component — pre-migration every one of them assigns to cell 0
+    // (cos≈0.75 with e0 beats cos≈0.65 with its secondary one-hot), so
+    // appends concentrate; post-retrain the secondaries separate them
+    def drift(j: Int): Seq[Float] = {
+      val sec = 1 + (j % (dims - 1))
+      val w = 0.85f + 0.005f * (j / (dims - 1)) // unique weight per cycle
+      Seq.tabulate(dims)(d => if (d == 0) 1f else if (d == sec) w else 0f)
+    }
+    def docText(id: Long): String =
+      (0 until 7).map(t => s"hx${id}t$t").mkString(" ")
+    def docsDf(ids: Seq[Long]) =
+      ids.map(i => (i, docText(i))).toDF("doc_id", "text")
+    def embDf(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+
+    // batch 0: the initial corpus — one vector per cell, HIGH ids (so a
+    // later retrain's lowest-id init seeds from the drifted mass instead
+    // of re-anchoring on the original one-hots)
+    val initIds = (0 until dims).map(i => 1000L + i)
+    IngestPipeline.ingestBatch(spark, p, docsDf(initIds), 0L,
+      embedBatch = Some(embDf(initIds.zipWithIndex.map { case (id, i) => (id, oneHot(i)) })))
+    // install the served index: trained on the corpus so far (balanced)
+    Similarity.writeIvfIndex(
+      spark.read.parquet(p.embLake).drop("__ver"),
+      (0 until dims).map(i => oneHot(i).toArray).toArray, p.ivfIndex)
+
+    // batches 1-3: the corpus drifts — 48 vectors, all nearest e0
+    for (b <- 1 to 3) {
+      val ids = (0 until dims).map(i => ((b - 1) * dims + i).toLong)
+      IngestPipeline.ingestBatch(spark, p, docsDf(ids), b.toLong,
+        embedBatch = Some(embDf(ids.map(id => (id, drift(id.toInt))))))
+    }
+    val lists = spark.read.parquet(s"${p.ivfIndex}/lists")
+    assert(lists.filter(col("cell_id") === 0).count() == 49,
+      "every drifted append must have concentrated into cell 0")
+
+    // the maintenance cadence runs the monitor: skew trips
+    // (49 × 16 = 784 > 10 × 64), the loop migrates
+    val report = IngestPipeline.maintain(
+      spark, p, Some(IngestPipeline.IvfHealthConfig())).get
+    assert(!report.skewOk && report.migrated)
+    assert(report.nCells == 16 && report.nVecs == 64 && report.maxList == 49)
+
+    // the migrated index holds exactly the accepted corpus, retrained on
+    // the float-embedding lake: the drifted mass now separates by its
+    // secondary components, so the SAME monitor comes back healthy and
+    // does not re-migrate
+    val migrated = spark.read.parquet(s"${p.ivfIndex}/lists")
+    assert(migrated.select("vec_id").as[Long].collect().toSeq.sorted ==
+      ((0L until 48L) ++ initIds).sorted)
+    val after = IngestPipeline.checkIvfHealth(
+      spark, p, IngestPipeline.IvfHealthConfig()).get
+    assert(after.skewOk && after.recallOk && !after.migrated,
+      s"monitor must be healthy after migration: $after")
+
+    // ...and the migrated index SERVES correctly: probing all cells equals
+    // the exhaustive int8 ranking (recall k × nq exactly)
+    val probes = spark.read.parquet(p.embLake).drop("__ver")
+      .filter(col("vec_id") < 3)
+    val hits = Similarity.ivfIndexRecall(spark, p.ivfIndex, probes, nProbe = dims, k = 5)
+      .agg(sum("hits")).head().getLong(0)
+    assert(hits == 3L * 5L, "full-probe serve must equal the exhaustive ranking")
+  }
 }
