@@ -30,8 +30,23 @@ object GraftSession {
       master: Option[String] = None,
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
       rocksDbStateStore: Boolean = false): SparkSession.Builder = {
-    val b = SparkSession.builder()
-      .appName(appName)
+    val b = semanticDefaults(SparkSession.builder().appName(appName))
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val b2 = if (rocksDbStateStore) b.config(StateStoreProviderKey, RocksDbProvider) else b
+    master.fold(b2)(b2.master)
+  }
+
+  /** Deployment flavor ([[graft.Submit]]): ONLY the engine's semantic
+    * defaults — no master, no shuffle-partition override — because builder
+    * `.config` outranks a `--properties-file`/`--conf`, and cluster shape
+    * (master URL, partitions ≈ 2-3× total cores, executor sizing) must
+    * stay with the submit conf where ops owns it.
+    */
+  def deployBuilder(appName: String): SparkSession.Builder =
+    semanticDefaults(SparkSession.builder().appName(appName))
+
+  private def semanticDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    b
       // deterministic timestamps across engines and sites
       .config("spark.sql.session.timeZone", "UTC")
       // AQE: runtime shuffle coalescing + skew-join splitting — the safety
@@ -39,7 +54,6 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // read the driver testdata's TIMESTAMP(NANOS) parquet
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // wide-aggregate plans (the 128-permutation MinHash signature) must
@@ -48,7 +62,4 @@ object GraftSession {
       .config("spark.sql.codegen.maxFields", "256")
       // native functions (cosine_sim) available in SQL
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    val b2 = if (rocksDbStateStore) b.config(StateStoreProviderKey, RocksDbProvider) else b
-    master.fold(b2)(b2.master)
-  }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{BatchPipeline, IngestPipeline, StreamPipeline}
+
+/** `spark-submit`-shaped deployment entry: the one class a standalone
+  * cluster runs, mirroring how the reference deploys its jobs (a
+  * spark-submit of one script per job from the cluster driver pod —
+  * `bigdata-project/k8s/app-deployment.yaml:113-121`). The cluster
+  * specifics (master URL, driver host/ports, executor sizing) live in the
+  * conf template `conf/graft-submit.conf` passed via
+  * `--properties-file`, NOT in code: [[main]] builds its session from
+  * whatever the submit provided (no `.master()` override — identical to
+  * how every production Spark app must behave), and only layers the
+  * engine's semantic defaults on top ([[GraftSession.builder]] minus
+  * master/partitions, which the conf owns at deploy time).
+  *
+  * Usage: `spark-submit --class graft.Submit --properties-file
+  * conf/graft-submit.conf graft.jar <job> key=value ...`
+  *
+  * Jobs (each a named composition the library already exposes):
+  *   - `batch`: one date-partition of the events lake through
+  *     [[BatchPipeline.run]] (the reference's spark_batch_v2 role).
+  *     Args: `lake=<dir> out=<dir> date=yyyy-MM-dd`.
+  *   - `stream`: a line-JSON event stream through [[StreamPipeline]]'s
+  *     single-pass fan-out (the spark_streaming_v2 role). Args:
+  *     `source=files|kafka`, `in=<dir>` (files) or
+  *     `brokers=…,topic=…` (kafka; connector jar at deploy time),
+  *     `out=<dir> checkpoint=<dir>`.
+  *   - `ingest`: the crash-safe exactly-once training-data ingest loop
+  *     ([[IngestPipeline.start]]) over a parquet file stream. Args:
+  *     `in=<dir> root=<dir> checkpoint=<dir>`, optional
+  *     `neardup=true maintainEvery=<n> ivfHealth=true`.
+  */
+object Submit {
+
+  /** job name → (session, options) runner. Streaming jobs return after
+    * starting their queries; [[main]] owns awaitAnyTermination. */
+  val jobs: Map[String, (SparkSession, Map[String, String]) => Unit] = Map(
+    "batch" -> { (spark, opt) =>
+      val r = BatchPipeline.run(
+        spark, req(opt, "lake"), req(opt, "out"), req(opt, "date"))
+      println(s"[graft.Submit] batch: detail=${r.detailRows} aggs=${r.aggTables}")
+    },
+    "stream" -> { (spark, opt) =>
+      val source = opt.getOrElse("source", "files")
+      val raw = source match {
+        case "files" =>
+          spark.readStream.format("text")
+            .load(req(opt, "in"))
+            .withColumnRenamed("value", "value")
+        case "kafka" =>
+          // connector topology is config: the jar arrives via the submit's
+          // --packages, exactly as the reference ships it
+          StreamPipeline.fromKafka(
+            spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", req(opt, "brokers"))
+              .option("subscribe", req(opt, "topic"))
+              .load())
+        case other => sys.error(s"unknown stream source '$other' (files|kafka)")
+      }
+      StreamPipeline.startFanOut(
+        StreamPipeline.decode(raw), req(opt, "out"), req(opt, "checkpoint"))
+      ()
+    },
+    "ingest" -> { (spark, opt) =>
+      val paths = IngestPipeline.IngestPaths(req(opt, "root"))
+      val nearDup =
+        if (opt.get("neardup").contains("true")) Some(IngestPipeline.NearDupConfig())
+        else None
+      val maintenance = opt.get("maintainEvery").map { n =>
+        IngestPipeline.MaintenanceConfig(
+          everyNBatches = n.toInt,
+          ivfHealth =
+            if (opt.get("ivfHealth").contains("true"))
+              Some(IngestPipeline.IvfHealthConfig())
+            else None)
+      }
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(req(opt, "in"))
+      IngestPipeline.start(
+        docs, paths, req(opt, "checkpoint"),
+        nearDup = nearDup, maintenance = maintenance)
+      ()
+    })
+
+  private def req(opt: Map[String, String], key: String): String =
+    opt.getOrElse(key, sys.error(s"missing required option '$key='"))
+
+  /** `key=value` args → map (first `=` splits; later `=` stay in the value). */
+  def parseArgs(args: Seq[String]): Map[String, String] =
+    args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"expected key=value, got '$a'")
+      a.take(i) -> a.drop(i + 1)
+    }.toMap
+
+  /** Parse a spark-defaults-format properties file (the conf template's
+    * format: `key value` per line, `#` comments) — used by the spec to
+    * assert the shipped template is well-formed, and usable by ops tooling
+    * that wants to inspect the deploy conf without a cluster.
+    */
+  def parseConf(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexWhere(Character.isWhitespace)
+        require(i > 0, s"expected 'key value', got '$l'")
+        l.take(i) -> l.drop(i).trim
+      }.toMap
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      s"usage: graft.Submit <job> [key=value ...]; jobs: ${jobs.keys.toSeq.sorted.mkString(", ")}")
+    val job = jobs.getOrElse(args.head,
+      sys.error(s"unknown job '${args.head}'; jobs: ${jobs.keys.toSeq.sorted.mkString(", ")}"))
+    val opts = parseArgs(args.toSeq.tail)
+    // No .master(), no partition override: the submit's conf owns cluster
+    // shape (builder .config would outrank the --properties-file, so the
+    // deploy builder sets only the engine's semantic defaults).
+    val spark = GraftSession.deployBuilder(s"graft-${args.head}").getOrCreate()
+    job(spark, opts)
+    if (spark.streams.active.nonEmpty) spark.streams.awaitAnyTermination()
+  }
+}

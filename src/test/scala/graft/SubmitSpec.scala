@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.sinks.Sinks
+
+/** The deployment entry ([[Submit]]) and its shipped conf template: the
+  * cluster is one `conf/submit.sh <job> k=v...` away, so the spec pins the
+  * pieces that must hold without a cluster — the template parses with the
+  * cluster-shape keys present, the arg grammar works, and each registered
+  * job dispatches the real composition (proven by running `batch` end to
+  * end through the registry on a local session).
+  */
+class SubmitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the shipped conf template parses and carries the cluster-shape keys") {
+    val text = new String(
+      Files.readAllBytes(Paths.get("conf/graft-submit.conf")), "UTF-8")
+    val conf = Submit.parseConf(text)
+    // the keys ops owns at deploy time; Submit must never override these
+    val required = Seq(
+      "spark.master", "spark.submit.deployMode",
+      "spark.driver.port", "spark.blockManager.port",
+      "spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
+    required.foreach { k =>
+      assert(conf.get(k).exists(_.nonEmpty), s"template missing $k")
+    }
+    assert(conf("spark.master").startsWith("spark://"),
+      "template mirrors the reference's standalone-cluster master")
+    assert(conf("spark.sql.shuffle.partitions").toInt >= 100,
+      "deploy partitions must be cluster-shaped, not local-shaped")
+  }
+
+  test("arg grammar: key=value with '=' in values; errors name the offender") {
+    assert(Submit.parseArgs(Seq("lake=s3a://x/y", "date=2026-08-14", "q=a=b")) ==
+      Map("lake" -> "s3a://x/y", "date" -> "2026-08-14", "q" -> "a=b"))
+    val e = intercept[IllegalArgumentException](Submit.parseArgs(Seq("boom")))
+    assert(e.getMessage.contains("boom"))
+  }
+
+  test("the job registry exposes the reference's deployable jobs") {
+    assert(Submit.jobs.keySet == Set("batch", "stream", "ingest"))
+  }
+
+  test("the batch job dispatches BatchPipeline end to end") {
+    val root = Files.createTempDirectory("graft-submit").toString
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "click", 50.0, """{"k": 4}""", "2024-01-01"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 6L, "purchase", 120.0, """{"k": 2}""", "2024-01-01"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "event_date")
+    Sinks.writePartitionedLake(events, "event_date", s"$root/lake")
+    Submit.jobs("batch")(spark, Map(
+      "lake" -> s"$root/lake", "out" -> s"$root/out", "date" -> "2024-01-01"))
+    assert(spark.read.parquet(s"$root/out/detail").count() == 2)
+    assert(spark.read.parquet(s"$root/out/type_stats").count() > 0)
+  }
+
+  test("a missing required option fails with the option's name") {
+    val e = intercept[RuntimeException](
+      Submit.jobs("batch")(spark, Map("lake" -> "/nope")))
+    assert(e.getMessage.contains("out"))
+  }
+}
