@@ -178,33 +178,26 @@ object Dedup {
     * bit, distinct-token hashes vote ±1 and the bit is set when the vote sum
     * is positive.
     *
-    * Same explode-aggregate shape as [[minhashSignaturesWide]] and for the
-    * same reason: one pass over (id, token-hash) rows through 60 codegen'd
-    * conditional-sum aggregates with map-side combine. The earlier per-row
-    * Column form re-walked the token-hash array through Spark's interpreted
-    * `aggregate` lambda 60 times per document.
+    * Computed per row by the native [[SimHashFingerprint]] expression —
+    * the fingerprint is a pure function of the document's own token set,
+    * so the previous explode-distinct → 60 conditional-sum HashAggregate
+    * shape (one row per distinct token through a shuffle) is replaced by
+    * one codegen'd loop per row, bit-equal by construction (the q27
+    * DuckDB oracle replicating the vote sums token by token is
+    * unchanged). Same rework as [[minhashSignatures]], round-10.
     *
-    * Output: (idCol, simhash).
+    * Output: (idCol, simhash); rows with null text are dropped, matching
+    * the explode form where a null array emitted no rows.
     */
   def simhashSignatures(
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      nBits: Int = 60): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-      .select(col(idCol), tokenHash64(col("tok")).as("h"))
-    val voteAggs = (0 until nBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$b")
-    }
-    val fingerprint = (0 until nBits)
-      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    exploded
-      .groupBy(idCol)
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col(idCol), fingerprint.as("simhash"))
-  }
+      nBits: Int = 60): DataFrame =
+    docs
+      .select(col(idCol),
+        SimHash.fingerprintNative(Text.tokens(col(textCol)), nBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Collapse near-duplicate candidate PAIRS into duplicate clusters:
     * every document connected through the pair graph gets the cluster's

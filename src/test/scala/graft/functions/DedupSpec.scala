@@ -105,6 +105,46 @@ class DedupSpec extends SparkSpec {
     assert(emptyToks.filter(col("sig").isNull).count() == 1)
   }
 
+  test("native simhash fingerprint is bit-equal to the explode+aggregate form") {
+    // the pre-round-10 shape, inlined as the reference: explode distinct
+    // tokens -> h = tokenHash64 -> 60 conditional-sum vote aggregates ->
+    // fingerprint bit b set iff vote b is positive
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha alpha alpha beta",  // duplicates must NOT double-vote
+      3L -> "",                        // split("") = [""] -> one empty token
+      4L -> "solo")
+    val nBits = 60
+    val exploded = d
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(graft.functions.Text.tokens(col("text")))).as("tok"))
+      .select(col("id"), Dedup.tokenHash64(col("tok")).as("h"))
+    val voteAggs = (0 until nBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val fingerprint = (0 until nBits)
+      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val expected = exploded.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("id"), fingerprint.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val native = Dedup.simhashSignatures(d, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(native == expected)
+  }
+
+  test("native simhash: null text drops the row; empty token array is null") {
+    val d = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ids = Dedup.simhashSignatures(d, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(1L))
+    val emptyToks = Seq((9L, Seq.empty[String])).toDF("doc_id", "toks")
+      .select(col("doc_id"),
+        graft.functions.SimHash.fingerprintNative(col("toks"), 60).as("fp"))
+    assert(emptyToks.filter(col("fp").isNull).count() == 1)
+  }
+
   test("simhashSignatures: identical docs equal, near docs close in hamming distance") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val d = docs(
