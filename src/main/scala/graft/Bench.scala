@@ -98,7 +98,12 @@ object Bench {
         -1.0
       }
     }
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q26,q78 times just the
+    // named prefixes (full-registry artifact runs leave it unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // Fixed canary: a 4M-row scan+agg of a real parquet table, ~0.1 s when
     // the box is quiet. Timed every `canaryEvery` queries in both passes so
     // an ambient-load window shows up as a spike in the emitted series.

@@ -485,7 +485,7 @@ object SparkEntry {
     "q26_minhash_pairs" -> { (s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")
     },
-    // ---- LLM-pipeline: SimHash fingerprints (explode-aggregate form) ----
+    // ---- LLM-pipeline: SimHash fingerprints (native per-row expression) ----
     "q27_simhash" -> { (s, dir) =>
       Dedup.simhashSignatures(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")

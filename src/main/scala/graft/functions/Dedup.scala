@@ -156,17 +156,14 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    // Agreement = positional equality count over the two signature arrays.
-    // This deliberately IS an interpreted higher-order function — the one
-    // place the repo's no-HOF rule inverts: it runs only on CANDIDATE PAIRS
-    // (a banding-bounded fraction of n², thousands of rows), where a
-    // 128-term codegen comparison ladder costs ~7 s of janino compile
-    // (measured) to save sub-millisecond interpreted evaluation. Corpus-
-    // scale passes (the signature aggregation) stay codegen'd.
-    val agree = aggregate(
-      zip_with(col("a_sig"), col("b_sig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0),
-      (acc, x) => acc + x)
+    // Agreement = positional equality count over the two signature arrays,
+    // via the native [[SigAgreeCount]] loop (round 10). The interpreted
+    // zip_with this replaces was adopted against a 128-term codegen
+    // comparison LADDER (~7 s janino compile); a loop expression has
+    // neither cost, and the "bounded candidate set" it banked on is 1.26M
+    // pairs at sf0.1 — the word-soup corpus packs over a thousand docs
+    // into single band buckets.
+    val agree = SigAgree.agreeCount(col("a_sig"), col("b_sig"))
     pairs
       .join(sig.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sig.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
@@ -1016,10 +1013,8 @@ object Dedup {
       .join(broadcast(pairs.select(col("hist_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("hist_id"), col("sig").as("h_sig"))
-    val agree = aggregate(
-      zip_with(col("b_sig"), col("h_sig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0),
-      (acc, x) => acc + x)
+    // native loop agreement, same rework as [[minhashPairs]] (round 10)
+    val agree = SigAgree.agreeCount(col("b_sig"), col("h_sig"))
     val nearIds = pairs
       .join(broadcast(histSigs), Seq("hist_id"))
       .join(sig.select(col("id"), col("sig").as("b_sig")), Seq("id"))

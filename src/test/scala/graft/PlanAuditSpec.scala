@@ -403,4 +403,30 @@ class PlanAuditSpec extends SparkSpec {
       "no df > threshold Filter feeding the vocabulary broadcast:\n" +
         p.linesIterator.filter(_.contains("Filter")).mkString("\n"))
   }
+
+  test("minhash/simhash signatures compute per row: no Generate, no aggregate, no exchange") {
+    // the round-10 claim behind the native expressions: a signature is a
+    // pure function of its own row, so the whole computation lives in one
+    // WholeStageCodegen stage — an explode (Generate), a HashAggregate or
+    // any Exchange in these plans means the per-token blowup came back
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Seq(
+      functions.Dedup.minhashSignatures(docs, "text", "doc_id", 64, 42L),
+      functions.Dedup.simhashSignatures(docs, "text", "doc_id")
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      Seq("Generate", "HashAggregate", "Exchange").foreach { op =>
+        assert(!p.contains(op), s"signature plan contains $op:\n${p.take(800)}")
+      }
+      // executedPlan.toString renders codegen stages as "*(n)" prefixes
+      assert(p.contains("*(1)"), p.take(400))
+    }
+  }
+
+  test("q27: the whole simhash query's only exchange is the output sort") {
+    val exchanges = plan("q27_simhash").linesIterator
+      .filter(_.contains("Exchange")).toList
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      exchanges.mkString("\n"))
+  }
 }

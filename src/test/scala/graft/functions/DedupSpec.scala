@@ -105,6 +105,27 @@ class DedupSpec extends SparkSpec {
     assert(emptyToks.filter(col("sig").isNull).count() == 1)
   }
 
+  test("native sig_agree equals the interpreted zip_with/aggregate form") {
+    val d = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),   // 3 agree
+      (Seq(5L, 5L), Seq(5L, 5L)),                   // all agree
+      (Seq(1L, 2L, 3L), Seq(1L, 2L)),               // length mismatch: common prefix
+      (Seq.empty[Long], Seq(7L))                    // empty: zero
+    ).toDF("a_sig", "b_sig")
+    val hof = aggregate(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val out = d.select(
+      graft.functions.SigAgree.agreeCount(col("a_sig"), col("b_sig")).as("native"),
+      hof.as("hof")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // null array propagates null, like aggregate over a null array
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]]))
+      .toDF("a_sig", "b_sig")
+      .select(graft.functions.SigAgree.agreeCount(col("a_sig"), col("b_sig")).as("n"))
+    assert(withNull.filter(col("n").isNull).count() == 1)
+  }
+
   test("native simhash fingerprint is bit-equal to the explode+aggregate form") {
     // the pre-round-10 shape, inlined as the reference: explode distinct
     // tokens -> h = tokenHash64 -> 60 conditional-sum vote aggregates ->
