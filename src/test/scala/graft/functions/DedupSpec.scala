@@ -587,4 +587,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.indexDirCount(300) == 16)
     assert(Dedup.indexDirCount(300L << 20) == 256)
   }
+
+  test("property: native sig_agree equals the HOF form on random signatures") {
+    // randomized shapes (ragged lengths, empties, value collisions), not
+    // just the four hand-picked rows above — one Spark job for all cases
+    import org.scalacheck.Gen
+    val sigPair = for {
+      la <- Gen.choose(0, 70)
+      lb <- Gen.choose(0, 70)
+      a  <- Gen.listOfN(la, Gen.choose(-3L, 3L))
+      b  <- Gen.listOfN(lb, Gen.choose(-3L, 3L))
+    } yield (a, b)
+    val cases = Gen.listOfN(200, sigPair).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    val out = cases.toDF("a_sig", "b_sig").select(
+      SigAgree.agreeCount(col("a_sig"), col("b_sig")).as("native"),
+      aggregate(
+        zip_with(col("a_sig"), col("b_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).as("hof")).collect()
+    assert(out.length == cases.length)
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
 }
