@@ -117,5 +117,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_int8"),
       new ExpressionInfo(classOf[Int8Cosine].getName, "cosine_int8"),
       (children: Seq[Expression]) => Int8Cosine(children.head, children(1))))
+    // round-10 per-row dedup natives: parameters arrive as SQL literal
+    // arguments (they are plan constants baked into the generated code, so
+    // they must be foldable — a column-valued nHashes has no meaning)
+    def litInt(e: Expression, what: String): Int = e match {
+      case f if f.foldable => f.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(s"$what must be a literal")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSignature(
+        children.head,
+        if (children.size > 1) litInt(children(1), "nHashes") else 64,
+        if (children.size > 2) litInt(children(2), "seed").toLong else 42L)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFingerprint].getName, "simhash_fp"),
+      (children: Seq[Expression]) => SimHashFingerprint(
+        children.head,
+        if (children.size > 1) litInt(children(1), "nBits") else 60)))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[SigAgreeCount].getName, "sig_agree"),
+      (children: Seq[Expression]) => SigAgreeCount(children.head, children(1))))
   }
 }

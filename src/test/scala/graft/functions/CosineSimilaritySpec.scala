@@ -64,4 +64,34 @@ class CosineSimilaritySpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12, r.toString)
   }
+
+  test("GraftExtensions registers the round-10 dedup natives for SQL users") {
+    // minhash_sig defaults (64, 42) must match the Column API so SQL and
+    // DataFrame callers compute the same signature
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('a','b','c')) AS s, " +
+        "simhash_fp(array('a','b','c')) AS f").collect().head
+    import spark.implicits._
+    val viaApi = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(
+        MinHash.signatureNative(org.apache.spark.sql.functions.col("t"), 64, 42L).as("s"),
+        SimHash.fingerprintNative(org.apache.spark.sql.functions.col("t"), 60).as("f"))
+      .collect().head
+    assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+    // explicit params + sig_agree: two 8-hash signatures of overlapping
+    // token sets agree on some but not all positions; self-agreement is 8
+    val r = spark.sql(
+      """SELECT
+        |  sig_agree(minhash_sig(array('a','b'), 8, 7), minhash_sig(array('a','b'), 8, 7)) AS self,
+        |  sig_agree(minhash_sig(array('a','b'), 8, 7), minhash_sig(array('c','d'), 8, 7)) AS other
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 8)
+    assert(r.getInt(1) < 8)
+    // non-literal parameter is rejected with a clear message, not computed
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"), err.getMessage)
+  }
 }
