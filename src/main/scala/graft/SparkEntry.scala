@@ -1629,6 +1629,56 @@ object SparkEntry {
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+    // ---- the THIRD persisted-index dedup family (round 10): embedding
+    // near-dup of a batch against the persisted IVF index — exact dedup
+    // has the fingerprint index (q69), text near-dup the band index (q78),
+    // this closes semantic near-dup with the same O(batch) directory-pruned
+    // probe. The batch is half exact copies of resident vectors (new ids —
+    // deterministically caught: an identical vector probes its twin's own
+    // cell at sim 1.0) and half reversed embeddings (fresh ids, dup-ness
+    // data-dependent, deliberately unasserted). Gate flags are the
+    // defining equivalences, in-engine per the IVF family's adjudication:
+    // subset_ok = every probe-reported dup re-scores >= threshold against
+    // an INDEPENDENT quantization of the corpus TABLE (precision 1 — and
+    // persisted lists ≡ recomputed corpus); copies_all_dup = the
+    // deterministic recall half ----
+    "q81_ivf_embedding_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val fixture = ensureAppendedIvfIndex(s, dir)
+      val Big = 10000000L
+      val copies = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + Big).as("vec_id"), col("embedding"))
+      val novel = emb.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 2 * Big).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val batch = copies.unionByName(novel)
+      val survivors = Similarity.dedupAgainstIvfIndex(
+        s, fixture, batch, nProbe = 2, minSim = 0.95)
+      val dupIds = batch.select("vec_id")
+        .join(survivors.select("vec_id"), Seq("vec_id"), "left_anti")
+      // independent brute recomputation from the corpus TABLE (not the
+      // index files) under the same int8 quantization — bounded-broadcast
+      // gate shape, as q28/q64's in-query baselines
+      val corpusQ = emb.select(col("vec_id").as("c_id"),
+        functions.Int8Ops.quantizeInt8Native(col("embedding")).as("c_qvec"))
+      val bruteDupIds = batch
+        .select(col("vec_id"), functions.Int8Ops.quantizeInt8Native(col("embedding")).as("b_qvec"))
+        .crossJoin(broadcast(corpusQ))
+        .filter(functions.Int8Ops.cosineInt8Native(col("b_qvec"), col("c_qvec")) >= 0.95)
+        .select("vec_id").distinct()
+      val notInBrute = dupIds.join(bruteDupIds, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("__n")).select(col("__n").as("__not_in_brute"))
+      val copiesMissed = copies.select("vec_id")
+        .join(dupIds, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("__n")).select(col("__n").as("__copies_missed"))
+      batch.agg(count(lit(1)).as("n_batch"))
+        .crossJoin(notInBrute)
+        .crossJoin(copiesMissed)
+        .select(
+          col("n_batch"),
+          coalesce((col("__not_in_brute") === 0L).cast("long"), lit(0L)).as("subset_ok"),
+          coalesce((col("__copies_missed") === 0L).cast("long"), lit(0L)).as("copies_all_dup"))
     }
   )
 
@@ -2614,6 +2664,14 @@ object SparkEntry {
          |  CAST(SUM(${sqlCents("c_acctbal")}) AS BIGINT) AS acctbal_c
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q81: IVF-family envelope (the trained model is engine-internal, as
+    // q64/q67/q70): n_batch is exact from the table; the equivalence flags
+    // are computed in-engine against an independent re-quantization
+    "q81_ivf_embedding_dedup" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0)
+        |     + (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 3) AS BIGINT) AS n_batch,
+        |  CAST(1 AS BIGINT) AS subset_ok,
+        |  CAST(1 AS BIGINT) AS copies_all_dup""".stripMargin,
     "q30_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS cnt,
          |  CAST(${ExactAgg.Sql.divHalfUp("SUM(ne6)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS avg_norm

@@ -363,6 +363,29 @@ object Similarity {
       queries: DataFrame,
       nProbe: Int,
       k: Int): DataFrame = {
+    val scored = ivfIndexProbeScores(spark, path, queries, nProbe)
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** Shared probe core of [[queryIvfIndex]] and [[dedupAgainstIvfIndex]]:
+    * assign each query its nProbe nearest cells against the persisted
+    * centroid model, directory-prune the lists scan to the DISTINCT probed
+    * cells, and score every resident of those cells — (query_id, vec_id,
+    * sim), self-pairs excluded, exact duplicates from a crashed append
+    * absorbed. Scores are RAW doubles; rounding policy belongs to the
+    * consumers (serve rounds for display, dedup thresholds on the raw
+    * value so the decision has no second rounding boundary).
+    */
+  def ivfIndexProbeScores(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      nProbe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/cells")
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
     val probes = queries
@@ -380,7 +403,7 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("cell_id").isInCollection(probedCells))
-    val scored = lists
+    lists
       .join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -392,12 +415,47 @@ object Similarity {
       // rows restores exactly-once serving. Without it a duplicated vector
       // would occupy two of the k ranks.
       .distinct()
-    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** Embedding near-duplicate dedup of a batch against a persisted
+    * [[writeIvfIndex]] index — the third persisted-index dedup family,
+    * completing exact (fingerprint index) and text near-dup (MinHash band
+    * index): a batch vector is a duplicate when ANY resident of its nProbe
+    * probed cells scores int8-cosine ≥ `minSim`; survivors are the batch
+    * rows with no such hit.
+    *
+    * O(batch) by the same construction as [[queryIvfIndex]]: the centroid
+    * model is a bounded driver-side collect, the lists scan is
+    * directory-pruned to the batch's probed cells, the per-cell scoring
+    * joins a BROADCAST probe table, and the final decision is a broadcast
+    * left-anti join of the batch against the (≤ batch-sized) distinct hit
+    * ids. The index is never scanned beyond the probed cells and never
+    * shuffled.
+    *
+    * APPROXIMATE by the IVF contract, in one direction only: a true
+    * near-duplicate assigned to a cell outside the batch vector's probe
+    * set is missed (recall < 1), but every reported duplicate really
+    * scored ≥ `minSim` (precision = 1 under int8 quantization). Raising
+    * `nProbe` trades cost for recall, exactly as in serving; the q79
+    * health monitor's recall re-gate covers this probe the same way it
+    * covers serve. Self-pairs are excluded, so re-probing a batch whose
+    * vectors are already resident (a crash-replayed ingest cycle) does not
+    * quarantine the batch against itself.
+    *
+    * Returns the SURVIVOR rows of `batch` (all its columns).
+    */
+  def dedupAgainstIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      nProbe: Int,
+      minSim: Double,
+      idCol: String = "vec_id"): DataFrame = {
+    val dupIds = ivfIndexProbeScores(spark, path, batch.select(col(idCol).as("vec_id"), col("embedding")), nProbe)
+      .filter(col("sim") >= minSim)
+      .select(col("query_id").as(idCol))
+      .distinct()
+    batch.join(broadcast(dupIds), Seq(idCol), "left_anti")
   }
 
   /** Sampled recall re-gate of a persisted (typically GROWN) index: for

@@ -429,4 +429,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
       exchanges.mkString("\n"))
   }
+
+  test("embedding-dedup probe (q81's operator) prunes the lists scan to the batch's probed cells") {
+    // same economics as q67's serve, measured on the SMALL-batch shape the
+    // operator exists for: a 2-vector batch at nProbe=2 bounds the lists
+    // scan to <= 4 of the 16 cell directories via PartitionFilters. (The
+    // q81 REGISTRY batch deliberately spans 2/7 of the corpus, so its
+    // probe set legitimately covers all cells — the O(batch) claim is
+    // about batch-sized probes, which is what this asserts.)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val fixture = SparkEntry.ensureAppendedIvfIndex(spark, dir)
+    val df = graft.functions.Similarity.dedupAgainstIvfIndex(
+      spark, fixture, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2),
+      nProbe = 2, minSim = 0.95)
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = phys.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val lists = scans.find(_.toString.contains("qvec"))
+      .getOrElse(fail(s"no lists scan among ${scans.size} scans"))
+    assert(lists.toString.contains("PartitionFilters"), lists.toString.take(800))
+    val n = lists.selectedPartitions.partitionCount
+    assert(n >= 1 && n <= 4, s"lists scan selected $n of 16 cell partitions")
+  }
 }

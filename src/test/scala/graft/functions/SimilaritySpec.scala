@@ -384,4 +384,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains((0L, 1L)))
     assert(!out.exists { case (a, b) => b == 2L || a == 2L })
   }
+
+  test("dedupAgainstIvfIndex: copies of residents quarantined, novel vectors survive, re-probe of residents is self-safe") {
+    import spark.implicits._
+    // three separated axis clusters; the index holds all 30
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      val eps = 0.05f * ((i % 7) - 3)
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = eps
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(df, k = 3, iters = 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-dedup").toString
+    Similarity.writeIvfIndex(df, trained, idx)
+    // batch: exact copies of residents 0..2 under fresh ids, plus a novel
+    // vector on the axis no cluster occupies (orthogonal to every resident
+    // direction up to the eps tilt — far below any sane threshold)
+    val batch = (
+      rows.take(3).map { case (id, v) => (100L + id, v) } :+
+        (999L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val survivors = Similarity
+      .dedupAgainstIvfIndex(spark, idx, batch, nProbe = 1, minSim = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(999L), survivors.toString)
+    // survivors carry ALL batch columns, not a projection
+    assert(Similarity.dedupAgainstIvfIndex(spark, idx, batch, nProbe = 1, minSim = 0.9)
+      .columns.toSet == Set("vec_id", "embedding"))
+    // replaying resident rows under their OWN ids: the self-pair exclusion
+    // must keep a crash-replayed ingest batch from quarantining itself
+    // against its previously-published copy... unless a DIFFERENT resident
+    // is within threshold, which the eps tilts guarantee here — so probe a
+    // cluster singleton instead: index only vector 0, re-probe vector 0
+    val solo = rows.take(1).toDF("vec_id", "embedding")
+    val soloIdx = java.nio.file.Files.createTempDirectory("graft-ivf-dedup-solo").toString
+    Similarity.writeIvfIndex(solo, Similarity.kmeansCentroids(solo, k = 1, iters = 1), soloIdx)
+    val replay = Similarity
+      .dedupAgainstIvfIndex(spark, soloIdx, solo, nProbe = 1, minSim = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(replay == Set(0L), s"self-pair not excluded: $replay")
+  }
 }
