@@ -12,7 +12,10 @@ import graft.sinks.Sinks
   * amortized primitives — per micro-batch, quality-filter, dedup within the
   * batch, dedup against the persisted fingerprint index ([[Dedup]], q69's
   * operator), optionally NEAR-dup against the persisted band index
-  * ([[Dedup.dedupAgainstBandIndex]], q78's operator — see [[NearDupConfig]]),
+  * ([[Dedup.dedupAgainstBandIndex]], q78's operator — see [[NearDupConfig]])
+  * and SEMANTIC-dup against the served IVF index
+  * ([[Similarity.dedupAgainstIvfIndex]], q81's operator — see
+  * [[SemanticDedupConfig]]),
   * land the accepted docs in the versioned lake, append their fingerprints
   * (and band generations) to the indexes, and (when the batch carries
   * embeddings and a served IVF index exists) grow the index with
@@ -79,6 +82,27 @@ object IngestPipeline {
       // corpus to grow far beyond it should set this explicitly (the modulus
       // is part of the index install, like IVF's k)
       bpMod: Option[Int] = None)
+
+  /** Opt-in SEMANTIC near-dup stage for [[ingestBatch]] (round 10): drop
+    * batch docs whose embedding scores int8-cosine ≥ `minSim` against any
+    * resident of the served IVF index's probed cells
+    * ([[Similarity.dedupAgainstIvfIndex]], q81's operator). Runs after the
+    * text stages (exact owns identical content, band owns lexical
+    * near-misses — this stage only ever pays for paraphrase-grade
+    * duplicates) and only when the batch carries embeddings AND an IVF
+    * index is installed; docs without an embedding row pass through
+    * unprobed. The default threshold is deliberately high: at 0.98 the
+    * stage removes re-encodings of the same content, not topically-similar
+    * documents — curation-grade similarity filtering belongs in
+    * [[graft.ops.Sampling]], not in the ingest acceptance gate.
+    *
+    * Replay-safe like the other probes: a crash window may have already
+    * appended the batch's own vectors to the index, but the probe excludes
+    * self-ids, so acceptance recomputes identically on every replay.
+    */
+  final case class SemanticDedupConfig(
+      nProbe: Int = 4,
+      minSim: Double = 0.98)
 
   /** Steady-state maintenance cadence for the ingest loop: every
     * `everyNBatches` committed batches, fold the lake's `__ver` partitions
@@ -254,7 +278,8 @@ object IngestPipeline {
       embedBatch: Option[DataFrame] = None,
       textCol: String = "text",
       idCol: String = "doc_id",
-      nearDup: Option[NearDupConfig] = None): Long = {
+      nearDup: Option[NearDupConfig] = None,
+      semanticDedup: Option[SemanticDedupConfig] = None): Long = {
     if (batchId <= lastApplied(spark, paths)) return 0L
 
     val cleaned = qualityFilter(batch, textCol)
@@ -286,12 +311,32 @@ object IngestPipeline {
     // so acceptance recomputes identically in every crash window.
     val bandBootstrap = nearDup.isDefined &&
       !Dedup.bandIndexReadable(spark, paths.bandIndex)
-    val accepted = (nearDup match {
+    val afterBand = nearDup match {
       case Some(cfg) if !bandBootstrap =>
         Dedup.dedupAgainstBandIndex(spark, paths.bandIndex, afterExact, textCol, idCol,
           cfg.nHashes, cfg.nBands, cfg.minEstJaccard, cfg.seed, cfg.maxBandCollisions)
       case _ => afterExact
-    }).persist() // consumers below; unpersisted before return
+    }
+    // SEMANTIC stage last among the acceptance gates: text stages already
+    // own identical/lexically-near content, so the vector probe pays only
+    // for paraphrase-grade duplicates. Docs with no embedding row pass
+    // through unprobed (can't probe what has no vector); the probe's
+    // self-id exclusion keeps crash-replays (own vectors possibly already
+    // appended) acceptance-identical.
+    val afterSemantic = (semanticDedup, embedBatch) match {
+      case (Some(cfg), Some(emb)) if fs.exists(
+          new org.apache.hadoop.fs.Path(s"${paths.ivfIndex}/cells")) =>
+        val batchEmb = emb.join(
+          afterBand.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
+        val survivorIds = Similarity
+          .dedupAgainstIvfIndex(spark, paths.ivfIndex, batchEmb, cfg.nProbe, cfg.minSim)
+          .select(col("vec_id").as(idCol))
+        val embIds = emb.select(col("vec_id").as(idCol))
+        afterBand.join(embIds, Seq(idCol), "left_anti")
+          .unionByName(afterBand.join(survivorIds, Seq(idCol), "left_semi"))
+      case _ => afterBand
+    }
+    val accepted = afterSemantic.persist() // consumers below; unpersisted before return
 
     try {
       // WRITE ORDER IS LOAD-BEARING. The fingerprint append is the batch's
@@ -566,6 +611,7 @@ object IngestPipeline {
       textCol: String = "text",
       idCol: String = "doc_id",
       nearDup: Option[NearDupConfig] = None,
+      semanticDedup: Option[SemanticDedupConfig] = None,
       maintenance: Option[MaintenanceConfig] = None): StreamingQuery = {
     recoverCompaction(docs.sparkSession, paths)
     val hasEmbedding = docs.columns.contains("embedding")
@@ -577,7 +623,8 @@ object IngestPipeline {
           if (hasEmbedding) Some(batch.select(col(idCol).as("vec_id"), col("embedding")))
           else None
         ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
-          embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup)
+          embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup,
+          semanticDedup = semanticDedup)
         // maintenance AFTER the commit: the fold reads only the manifest
         // high-water mark, so a crash between commit and fold just defers
         // the fold to a later cycle (or to startup recovery). Cadence on

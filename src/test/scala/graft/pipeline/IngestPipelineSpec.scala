@@ -315,6 +315,47 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.lastApplied(spark, p) == 3L)
   }
 
+  test("semantic-dedup stage: embedding re-encodings drop, novel and unembedded docs land; crash replay is self-safe") {
+    val p = tmpRoot()
+    val semCfg = Some(IngestPipeline.SemanticDedupConfig(nProbe = 2, minSim = 0.95))
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val emb0 = Seq((1L, Seq(0.9f, 0.1f, 0f, 0f)), (2L, Seq(0.1f, 0.95f, 0.2f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L, embedBatch = Some(emb0),
+      semanticDedup = semCfg) == 2L)
+    Similarity.writeIvfIndex(emb0, cents, p.ivfIndex)
+
+    // batch 1: 11 = PARAPHRASE of doc 1 (different text — the band stage
+    // would pass it — but the same embedding); 12 = exact text dup of 2,
+    // owned by the fp stage before any vector probe; 13 = novel vector;
+    // 14 = no embedding row at all (passes unprobed)
+    val b1 = Seq((11L, tC), (12L, tB), (13L, tD), (14L, tE)).toDF("doc_id", "text")
+    val emb1 = Seq((11L, Seq(0.9f, 0.1f, 0f, 0f)), (13L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    // CRASH SIMULATION FIRST: a previous attempt at batch 1 appended 13's
+    // vector to the index and died before the fp commit point. The replay
+    // must not quarantine 13 against its own published copy (self-id
+    // exclusion) while still dropping the paraphrase 11.
+    Similarity.appendToIvfIndex(spark, p.ivfIndex, emb1.filter(col("vec_id") === 13L))
+    assert(IngestPipeline.ingestBatch(spark, p, b1, 1L, embedBatch = Some(emb1),
+      semanticDedup = semCfg) == 2L)
+    assert(lakeState(p) == Seq((1L, 0L), (2L, 0L), (13L, 1L), (14L, 1L)))
+    // the rejected paraphrase's vector never lands; 13's duplicate rows
+    // (crash append + replay append) are absorbed at serve time
+    val indexed = spark.read.parquet(s"${p.ivfIndex}/lists")
+      .select("vec_id").distinct().as[Long].collect().toSeq.sorted
+    assert(indexed == Seq(1L, 2L, 13L))
+    val served = Similarity.queryIvfIndex(
+      spark, p.ivfIndex, emb1.filter(col("vec_id") === 13L), nProbe = 2, k = 3)
+    assert(served.filter(col("neighbor_id") === 13L).count() == 0,
+      "self must not appear among its own neighbors")
+
+    // replay of the COMMITTED batch is a pure no-op
+    assert(IngestPipeline.ingestBatch(spark, p, b1, 1L, embedBatch = Some(emb1),
+      semanticDedup = semCfg) == 0L)
+    assert(IngestPipeline.lastApplied(spark, p) == 1L)
+  }
+
   test("streaming entry with near-dup enabled drops near-replays exactly-once") {
     val p = tmpRoot()
     val ckpt = Files.createTempDirectory("graft-ingest-nd-ckpt").toString
