@@ -267,6 +267,37 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/cells")
   }
 
+  /** True when a READABLE [[writeIvfIndex]] index exists at `path`: both
+    * subtables hold at least one COMMITTED parquet data file (`cells` at its
+    * root, `lists` inside some `cell_id=N` directory). Callers deciding
+    * bootstrap-vs-probe must use this, never bare `fs.exists(path/cells)` —
+    * the same round-9 hardening the generational dedup indexes got
+    * ([[graft.functions.Dedup.fingerprintIndexReadable]]): a build that
+    * crashed mid-`cells`-write leaves the directory visible with only a
+    * `_temporary` attempt inside, and a replay that takes the probe path on
+    * that debris throws on the data-less read and crash-loops every
+    * subsequent replay. A data-less root reads as bootstrap instead, and
+    * [[writeIvfIndex]]'s `overwrite` sweeps the debris on rebuild. (`cells`
+    * is written LAST, so `cells`-has-data also implies the lists job
+    * committed; the `lists` leg guards a hand-rolled or torn layout.)
+    */
+  def ivfIndexReadable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")
+      }
+    def listsHaveData: Boolean = {
+      val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+      fs.exists(lists) && fs.listStatus(lists)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell_id="))
+        .exists(st => hasDataFile(st.getPath))
+    }
+    hasDataFile(new org.apache.hadoop.fs.Path(s"$path/cells")) && listsHaveData
+  }
+
   /** Load a persisted index's centroid model, ordered by cell id — k × dims
     * floats, the documented bounded-collect contract (model parameters, not
     * data). Returned in [[ivfInt8TopK]]'s positional form: element i is the

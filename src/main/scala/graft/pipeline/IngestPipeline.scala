@@ -196,7 +196,9 @@ object IngestPipeline {
       cfg: IvfHealthConfig): Option[IvfHealthReport] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(paths.ivfIndex), spark.sparkContext.hadoopConfiguration)
-    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"${paths.ivfIndex}/cells"))
+    // readable-index detection, not bare fs.exists — a build that crashed
+    // mid-cells-write must read as "no index", like the dedup indexes
+    val hasIndex = Similarity.ivfIndexReadable(spark, paths.ivfIndex)
     val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(paths.embLake))
     if (!hasIndex || !hasCorpus) return None
 
@@ -324,8 +326,10 @@ object IngestPipeline {
     // self-id exclusion keeps crash-replays (own vectors possibly already
     // appended) acceptance-identical.
     val afterSemantic = (semanticDedup, embedBatch) match {
-      case (Some(cfg), Some(emb)) if fs.exists(
-          new org.apache.hadoop.fs.Path(s"${paths.ivfIndex}/cells")) =>
+      // readable-index detection, not bare fs.exists (same round-9 argument
+      // as the fp/band probes: mid-write debris must not select the probe
+      // path, which would throw on the data-less read and crash-loop replays)
+      case (Some(cfg), Some(emb)) if Similarity.ivfIndexReadable(spark, paths.ivfIndex) =>
         val batchEmb = emb.join(
           afterBand.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
         val survivorIds = Similarity
@@ -364,7 +368,7 @@ object IngestPipeline {
         // cannot be re-quantized from itself, so the floats are what makes
         // a health-tripped migrateIvfIndex possible at all
         Sinks.appendVersioned(acceptedEmb, paths.embLake, batchId)
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"${paths.ivfIndex}/cells"))) {
+        if (Similarity.ivfIndexReadable(spark, paths.ivfIndex)) {
           Similarity.appendToIvfIndex(spark, paths.ivfIndex, acceptedEmb)
         }
       }

@@ -53,4 +53,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$fixture/cells").count() == 3,
       "k flip must rebuild the index under the new model")
   }
+
+  test("ivfIndexReadable: mid-write debris reads as bootstrap, not as an index") {
+    import graft.functions.Similarity
+    // the same round-9 hardening the generational dedup indexes got: a
+    // build that crashed mid-cells-write leaves the directory visible with
+    // only a _temporary attempt inside — bare fs.exists(cells) would send a
+    // replay down the probe path, which throws on the data-less read and
+    // crash-loops every subsequent replay
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-debris").toString
+    assert(!Similarity.ivfIndexReadable(spark, s"$root/never-created"))
+
+    // lists committed, cells crashed mid-write (dir + _temporary, no data)
+    val torn = s"$root/torn"
+    val df = emb(0)
+    val cents = Similarity.kmeansCentroids(df, k = 2, iters = 1)
+    Similarity.writeIvfIndex(df, cents, torn)
+    assert(Similarity.ivfIndexReadable(spark, torn), "a committed index must read as readable")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(torn), spark.sparkContext.hadoopConfiguration)
+    val cells = new org.apache.hadoop.fs.Path(s"$torn/cells")
+    fs.delete(cells, true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/cells/_temporary/0"))
+    assert(!Similarity.ivfIndexReadable(spark, torn),
+      "cells debris without a committed data file must read as bootstrap")
+
+    // cells present but lists torn away (hand-rolled / partially-deleted
+    // layout) — the probe would throw on the missing lists read
+    val noLists = s"$root/no-lists"
+    Similarity.writeIvfIndex(df, cents, noLists)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$noLists/lists"), true)
+    assert(!Similarity.ivfIndexReadable(spark, noLists))
+  }
 }
