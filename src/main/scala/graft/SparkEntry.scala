@@ -186,6 +186,27 @@ object SparkEntry {
     fixture
   }
 
+  /** Stamped build of the q82 eval-decontamination-index fixture: the
+    * doc_id % 20 == 7 slice of `documents` indexed as eval generation 0 and
+    * the % 20 == 8 slice appended as generation 1 — two benchmark suites on
+    * the blocklist, exercising both install and append. Winnowing geometry
+    * is the (k=3, w=4) default, the same geometry q54/q55's oracle CTE
+    * reproduces.
+    */
+  private[graft] def ensureEvalIndexFixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "eval_index")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.EvalIndexVersion}|k=3|w=4|append-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      Dedup.writeEvalIndex(docs.filter(col("doc_id") % 20 === 7), fixture)
+      Dedup.appendEvalIndex(docs.filter(col("doc_id") % 20 === 8), fixture, generation = 1L)
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   /** q79 diagnostic sidecar (round-9 verdict #1a): one JSON string that
     * pins everything the hash gate can disagree about — the fixture's
     * on-disk identity (stamp + data file count), the per-cell list sizes
@@ -236,6 +257,7 @@ object SparkEntry {
   private[graft] def prebuildFixtures(s: SparkSession, dir: String): Unit = {
     ensureFpIndexFixture(s, dir)
     ensureBandIndexFixture(s, dir)
+    ensureEvalIndexFixture(s, dir)
     ensureIvfIndex(Tables.embeddings(s, dir), dir,
       scopedFixture(dir, "ivf_index"), k = IvfCells, iters = IvfIters)
     ensureAppendedIvfIndex(s, dir)
@@ -1679,6 +1701,23 @@ object SparkEntry {
           col("n_batch"),
           coalesce((col("__not_in_brute") === 0L).cast("long"), lit(0L)).as("subset_ok"),
           coalesce((col("__copies_missed") === 0L).cast("long"), lit(0L)).as("copies_all_dup"))
+    },
+    // ---- LLM-pipeline: eval-set decontamination INDEX — the q55 report's
+    // inverse shape for an ingest loop: the eval suites' winnowing
+    // fingerprints are persisted once (two generations: install + a second
+    // benchmark appended) and a training batch is gated against the
+    // blocklist at O(batch); survivors share no verbatim ≥6-token run with
+    // any indexed eval doc. Exact-SQL-expressible end to end (the q54/q55
+    // winnowing CTE), so the oracle re-derives acceptance from text,
+    // independently of the persisted index files ----
+    "q82_decontam_index" -> { (s, dir) =>
+      val fixture = ensureEvalIndexFixture(s, dir)
+      val batch = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 1)
+        .select("doc_id", "text")
+      Dedup.dedupAgainstEvalIndex(s, fixture, batch)
+        .select("doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -2672,6 +2711,27 @@ object SparkEntry {
         |     + (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 3) AS BIGINT) AS n_batch,
         |  CAST(1 AS BIGINT) AS subset_ok,
         |  CAST(1 AS BIGINT) AS copies_all_dup""".stripMargin,
+    // q82: q54's winnowing CTE re-derives every doc's fingerprint set from
+    // TEXT; acceptance is then stated independently of the persisted index:
+    // a batch doc survives iff it shares no fingerprint with the two eval
+    // slices (doc_id % 20 ∈ {7, 8} — install generation + appended one)
+    "q82_decontam_index" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) + 1 AS pos,
+        |    CAST(concat('0x', substring(md5(
+        |      concat_ws(' ', t[CAST(i AS INT)+1], t[CAST(i AS INT)+2], t[CAST(i AS INT)+3])), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM grams),
+        |ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 20 IN (7, 8))
+        |SELECT b.doc_id FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 1) b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM fps f JOIN ev e ON e.fp = f.fp WHERE f.doc_id = b.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q30_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS cnt,
          |  CAST(${ExactAgg.Sql.divHalfUp("SUM(ne6)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS avg_norm

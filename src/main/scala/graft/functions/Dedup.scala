@@ -1081,6 +1081,184 @@ object Dedup {
     inFp.join(broadcast(collisions), Seq("__fp"), "left_anti").drop("__fp")
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted EVAL-SET decontamination index — benchmark-leakage gating.
+  //
+  // contaminationReport (q55, ops.Sampling) detects train→eval leakage
+  // INSIDE one corpus snapshot; an ingest loop needs the inverse shape: the
+  // eval suites are fixed, small, and known up front, while the training
+  // corpus arrives batch by batch forever. This index persists the eval
+  // suites' winnowing fingerprints ([[Text.winnowFingerprints]] — any
+  // shared verbatim run of ≥ w+k−1 tokens yields a shared fingerprint)
+  // ONCE, and every ingest batch is gated against it at O(batch) cost —
+  // contaminated docs never land in the training lake at all, instead of
+  // being hunted down by a full-corpus report before each training run.
+  //
+  // The scale asymmetry is the MIRROR of the fp/band indexes: there the
+  // history side is huge and the batch small, so probes directory-prune
+  // the index and broadcast the batch; here the INDEX side is small by
+  // contract (eval suites are curated benchmark sets — thousands of docs,
+  // tens of fps each; megabytes, model-sized like the IVF centroids) and
+  // the batch side is the unbounded one. So the probe reads the whole
+  // index, BROADCASTS its distinct fingerprints, and the batch's own
+  // fingerprint relation — the O(batch·tokens) side — joins against that
+  // broadcast without shuffling anything wider than (id, fp) longs. No
+  // prefix partitioning: pruning directories of a megabyte-scale table
+  // would add listing cost without removing scan cost. The `_GRAFT_LAYOUT`
+  // file records the winnowing geometry (k|w) instead of a modulus — the
+  // probe MUST gram/window under the index's own geometry or collisions
+  // are silently missed, the same layout-travels-with-the-index drift
+  // hazard as the fp index's directory modulus.
+  //
+  // Generational like its siblings: each eval suite lands as an immutable
+  // `batch=<gen>` dir via the atomic-rename publish, so adding a new
+  // benchmark to the blocklist is an append, not a rebuild, and the same
+  // membership-semantics crash argument applies (duplicate fps are
+  // invisible to a semi-join probe; [[compactEvalIndex]] folds).
+  // ---------------------------------------------------------------------
+
+  /** Version tag of the eval-index scheme (winnowing hash derivation +
+    * storage form), for fixture stamps. The geometry (k, w) is recorded in
+    * the index's own layout file, not here — it travels with the data.
+    */
+  val EvalIndexVersion = "winnow-eval-v1"
+
+  private def writeEvalLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int, w: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(layoutPath(path), true)
+    try out.write(s"k=$k|w=$w".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readEvalLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = layoutPath(path)
+    require(fs.exists(p),
+      s"eval index at $path has no _GRAFT_LAYOUT — the build crashed before recording its winnowing geometry; rebuild it")
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    s.split('|') match {
+      case Array(ks, ws) => (ks.stripPrefix("k=").toInt, ws.stripPrefix("w=").toInt)
+      case _ => throw new IllegalStateException(s"malformed eval-index layout '$s' at $path")
+    }
+  }
+
+  /** [[indexReadable]] for a [[writeEvalIndex]] layout. */
+  def evalIndexReadable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    indexReadable(spark, path, Seq(""))
+
+  /** Build the eval-set decontamination index: the winnowing fingerprints
+    * of `evalDocs` as (eval_id, fp), landed as generation 0. One winnowing
+    * pass over the eval suites — paid once per suite, ever; ingest batches
+    * never read eval TEXT again. Skew-safe via the salted winnowing form
+    * (identical fingerprint set, bounded window partitions).
+    */
+  def writeEvalIndex(
+      evalDocs: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3,
+      w: Int = 4,
+      generation: Long = 0L): Unit = {
+    val spark = evalDocs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    writeEvalLayout(spark, path, k, w)
+    graft.sinks.Sinks.publishDir(
+      Text.winnowFingerprintsSalted(evalDocs, textCol, idCol, k, w)
+        .select(col(idCol).as("eval_id"), col("fp")),
+      path, s"batch=$generation")
+    ()
+  }
+
+  /** Append a NEW eval suite to the index as its own immutable generation —
+    * adding a benchmark to the blocklist without re-fingerprinting the
+    * suites already indexed. Fingerprints under the index's RECORDED
+    * geometry (a drifted k/w would emit fingerprints the probe's geometry
+    * can never collide with). Returns false for an already-published
+    * generation (replay no-op), like its siblings.
+    */
+  def appendEvalIndex(
+      evalDocs: DataFrame,
+      path: String,
+      generation: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Boolean = {
+    val (k, w) = readEvalLayout(evalDocs.sparkSession, path)
+    graft.sinks.Sinks.publishDir(
+      Text.winnowFingerprintsSalted(evalDocs, textCol, idCol, k, w)
+        .select(col(idCol).as("eval_id"), col("fp")),
+      path, s"batch=$generation")
+  }
+
+  /** Fold eval-index generations ≤ upToGen into one — same membership-state
+    * crash argument as [[compactFingerprintIndex]]. Rarely needed (eval
+    * suites are added on human cadence, not ingest cadence), but the fold
+    * keeps a long-lived install's file count bounded all the same.
+    */
+  def compactEvalIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      upToGen: Long): Unit =
+    compactGenerationalIndex(spark, path, upToGen)
+
+  /** Batch doc ids sharing at least `minSharedFps` winnowing fingerprints
+    * (≥ one verbatim run of w+k−1 tokens each) with ANY indexed eval doc.
+    * The index's distinct fingerprints are collected once (bounded by the
+    * eval-suite contract — megabytes, like the IVF centroid model) and
+    * broadcast; the batch's fingerprint relation joins against them with
+    * no shuffle wider than (id, fp).
+    */
+  def contaminatedIds(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minSharedFps: Int = 1): DataFrame = {
+    require(minSharedFps >= 1, s"minSharedFps must be >= 1, got $minSharedFps")
+    val (k, w) = readEvalLayout(spark, path)
+    // bounded collect + local relation (no CacheManager leak per micro-batch,
+    // same as the fp probe's batch set — but here it's the INDEX side that
+    // is small by contract)
+    val evalFps = localized(spark.read.parquet(path).select("fp").distinct())
+    val batchFps = Text.winnowFingerprintsSalted(
+      batch.select(col(idCol), col(textCol)), textCol, idCol, k, w)
+    val hits = batchFps.join(broadcast(evalFps), Seq("fp"), "left_semi")
+    if (minSharedFps <= 1) hits.select(col(idCol)).distinct()
+    else hits // batchFps is distinct per (id, fp), so count = distinct shared fps
+      .groupBy(idCol).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSharedFps)
+      .select(col(idCol))
+  }
+
+  /** Decontaminate a batch against the persisted eval index: survivors are
+    * the batch rows sharing fewer than `minSharedFps` fingerprints with
+    * every indexed eval doc (docs shorter than k tokens emit no
+    * fingerprints and always survive). The contaminated set is ≤ batch-
+    * sized and expected tiny (leakage is the exception), so the anti-join
+    * broadcasts it — the batch itself never shuffles. Replay-invariant
+    * trivially: the index never grows with the ingest stream, so a crash
+    * replay probes the identical blocklist.
+    */
+  def dedupAgainstEvalIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minSharedFps: Int = 1): DataFrame =
+    batch.join(
+      broadcast(contaminatedIds(spark, path, batch, textCol, idCol, minSharedFps)),
+      Seq(idCol), "left_anti")
+
   /** Exact token-set Jaccard for a candidate pair of text columns. */
   def jaccardTokens(a: Column, b: Column): Column = {
     val sa = array_distinct(split(a, " "))

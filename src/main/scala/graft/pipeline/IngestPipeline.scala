@@ -60,6 +60,7 @@ object IngestPipeline {
     val fpIndex: String = s"$root/fp_index"
     val ivfIndex: String = s"$root/ivf_index"
     val bandIndex: String = s"$root/band_index"
+    val evalIndex: String = s"$root/eval_index"
     val manifest: String = s"$root/_ingest_applied"
   }
 
@@ -103,6 +104,22 @@ object IngestPipeline {
   final case class SemanticDedupConfig(
       nProbe: Int = 4,
       minSim: Double = 0.98)
+
+  /** Opt-in eval-set DECONTAMINATION stage for [[ingestBatch]]: drop batch
+    * docs sharing ≥ `minSharedFps` winnowing fingerprints (each a verbatim
+    * run of ≥ w+k−1 tokens) with any doc in the eval suites indexed under
+    * [[IngestPaths.evalIndex]] ([[Dedup.dedupAgainstEvalIndex]], q82's
+    * operator). The index is installed/appended offline per benchmark
+    * suite ([[Dedup.writeEvalIndex]] / [[Dedup.appendEvalIndex]] — its
+    * winnowing geometry travels in its own layout file); ingest only ever
+    * probes. Unlike every dedup stage, the blocklist does NOT grow with the
+    * stream, so replay-invariance is trivial. Runs right after the exact
+    * stage: the gate is a correctness property of the TRAINING SET (leaked
+    * eval docs poison every benchmark number downstream), so it precedes
+    * the approximate near-dup stages, and exact-first means winnowing sees
+    * each content once.
+    */
+  final case class DecontamConfig(minSharedFps: Int = 1)
 
   /** Steady-state maintenance cadence for the ingest loop: every
     * `everyNBatches` committed batches, fold the lake's `__ver` partitions
@@ -281,7 +298,8 @@ object IngestPipeline {
       textCol: String = "text",
       idCol: String = "doc_id",
       nearDup: Option[NearDupConfig] = None,
-      semanticDedup: Option[SemanticDedupConfig] = None): Long = {
+      semanticDedup: Option[SemanticDedupConfig] = None,
+      decontam: Option[DecontamConfig] = None): Long = {
     if (batchId <= lastApplied(spark, paths)) return 0L
 
     val cleaned = qualityFilter(batch, textCol)
@@ -304,6 +322,15 @@ object IngestPipeline {
     val afterExact =
       if (bootstrap) intra
       else Dedup.dedupAgainstFingerprintIndex(spark, paths.fpIndex, intra, textCol, idCol)
+    // DECONTAMINATION gate (opt-in): a static blocklist probe, so it sits
+    // before the approximate stages — see DecontamConfig. Skipped (like
+    // every index stage) while no readable index is installed.
+    val afterDecontam = decontam match {
+      case Some(cfg) if Dedup.evalIndexReadable(spark, paths.evalIndex) =>
+        Dedup.dedupAgainstEvalIndex(
+          spark, paths.evalIndex, afterExact, textCol, idCol, cfg.minSharedFps)
+      case _ => afterExact
+    }
     // NEAR-dup stage (opt-in): after the exact stage — identical content is
     // already gone, so band probes only ever verify near-misses — and
     // before the lake write, so acceptance is settled when rows land. The
@@ -315,9 +342,9 @@ object IngestPipeline {
       !Dedup.bandIndexReadable(spark, paths.bandIndex)
     val afterBand = nearDup match {
       case Some(cfg) if !bandBootstrap =>
-        Dedup.dedupAgainstBandIndex(spark, paths.bandIndex, afterExact, textCol, idCol,
+        Dedup.dedupAgainstBandIndex(spark, paths.bandIndex, afterDecontam, textCol, idCol,
           cfg.nHashes, cfg.nBands, cfg.minEstJaccard, cfg.seed, cfg.maxBandCollisions)
-      case _ => afterExact
+      case _ => afterDecontam
     }
     // SEMANTIC stage last among the acceptance gates: text stages already
     // own identical/lexically-near content, so the vector probe pays only
@@ -616,6 +643,7 @@ object IngestPipeline {
       idCol: String = "doc_id",
       nearDup: Option[NearDupConfig] = None,
       semanticDedup: Option[SemanticDedupConfig] = None,
+      decontam: Option[DecontamConfig] = None,
       maintenance: Option[MaintenanceConfig] = None): StreamingQuery = {
     recoverCompaction(docs.sparkSession, paths)
     val hasEmbedding = docs.columns.contains("embedding")
@@ -628,7 +656,7 @@ object IngestPipeline {
           else None
         ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
           embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup,
-          semanticDedup = semanticDedup)
+          semanticDedup = semanticDedup, decontam = decontam)
         // maintenance AFTER the commit: the fold reads only the manifest
         // high-water mark, so a crash between commit and fold just defers
         // the fold to a later cycle (or to startup recovery). Cadence on

@@ -608,4 +608,79 @@ class DedupSpec extends SparkSpec {
     assert(out.length == cases.length)
     out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
+
+  test("eval index: build + append + probe gates on shared winnow fingerprints") {
+    val root = java.nio.file.Files.createTempDirectory("graft-eval-idx").toString
+    val idx = s"$root/eval"
+    // two "benchmark suites": gen 0 installed, gen 1 appended
+    Dedup.writeEvalIndex(docs(
+      100L -> "the quick brown fox jumps over the lazy dog tonight"), idx)
+    assert(Dedup.evalIndexReadable(spark, idx))
+    assert(Dedup.appendEvalIndex(docs(
+      200L -> "pack my box with five dozen liquor jugs again today"), idx, generation = 1L))
+    // replayed append is a no-op (generation already published)
+    assert(!Dedup.appendEvalIndex(docs(
+      200L -> "pack my box with five dozen liquor jugs again today"), idx, generation = 1L))
+
+    val batch = docs(
+      // verbatim ≥6-token run from the gen-0 suite → contaminated
+      1L -> "report says the quick brown fox jumps over the lazy dog tonight indeed",
+      // verbatim run from the APPENDED suite → contaminated via gen 1
+      2L -> "he would pack my box with five dozen liquor jugs again today he said",
+      // shares words but no 6-token run → survives
+      3L -> "quick dog and lazy fox discuss liquor jugs",
+      // shorter than k tokens: no fingerprints, always survives
+      4L -> "hi")
+    val survivors = Dedup.dedupAgainstEvalIndex(spark, idx, batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(3L, 4L), survivors.toString)
+
+    // probe agrees with the direct winnow-fp collision join (the q55 form)
+    val evalFps = Text.winnowFingerprints(docs(
+        100L -> "the quick brown fox jumps over the lazy dog tonight",
+        200L -> "pack my box with five dozen liquor jugs again today"),
+      "text", "doc_id").select("fp")
+    val direct = Text.winnowFingerprints(batch, "text", "doc_id")
+      .join(evalFps, Seq("fp"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(direct == Set(1L, 2L))
+
+    // fold: generations consolidate, acceptance is unchanged
+    Dedup.compactEvalIndex(spark, idx, upToGen = 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(gens == Seq("batch=1"), gens.toString)
+    assert(Dedup.dedupAgainstEvalIndex(spark, idx, batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+
+    // minSharedFps above the overlap: doc 1 shares a bounded fp set with
+    // the suite; an impossible threshold lets everything through
+    assert(Dedup.dedupAgainstEvalIndex(spark, idx, batch, minSharedFps = 1000)
+      .count() == 4)
+
+    // layout-only debris reads as bootstrap, not as an index
+    val debris = s"$root/debris"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(debris))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(debris, "_GRAFT_LAYOUT"), "k=3|w=4")
+    assert(!Dedup.evalIndexReadable(spark, debris))
+  }
+
+  test("eval index: probe winnows under the INDEX's recorded geometry, not the caller's") {
+    // an index built at k=5 must collide 7-token runs hashed at k=5 even
+    // though the probe caller never states the geometry — the layout
+    // travels with the index (the fp index's modulus argument)
+    val root = java.nio.file.Files.createTempDirectory("graft-eval-geom").toString
+    val idx = s"$root/eval"
+    Dedup.writeEvalIndex(docs(
+      100L -> "one two three four five six seven eight nine ten"), idx, k = 5, w = 2)
+    val batch = docs(
+      1L -> "prefix one two three four five six seven eight nine ten suffix",
+      2L -> "totally unrelated content with nothing shared at all here")
+    val survivors = Dedup.dedupAgainstEvalIndex(spark, idx, batch)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(2L), survivors.toString)
+  }
 }

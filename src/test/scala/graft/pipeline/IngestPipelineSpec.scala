@@ -356,6 +356,33 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.lastApplied(spark, p) == 1L)
   }
 
+  test("decontamination stage: docs quoting an indexed eval suite never land; appended suites gate too") {
+    val p = tmpRoot()
+    val cfg = Some(IngestPipeline.DecontamConfig())
+    // no eval index installed yet: the stage skips and the batch lands
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L, decontam = cfg) == 2L)
+    // install the blocklist: one benchmark suite whose doc is tC
+    Dedup.writeEvalIndex(Seq((900L, tC)).toDF("doc_id", "text"), p.evalIndex)
+    // 11 embeds the suite's 9-token run inside longer prose (the exact
+    // stage cannot catch a quote-with-context) → decontaminated; 13 clean
+    val b1 = Seq((11L, s"leaked copy $tC with extra suffix words"), (13L, tD))
+      .toDF("doc_id", "text")
+    assert(IngestPipeline.ingestBatch(spark, p, b1, 1L, decontam = cfg) == 1L)
+    assert(lakeState(p) == Seq((1L, 0L), (2L, 0L), (13L, 1L)))
+    // committed replay no-ops
+    assert(IngestPipeline.ingestBatch(spark, p, b1, 1L, decontam = cfg) == 0L)
+    // a NEW benchmark appended to the blocklist gates later batches without
+    // re-fingerprinting the first suite
+    assert(Dedup.appendEvalIndex(
+      Seq((901L, tE)).toDF("doc_id", "text"), p.evalIndex, generation = 1L))
+    val b2 = Seq((21L, s"prefix $tE suffix tokens"),
+      (22L, "completely novel content goes here today")).toDF("doc_id", "text")
+    assert(IngestPipeline.ingestBatch(spark, p, b2, 2L, decontam = cfg) == 1L)
+    assert(lakeState(p) ==
+      Seq((1L, 0L), (2L, 0L), (13L, 1L), (22L, 2L)))
+    assert(IngestPipeline.lastApplied(spark, p) == 2L)
+  }
+
   test("streaming entry with near-dup enabled drops near-replays exactly-once") {
     val p = tmpRoot()
     val ckpt = Files.createTempDirectory("graft-ingest-nd-ckpt").toString
