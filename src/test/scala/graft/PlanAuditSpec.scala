@@ -319,6 +319,19 @@ class PlanAuditSpec extends SparkSpec {
       s"an exchange carries document text:\n${exchanges.mkString("\n")}")
   }
 
+  test("q82: the decontamination probe broadcasts the blocklist; exchanges never carry text") {
+    val p = plan("q82_decontam_index")
+    // the eval-fp semi-join and the contaminated-id anti-join are both
+    // broadcast builds — the batch side never shuffles for either decision
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin")),
+      "the probe must not sort-merge join")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+  }
+
   test("q59: boilerplate-filter exchanges carry 60-bit gram hashes, never gram text") {
     val exchanges = plan("q59_boilerplate_filter")
       .linesIterator.filter(_.contains("Exchange")).toList
