@@ -404,6 +404,46 @@ object StressGen {
       // adversarial point is that the INDEX must separate "same doc plus
       // one token" (drop) from "distinct near-boilerplate" (judge by est)
       println(s"GRAFT_STRESS   near-dup survivors: $nearKept of ${batch.count()}")
+
+      // ---- round-10: the eval-set DECONTAMINATION index at the same 10×.
+      // The claim under test: suite text is winnowed once at install,
+      // per-batch gating costs only the batch's own winnowing pass, and
+      // the gate agrees row-for-row with the no-index form that re-winnows
+      // the suites every batch. 100 planted verbatim quotes of suite docs
+      // must all be caught (each shares its source's full ≥8-token run).
+      val evalIdx = s"$outDir/eval_index_stress"
+      fs.delete(new org.apache.hadoop.fs.Path(evalIdx), true)
+      val evalSuite = docs.filter(F.col("doc_id") % 50 === 7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"GRAFT_STRESS   eval suite: ${evalSuite.count()} docs of $nd")
+      time("eval index build (winnow the suites, one-time)") {
+        functions.Dedup.writeEvalIndex(evalSuite, evalIdx)
+      }
+      val quotes = evalSuite
+        .filter(F.size(F.split(F.col("text"), " ")) >= 8).limit(100)
+        .select((F.col("doc_id") + 5 * nDocs10).as("doc_id"),
+          F.concat(F.lit("as the benchmark says "), F.col("text")).as("text"))
+      val evalBatch = batch.select("doc_id", "text").unionByName(quotes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEvalBatch = evalBatch.count()
+      val viaEvalIdx = time("eval decontam probe via index (O(batch))") {
+        functions.Dedup.dedupAgainstEvalIndex(spark, evalIdx, evalBatch).count()
+      }
+      val viaSuiteRewinnow = time("eval decontam via per-batch suite re-winnow (no index)") {
+        val suiteFps = functions.Text
+          .winnowFingerprints(evalSuite, "text", "doc_id").select("fp").distinct()
+        val bFps = functions.Text.winnowFingerprints(evalBatch, "text", "doc_id")
+        val contaminated = bFps.join(suiteFps, Seq("fp"), "left_semi")
+          .select("doc_id").distinct()
+        evalBatch.join(F.broadcast(contaminated), Seq("doc_id"), "left_anti").count()
+      }
+      val quotesCaught = 100 -
+        functions.Dedup.dedupAgainstEvalIndex(spark, evalIdx, quotes).count()
+      println(s"GRAFT_STRESS   decontam survivors index=$viaEvalIdx " +
+        s"rewinnow=$viaSuiteRewinnow equal=${viaEvalIdx == viaSuiteRewinnow} " +
+        s"of $nEvalBatch; planted quotes caught: $quotesCaught/100")
+      evalBatch.unpersist()
+      evalSuite.unpersist()
       batch.unpersist()
     }
     val rt = Runtime.getRuntime
