@@ -1718,6 +1718,19 @@ object SparkEntry {
       Dedup.dedupAgainstEvalIndex(s, fixture, batch)
         .select("doc_id")
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: the decontamination TRIAGE report — q82's gate
+    // tells the loop what to drop; this tells the curator WHY: for each
+    // contaminated batch doc, how many distinct eval docs it collides
+    // with and through how many of its fingerprints (the q55 report shape
+    // driven by the persisted index's (eval_id, fp) rows) ----
+    "q83_decontam_report" -> { (s, dir) =>
+      val fixture = ensureEvalIndexFixture(s, dir)
+      val batch = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 1)
+        .select("doc_id", "text")
+      Dedup.evalContaminationReport(s, fixture, batch)
+        .orderBy("doc_id")
     }
   )
 
@@ -2732,6 +2745,28 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM fps f JOIN ev e ON e.fp = f.fp WHERE f.doc_id = b.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q83: the same winnowing CTE, attribution form — per contaminated
+    // batch doc, distinct colliding eval docs and distinct shared fps
+    "q83_decontam_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) + 1 AS pos,
+        |    CAST(concat('0x', substring(md5(
+        |      concat_ws(' ', t[CAST(i AS INT)+1], t[CAST(i AS INT)+2], t[CAST(i AS INT)+3])), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM grams),
+        |ev AS (SELECT doc_id AS eval_id, fp FROM fps WHERE doc_id % 20 IN (7, 8)),
+        |b AS (SELECT f.doc_id, f.fp FROM fps f
+        |      JOIN documents d ON d.doc_id = f.doc_id WHERE d.doc_id % 5 = 1)
+        |SELECT b.doc_id,
+        |  CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs,
+        |  CAST(COUNT(DISTINCT b.fp) AS BIGINT) AS n_shared_fps
+        |FROM b JOIN ev ON ev.fp = b.fp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS cnt,
          |  CAST(${ExactAgg.Sql.divHalfUp("SUM(ne6)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS avg_norm

@@ -1239,6 +1239,33 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** Per-contaminated-doc report against the persisted eval index — the
+    * [[graft.ops.Sampling.contaminationReport]] output shape (how many
+    * distinct eval docs a batch doc collides with, through how many of its
+    * fingerprints) driven by the index instead of a corpus re-winnow: the
+    * index keeps (eval_id, fp), so attribution costs nothing extra. Same
+    * probe plan as [[contaminatedIds]] (broadcast index side, narrow batch
+    * fps), with the counts aggregated per batch doc. Use for triage of what
+    * the gate dropped; the gate itself is [[dedupAgainstEvalIndex]].
+    */
+  def evalContaminationReport(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (k, w) = readEvalLayout(spark, path)
+    val evalFps = localized(
+      spark.read.parquet(path).select("eval_id", "fp").distinct())
+    Text.winnowFingerprintsSalted(
+        batch.select(col(idCol), col(textCol)), textCol, idCol, k, w)
+      .join(broadcast(evalFps), Seq("fp"))
+      .groupBy(idCol)
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("fp")).as("n_shared_fps"))
+  }
+
   /** Decontaminate a batch against the persisted eval index: survivors are
     * the batch rows sharing fewer than `minSharedFps` fingerprints with
     * every indexed eval doc (docs shorter than k tokens emit no

@@ -635,6 +635,13 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(survivors == Seq(3L, 4L), survivors.toString)
 
+    // the report attributes each contaminated doc to its colliding eval
+    // docs: doc 1 quotes only the gen-0 suite, doc 2 only the appended one
+    val report = Dedup.evalContaminationReport(spark, idx, batch)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(report.map(r => (r._1, r._2)) == Seq((1L, 1L), (2L, 1L)), report.toString)
+    assert(report.forall(_._3 >= 1), report.toString)
+
     // probe agrees with the direct winnow-fp collision join (the q55 form)
     val evalFps = Text.winnowFingerprints(docs(
         100L -> "the quick brown fox jumps over the lazy dog tonight",
