@@ -419,10 +419,16 @@ object StressGen {
       time("eval index build (winnow the suites, one-time)") {
         functions.Dedup.writeEvalIndex(evalSuite, evalIdx)
       }
+      // persisted + counted: limit-without-order is plan-nondeterministic,
+      // so an unpersisted `quotes` could union one row set into evalBatch
+      // and probe a DIFFERENT one below; and the denominator must be the
+      // rows that actually exist, not an assumed 100 (review finding)
       val quotes = evalSuite
         .filter(F.size(F.split(F.col("text"), " ")) >= 8).limit(100)
         .select((F.col("doc_id") + 5 * nDocs10).as("doc_id"),
           F.concat(F.lit("as the benchmark says "), F.col("text")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nQuotes = quotes.count()
       val evalBatch = batch.select("doc_id", "text").unionByName(quotes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nEvalBatch = evalBatch.count()
@@ -437,11 +443,12 @@ object StressGen {
           .select("doc_id").distinct()
         evalBatch.join(F.broadcast(contaminated), Seq("doc_id"), "left_anti").count()
       }
-      val quotesCaught = 100 -
+      val quotesCaught = nQuotes -
         functions.Dedup.dedupAgainstEvalIndex(spark, evalIdx, quotes).count()
       println(s"GRAFT_STRESS   decontam survivors index=$viaEvalIdx " +
         s"rewinnow=$viaSuiteRewinnow equal=${viaEvalIdx == viaSuiteRewinnow} " +
-        s"of $nEvalBatch; planted quotes caught: $quotesCaught/100")
+        s"of $nEvalBatch; planted quotes caught: $quotesCaught/$nQuotes")
+      quotes.unpersist()
       evalBatch.unpersist()
       evalSuite.unpersist()
       batch.unpersist()

@@ -594,12 +594,31 @@ object Dedup {
 
   private def layoutPath(path: String) = new org.apache.hadoop.fs.Path(path, "_GRAFT_LAYOUT")
 
-  private def writeLayout(spark: org.apache.spark.sql.SparkSession, path: String, mod: Int): Unit = {
+  // One filesystem read/write pair serves every index layout format (the fp/
+  // band modulus, the eval index's winnowing geometry) — the payload differs,
+  // the plumbing and the missing-layout contract must not (review: the two
+  // copies would drift on the next layout hardening).
+  private def writeLayoutPayload(
+      spark: org.apache.spark.sql.SparkSession, path: String, payload: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(layoutPath(path), true)
-    try out.write(s"mod=$mod".getBytes("UTF-8")) finally out.close()
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
   }
+
+  private def readLayoutPayload(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = layoutPath(path)
+    require(fs.exists(p),
+      s"index at $path has no _GRAFT_LAYOUT — built under a pre-v4 scheme or the build crashed; rebuild it")
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+  }
+
+  private def writeLayout(spark: org.apache.spark.sql.SparkSession, path: String, mod: Int): Unit =
+    writeLayoutPayload(spark, path, s"mod=$mod")
 
   /** True when a READABLE generational index exists at `path`: the layout
     * file AND at least one published `batch=<gen>` directory under every
@@ -653,16 +672,8 @@ object Dedup {
     df.sparkSession.createDataFrame(rows, df.schema)
   }
 
-  private def readLayout(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val p = layoutPath(path)
-    require(fs.exists(p),
-      s"index at $path has no _GRAFT_LAYOUT — built under a pre-v4 scheme or the build crashed; rebuild it")
-    val in = fs.open(p)
-    val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    s.stripPrefix("mod=").toInt
-  }
+  private def readLayout(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    readLayoutPayload(spark, path).stripPrefix("mod=").toInt
 
   /** Persist the history corpus's content fingerprints as a compact index
     * table: (idCol, fp) with fp = the raw 16-byte md5
@@ -1124,38 +1135,91 @@ object Dedup {
   val EvalIndexVersion = "winnow-eval-v1"
 
   private def writeEvalLayout(
-      spark: org.apache.spark.sql.SparkSession, path: String, k: Int, w: Int): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(layoutPath(path), true)
-    try out.write(s"k=$k|w=$w".getBytes("UTF-8")) finally out.close()
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int, w: Int): Unit =
+    writeLayoutPayload(spark, path, s"k=$k|w=$w")
 
   private def readEvalLayout(
-      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val p = layoutPath(path)
-    require(fs.exists(p),
-      s"eval index at $path has no _GRAFT_LAYOUT — the build crashed before recording its winnowing geometry; rebuild it")
-    val in = fs.open(p)
-    val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    s.split('|') match {
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) =
+    readLayoutPayload(spark, path).split('|') match {
       case Array(ks, ws) => (ks.stripPrefix("k=").toInt, ws.stripPrefix("w=").toInt)
-      case _ => throw new IllegalStateException(s"malformed eval-index layout '$s' at $path")
+      case s => throw new IllegalStateException(
+        s"malformed eval-index layout '${s.mkString("|")}' at $path")
     }
+
+  /** [[indexReadable]] for a [[writeEvalIndex]] layout. Runs
+    * [[recoverEvalIndex]] first: a crashed install swap parks the WHOLE
+    * live index at `<path>__old`, and without the restore every probe
+    * until the next startup would read "no index" — for a gate that fails
+    * open, a silently-disabled screen (the review's fail-open finding).
+    */
+  def evalIndexReadable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    recoverEvalIndex(spark, path)
+    indexReadable(spark, path, Seq(""))
   }
 
-  /** [[indexReadable]] for a [[writeEvalIndex]] layout. */
-  def evalIndexReadable(
-      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    indexReadable(spark, path, Seq(""))
+  /** Cache of the collected eval-index rows, keyed by index path with the
+    * generation listing (names + mtimes) as the staleness signature. The
+    * blocklist is IMMUTABLE between rare human-cadence suite installs, but
+    * the ingest loop probes per micro-batch — without the cache, the same
+    * megabyte-scale fp set is re-listed, re-scanned, shuffle-distinct'd and
+    * re-collected ~525k times/year in the loop's steady state (review
+    * finding). The signature changes structurally on every mutation path:
+    * install (swapped-in root carries freshly-built generation dirs),
+    * append (a new `batch=` entry), fold (entries consolidated) — so
+    * staleness detection costs one directory listing, which the probe
+    * needed anyway to read the layout. Values are raw rows + schema, never
+    * DataFrames: a cached plan would pin its originating SparkSession.
+    */
+  private val evalRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String,
+      (String, org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
 
-  /** Build the eval-set decontamination index: the winnowing fingerprints
-    * of `evalDocs` as (eval_id, fp), landed as generation 0. One winnowing
-    * pass over the eval suites — paid once per suite, ever; ingest batches
-    * never read eval TEXT again. Skew-safe via the salted winnowing form
-    * (identical fingerprint set, bounded window partitions).
+  private def evalGenSignature(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(st => s"${st.getPath.getName}@${st.getModificationTime}")
+      .sorted.mkString(";")
+  }
+
+  /** The index's distinct (eval_id, fp) rows as a local relation — served
+    * from [[evalRowsCache]] while the generation signature matches, read
+    * and collected once otherwise (bounded by the eval-suite contract).
+    */
+  private def evalIndexRows(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val sig = evalGenSignature(spark, path)
+    val (schema, rows) = Option(evalRowsCache.get(path)).filter(_._1 == sig) match {
+      case Some((_, sc, r)) => (sc, r)
+      case None =>
+        val df = spark.read.parquet(path).select("eval_id", "fp").distinct()
+        val r = df.collect()
+        evalRowsCache.put(path, (sig, df.schema, r))
+        (df.schema, r)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Build or REPLACE the eval-set decontamination index: the winnowing
+    * fingerprints of `evalDocs` as (eval_id, fp), landed as generation 0.
+    * One winnowing pass over the eval suites — paid once per suite, ever;
+    * ingest batches never read eval TEXT again. Skew-safe via the salted
+    * winnowing form (identical fingerprint set, bounded window partitions).
+    *
+    * The install is STAGED then swapped ([[graft.sinks.Sinks.swapIn]]), not
+    * built in place: the documented usage is an operator refreshing the
+    * blocklist while an ingest loop keeps probing it, and a delete-then-
+    * rebuild window would read as "no index installed" — the decontam gate
+    * fails OPEN by design (it cannot bootstrap from ingest data), so every
+    * batch landed during the rebuild would permanently commit unscreened
+    * docs. With the swap, probes see the old suites until the instant the
+    * new install is complete; a crash between the swap's renames parks the
+    * old index at `<path>__old`, restored by [[recoverEvalIndex]] (run on
+    * probe entry and by the ingest loop's startup recovery).
     */
   def writeEvalIndex(
       evalDocs: DataFrame,
@@ -1168,14 +1232,29 @@ object Dedup {
     val spark = evalDocs.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-    writeEvalLayout(spark, path, k, w)
+    recoverEvalIndex(spark, path)
+    val next = path + "__next"
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(next))
+    writeEvalLayout(spark, next, k, w)
     graft.sinks.Sinks.publishDir(
       Text.winnowFingerprintsSalted(evalDocs, textCol, idCol, k, w)
         .select(col(idCol).as("eval_id"), col("fp")),
-      path, s"batch=$generation")
-    ()
+      next, s"batch=$generation")
+    graft.sinks.Sinks.swapIn(fs,
+      new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+  }
+
+  /** Restore an eval index a crashed [[writeEvalIndex]] swap left parked at
+    * `<path>__old`. No-op when the live path exists. */
+  def recoverEvalIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.recoverSwap(fs,
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix))
   }
 
   /** Append a NEW eval suite to the index as its own immutable generation —
@@ -1209,12 +1288,18 @@ object Dedup {
       upToGen: Long): Unit =
     compactGenerationalIndex(spark, path, upToGen)
 
-  /** Batch doc ids sharing at least `minSharedFps` winnowing fingerprints
-    * (≥ one verbatim run of w+k−1 tokens each) with ANY indexed eval doc.
-    * The index's distinct fingerprints are collected once (bounded by the
-    * eval-suite contract — megabytes, like the IVF centroid model) and
-    * broadcast; the batch's fingerprint relation joins against them with
-    * no shuffle wider than (id, fp).
+  /** Batch doc ids whose winnowing fingerprints collide with the indexed
+    * eval suites at least `minSharedFps` times — counted against the
+    * UNION of all indexed fingerprints (total leaked runs per batch doc),
+    * NOT per individual eval doc: the gate's question is "does this doc
+    * carry verbatim eval material at all", and a doc quoting one 6-token
+    * run from each of three benchmarks is three times the evidence, not
+    * zero times (per-eval-doc attribution is [[evalContaminationReport]]'s
+    * job). The index's distinct fingerprints are collected once — cached
+    * across micro-batches by [[evalRowsCache]], bounded by the eval-suite
+    * contract like the IVF centroid model — and broadcast; the batch's
+    * fingerprint relation joins against them with no shuffle wider than
+    * (id, fp).
     */
   def contaminatedIds(
       spark: org.apache.spark.sql.SparkSession,
@@ -1224,11 +1309,9 @@ object Dedup {
       idCol: String = "doc_id",
       minSharedFps: Int = 1): DataFrame = {
     require(minSharedFps >= 1, s"minSharedFps must be >= 1, got $minSharedFps")
+    recoverEvalIndex(spark, path)
     val (k, w) = readEvalLayout(spark, path)
-    // bounded collect + local relation (no CacheManager leak per micro-batch,
-    // same as the fp probe's batch set — but here it's the INDEX side that
-    // is small by contract)
-    val evalFps = localized(spark.read.parquet(path).select("fp").distinct())
+    val evalFps = evalIndexRows(spark, path).select("fp").distinct()
     val batchFps = Text.winnowFingerprintsSalted(
       batch.select(col(idCol), col(textCol)), textCol, idCol, k, w)
     val hits = batchFps.join(broadcast(evalFps), Seq("fp"), "left_semi")
@@ -1254,9 +1337,9 @@ object Dedup {
       batch: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    recoverEvalIndex(spark, path)
     val (k, w) = readEvalLayout(spark, path)
-    val evalFps = localized(
-      spark.read.parquet(path).select("eval_id", "fp").distinct())
+    val evalFps = evalIndexRows(spark, path)
     Text.winnowFingerprintsSalted(
         batch.select(col(idCol), col(textCol)), textCol, idCol, k, w)
       .join(broadcast(evalFps), Seq("fp"))
@@ -1268,12 +1351,13 @@ object Dedup {
 
   /** Decontaminate a batch against the persisted eval index: survivors are
     * the batch rows sharing fewer than `minSharedFps` fingerprints with
-    * every indexed eval doc (docs shorter than k tokens emit no
-    * fingerprints and always survive). The contaminated set is ≤ batch-
-    * sized and expected tiny (leakage is the exception), so the anti-join
-    * broadcasts it — the batch itself never shuffles. Replay-invariant
-    * trivially: the index never grows with the ingest stream, so a crash
-    * replay probes the identical blocklist.
+    * the indexed suites IN AGGREGATE ([[contaminatedIds]]'s union
+    * semantics; docs shorter than k tokens emit no fingerprints and always
+    * survive). The contaminated set is ≤ batch-sized and expected tiny
+    * (leakage is the exception), so the anti-join broadcasts it — the
+    * batch itself never shuffles. Replay-invariant trivially: the index
+    * never grows with the ingest stream, so a crash replay probes the
+    * identical blocklist.
     */
   def dedupAgainstEvalIndex(
       spark: org.apache.spark.sql.SparkSession,

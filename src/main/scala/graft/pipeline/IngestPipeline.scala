@@ -107,9 +107,9 @@ object IngestPipeline {
 
   /** Opt-in eval-set DECONTAMINATION stage for [[ingestBatch]]: drop batch
     * docs sharing ≥ `minSharedFps` winnowing fingerprints (each a verbatim
-    * run of ≥ w+k−1 tokens) with any doc in the eval suites indexed under
-    * [[IngestPaths.evalIndex]] ([[Dedup.dedupAgainstEvalIndex]], q82's
-    * operator). The index is installed/appended offline per benchmark
+    * run of ≥ w+k−1 tokens) with the eval suites indexed under
+    * [[IngestPaths.evalIndex]], counted against the suites' fingerprint
+    * UNION ([[Dedup.dedupAgainstEvalIndex]], q82's operator). The index is installed/appended offline per benchmark
     * suite ([[Dedup.writeEvalIndex]] / [[Dedup.appendEvalIndex]] — its
     * winnowing geometry travels in its own layout file); ingest only ever
     * probes. Unlike every dedup stage, the blocklist does NOT grow with the
@@ -324,12 +324,23 @@ object IngestPipeline {
       else Dedup.dedupAgainstFingerprintIndex(spark, paths.fpIndex, intra, textCol, idCol)
     // DECONTAMINATION gate (opt-in): a static blocklist probe, so it sits
     // before the approximate stages — see DecontamConfig. Skipped (like
-    // every index stage) while no readable index is installed.
+    // every index stage) while no readable index is installed — but LOUDLY:
+    // unlike the dedup indexes this gate cannot bootstrap from ingest data,
+    // so "no index" means every batch in the window lands unscreened and
+    // the leakage is permanent once the fps commit. The install itself is
+    // swap-atomic (writeEvalIndex) and evalIndexReadable self-heals a
+    // crashed swap, so in a correctly-operated install this branch only
+    // fires before the first install.
     val afterDecontam = decontam match {
       case Some(cfg) if Dedup.evalIndexReadable(spark, paths.evalIndex) =>
         Dedup.dedupAgainstEvalIndex(
           spark, paths.evalIndex, afterExact, textCol, idCol, cfg.minSharedFps)
-      case _ => afterExact
+      case Some(_) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"decontamination configured but no readable eval index at ${paths.evalIndex} — " +
+            s"batch $batchId ingested UNSCREENED; install the blocklist with Dedup.writeEvalIndex")
+        afterExact
+      case None => afterExact
     }
     // NEAR-dup stage (opt-in): after the exact stage — identical content is
     // already gone, so band probes only ever verify near-misses — and
@@ -588,6 +599,7 @@ object IngestPipeline {
     Sinks.recoverPartitions(spark, s"${paths.ivfIndex}/lists")
     Sinks.recoverPartitions(spark, s"${paths.bandIndex}/sigs")
     Sinks.recoverPartitions(spark, s"${paths.bandIndex}/bands")
+    Dedup.recoverEvalIndex(spark, paths.evalIndex) // a crashed install swap
   }
 
   /** Fold the append-mode INDEX state the ingest loop grows — the

@@ -675,6 +675,39 @@ class DedupSpec extends SparkSpec {
     assert(!Dedup.evalIndexReadable(spark, debris))
   }
 
+  test("eval index: a crashed install swap self-heals on the next readable check") {
+    val root = java.nio.file.Files.createTempDirectory("graft-eval-swap").toString
+    val idx = s"$root/eval"
+    Dedup.writeEvalIndex(docs(
+      100L -> "the quick brown fox jumps over the lazy dog tonight"), idx)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    // crash window between swapIn's two renames: the live index is parked
+    // at __old — a bare readable check would say "no index" and the gate
+    // would fail open until a manual restore
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "__old"))
+    assert(Dedup.evalIndexReadable(spark, idx),
+      "readable check must restore the parked install")
+    val batch = docs(
+      1L -> "report says the quick brown fox jumps over the lazy dog tonight indeed",
+      2L -> "nothing shared with the suite here at all today")
+    assert(Dedup.dedupAgainstEvalIndex(spark, idx, batch)
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+
+    // a REINSTALL over the live index stages + swaps: the old suites stay
+    // probe-visible until the new install is complete (no delete window),
+    // and the probe cache keys on the generation listing, so the swapped-in
+    // blocklist is picked up immediately
+    Dedup.writeEvalIndex(docs(
+      300L -> "pack my box with five dozen liquor jugs again today"), idx)
+    val after = Dedup.dedupAgainstEvalIndex(spark, idx, docs(
+        1L -> "report says the quick brown fox jumps over the lazy dog tonight indeed",
+        2L -> "he would pack my box with five dozen liquor jugs again today he said"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(after == Seq(1L), s"reinstalled blocklist must gate (and only it): $after")
+  }
+
   test("eval index: probe winnows under the INDEX's recorded geometry, not the caller's") {
     // an index built at k=5 must collide 7-token runs hashed at k=5 even
     // though the probe caller never states the geometry — the layout
