@@ -44,7 +44,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    // A SPARK_GRAFT_BENCH_ONLY-filtered iteration run must NOT overwrite the
+    // full-registry artifact: BENCH_OUT.json is the round's git-tracked
+    // citable evidence, and a partial map committed over it would claim a
+    // one-query "total" with nothing marking the filter (review finding).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_PARTIAL.json"
+      else "BENCH_OUT.json")
     val spark = GraftSession.builder("graft-bench", shufflePartitions = cpus.toInt)
       .master(s"local[$cpus]")
       .config("spark.ui.enabled", "false")

@@ -31,7 +31,10 @@ import graft.pipeline.{BatchPipeline, IngestPipeline, StreamPipeline}
   *   - `ingest`: the crash-safe exactly-once training-data ingest loop
   *     ([[IngestPipeline.start]]) over a parquet file stream. Args:
   *     `in=<dir> root=<dir> checkpoint=<dir>`, optional
-  *     `neardup=true maintainEvery=<n> ivfHealth=true`.
+  *     `neardup=true decontam=true maintainEvery=<n> ivfHealth=true`
+  *     (`ivfHealth=true` implies maintenance at the default cadence;
+  *     `decontam=true` expects an eval index installed under
+  *     `<root>/eval_index` via [[graft.functions.Dedup.writeEvalIndex]]).
   */
 object Submit {
 
@@ -47,9 +50,8 @@ object Submit {
       val source = opt.getOrElse("source", "files")
       val raw = source match {
         case "files" =>
-          spark.readStream.format("text")
-            .load(req(opt, "in"))
-            .withColumnRenamed("value", "value")
+          // the text source already yields the one `value` column decode expects
+          spark.readStream.format("text").load(req(opt, "in"))
         case "kafka" =>
           // connector topology is config: the jar arrives via the submit's
           // --packages, exactly as the reference ships it
@@ -69,20 +71,30 @@ object Submit {
       val nearDup =
         if (opt.get("neardup").contains("true")) Some(IngestPipeline.NearDupConfig())
         else None
-      val maintenance = opt.get("maintainEvery").map { n =>
-        IngestPipeline.MaintenanceConfig(
-          everyNBatches = n.toInt,
-          ivfHealth =
-            if (opt.get("ivfHealth").contains("true"))
-              Some(IngestPipeline.IvfHealthConfig())
-            else None)
-      }
+      // ivfHealth runs on the maintenance cadence, so asking for it implies
+      // maintenance: construct the config when EITHER option is present —
+      // `ivfHealth=true` without `maintainEvery` used to be silently ignored
+      // (the operator believed the monitor was running; review finding)
+      val ivfHealth =
+        if (opt.get("ivfHealth").contains("true"))
+          Some(IngestPipeline.IvfHealthConfig())
+        else None
+      val maintenance =
+        if (opt.contains("maintainEvery") || ivfHealth.isDefined)
+          Some(IngestPipeline.MaintenanceConfig(
+            everyNBatches = opt.get("maintainEvery").map(_.toInt)
+              .getOrElse(IngestPipeline.MaintenanceConfig().everyNBatches),
+            ivfHealth = ivfHealth))
+        else None
+      val decontam =
+        if (opt.get("decontam").contains("true")) Some(IngestPipeline.DecontamConfig())
+        else None
       val docs = spark.readStream
         .schema("doc_id LONG, text STRING")
         .parquet(req(opt, "in"))
       IngestPipeline.start(
         docs, paths, req(opt, "checkpoint"),
-        nearDup = nearDup, maintenance = maintenance)
+        nearDup = nearDup, decontam = decontam, maintenance = maintenance)
       ()
     })
 

@@ -101,50 +101,70 @@ object CosineSimilarity {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // arity guard: a missing argument must fail analysis with the function's
+    // name and position, not an IndexOutOfBoundsException from children(1)
+    def arg(fn: String, children: Seq[Expression], i: Int): Expression = {
+      require(children.size > i,
+        s"$fn expects at least ${i + 1} arguments, got ${children.size}")
+      children(i)
+    }
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) =>
+        CosineSimilarity(arg("cosine_sim", children, 0), arg("cosine_sim", children, 1))))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) =>
+        DotProduct(arg("dot_product", children, 0), arg("dot_product", children, 1))))
     ext.injectFunction((
       new FunctionIdentifier("quantize_int8"),
       new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
-      (children: Seq[Expression]) => QuantizeInt8(children.head)))
+      (children: Seq[Expression]) => QuantizeInt8(arg("quantize_int8", children, 0))))
     ext.injectFunction((
       new FunctionIdentifier("cosine_int8"),
       new ExpressionInfo(classOf[Int8Cosine].getName, "cosine_int8"),
-      (children: Seq[Expression]) => Int8Cosine(children.head, children(1))))
+      (children: Seq[Expression]) =>
+        Int8Cosine(arg("cosine_int8", children, 0), arg("cosine_int8", children, 1))))
     // round-10 per-row dedup natives: parameters arrive as SQL literal
     // arguments (they are plan constants baked into the generated code, so
     // they must be foldable — a column-valued nHashes has no meaning)
-    def litInt(e: Expression, what: String): Int = e match {
+    def litLong(e: Expression, what: String): Long = e match {
       case f if f.foldable => f.eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
+        case i: Int => i.toLong
+        case l: Long => l
         case other => throw new IllegalArgumentException(
           s"$what must be an integer literal, got $other")
       }
       case _ => throw new IllegalArgumentException(s"$what must be a literal")
     }
+    def litInt(e: Expression, what: String): Int = {
+      val l = litLong(e, what)
+      require(l >= Int.MinValue && l <= Int.MaxValue, s"$what out of Int range: $l")
+      l.toInt
+    }
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSignature(
-        children.head,
+        arg("minhash_sig", children, 0),
         if (children.size > 1) litInt(children(1), "nHashes") else 64,
-        if (children.size > 2) litInt(children(2), "seed").toLong else 42L)))
+        // seed is Long-typed across the DataFrame API — litLong, not a
+        // truncating Int round-trip (a seed above Int.MaxValue would
+        // silently compute bit-different signatures than the same seed
+        // through MinHash.signatureNative)
+        if (children.size > 2) litLong(children(2), "seed") else 42L)))
     ext.injectFunction((
       new FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimHashFingerprint].getName, "simhash_fp"),
       (children: Seq[Expression]) => SimHashFingerprint(
-        children.head,
+        arg("simhash_fp", children, 0),
         if (children.size > 1) litInt(children(1), "nBits") else 60)))
     ext.injectFunction((
       new FunctionIdentifier("sig_agree"),
       new ExpressionInfo(classOf[SigAgreeCount].getName, "sig_agree"),
-      (children: Seq[Expression]) => SigAgreeCount(children.head, children(1))))
+      (children: Seq[Expression]) =>
+        SigAgreeCount(arg("sig_agree", children, 0), arg("sig_agree", children, 1))))
   }
 }

@@ -469,9 +469,19 @@ object Similarity {
     * scored ≥ `minSim` (precision = 1 under int8 quantization). Raising
     * `nProbe` trades cost for recall, exactly as in serving; the q79
     * health monitor's recall re-gate covers this probe the same way it
-    * covers serve. Self-pairs are excluded, so re-probing a batch whose
-    * vectors are already resident (a crash-replayed ingest cycle) does not
-    * quarantine the batch against itself.
+    * covers serve.
+    *
+    * The ENTIRE batch id set is excluded from collisions, not just
+    * self-pairs — the same contract as the band probe
+    * ([[graft.functions.Dedup.dedupAgainstBandIndex]]): duplicates are
+    * HISTORY-only, intra-batch near-pairs both survive. This is what makes
+    * a crash-replayed ingest cycle acceptance-identical: a crashed attempt
+    * may have already appended the batch's OWN vectors to the index, and
+    * with only self-pairs excluded, two mutually-similar batch docs would
+    * each find the other's published vector on replay and BOTH would drop —
+    * the replay would land a smaller accepted set than the crashed attempt
+    * wrote (its lake overwrite loses the pair forever while their orphan
+    * vectors keep blocking re-entry).
     *
     * Returns the SURVIVOR rows of `batch` (all its columns).
     */
@@ -482,7 +492,12 @@ object Similarity {
       nProbe: Int,
       minSim: Double,
       idCol: String = "vec_id"): DataFrame = {
+    val batchIds = batch.select(col(idCol).as("vec_id"))
     val dupIds = ivfIndexProbeScores(spark, path, batch.select(col(idCol).as("vec_id"), col("embedding")), nProbe)
+      // exclude hits on the batch's own (possibly crash-published) vectors —
+      // scored rows carry the RESIDENT's id as vec_id, so an anti-join on
+      // the (batch-sized, broadcastable) id set removes them all
+      .join(broadcast(batchIds), Seq("vec_id"), "left_anti")
       .filter(col("sim") >= minSim)
       .select(col("query_id").as(idCol))
       .distinct()

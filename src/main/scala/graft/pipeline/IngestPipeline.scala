@@ -239,12 +239,35 @@ object IngestPipeline {
     val recallOk = hits * 100 >= nq.toLong * cfg.k * cfg.minRecallPct
 
     val tripped = !skewOk || !recallOk
-    if (tripped) {
-      val k = cfg.retrainK.getOrElse(nCells.toInt)
+    // Migration rebuilds the index FROM THE FLOAT LAKE (int8 lists cannot be
+    // re-quantized from themselves), so it is only safe when the lake covers
+    // every resident: an index installed offline over a corpus that never
+    // flowed through this loop's embLake would be REPLACED by a rebuild
+    // containing only the loop-ingested vectors — the "repair" would drop
+    // the original corpus from serving, silently (review finding). Guard on
+    // coverage; an uncovered install gets the report (so operators see the
+    // trip) and a loud warning instead of data loss.
+    val corpusCovers = tripped && {
+      val corpusVecs = corpus.select("vec_id").distinct().count()
+      val covered = corpusVecs >= nVecs
+      if (!covered) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"IVF health tripped but the embedding lake covers $corpusVecs of $nVecs " +
+            s"index residents — migration SKIPPED (it would drop the uncovered vectors). " +
+            s"Backfill ${paths.embLake} with the install corpus's float vectors to enable repair.")
+      }
+      covered
+    }
+    if (corpusCovers) {
+      // the model's true cell count comes from the CELLS table, not from the
+      // non-empty lists partitions: emptied cells would otherwise silently
+      // shrink k on every migration (review finding)
+      val k = cfg.retrainK.getOrElse(
+        Similarity.readIvfCentroids(spark, paths.ivfIndex).length)
       Similarity.migrateIvfIndex(spark, paths.ivfIndex, corpus, k, cfg.retrainIters)
     }
     Some(IvfHealthReport(nCells, nVecs, maxList, skewOk, hits, nq, recallOk,
-      migrated = tripped))
+      migrated = corpusCovers))
   }
 
   /** Gopher/C4-shaped acceptance: keep docs whose [[Text.qualityBucket]] is

@@ -93,5 +93,25 @@ class CosineSimilaritySpec extends SparkSpec {
       spark.sql("SELECT minhash_sig(array('a'), id) FROM range(1)").collect()
     }
     assert(err.getMessage.toLowerCase.contains("literal"), err.getMessage)
+
+    // a Long-range seed must flow through untruncated: the SQL literal
+    // 5000000000 and the Column API's 5000000000L must produce the SAME
+    // signature (the old Int round-trip silently computed under seed
+    // 705032704)
+    val bigSeedSql = spark.sql(
+      "SELECT minhash_sig(array('a','b'), 8, 5000000000) AS s").collect().head
+      .getSeq[Long](0)
+    val bigSeedApi = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+      .select(MinHash.signatureNative(col("toks"), 8, 5000000000L).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(bigSeedSql == bigSeedApi, s"SQL $bigSeedSql != API $bigSeedApi")
+
+    // missing arguments fail with the function's name and arity, not an
+    // IndexOutOfBoundsException from children(1)
+    val arity = intercept[Exception] {
+      spark.sql("SELECT sig_agree(minhash_sig(array('a')))").collect()
+    }
+    assert(arity.getMessage.contains("sig_agree") &&
+      arity.getMessage.contains("argument"), arity.getMessage)
   }
 }

@@ -356,6 +356,65 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.lastApplied(spark, p) == 1L)
   }
 
+  test("semantic-dedup: intra-batch near-pairs both land even when a crashed attempt appended their vectors") {
+    val p = tmpRoot()
+    val semCfg = Some(IngestPipeline.SemanticDedupConfig(nProbe = 2, minSim = 0.95))
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val emb0 = Seq((1L, Seq(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    assert(IngestPipeline.ingestBatch(spark, p, Seq((1L, tA)).toDF("doc_id", "text"), 0L,
+      embedBatch = Some(emb0), semanticDedup = semCfg) == 1L)
+    Similarity.writeIvfIndex(emb0, cents, p.ivfIndex)
+
+    // 21 and 22 are paraphrases of EACH OTHER (same embedding direction,
+    // distinct text), similar to nothing in history. Near-dup acceptance is
+    // HISTORY-only (the band stage's contract), so both must land — and
+    // must KEEP landing when a crashed first attempt already appended both
+    // vectors to the index: with only self-pairs excluded, each would find
+    // the other's published vector on replay and both would drop, making
+    // the replay land a SMALLER accepted set than the crashed attempt wrote.
+    val b1 = Seq((21L, tD), (22L, tE)).toDF("doc_id", "text")
+    val pairVec = Seq(0f, 0.95f, 0.3f, 0f)
+    val emb1 = Seq((21L, pairVec), (22L, pairVec))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    Similarity.appendToIvfIndex(spark, p.ivfIndex, emb1) // the crashed attempt
+    assert(IngestPipeline.ingestBatch(spark, p, b1, 1L,
+      embedBatch = Some(emb1), semanticDedup = semCfg) == 2L,
+      "mutually-similar batch docs must both land on a crash replay")
+    assert(lakeState(p) == Seq((1L, 0L), (21L, 1L), (22L, 1L)))
+  }
+
+  test("ivf health: migration is SKIPPED when the embedding lake does not cover the index") {
+    val p = tmpRoot()
+    val dims = 16
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(dims)(d => if (d == i) 1f else 0f)
+    // embLake gets ONE vector (via a normal ingest)...
+    val emb0 = Seq((1L, oneHot(0))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    IngestPipeline.ingestBatch(spark, p, Seq((1L, tA)).toDF("doc_id", "text"), 0L,
+      embedBatch = Some(emb0))
+    // ...but the index is installed OFFLINE over 76 vectors the lake has
+    // never seen: 16 balanced + 60 concentrated in cell 0 (skew trips:
+    // maxList*nCells = 61*16 = 976 > 10*76 = 760)
+    val installed = (0 until dims).map(i => (100L + i, oneHot(i))) ++
+      (0 until 60).map(j => (200L + j, Seq.tabulate(dims)(d =>
+        if (d == 0) 1f else if (d == 1) 0.005f * j else 0f).toSeq))
+    val instDf = installed.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    Similarity.writeIvfIndex(instDf, (0 until dims).map(i => oneHot(i).toArray).toArray, p.ivfIndex)
+
+    val before = spark.read.parquet(s"${p.ivfIndex}/lists")
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    val report = IngestPipeline.checkIvfHealth(
+      spark, p, IngestPipeline.IvfHealthConfig()).get
+    assert(!report.skewOk, s"skew must trip: $report")
+    assert(!report.migrated,
+      "migration from a 1-vector lake would DROP the 76 installed vectors — it must be skipped")
+    val after = spark.read.parquet(s"${p.ivfIndex}/lists")
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(after == before, "the served index must be untouched")
+  }
+
   test("decontamination stage: docs quoting an indexed eval suite never land; appended suites gate too") {
     val p = tmpRoot()
     val cfg = Some(IngestPipeline.DecontamConfig())
