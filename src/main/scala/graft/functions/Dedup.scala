@@ -1158,6 +1158,18 @@ object Dedup {
     indexReadable(spark, path, Seq(""))
   }
 
+  /** Ceiling on the eval-index rows the probe will collect + broadcast —
+    * ~64 MB of (id, fp) pairs, the size class of every other model-sized
+    * collect in the engine. Suites are normally far below it; a
+    * pathological install (tens of millions of fingerprints) must not OOM
+    * the driver on collect or the executors on broadcast — above the
+    * ceiling the probe degrades to a DISTRIBUTED semi-join against the
+    * index table (one suite-sized shuffle per batch: the honest cost of a
+    * blocklist too big to replicate).
+    */
+  private[functions] def evalBroadcastMaxRows: Long =
+    sys.props.get("graft.evalIndex.broadcastMaxRows").map(_.toLong).getOrElse(4L << 20)
+
   /** Cache of the collected eval-index rows, keyed by index path with the
     * generation listing (names + mtimes) as the staleness signature. The
     * blocklist is IMMUTABLE between rare human-cadence suite installs, but
@@ -1169,12 +1181,15 @@ object Dedup {
     * append (a new `batch=` entry), fold (entries consolidated) — so
     * staleness detection costs one directory listing, which the probe
     * needed anyway to read the layout. Values are raw rows + schema, never
-    * DataFrames: a cached plan would pin its originating SparkSession.
+    * DataFrames: a cached plan would pin its originating SparkSession. A
+    * `None` value records "over the broadcast ceiling" so oversized
+    * installs don't re-count per batch either.
     */
   private val evalRowsCache =
     new java.util.concurrent.ConcurrentHashMap[
       String,
-      (String, org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+      (String,
+        Option[(org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])])]()
 
   private def evalGenSignature(
       spark: org.apache.spark.sql.SparkSession, path: String): String = {
@@ -1186,22 +1201,32 @@ object Dedup {
       .sorted.mkString(";")
   }
 
-  /** The index's distinct (eval_id, fp) rows as a local relation — served
-    * from [[evalRowsCache]] while the generation signature matches, read
-    * and collected once otherwise (bounded by the eval-suite contract).
+  /** The index's distinct (eval_id, fp) rows, plus whether they are LOCAL:
+    * (true, LocalRelation) served from [[evalRowsCache]] when the suite fits
+    * the broadcast ceiling; (false, distributed scan) above it. Callers pick
+    * the join strategy from the flag: broadcast when local, shuffle
+    * semi-join when not.
     */
   private def evalIndexRows(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, path: String): (Boolean, DataFrame) = {
+    val distributed = spark.read.parquet(path).select("eval_id", "fp").distinct()
     val sig = evalGenSignature(spark, path)
-    val (schema, rows) = Option(evalRowsCache.get(path)).filter(_._1 == sig) match {
-      case Some((_, sc, r)) => (sc, r)
+    val entry = Option(evalRowsCache.get(path)).filter(_._1 == sig) match {
+      case Some(e) => e._2
       case None =>
-        val df = spark.read.parquet(path).select("eval_id", "fp").distinct()
-        val r = df.collect()
-        evalRowsCache.put(path, (sig, df.schema, r))
-        (df.schema, r)
+        val max = evalBroadcastMaxRows
+        val probeLimit = math.min(max + 1, Int.MaxValue.toLong).toInt
+        val e =
+          if (distributed.limit(probeLimit).count() > max) None
+          else Some((distributed.schema, distributed.collect()))
+        evalRowsCache.put(path, (sig, e))
+        e
     }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    entry match {
+      case Some((schema, rows)) =>
+        (true, spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+      case None => (false, distributed)
+    }
   }
 
   /** Build or REPLACE the eval-set decontamination index: the winnowing
@@ -1311,10 +1336,12 @@ object Dedup {
     require(minSharedFps >= 1, s"minSharedFps must be >= 1, got $minSharedFps")
     recoverEvalIndex(spark, path)
     val (k, w) = readEvalLayout(spark, path)
-    val evalFps = evalIndexRows(spark, path).select("fp").distinct()
+    val (local, evalRows) = evalIndexRows(spark, path)
+    val evalFps = evalRows.select("fp").distinct()
     val batchFps = Text.winnowFingerprintsSalted(
       batch.select(col(idCol), col(textCol)), textCol, idCol, k, w)
-    val hits = batchFps.join(broadcast(evalFps), Seq("fp"), "left_semi")
+    val hits = batchFps.join(
+      if (local) broadcast(evalFps) else evalFps, Seq("fp"), "left_semi")
     if (minSharedFps <= 1) hits.select(col(idCol)).distinct()
     else hits // batchFps is distinct per (id, fp), so count = distinct shared fps
       .groupBy(idCol).agg(count(lit(1)).as("__n"))
@@ -1339,10 +1366,10 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     recoverEvalIndex(spark, path)
     val (k, w) = readEvalLayout(spark, path)
-    val evalFps = evalIndexRows(spark, path)
+    val (local, evalFps) = evalIndexRows(spark, path)
     Text.winnowFingerprintsSalted(
         batch.select(col(idCol), col(textCol)), textCol, idCol, k, w)
-      .join(broadcast(evalFps), Seq("fp"))
+      .join(if (local) broadcast(evalFps) else evalFps, Seq("fp"))
       .groupBy(idCol)
       .agg(
         countDistinct(col("eval_id")).as("n_eval_docs"),

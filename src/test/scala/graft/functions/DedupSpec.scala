@@ -708,6 +708,30 @@ class DedupSpec extends SparkSpec {
     assert(after == Seq(1L), s"reinstalled blocklist must gate (and only it): $after")
   }
 
+  test("eval index: an over-ceiling blocklist degrades to the distributed probe, same answer") {
+    // a suite too big to collect + broadcast must not OOM — the probe falls
+    // back to a shuffle semi-join against the index table and the gate's
+    // answer is identical (the ceiling is shrunk to 1 row to force the path)
+    val root = java.nio.file.Files.createTempDirectory("graft-eval-big").toString
+    val idx = s"$root/eval"
+    Dedup.writeEvalIndex(docs(
+      100L -> "the quick brown fox jumps over the lazy dog tonight",
+      200L -> "pack my box with five dozen liquor jugs again today"), idx)
+    val batch = docs(
+      1L -> "report says the quick brown fox jumps over the lazy dog tonight indeed",
+      2L -> "he would pack my box with five dozen liquor jugs again today he said",
+      3L -> "quick dog and lazy fox discuss liquor jugs")
+    sys.props("graft.evalIndex.broadcastMaxRows") = "1"
+    try {
+      val survivors = Dedup.dedupAgainstEvalIndex(spark, idx, batch)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(survivors == Seq(3L), survivors.toString)
+      val report = Dedup.evalContaminationReport(spark, idx, batch)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      assert(report.map(_._1) == Seq(1L, 2L), report.toString)
+    } finally sys.props.remove("graft.evalIndex.broadcastMaxRows")
+  }
+
   test("eval index: probe winnows under the INDEX's recorded geometry, not the caller's") {
     // an index built at k=5 must collide 7-token runs hashed at k=5 even
     // though the probe caller never states the geometry — the layout
