@@ -637,9 +637,27 @@ object Dedup {
       dataRoots: Seq[String]): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // a generation counts only when it holds an actual parquet DATA file:
+    // Spark's partitioned write of an EMPTY DataFrame commits a directory
+    // with no data files, and a dir-name-only check would send the probe
+    // onto a schema-less read that throws and crash-loops every replay —
+    // the very failure mode this detection exists to prevent (review
+    // finding). The recursive walk short-circuits at the first data file,
+    // so a populated index pays one listing, not a full tree scan.
+    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.isFile && f.getPath.getName.endsWith(".parquet")
+      }
+      found
+    }
     def hasGeneration(root: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(if (root.isEmpty) path else s"$path/$root")
-      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+      fs.exists(p) && fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .exists(st => hasDataFile(st.getPath))
     }
     fs.exists(layoutPath(path)) && dataRoots.forall(hasGeneration)
   }
@@ -700,12 +718,14 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       generation: Long = 0L,
-      bpMod: Option[Int] = None): Unit = {
+      bpMod: Option[Int] = None,
+      fpCol: Option[String] = None): Unit = {
     val spark = history.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val rows = history.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
+    val fpExpr = fpCol.map(col).getOrElse(Text.fingerprintBinary(col(textCol)))
+    val rows = history.select(col(idCol), fpExpr.as("fp"))
     // modulus derived from the BUILD corpus unless the install sizes for
     // growth explicitly; recorded before the first generation publishes so
     // no readable index ever lacks its layout. Counting HISTORY, not
@@ -744,13 +764,15 @@ object Dedup {
       path: String,
       generation: Long,
       textCol: String = "text",
-      idCol: String = "doc_id"): Boolean = {
+      idCol: String = "doc_id",
+      fpCol: Option[String] = None): Boolean = {
     // appends hash under the INDEX's recorded modulus — a drifted modulus
     // would route the same fp to different directories across generations
     // and the probe's pruning would silently miss collisions
     val mod = readLayout(accepted.sparkSession, path)
+    val fpExpr = fpCol.map(col).getOrElse(Text.fingerprintBinary(col(textCol)))
     graft.sinks.Sinks.publishDir(
-      accepted.select(col(idCol), Text.fingerprintBinary(col(textCol)).as("fp"))
+      accepted.select(col(idCol), fpExpr.as("fp"))
         .withColumn("fpp", prefixCol(col("fp"), mod)),
       path, s"batch=$generation", partitionBy = Seq("fpp"))
   }
@@ -1067,8 +1089,16 @@ object Dedup {
       path: String,
       incoming: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val inFp = incoming.withColumn("__fp", Text.fingerprintBinary(col(textCol)))
+      idCol: String = "doc_id",
+      fpCol: Option[String] = None): DataFrame = {
+    // `fpCol` lets a caller that already md5'd the batch (the ingest loop's
+    // intra-batch dedup) reuse the column instead of paying a second full
+    // text pass; the column is preserved in the result so the commit-point
+    // append can reuse it a third time (review finding: 3x hashing/cycle)
+    val inFp = fpCol match {
+      case Some(c) => incoming.withColumnRenamed(c, "__fp")
+      case None => incoming.withColumn("__fp", Text.fingerprintBinary(col(textCol)))
+    }
     // the batch's distinct fps feed the prefix derivation AND the
     // semi-join build side — materialized as a LOCAL RELATION
     // ([[localized]]: one batch scan, no CacheManager entry to leak per
@@ -1089,7 +1119,11 @@ object Dedup {
       .select(col("fp").as("__fp"))
       .join(broadcast(batchFps), Seq("__fp"), "left_semi")
       .distinct()
-    inFp.join(broadcast(collisions), Seq("__fp"), "left_anti").drop("__fp")
+    val out = inFp.join(broadcast(collisions), Seq("__fp"), "left_anti")
+    fpCol match {
+      case Some(c) => out.withColumnRenamed("__fp", c)
+      case None => out.drop("__fp")
+    }
   }
 
   // ---------------------------------------------------------------------

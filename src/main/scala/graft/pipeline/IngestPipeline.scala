@@ -138,7 +138,11 @@ object IngestPipeline {
     */
   final case class MaintenanceConfig(
       everyNBatches: Int = 8,
-      ivfHealth: Option[IvfHealthConfig] = None)
+      ivfHealth: Option[IvfHealthConfig] = None) {
+    // a zero cadence would divide-by-zero inside foreachBatch and kill the
+    // stream on its first committed batch; fail at construction instead
+    require(everyNBatches > 0, s"everyNBatches must be positive, got $everyNBatches")
+  }
 
   /** Drift monitor thresholds for the served IVF index, run on the
     * maintenance cadence. Two trips, matching q79's gates:
@@ -216,7 +220,23 @@ object IngestPipeline {
     // readable-index detection, not bare fs.exists — a build that crashed
     // mid-cells-write must read as "no index", like the dedup indexes
     val hasIndex = Similarity.ivfIndexReadable(spark, paths.ivfIndex)
-    val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(paths.embLake))
+    // same argument for the lake: an all-rejected embedding batch's
+    // appendVersioned creates the root with NO data files, and a bare
+    // fs.exists would send the recall gate onto a schema-less read that
+    // throws inside foreachBatch and kills the stream on every restart
+    // until float rows land (review finding)
+    val hasCorpus = {
+      val root = new org.apache.hadoop.fs.Path(paths.embLake)
+      fs.exists(root) && {
+        val it = fs.listFiles(root, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next()
+          found = f.isFile && f.getPath.getName.endsWith(".parquet")
+        }
+        found
+      }
+    }
     if (!hasIndex || !hasCorpus) return None
 
     // skew: ids-only distinct (the at-least-once append absorber) then an
@@ -236,7 +256,13 @@ object IngestPipeline {
     val r = Similarity.ivfIndexRecall(spark, paths.ivfIndex, probe, cfg.nProbe, cfg.k)
       .agg(coalesce(sum(col("hits")), lit(0L)), count(lit(1))).head()
     val (hits, nq) = (r.getLong(0), r.getLong(1))
-    val recallOk = hits * 100 >= nq.toLong * cfg.k * cfg.minRecallPct
+    // denominator clamped to the ACHIEVABLE hits: an index with R residents
+    // can serve at most R−1 neighbors per query (self excluded), so gating
+    // on a flat k would make any index with R ≤ k·minRecallPct/100+1
+    // residents fail forever and re-migrate on every maintenance cycle —
+    // an O(corpus) rebuild loop that cannot raise the score (review finding)
+    val achievable = math.min(cfg.k.toLong, math.max(nVecs - 1, 0L))
+    val recallOk = hits * 100 >= nq * achievable * cfg.minRecallPct
 
     val tripped = !skewOk || !recallOk
     // Migration rebuilds the index FROM THE FLOAT LAKE (int8 lists cannot be
@@ -248,15 +274,22 @@ object IngestPipeline {
     // coverage; an uncovered install gets the report (so operators see the
     // trip) and a loud warning instead of data loss.
     val corpusCovers = tripped && {
-      val corpusVecs = corpus.select("vec_id").distinct().count()
-      val covered = corpusVecs >= nVecs
-      if (!covered) {
+      // MEMBERSHIP, not row counts: a lake with >= nVecs rows under the
+      // wrong vec_id namespace would pass a count comparison and the
+      // rebuild would still drop every resident not in the lake — the
+      // anti-join asks the actual question (review finding). Cost is one
+      // ids-only join on the (already-computed) distinct resident ids.
+      val uncovered = spark.read.parquet(s"${paths.ivfIndex}/lists")
+        .select("vec_id").distinct()
+        .join(corpus.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .count()
+      if (uncovered > 0) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"IVF health tripped but the embedding lake covers $corpusVecs of $nVecs " +
+          s"IVF health tripped but the embedding lake is missing $uncovered of $nVecs " +
             s"index residents — migration SKIPPED (it would drop the uncovered vectors). " +
             s"Backfill ${paths.embLake} with the install corpus's float vectors to enable repair.")
       }
-      covered
+      uncovered == 0
     }
     if (corpusCovers) {
       // the model's true cell count comes from the CELLS table, not from the
@@ -326,12 +359,15 @@ object IngestPipeline {
     if (batchId <= lastApplied(spark, paths)) return 0L
 
     val cleaned = qualityFilter(batch, textCol)
-    // intra-batch exact dedup, deterministic winner (min id per content)
+    // intra-batch exact dedup, deterministic winner (min id per content).
+    // __fp is KEPT and threaded through the fp probe and the commit-point
+    // append (fpCol = "__fp") — one md5 pass over the batch text per cycle
+    // instead of three (review finding); it is dropped before any row
+    // leaves for the lake
     val intra = Cleaning
       .dedupByKey(
         cleaned.withColumn("__fp", Text.fingerprintBinary(col(textCol))),
         Seq("__fp"), Seq(col(idCol).asc))
-      .drop("__fp")
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(paths.fpIndex), spark.sparkContext.hadoopConfiguration)
@@ -344,7 +380,8 @@ object IngestPipeline {
     val bootstrap = !Dedup.fingerprintIndexReadable(spark, paths.fpIndex)
     val afterExact =
       if (bootstrap) intra
-      else Dedup.dedupAgainstFingerprintIndex(spark, paths.fpIndex, intra, textCol, idCol)
+      else Dedup.dedupAgainstFingerprintIndex(
+        spark, paths.fpIndex, intra, textCol, idCol, fpCol = Some("__fp"))
     // DECONTAMINATION gate (opt-in): a static blocklist probe, so it sits
     // before the approximate stages — see DecontamConfig. Skipped (like
     // every index stage) while no readable index is installed — but LOUDLY:
@@ -384,7 +421,7 @@ object IngestPipeline {
     // own identical/lexically-near content, so the vector probe pays only
     // for paraphrase-grade duplicates. Docs with no embedding row pass
     // through unprobed (can't probe what has no vector); the probe's
-    // self-id exclusion keeps crash-replays (own vectors possibly already
+    // batch-id exclusion keeps crash-replays (own vectors possibly already
     // appended) acceptance-identical.
     val afterSemantic = (semanticDedup, embedBatch) match {
       // readable-index detection, not bare fs.exists (same round-9 argument
@@ -399,6 +436,15 @@ object IngestPipeline {
         val embIds = emb.select(col("vec_id").as(idCol))
         afterBand.join(embIds, Seq(idCol), "left_anti")
           .unionByName(afterBand.join(survivorIds, Seq(idCol), "left_semi"))
+      case (Some(_), _) =>
+        // configured but unprobeable — same fail-open situation the decontam
+        // arm warns about: this stage cannot bootstrap from ingest data, so
+        // a missing install (or an embedding-less stream) means paraphrase
+        // duplicates land while the operator believes the gate is active
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"semantic dedup configured but ${if (embedBatch.isEmpty) "the batch carries no embeddings"
+            else s"no readable IVF index at ${paths.ivfIndex}"} — batch $batchId ingested without the vector gate")
+        afterBand
       case _ => afterBand
     }
     val accepted = afterSemantic.persist() // consumers below; unpersisted before return
@@ -420,7 +466,7 @@ object IngestPipeline {
       // accepted set and overwrite the lake partition without the
       // partially-indexed docs (dropped forever, fps still blocking
       // re-entry). With the rename there is no partial state to observe.
-      Sinks.appendVersioned(accepted, paths.docLake, batchId)
+      Sinks.appendVersioned(accepted.drop("__fp"), paths.docLake, batchId)
       embedBatch.foreach { emb =>
         val acceptedEmb = emb.join(
           accepted.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
@@ -438,19 +484,33 @@ object IngestPipeline {
       // own atomic rename (sigs first, bands second — see appendBandIndex),
       // every prefix of which leaves the replayed probe's acceptance
       // unchanged (own-batch exclusion above), and the completed replay
-      // re-publishes whatever is missing
-      nearDup.foreach { cfg =>
-        if (bandBootstrap)
-          Dedup.writeBandIndex(accepted, paths.bandIndex, textCol, idCol,
-            cfg.nHashes, cfg.nBands, cfg.seed, generation = batchId,
-            bpMod = cfg.bpMod)
-        else
-          Dedup.appendBandIndex(accepted, paths.bandIndex, batchId, textCol, idCol,
-            cfg.nHashes, cfg.nBands, cfg.seed)
+      // re-publishes whatever is missing.
+      //
+      // EMPTY accepted sets write NO index state (n > 0 guards): a
+      // partitioned write of an empty DataFrame commits a directory with no
+      // parquet files, so an all-rejected FIRST batch would bootstrap a
+      // layout-plus-data-less index — the probe read throws on it and every
+      // later batch crash-loops (review finding; indexReadable now also
+      // rejects data-less generations, this guard keeps the debris from
+      // being written at all). Skipping the append for an empty batch is
+      // semantically free: there is nothing to index, and the manifest (not
+      // the index generation) is what makes the replay no-op.
+      if (n > 0) {
+        nearDup.foreach { cfg =>
+          if (bandBootstrap)
+            Dedup.writeBandIndex(accepted, paths.bandIndex, textCol, idCol,
+              cfg.nHashes, cfg.nBands, cfg.seed, generation = batchId,
+              bpMod = cfg.bpMod)
+          else
+            Dedup.appendBandIndex(accepted, paths.bandIndex, batchId, textCol, idCol,
+              cfg.nHashes, cfg.nBands, cfg.seed)
+        }
+        if (bootstrap)
+          Dedup.writeFingerprintIndex(accepted, paths.fpIndex, textCol, idCol,
+            generation = batchId, fpCol = Some("__fp"))
+        else Dedup.appendFingerprintIndex(accepted, paths.fpIndex, batchId, textCol, idCol,
+          fpCol = Some("__fp"))
       }
-      if (bootstrap)
-        Dedup.writeFingerprintIndex(accepted, paths.fpIndex, textCol, idCol, generation = batchId)
-      else Dedup.appendFingerprintIndex(accepted, paths.fpIndex, batchId, textCol, idCol)
       recordApplied(spark, paths, batchId)
       n
     } finally accepted.unpersist()

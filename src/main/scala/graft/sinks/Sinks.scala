@@ -206,8 +206,29 @@ object Sinks {
     recoverSwap(fs, target, old)
     if (fs.exists(old)) fs.delete(old, true)
     if (old.getParent != null && !fs.exists(old.getParent)) fs.mkdirs(old.getParent)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
+    // Hadoop FileSystem.rename reports most failures by RETURNING FALSE, not
+    // throwing — ignoring the results would let a failed install (e.g. a
+    // missing/misnamed tmp) fall through to the trash delete and destroy the
+    // only copy of the table. Park-failure aborts with nothing moved;
+    // install-failure restores the parked generation before failing.
+    if (fs.exists(target)) {
+      require(fs.rename(target, old), s"swap: failed to park $target at $old")
+    }
+    // some FileSystems return false on failure, others (RawLocalFileSystem
+    // on a missing source) throw — restore the parked generation on BOTH
+    val installed =
+      try fs.rename(tmp, target)
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(old)) fs.rename(old, target)
+          throw new IllegalStateException(
+            s"swap: failed to install $tmp at $target (previous generation restored)", e)
+      }
+    if (!installed) {
+      if (fs.exists(old)) fs.rename(old, target)
+      throw new IllegalStateException(
+        s"swap: failed to install $tmp at $target (previous generation restored)")
+    }
     fs.delete(old, true)
   }
 
@@ -317,6 +338,14 @@ object Sinks {
       withVer.write.partitionBy(partitionCol).parquet(path)
       return
     }
+    // restore any partition a PREVIOUS crash left parked-only (live dir
+    // missing) BEFORE the history read: without this, a batch touching that
+    // partition would merge against empty history and the blanket trash
+    // delete below would destroy the parked copy — permanent data loss for
+    // every key not in the current batch (review finding). After this call,
+    // every remaining trash entry has a live counterpart, which is what
+    // makes the whole-root delete below safe.
+    recoverPartitions(spark, path)
     // BOUNDED collect (same contract as Similarity's centroid-model
     // collects): the values fetched are PARTITION KEYS of one micro-batch —
     // a handful of dates by construction, bounded by the table's partition
@@ -380,7 +409,10 @@ object Sinks {
     val dirName = s"$partitionCol=$partitionValue"
     val live = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), dirName)
     val trash = new org.apache.hadoop.fs.Path(path + OldSuffix, dirName)
-    recoverSwap(fs, live, trash)
+    // recover ALL parked partitions, not just this one: the whole-root
+    // trash delete below would otherwise destroy another partition's
+    // parked-only copy left by a crashed upsert swap (review finding)
+    recoverPartitions(spark, path)
     if (!fs.exists(live)) return
     val rows = spark.read.parquet(live.toString)
     val n = rows.count()

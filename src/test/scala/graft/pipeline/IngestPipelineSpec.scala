@@ -104,6 +104,35 @@ class IngestPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(p.fpIndex).count() == 5)
   }
 
+  test("an all-rejected first batch writes no index debris and later batches ingest cleanly") {
+    val p = tmpRoot()
+    val nd = Some(IngestPipeline.NearDupConfig())
+    // every doc quality-rejected → accepted is EMPTY on the bootstrap path.
+    // A partitioned write of an empty DataFrame commits a directory with no
+    // parquet files, so an unguarded bootstrap would install layout-plus-
+    // data-less indexes whose probe read throws on every later batch — a
+    // permanent crash loop (review finding)
+    val junk = Seq((1L, "hi"), (2L, "ok")).toDF("doc_id", "text")
+    assert(IngestPipeline.ingestBatch(spark, p, junk, 0L, nearDup = nd) == 0L)
+    assert(IngestPipeline.lastApplied(spark, p) == 0L, "the empty batch must still commit")
+    assert(!Dedup.fingerprintIndexReadable(spark, p.fpIndex),
+      "an empty bootstrap must not install a data-less fp index")
+    assert(!Dedup.bandIndexReadable(spark, p.bandIndex),
+      "an empty bootstrap must not install a data-less band index")
+    // the next non-empty batches bootstrap and dedup normally
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 1L, nearDup = nd) == 2L)
+    assert(IngestPipeline.ingestBatch(spark, p, batch1, 2L, nearDup = nd) == 2L)
+    assert(lakeState(p) == Seq((1L, 1L), (2L, 1L), (11L, 2L), (13L, 2L)))
+  }
+
+  test("MaintenanceConfig rejects a non-positive cadence at construction") {
+    // a zero cadence would divide-by-zero inside foreachBatch and kill the
+    // stream on its first committed batch
+    intercept[IllegalArgumentException] {
+      IngestPipeline.MaintenanceConfig(everyNBatches = 0)
+    }
+  }
+
   test("ingest-grown IVF index serves identically to a one-shot rebuild") {
     val p = tmpRoot()
     val cents = Array(

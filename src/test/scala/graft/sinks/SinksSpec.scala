@@ -218,6 +218,70 @@ class SinksSpec extends SparkSpec {
       .count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("swapIn: a failed install rename restores the parked generation and raises") {
+    val dir = tmpDir() + "/swapfail"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    Sinks.upsertBatch(Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), dir, version = 0L)
+    // Hadoop rename reports a missing source by RETURNING FALSE — a swap
+    // that ignored it would park the live table, fail the install silently,
+    // then delete the parked copy. The fixed protocol must restore the live
+    // generation and raise instead.
+    intercept[IllegalStateException] {
+      Sinks.swapIn(fs,
+        new org.apache.hadoop.fs.Path(dir + "__tmp"), // never written
+        new org.apache.hadoop.fs.Path(dir))
+    }
+    assert(spark.read.parquet(dir).select("k", "v").as[(String, Double)]
+      .collect().toMap == Map("a" -> 1.0), "failed install lost the live table")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + Sinks.OldSuffix)))
+  }
+
+  test("upsertBatchPartitioned: a parked-only partition survives batches touching other partitions") {
+    val dir = tmpDir() + "/ptable3"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    Sinks.upsertBatchPartitioned(
+      Seq(("a", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0)).toDF("k", "d", "v"),
+      Seq("k"), "d", dir, version = 0L)
+    // crash window of a previous upsert: d=2024-01-01's ONLY copy parked in
+    // the outside trash, live directory missing
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + Sinks.OldSuffix))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/d=2024-01-01"),
+      new org.apache.hadoop.fs.Path(s"${dir + Sinks.OldSuffix}/d=2024-01-01")))
+    // a batch touching ONLY the other partition must restore the parked
+    // copy, not blanket-delete it with the trash root
+    Sinks.upsertBatchPartitioned(
+      Seq(("b", "2024-01-02", 20.0)).toDF("k", "d", "v"), Seq("k"), "d", dir, version = 1L)
+    assert(spark.read.parquet(dir).select("k", "v").as[(String, Double)]
+      .collect().toMap == Map("a" -> 1.0, "b" -> 20.0),
+      "parked-only partition was destroyed by an unrelated batch")
+    // and a batch touching the recovered partition merges against its
+    // restored history (not empty history)
+    Sinks.upsertBatchPartitioned(
+      Seq(("c", "2024-01-01", 3.0)).toDF("k", "d", "v"), Seq("k"), "d", dir, version = 2L)
+    assert(spark.read.parquet(dir).select("k", "v").as[(String, Double)]
+      .collect().toMap == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0))
+  }
+
+  test("compactLakePartition recovers another partition's parked-only copy instead of destroying it") {
+    val dir = tmpDir() + "/crosslake"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"))
+      .toDF("id", "d").write.partitionBy("d").parquet(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + Sinks.OldSuffix))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/d=2024-01-01"),
+      new org.apache.hadoop.fs.Path(s"${dir + Sinks.OldSuffix}/d=2024-01-01")))
+    // compacting the OTHER partition deletes the whole trash root at the
+    // end — it must restore the parked partition first
+    Sinks.compactLakePartition(spark, dir, "d", "2024-01-02")
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == Set(1L, 2L),
+      "compacting one partition destroyed another partition's parked-only copy")
+  }
+
   test("ES/Cassandra sink configs build the reference's option surfaces") {
     val es = Sinks.EsSinkConfig("es1,es2", "jobs/_doc", "job_id",
       extra = Map("es.net.http.auth.user" -> "svc"))
