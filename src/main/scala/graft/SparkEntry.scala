@@ -1687,7 +1687,11 @@ object SparkEntry {
       val bruteDupIds = batch
         .select(col("vec_id"), functions.Int8Ops.quantizeInt8Native(col("embedding")).as("b_qvec"))
         .crossJoin(broadcast(corpusQ))
-        .filter(functions.Int8Ops.cosineInt8Native(col("b_qvec"), col("c_qvec")) >= 0.95)
+        .withColumn("__s", functions.Int8Ops.cosineInt8Native(col("b_qvec"), col("c_qvec")))
+        // same NaN-guard as dedupAgainstIvfIndex: a zero vector scores 0/0
+        // = NaN against everything, and NaN >= threshold is TRUE under
+        // Spark's ordering — the envelope must agree with the probe's gate
+        .filter(col("__s") >= 0.95 && !isnan(col("__s")))
         .select("vec_id").distinct()
       val notInBrute = dupIds.join(bruteDupIds, Seq("vec_id"), "left_anti")
         .agg(count(lit(1)).as("__n")).select(col("__n").as("__not_in_brute"))

@@ -39,9 +39,19 @@ object Dedup {
       var z = seed + i.toLong * 0x9E3779B97F4A7C15L + salt
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      math.abs(z ^ (z >>> 31)) % minhashP
+      val m = math.abs(z ^ (z >>> 31)) % minhashP
+      // math.abs(Long.MinValue) is NEGATIVE (two's complement has no
+      // positive counterpart), so m can be negative with prob 2^-64 —
+      // fold it back into [0, p)
+      if (m < 0) m + minhashP else m
     }
-    (mix(0x51AB4D2EL) | 1L, mix(0x7F4E6C3DL)) // a odd and non-zero
+    // `mix | 1` lands in [1, p] — and a = p ≡ 0 (mod p) is a DEGENERATE
+    // permutation (h·0 + b collapses position i to the constant b for
+    // every document, silently inflating est_jaccard by 1/nHashes).
+    // Remap that one value; all non-degenerate coefficients (every
+    // realistic seed) are unchanged, so existing signatures/oracles hold.
+    val a0 = mix(0x51AB4D2EL) | 1L // a odd and non-zero
+    (if (a0 == minhashP) 1L else a0, mix(0x7F4E6C3DL))
   }
 
   /** 2^31 − 1, the Mersenne prime all MinHash permutations reduce modulo. */
@@ -120,6 +130,32 @@ object Dedup {
     * uncapped, which preserves exhaustive pair semantics (and oracle
     * parity); production corpus-scale runs should set a cap.
     */
+  /** The band-key columns over a signature array column named `sig` — md5
+    * over `_`-joined (band index, band's signature slice). SINGLE SOURCE
+    * for [[minhashCandidates]], the persisted band-index build
+    * ([[bandIndexRows]]) and its probe ([[dedupAgainstBandIndex]]): the
+    * probe must derive bit-identical keys to the index or collisions are
+    * silently missed — the same drift hazard the `_GRAFT_LAYOUT` modulus
+    * machinery guards against, applied to the key construction itself
+    * (review finding: three hand-copied variants of this expression).
+    *
+    * Also the single place the band geometry is validated: `nBands` must
+    * divide `nHashes` — a truncating `nHashes / nBands` would silently
+    * ignore trailing signature positions, and `nBands > nHashes`
+    * (rowsPerBand = 0) would give EVERY document the identical band keys,
+    * degenerating the band self-join to a full cross product and index
+    * probes to all-of-history collisions.
+    */
+  private def bandKeyCols(nHashes: Int, nBands: Int): Seq[Column] = {
+    require(nBands > 0 && nHashes % nBands == 0,
+      s"nBands ($nBands) must be positive and divide nHashes ($nHashes)")
+    val rowsPerBand = nHashes / nBands
+    (0 until nBands).map { b =>
+      md5(concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
+    }
+  }
+
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
@@ -129,21 +165,23 @@ object Dedup {
       minEstJaccard: Double = 0.9,
       seed: Long = 42L,
       maxBandBucket: Int = Int.MaxValue): DataFrame = {
-    val rowsPerBand = nHashes / nBands
     // The signature table feeds FOUR plan branches (two band-join legs, two
-    // signature re-joins); persist it so the n-hash aggregate computation
-    // runs once. It is cached as ONE array column — every downstream
-    // stage then plans over 2-column rows, which keeps the generated code
-    // per stage small (the 129-column variant spent more wall-clock
-    // compiling codegen for its four wide branches than executing them).
-    // Size is n × ~1 KB — negligible against the corpus — and the
-    // ContextCleaner reclaims it when the result DataFrame is collected.
+    // signature re-joins); pin it so the signature computation runs once.
+    // localCheckpoint, NOT persist: a persist() registers the plan in the
+    // session's CacheManager, which holds it until an explicit unpersist —
+    // and this function returns a lazy result, so there is no safe point
+    // to unpersist inside it (each call from a long-lived session would
+    // leak one cached relation, the exact failure mode [[localized]]'s doc
+    // describes — review finding). localCheckpoint blocks are owned by the
+    // RDD and reclaimed by the ContextCleaner once the result is consumed
+    // and the plan garbage-collects. It is stored as ONE array column —
+    // every downstream stage then plans over 2-column rows, which keeps
+    // the generated code per stage small (the 129-column variant spent
+    // more wall-clock compiling codegen for its four wide branches than
+    // executing them). Size is n × ~1 KB — negligible against the corpus.
     val sig = minhashSignatures(docs, textCol, idCol, nHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until nBands).map { b =>
-      md5(concat_ws("_",
-        lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
-    }
+      .localCheckpoint(false)
+    val bandCols = bandKeyCols(nHashes, nBands)
     val bandedAll = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
     val banded =
       if (maxBandBucket == Int.MaxValue) bandedAll
@@ -250,8 +288,10 @@ object Dedup {
             col("id"),
             least(col("old_rep"), coalesce(col("nbr_rep"), col("old_rep"))).as("rep"),
             col("old_rep")), false)
+        // coalesce: SUM over ZERO rows is null (empty pair set → empty
+        // labels), and getLong on it NPEs instead of converging
         val changed = next
-          .agg(sum(when(col("rep") < col("old_rep"), 1L).otherwise(0L)).as("n"))
+          .agg(coalesce(sum(when(col("rep") < col("old_rep"), 1L).otherwise(0L)), lit(0L)).as("n"))
           .first().getLong(0)
         labels = next.drop("old_rep")
         converged = changed == 0
@@ -337,9 +377,11 @@ object Dedup {
           .transform(df => pin(df, false))
         // exact set equality via full-outer mismatch count — the ONE action
         // of the round; it also materializes `next`'s checkpoint.
+        // coalesce: SUM over ZERO rows is null (all self-loop or empty
+        // edge sets), and getLong on it NPEs instead of converging
         val mismatch = next.withColumn("ln", lit(1))
           .join(edges.withColumn("rn", lit(1)), Seq("u", "v"), "full_outer")
-          .agg(sum(when(col("ln").isNull || col("rn").isNull, 1L).otherwise(0L)).as("d"))
+          .agg(coalesce(sum(when(col("ln").isNull || col("rn").isNull, 1L).otherwise(0L)), lit(0L)).as("d"))
           .first().getLong(0)
         edges = next.select("u", "v")
         rounds += 1
@@ -421,8 +463,22 @@ object Dedup {
           val sub = s"$dir/pinner-$instance/pin-$seq"
           seq += 1
           val out = Pinner.checkpointLock.synchronized {
+            // the checkpoint dir is SparkContext-GLOBAL state: restore the
+            // caller's dir after the pin, or every later non-Pinner
+            // checkpoint in the application would land inside a pin
+            // directory this loop's documented caller-GC contract then
+            // deletes — destroying the app's own reliable checkpoints
+            // (review finding). Restored EXACTLY via the bridge — the
+            // public setter would nest a fresh UUID level per restore.
+            // The restore happens inside the lock, so other Pinner
+            // instances never observe the mutation; a concurrent
+            // non-Pinner checkpoint not holding this lock can still
+            // interleave into the pin window — that is inherent to the
+            // global API and now bounded to the pin action itself.
+            val prev = org.apache.spark.graftbridge.CheckpointDirBridge.get(sc)
             sc.setCheckpointDir(sub)
-            df.checkpoint(eager)
+            try df.checkpoint(eager)
+            finally org.apache.spark.graftbridge.CheckpointDirBridge.set(sc, prev)
           }
           if (gc) {
             gcQueue.enqueue(sub)
@@ -898,12 +954,8 @@ object Dedup {
       nBands: Int,
       seed: Long,
       bpMod: Int): (DataFrame, DataFrame) = {
-    val rowsPerBand = nHashes / nBands
     val sig = minhashSignatures(docs.select(col(idCol), col(textCol)), textCol, idCol, nHashes, seed)
-    val bandCols = (0 until nBands).map { b =>
-      md5(concat_ws("_",
-        lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
-    }
+    val bandCols = bandKeyCols(nHashes, nBands)
     (sig.select(col("id").as("doc_id"), col("sig")),
       sig.select(col("id").as("doc_id"), explode(array(bandCols: _*)).as("band"))
         .select(col("band"), col("doc_id"), prefixCol(col("band"), bpMod).as("bp")))
@@ -1000,7 +1052,6 @@ object Dedup {
       minEstJaccard: Double = 0.9,
       seed: Long = 42L,
       maxBandCollisions: Int = Int.MaxValue): DataFrame = {
-    val rowsPerBand = nHashes / nBands
     // the batch's signature table feeds four plan branches (band keys,
     // own-id exclusion, candidate sigs, agreement re-join) — a LOCAL
     // RELATION ([[localized]]) instead of a persist: one signature pass
@@ -1009,10 +1060,7 @@ object Dedup {
     // branches anyway (~0.5 KB/doc at 64 hashes)
     val sig = localized(minhashSignatures(
       incoming.select(col(idCol), col(textCol)), textCol, idCol, nHashes, seed))
-    val bandCols = (0 until nBands).map { b =>
-      md5(concat_ws("_",
-        lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
-    }
+    val bandCols = bandKeyCols(nHashes, nBands)
     val batchBands = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
     // Partition pruning first, row pruning second. The batch's distinct
     // band PREFIXES (≤ the index's recorded modulus — a model-sized driver

@@ -117,10 +117,17 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
     // exemplar centroids: the nCells lowest-id vectors (deterministic, so
     // the SQL oracle reproduces them); swap for [[kmeansCentroids]] output
-    // via [[ivfTopKWithCentroids]] with no other change
+    // via [[ivfTopKWithCentroids]] with no other change.
+    // orderBy+limit, NOT `vec_id < nCells`: the filter form assumed a
+    // dense 0-based id space — 1-based ids would silently yield one
+    // exemplar too few, and offset/hashed id spaces zero exemplars
+    // (aborting on nearestCentroid's require) — review finding; same
+    // expression kmeansCentroids' init already uses. Identical output on
+    // dense 0-based ids, so the SQL oracles are unchanged.
     val exemplars: Array[Array[Float]] = corpus
-      .filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .limit(nCells)
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray)
@@ -429,7 +436,16 @@ object Similarity {
         col("cell_id"))
     // bounded collect: nQueries × nProbe cell ids (probe-plan parameters,
     // not data) — they must reach the driver to become a partition-pruning
-    // predicate the scan can evaluate against directory names
+    // predicate the scan can evaluate against directory names.
+    //
+    // The probe subtree IS evaluated twice (once here, once for the
+    // broadcast build below) — deliberately, A/B-measured: pinning the
+    // evaluated rows (localCheckpoint blocks, or a driver-side local
+    // relation) costs MORE than re-running the subtree — q66 paid +0.3 s
+    // to block I/O / +0.5 s to driver re-encoding vs +0 for the recompute,
+    // because the subtree is a broadcast cross join + an O(batch×nCells)
+    // window, cheap relative to its materialization. Both evaluations are
+    // distributed and O(batch); nothing here scales with the corpus.
     val probedCells = probes.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = spark.read.parquet(s"$path/lists")
@@ -498,7 +514,14 @@ object Similarity {
       // scored rows carry the RESIDENT's id as vec_id, so an anti-join on
       // the (batch-sized, broadcastable) id set removes them all
       .join(broadcast(batchIds), Seq("vec_id"), "left_anti")
-      .filter(col("sim") >= minSim)
+      // NaN-guard: an all-zero vector (failed/padded embedding) quantizes
+      // to all-zero int8 and cosine_int8 returns 0/0 = NaN — and Spark
+      // orders NaN ABOVE every double, so `NaN >= minSim` is TRUE. Without
+      // the guard one zero-vector resident in a probed cell marks every
+      // probing batch doc a duplicate (whole batches silently dropped) and
+      // a zero-vector batch doc "matches" anything (review finding). A NaN
+      // score carries no similarity evidence → never a duplicate.
+      .filter(col("sim") >= minSim && !isnan(col("sim")))
       .select(col("query_id").as(idCol))
       .distinct()
     batch.join(broadcast(dupIds), Seq(idCol), "left_anti")
@@ -783,8 +806,16 @@ object Similarity {
       nBits: Int,
       seed: Long,
       maxBucketSize: Int = 1000): DataFrame = {
+    // the bucket projection (nBits native dot products per corpus row)
+    // feeds FOUR plan branches (the bucket-size aggregate, its join, and
+    // both pair-join legs) — pin it so it computes once. localCheckpoint,
+    // not persist: this returns a lazy result, so a persist would leak a
+    // CacheManager entry per call (see [[graft.functions.Dedup
+    // .minhashCandidates]], same shape, same review finding); checkpoint
+    // blocks are RDD-owned and ContextCleaner-reclaimed.
     val ids = corpus.select(
       col("vec_id"), lshBucket(col("embedding"), dims, nBits, seed).as("bucket"))
+      .localCheckpoint(false)
     val smallBuckets = ids.groupBy("bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize)

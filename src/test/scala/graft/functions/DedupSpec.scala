@@ -223,6 +223,46 @@ class DedupSpec extends SparkSpec {
     assert(out.length == n + 1 && out.forall(_._2 == 0L))
   }
 
+  test("CC loops converge on an EMPTY pair set instead of NPE-ing on a null SUM") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+    assert(Dedup.duplicateClustersLogN(empty).count() == 0)
+  }
+
+  test("CC reliable pins restore the caller's global checkpoint dir") {
+    val sc = spark.sparkContext
+    val appDir = java.nio.file.Files.createTempDirectory("graft-app-ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-restore").toString
+    val before = sc.getCheckpointDir
+    try {
+      // the app's own reliable checkpoint location, set before the loop
+      sc.setCheckpointDir(appDir)
+      val appResolved = sc.getCheckpointDir
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+      Dedup.duplicateClustersLogN(pairs, checkpointDir = Some(ckpt)).count()
+      // without the restore, the global dir is left at the loop's LAST pin
+      // directory — which the documented caller-GC contract then deletes,
+      // destroying any later app checkpoint written there
+      assert(sc.getCheckpointDir == appResolved,
+        s"CC loop clobbered the global checkpoint dir: ${sc.getCheckpointDir}")
+    } finally sc.setCheckpointDir(before.orNull)
+  }
+
+  test("band geometry that does not divide the signature is rejected at every entry point") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    // a truncating nHashes/nBands would silently ignore signature positions;
+    // nBands > nHashes would give every doc identical band keys (cross-join
+    // degeneration) — fail loudly instead
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, nHashes = 64, nBands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.writeBandIndex(docs,
+        java.nio.file.Files.createTempDirectory("graft-badband").toString,
+        nHashes = 8, nBands = 16)
+    }
+  }
+
   test("CC reliable-checkpoint mode: both loops agree with localCheckpoint mode, files land in the dir") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L)).toDF("a_id", "b_id")
@@ -388,6 +428,10 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
     Dedup.dedupAgainstFingerprintIndex(spark, s"$root/fp", docs(2L -> "fresh")).count()
     Dedup.dedupAgainstBandIndex(spark, s"$root/band", docs(2L -> "epsilon zeta")).count()
+    // the lazy candidate generators too: their multi-branch reuse must be
+    // checkpoint-based, not persist-based — a persist inside a function
+    // returning a lazy result has no safe unpersist point (review finding)
+    Dedup.minhashCandidates(docs(3L -> "one two three four")).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "a probe registered a cached relation it never unpersists — one leak per micro-batch")
   }

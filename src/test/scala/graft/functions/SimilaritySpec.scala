@@ -371,6 +371,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((2L, 0L, 1)))
   }
 
+  test("ivfTopK exemplars do not assume a 0-based id space") {
+    import spark.implicits._
+    // 1-based ids: the previous `vec_id < nCells` exemplar filter would
+    // collect a single exemplar here (one short), and offset id spaces
+    // none at all (aborting on nearestCentroid's require)
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.95f, 0.05f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 3), nCells = 2, nProbe = 1, k = 1)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((3L, 1L, 1)))
+  }
+
+  test("dedupAgainstIvfIndex: zero vectors (NaN int8 cosine) never match in either direction") {
+    import spark.implicits._
+    // index: one real resident + one ZERO resident (a failed/padded
+    // embedding) in a single-cell index, so every probe sees both
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-nan").toString
+    Similarity.writeIvfIndex(corpus, Array(Array(1f, 0f, 0f, 0f)), idx)
+    // batch: a genuinely novel direction + a zero vector
+    val batch = Seq(
+      (100L, Seq(0f, 1f, 0f, 0f)),
+      (101L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val survivors = Similarity
+      .dedupAgainstIvfIndex(spark, idx, batch, nProbe = 1, minSim = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // without the NaN guard the zero RESIDENT scores NaN (= "above
+    // threshold" under Spark's NaN ordering) against every batch doc —
+    // both would silently drop as duplicates
+    assert(survivors == Set(100L, 101L), survivors.toString)
+  }
+
   test("lshCandidatePairs only pairs same-bucket vectors, ordered ids") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
