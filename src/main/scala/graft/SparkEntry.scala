@@ -2669,8 +2669,8 @@ object SparkEntry {
         |    - CAST(floor(cumb / 2048.0) AS BIGINT) + 1 AS n_windows
         |FROM (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |    COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tokens,
+        |    COALESCE(SUM(COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)) OVER (
         |      PARTITION BY doc_id % 8 ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
         |  FROM documents) t

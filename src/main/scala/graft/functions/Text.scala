@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokens. */
+  /** SINGLE-SPACE tokens — deliberately the literal U+0020 delimiter, not
+    * a whitespace class: this is the engine-wide tokenizer contract that
+    * every DuckDB oracle reproduces verbatim as `string_split(text, ' ')`,
+    * and regex/whitespace splitting does not round-trip identically across
+    * engines. Corollaries a caller must know: newline/tab-separated text
+    * must be whitespace-normalized to single spaces upstream (a
+    * `regexp_replace(text, "\\s+", " ")` ingest step; [[scrub]] collapses
+    * only SPACE runs) or it tokenizes as ONE token, and consecutive
+    * spaces yield empty-string tokens that count.
+    */
   def tokens(text: Column): Column = split(text, " ")
 
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -105,17 +114,26 @@ object Text {
     * per-language evidence columns then a greatest/when ladder — is the same.
     */
   def langIdScore(text: Column, markers: Map[String, Seq[String]]): Column = {
+    require(markers.nonEmpty, "langIdScore needs at least one language's markers")
     val t = tokens(text)
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       (lang, size(filter(t, w => w.isInCollection(words))))
     }
-    scored.tail
-      .foldLeft((lit(scored.head._1), scored.head._2)) {
-        case ((bestLang, bestScore), (lang, score)) =>
-          (when(score > bestScore, lang).otherwise(bestLang),
-           when(score > bestScore, score).otherwise(bestScore))
+    if (scored.length == 1) lit(scored.head._1)
+    else {
+      // argmax as ONE `greatest` over (score, −index) structs + an
+      // element_at name lookup — LINEAR expression size. The previous
+      // when-ladder fold embedded the running best-score subtree twice per
+      // step, doubling the tree per language (~2^L leaves: fine at the
+      // reference's 3 languages, analysis-explosive at a realistic 20 —
+      // review finding). Tiebreak unchanged: highest score, then the
+      // alphabetically-first language (largest −index = smallest index).
+      val structs = scored.zipWithIndex.map { case ((_, score), i) =>
+        struct(score.as("s"), lit(-i).as("ni"))
       }
-      ._1
+      val bestIdx = -greatest(structs: _*).getField("ni")
+      element_at(array(scored.map(s => lit(s._1)): _*), bestIdx + 1)
+    }
   }
 
   /** Stable 128-bit content fingerprint (hex md5). Used as the exact-dedup
@@ -145,6 +163,19 @@ object Text {
     * Output: (idCol, fp) — the distinct selected fingerprints per document
     * (documents shorter than k+w−1 tokens emit their available minima;
     * shorter than k emit none).
+    *
+    * DELIBERATE deviation from the paper: the first w−1 positions of EVERY
+    * document window over truncated prefix frames, so each document also
+    * selects minima of its opening k-grams (the paper's scheme windows
+    * full frames only). The w+k−1-token detection guarantee is unaffected
+    * (extra selections only ADD detections); the flip side is that a
+    * collision's minimum evidence can be a single shared k-token opening
+    * rather than a full w+k−1-token run — conservative over-flagging,
+    * which is the right failure direction for decontamination, and
+    * openings are exactly where verbatim reuse concentrates. The DuckDB
+    * oracles and the persisted eval-index format pin these semantics
+    * (`ROWS BETWEEN w−1 PRECEDING AND CURRENT ROW` truncates prefix
+    * frames identically).
     */
   def winnowFingerprints(
       docs: DataFrame,
@@ -234,9 +265,14 @@ object Text {
     */
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf feeds the df aggregate AND the score join's left side — pin it so
+    // the explode+aggregate (the dominant cost) runs once. localCheckpoint,
+    // not persist: a lazy-result function has no safe unpersist point
+    // (same reasoning as [[graft.functions.Dedup.minhashCandidates]]).
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
@@ -258,9 +294,11 @@ object Text {
     */
   def tfidfTopTermsLog(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same single-evaluation pin as [[tfidfTopTerms]]
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf

@@ -48,8 +48,9 @@ object Packing {
     *               value would run a 100 TB corpus through that many
     *               tasks no matter how many executors exist. Pass an
     *               explicit value only when window ids must be stable
-    *               across differently-sized clusters (shard membership is
-    *               `id % shards`, part of the output's identity — q75
+    *               across differently-sized clusters (shard membership —
+    *               `pmod(id, shards)` for numeric ids, hash-derived for
+    *               string ids — is part of the output's identity; q75
     *               pins 8 for its oracle).
     */
   def packSequences(
@@ -66,11 +67,26 @@ object Packing {
     val id = col(idCol)
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // shard assignment must survive any id TYPE: the old bare `id % n`
+    // yields null for every non-numeric string id ("doc-001"), collapsing
+    // the whole corpus into one null-shard window partition — the exact
+    // serialization sharding exists to prevent (or a runtime cast error
+    // under ANSI mode) — review finding. Numeric ids keep the oracle-pinned
+    // `pmod(id, n)`; non-numeric ids fall back to the content-stable
+    // 60-bit hash the Sampling module shards by.
+    val shard = coalesce(
+      pmod(expr(s"try_cast(`$idCol` AS BIGINT)"), lit(nShards.toLong)),
+      pmod(graft.functions.Dedup.tokenHash64(id.cast("string")), lit(nShards.toLong)))
     docs
       .select(
         id,
-        (id % nShards).as("shard"),
-        Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        shard.as("shard"),
+        // null text budgets as ZERO tokens (sum skips nulls anyway, but an
+        // unguarded null n_tokens emits a half-null output row: pack_first
+        // set, pack_last/n_windows null — review finding). A 0-token doc
+        // at an exact window boundary spans no window: pack_last =
+        // pack_first − 1, n_windows = 0.
+        coalesce(Text.tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("__cumb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         id,

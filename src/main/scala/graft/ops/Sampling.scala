@@ -17,28 +17,60 @@ import graft.functions.Dedup
   */
 object Sampling {
 
-  /** Percent bucket 0-99 for a key. */
-  def hashBucket(key: Column): Column =
-    pmod(Dedup.tokenHash64(key.cast("string")), lit(100L))
+  /** The hash input for a (key, salt) pair. The empty salt hashes the BARE
+    * key — the module's original (oracle-pinned) assignment; a non-empty
+    * salt namespaces the hash so INDEPENDENT decisions decorrelate.
+    *
+    * Why salts exist (review finding): every assignment here is a pure
+    * function of the key, so two UNSALTED decisions on the same key are
+    * perfectly correlated — `sampleByHash(df, id, 10)` keeps exactly
+    * buckets 0-9, and a subsequent unsalted `splitLabel` (trainPct=80)
+    * labels all of them 'train': the val/test splits are silently EMPTY.
+    * Pass a distinct salt per independent decision ("sample-v1",
+    * "split-v1") to compose them; keep the default only when a single
+    * decision is made per key, or when correlation is the point (nested
+    * samples: a row kept at 5% stays kept at 10%).
+    */
+  private def salted(key: Column, salt: String): Column =
+    if (salt.isEmpty) key.cast("string")
+    else concat(key.cast("string"), lit("#" + salt))
 
-  /** 'train' / 'val' / 'test' assignment by hash bucket. */
-  def splitLabel(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+  /** Percent bucket 0-99 for a key (null key → null; see [[splitLabel]] /
+    * [[sampleByHash]] for the two consumers' null policies).
+    */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    pmod(Dedup.tokenHash64(salted(key, salt)), lit(100L))
+
+  /** 'train' / 'val' / 'test' assignment by hash bucket.
+    *
+    * Null keys are assigned to 'train' EXPLICITLY: a null bucket would
+    * fall through every `when` into the `otherwise` branch, silently
+    * concentrating all null-key documents (i.e. whatever upstream
+    * pathology produced them) in the TEST split — the one place they
+    * must never land. Train is the conservative side for bad rows.
+    */
+  def splitLabel(key: Column, trainPct: Int = 80, valPct: Int = 10, salt: String = ""): Column = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
-    val b = hashBucket(key)
-    when(b < trainPct, "train")
+    val b = hashBucket(key, salt)
+    when(key.isNull, "train")
+      .when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
 
-  /** Deterministic ~pct% sample: rows whose key bucket falls below pct. */
-  def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
-    df.filter(hashBucket(col(keyCol)) < pct)
+  /** Deterministic ~pct% sample: rows whose key bucket falls below pct.
+    * Null keys are DROPPED (a null bucket fails the filter) — an
+    * unsampleable row is excluded rather than always/never kept; contrast
+    * [[splitLabel]], where every row must receive a label.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, pct: Int, salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) < pct)
 
   /** Basis-point bucket 0-9999 for a key — the finer-grained sibling of
     * [[hashBucket]] for per-stratum sampling rates below 1%.
     */
-  def hashBucketE4(key: Column): Column =
-    pmod(Dedup.tokenHash64(key.cast("string")), lit(10000L))
+  def hashBucketE4(key: Column, salt: String = ""): Column =
+    pmod(Dedup.tokenHash64(salted(key, salt)), lit(10000L))
 
   /** Deterministic weighted stratified sampling — the corpus-mixing
     * primitive of a training-data pipeline ("2× wikipedia, 0.3× common
@@ -59,13 +91,14 @@ object Sampling {
       keyCol: String,
       stratumCol: String,
       ratesE4: Map[String, Int],
-      defaultE4: Int = 10000): DataFrame = {
+      defaultE4: Int = 10000,
+      salt: String = ""): DataFrame = {
     require((ratesE4.values ++ Seq(defaultE4)).forall(r => r >= 0 && r <= 10000),
       "rates are basis points in [0, 10000]")
     val rate = ratesE4.toSeq.sortBy(_._1).foldRight(lit(defaultE4): Column) {
       case ((stratum, r), acc) => when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
     }
-    df.filter(hashBucketE4(col(keyCol)) < rate)
+    df.filter(hashBucketE4(col(keyCol), salt) < rate)
   }
 
   /** Train→eval leakage detector (decontamination): for every val/test
@@ -87,8 +120,16 @@ object Sampling {
       idCol: String,
       trainPct: Int = 80,
       valPct: Int = 10): DataFrame = {
-    val fps = graft.functions.Text.winnowFingerprints(docs, textCol, idCol)
+    // salted winnowing (identical fingerprint set, spec-pinned): the plain
+    // variant serializes each document's window on one task, the hot-key
+    // hazard one pathological 10^8-token document turns into a stage
+    // stall — every other winnowing consumer already uses the salted form.
+    // localCheckpoint: fps feeds BOTH join sides (train + eval), and
+    // without the pin the whole tokenize→explode→hash→window pipeline —
+    // the dominant cost — evaluates twice (review finding).
+    val fps = graft.functions.Text.winnowFingerprintsSalted(docs, textCol, idCol)
       .withColumn("split", splitLabel(col(idCol), trainPct, valPct))
+      .localCheckpoint(false)
     val train = fps.filter(col("split") === "train")
       .select(col("fp"), col(idCol).as("__train_id"))
     fps.filter(col("split") =!= "train")

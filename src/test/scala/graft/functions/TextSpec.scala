@@ -63,6 +63,24 @@ class TextSpec extends SparkSpec {
     assert(out == Seq("en", "es", "de"))
   }
 
+  test("langIdScore stays linear-sized at a realistic language count") {
+    // the previous fold ladder doubled the expression tree per language
+    // (~2^L leaves) — at 16 languages analysis alone would explode. Build
+    // 16 languages and check the argmax + first-key tiebreak still hold.
+    val markers = (0 until 16).map { i =>
+      f"l$i%02d" -> Seq(f"w$i%02d", f"x$i%02d")
+    }.toMap
+    val out = Seq(
+      "w07 x07 w07 w03",   // l07 wins 3-1
+      "w02 w09",           // tie -> alphabetically first (l02)
+      "nothing")           // all zero -> first sorted key (l00)
+      .toDF("t").select(Text.langIdScore(col("t"), markers)).as[String].collect().toSeq
+    assert(out == Seq("l07", "l02", "l00"))
+    intercept[IllegalArgumentException] {
+      Text.langIdScore(col("t"), Map.empty)
+    }
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones (exact integer idf)") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "t")
     val out = Text.tfidfTopTerms(docs, "t", "doc_id", 2)

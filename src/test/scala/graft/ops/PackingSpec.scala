@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class PackingSpec extends SparkSpec {
@@ -64,6 +66,31 @@ class PackingSpec extends SparkSpec {
       }
       assert(fill((sh, lastWindow)) == cum(sh) - lastWindow * budget)
     }
+  }
+
+  test("string doc ids shard by hash instead of collapsing into one null shard") {
+    val docs = (0 until 40)
+      .map(i => (f"doc-$i%03d", Seq.fill(i % 7 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "text", "doc_id", budget = 16, shards = 4)
+    assert(out.filter(col("shard").isNull).count() == 0,
+      "non-numeric ids must hash-shard, not null-shard")
+    // actually sharded (the old `id % n` sent every string id to one
+    // serialized null partition)
+    assert(out.select("shard").distinct().count() > 1)
+    assert(out.filter(col("pack_last").isNull || col("n_windows").isNull).count() == 0)
+  }
+
+  test("null text budgets as zero tokens with a complete output row") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val rows = Packing.packSequences(docs, "text", "doc_id", budget = 16, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "pack_first", "pack_last", "n_windows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 2 contributes nothing to the stream but emits a complete row
+    assert(rows == Seq((1L, 3L, 0L, 0L, 1L), (2L, 0L, 0L, 0L, 1L), (3L, 2L, 0L, 0L, 1L)),
+      rows.toString)
   }
 
   test("budget must be a power of two") {

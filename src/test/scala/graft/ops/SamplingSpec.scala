@@ -28,6 +28,36 @@ class SamplingSpec extends SparkSpec {
     assert(s10.nonEmpty && s20.size < 200)
   }
 
+  test("salted decisions decorrelate: a hash-sampled corpus still splits three ways") {
+    val df = (0L until 2000L).toDF("id")
+    // the documented composition trap: an UNSALTED 10% sample keeps exactly
+    // buckets 0-9, so an unsalted 80/10/10 split over it is 100% train
+    val unsalted = Sampling.sampleByHash(df, "id", 10)
+      .select(Sampling.splitLabel(col("id")).as("s"))
+      .distinct().as[String].collect().toSet
+    assert(unsalted == Set("train"), s"trap no longer reproduces: $unsalted")
+    // a salted split over the same sample is an independent decision
+    val salted = Sampling.sampleByHash(df, "id", 10)
+      .select(Sampling.splitLabel(col("id"), salt = "split-v1").as("s"))
+      .as[String].collect()
+    val dist = salted.groupBy(identity).view.mapValues(_.size).toMap
+    assert(dist.keySet == Set("train", "val", "test"), dist.toString)
+    assert(dist("train") > salted.length / 2, dist.toString)
+    // the default salt is the original assignment — values pinned
+    val a = df.select(Sampling.hashBucket(col("id")).as("b")).as[Long].collect()
+    val b = df.select(Sampling.hashBucket(col("id"), salt = "").as("b")).as[Long].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("splitLabel routes null keys to train; sampleByHash drops them") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val labels = df.select(col("id"), Sampling.splitLabel(col("id")).as("s"))
+      .as[(Option[Long], String)].collect().toMap
+    // a null key must never land in an eval split
+    assert(labels(None) == "train", labels.toString)
+    assert(Sampling.sampleByHash(df, "id", 99).filter(col("id").isNull).count() == 0)
+  }
+
   test("sampleByStratum: per-stratum rates, nested across rate changes, layout-independent") {
     val df = (0L until 2000L).toDF("id")
       .withColumn("src", when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
