@@ -118,7 +118,12 @@ object Multimodal {
       * long, samples keyed by `seed`. Real encode — any WAV parser reads it.
       */
     def encodeWav(durationMs: Long, seed: Long): Array[Byte] = {
-      val nFrames = (durationMs * 8).toInt // 8000 frames/s = 8 per ms, exact
+      // 8000 frames/s = 8 per ms, exact. Bounded: an unchecked toInt of
+      // durationMs*8 went negative past ~268M ms (~74 h) and crashed with
+      // NegativeArraySizeException on the buffer below (review finding)
+      require(durationMs >= 0 && durationMs <= Int.MaxValue / 16,
+        s"durationMs out of encodable range [0, ${Int.MaxValue / 16}]: $durationMs")
+      val nFrames = (durationMs * 8).toInt
       val data = new Array[Byte](nFrames * 2)
       var i = 0
       while (i < nFrames) {
@@ -137,14 +142,27 @@ object Multimodal {
     }
 
     /** Real decode: parse the WAV container, duration = frames / frameRate.
-      * None when the bytes aren't a parseable audio stream.
+      * None when the bytes aren't a parseable audio stream — INCLUDING a
+      * truncated one: the JDK parser trusts the header's declared frame
+      * count, so a blob cut to a quarter of its PCM still "parses" and
+      * reports the full declared duration (verified against JDK 17). The
+      * header cannot declare more PCM bytes than the whole blob holds, so
+      * `frames × frameSize > bytes.length` is proof of truncation — route
+      * it to the quarantine path like every other corrupt medium (review
+      * finding: audio was the one kind whose truncation slipped through).
       */
     def decodeDurationMs(bytes: Array[Byte]): Option[Long] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        try Some(math.round(ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate))
-        finally ais.close()
+        try {
+          val frameSize = ais.getFormat.getFrameSize
+          val declaredBytes =
+            if (frameSize > 0 && ais.getFrameLength >= 0) ais.getFrameLength * frameSize
+            else -1L
+          if (declaredBytes < 0 || declaredBytes > bytes.length) None
+          else Some(math.round(ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate))
+        } finally ais.close()
       } catch { case _: Exception => None }
   }
 
@@ -231,25 +249,67 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: Exception => None }
 
+    private def probeWith(reader: javax.imageio.ImageReader): (Int, Int, Int, Long) = {
+      val n = reader.getNumImages(true)
+      var durationMs = 0L
+      var i = 0
+      while (i < n) {
+        val root = reader.getImageMetadata(i).getAsTree(MetaFormat)
+          .asInstanceOf[IIOMetadataNode]
+        val gces = root.getElementsByTagName("GraphicControlExtension")
+        if (gces.getLength > 0)
+          durationMs += gces.item(0).asInstanceOf[IIOMetadataNode]
+            .getAttribute("delayTime").toLong * 10L
+        i += 1
+      }
+      (n, reader.getWidth(0), reader.getHeight(0), durationMs)
+    }
+
+    private def readFrame(reader: javax.imageio.ImageReader, idx: Int): (Int, Int, String) = {
+      val img = reader.read(idx)
+      val w = img.getWidth
+      val h = img.getHeight
+      // ONE bulk raster fetch: per-pixel getRGB(x, y) round-trips the
+      // ColorModel w×h times per frame (review finding); the bulk form
+      // returns the identical packed ARGB ints in a single pass
+      val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+      val raster = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val rgb = rgbs(i)
+        val off = i * 3
+        raster(off) = ((rgb >> 16) & 0xff).toByte
+        raster(off + 1) = ((rgb >> 8) & 0xff).toByte
+        raster(off + 2) = (rgb & 0xff).toByte
+        i += 1
+      }
+      (w, h, md5hex(raster))
+    }
+
     /** Real container probe: (frame count, first-frame width/height, total
       * duration in ms from the per-frame GraphicControl delays). None when
       * the bytes aren't a parseable GIF.
       */
     def probe(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      withReader(bytes)(probeWith)
+
+    /** [[probe]] + evenly-spaced frame decode in ONE reader session — the
+      * per-blob hot path of [[Multimodal.sampleFrames]]. The previous
+      * probe-then-decode pair opened and LZW-walked the same container
+      * twice (review finding); this parses once. None when the container
+      * (or any sampled frame) fails to decode, exactly as the pair did.
+      */
+    def probeAndSample(
+        bytes: Array[Byte],
+        maxFrames: Int): Option[(Int, Long, Seq[(Int, Int, Int, String)])] =
       withReader(bytes) { reader =>
-        val n = reader.getNumImages(true)
-        var durationMs = 0L
-        var i = 0
-        while (i < n) {
-          val root = reader.getImageMetadata(i).getAsTree(MetaFormat)
-            .asInstanceOf[IIOMetadataNode]
-          val gces = root.getElementsByTagName("GraphicControlExtension")
-          if (gces.getLength > 0)
-            durationMs += gces.item(0).asInstanceOf[IIOMetadataNode]
-              .getAttribute("delayTime").toLong * 10L
-          i += 1
-        }
-        (n, reader.getWidth(0), reader.getHeight(0), durationMs)
+        val (n, _, _, durationMs) = probeWith(reader)
+        val k = math.min(n, maxFrames)
+        val idxs = (0 until k).map(_ * n / k)
+        (n, durationMs, idxs.map { idx =>
+          val (w, h, sum) = readFrame(reader, idx)
+          (idx, w, h, sum)
+        })
       }
 
     /** Real multi-frame decode in ONE reader session: decode each requested
@@ -262,26 +322,7 @@ object Multimodal {
       */
     def decodeFrames(bytes: Array[Byte], indices: Seq[Int]): Option[Seq[(Int, Int, String)]] =
       withReader(bytes) { reader =>
-        indices.map { idx =>
-          val img = reader.read(idx)
-          val w = img.getWidth
-          val h = img.getHeight
-          val raster = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val off = (y * w + x) * 3
-              raster(off) = ((rgb >> 16) & 0xff).toByte
-              raster(off + 1) = ((rgb >> 8) & 0xff).toByte
-              raster(off + 2) = (rgb & 0xff).toByte
-              x += 1
-            }
-            y += 1
-          }
-          (w, h, md5hex(raster))
-        }
+        indices.map(readFrame(reader, _))
       }
 
     /** Single-frame convenience over [[decodeFrames]]. */
@@ -382,18 +423,16 @@ object Multimodal {
     media
       .filter(_.kind == "video")
       .flatMap { m =>
-        // evenly-spaced sample of min(n, maxFrames) distinct indices, all
-        // decoded in ONE reader session; a blob whose container probes but
-        // whose frames fail to decode (truncated/corrupt LZW) also takes
-        // the quarantine branch instead of failing the task
-        val real = for {
-          probed <- GifCodec.probe(m.bytes)
-          (n, _, _, durationMs) = probed
-          k = math.min(n, maxFrames)
-          idxs = (0 until k).map(_ * n / k)
-          frames <- GifCodec.decodeFrames(m.bytes, idxs)
-        } yield idxs.zip(frames).iterator.map { case (idx, (w, h, sum)) =>
-          (m.media_id, idx, n, w, h, durationMs, sum)
+        // probe + evenly-spaced sample of min(n, maxFrames) distinct
+        // indices in ONE reader session ([[GifCodec.probeAndSample]] —
+        // one container parse per blob); a blob whose container probes
+        // but whose frames fail to decode (truncated/corrupt LZW) also
+        // takes the quarantine branch instead of failing the task
+        val real = GifCodec.probeAndSample(m.bytes, maxFrames).map {
+          case (n, durationMs, frames) =>
+            frames.iterator.map { case (idx, w, h, sum) =>
+              (m.media_id, idx, n, w, h, durationMs, sum)
+            }
         }
         real.getOrElse {
           // QUARANTINE: n_frames = 0 marks the count unknown (matching the

@@ -17,12 +17,18 @@ object JobNormalize {
 
   private def emptyToNull(c: Column): Column = when(trim(c) =!= "", trim(c))
 
-  /** Positive-double parse of an all-string salary field: empty/garbage →
-    * null (producer: `float(x) if x else None`).
+  /** Positive-double parse of an all-string salary field: empty/garbage/
+    * non-positive → null (producer: `float(x) if x else None`). Strictly
+    * `> 0`, not `≠ 0`: a negative salary string is garbage for this
+    * domain and must degrade to null like any other unparseable value,
+    * not flow into salary_avg/salary_category as a real number (review
+    * finding).
     */
   private def parseSalary(c: Column): Column = {
     val d = c.try_cast("double")
-    when(d.isNotNull && d =!= 0.0, d)
+    // !isnan: Spark orders NaN ABOVE every double, so "NaN" would pass a
+    // bare `> 0` and flow into salary math as a real number
+    when(d.isNotNull && !isnan(d) && d > 0.0, d)
   }
 
   /** LinkedIn-replay raw records: 31 flat ALL-STRING fields
@@ -51,10 +57,20 @@ object JobNormalize {
       col("formatted_work_type"),
       col("work_type").as("contract_type"),
       col("formatted_experience_level").as("experience_level"),
-      lower(trim(col("remote_allowed"))).isin("true", "1").as("remote_allowed"),
+      // coalesce: `isin` on a NULL input propagates null, but the
+      // reference's bool(job.get('remote_allowed')) maps a missing field
+      // to False — and a null here silently drops rows from any
+      // `remote_allowed = false` filter downstream (review finding)
+      coalesce(lower(trim(col("remote_allowed"))).isin("true", "1"), lit(false))
+        .as("remote_allowed"),
       coalesce(col("listed_time").try_cast("long"), lit(0L)).as("listed_time"),
-      coalesce(col("views").try_cast("double").cast("int"), lit(0)).as("views"),
-      coalesce(col("applies").try_cast("double").cast("int"), lit(0)).as("applies"),
+      // try_cast BOTH hops: a plain cast(double→int) THROWS under Spark 4's
+      // default ANSI mode for out-of-int-range/NaN values ('9999999999',
+      // '1e10') — verified CAST_OVERFLOW on this Spark — where this
+      // all-string normalizer's contract is garbage → default (review
+      // finding)
+      coalesce(col("views").try_cast("double").try_cast("int"), lit(0)).as("views"),
+      coalesce(col("applies").try_cast("double").try_cast("int"), lit(0)).as("applies"),
       ingestTs.as("ingest_timestamp"))
 
   /** Adzuna raw records: nested objects (`company.display_name`,
@@ -75,16 +91,24 @@ object JobNormalize {
         .otherwise("").as("location_city"),
       when(size(col("location.area")) > 1, element_at(col("location.area"), -2))
         .otherwise("").as("location_state"),
-      when(col("salary_min").isNotNull && col("salary_min") =!= 0.0, col("salary_min")).as("salary_min"),
-      when(col("salary_max").isNotNull && col("salary_max") =!= 0.0, col("salary_max")).as("salary_max"),
+      when(col("salary_min").isNotNull && !isnan(col("salary_min")) && col("salary_min") > 0.0,
+        col("salary_min")).as("salary_min"),
+      when(col("salary_max").isNotNull && !isnan(col("salary_max")) && col("salary_max") > 0.0,
+        col("salary_max")).as("salary_max"),
       lit("GBP").as("salary_currency"),
       upper(regexp_replace(col("contract_time"), "-", "_")).as("work_type"),
       initcap(regexp_replace(col("contract_time"), "_", " ")).as("formatted_work_type"),
       col("contract_type"),
       lit("Not Specified").as("experience_level"),
       lit(false).as("remote_allowed"),
+      // try_to_timestamp, NOT to_unix_timestamp: under Spark 4's default
+      // ANSI mode the latter THROWS on any malformed 'created' string
+      // (verified CANNOT_PARSE_TIMESTAMP on this Spark) — one bad record
+      // would kill the whole batch where the contract is degrade-to-0
+      // (review finding). The epoch cast of a timestamp is exact.
       coalesce(
-        (to_unix_timestamp(col("created"), lit("yyyy-MM-dd'T'HH:mm:ss'Z'")) * 1000).try_cast("long"),
+        (try_to_timestamp(col("created"), lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).cast("long") * 1000)
+          .try_cast("long"),
         lit(0L)).as("listed_time"),
       lit(0).as("views"),
       lit(0).as("applies"),

@@ -53,8 +53,25 @@ object Tables {
     * still a plain pushdown-friendly scan either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // The nanosAsLong flag is set ONLY when this file actually declares
+    // TIMESTAMP(NANOS) (the read throws PARQUET_TYPE_ILLEGAL without it) —
+    // unconditionally flipping it mutated session-wide parquet semantics
+    // as a read side effect: every LATER read of an unrelated NANOS
+    // parquet in the session would silently load longs instead of failing
+    // loudly (review finding). When set, it must STAY set for the session:
+    // the scan re-derives its conf at action time, so restoring the flag
+    // after read() would break the returned frame's own execution. A
+    // session that truly reads nano-typed events has opted into the
+    // documented legacy semantics; one that doesn't keeps pristine conf.
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+              e.getMessage.contains("Illegal Parquet type") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$dir/events.parquet")
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

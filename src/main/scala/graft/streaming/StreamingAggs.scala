@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Watermarked windowed streaming aggregates (SURVEY §2.8 W1-W6).
@@ -17,6 +17,20 @@ object StreamingAggs {
     */
   private def avgExact2dp(c: org.apache.spark.sql.Column) =
     graft.functions.ExactAgg.avgExact2dp(c)
+
+  /** The upsert doc_id for a (dims, window_start) group — the F8/W10
+    * keyed-sink key, kept in the reference's readable `a_b_window` concat
+    * format. NULL dims are rendered as an explicit "null" token: bare
+    * `concat_ws` SKIPS nulls, so groups (null, "x") and ("x", null) would
+    * collide on one key and the keyed-idempotent upsert would silently
+    * overwrite one group's stats with the other's (review finding). A
+    * literal `_` inside a dim value remains ambiguous with the separator —
+    * that is the reference key format's own limitation; callers with
+    * underscore-bearing dims should key on hashed dims instead.
+    */
+  private def upsertDocId(dims: Seq[String]): Column =
+    concat_ws("_",
+      dims.map(d => coalesce(col(d).cast("string"), lit("null"))) :+ col("window_start"): _*)
 
   /** Tumbling-window multi-agg (W4, reference:
     * bigdata-project/src/spark_streaming_v2.py:223-243): window × dims →
@@ -37,7 +51,7 @@ object StreamingAggs {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start") +:
           dims.map(col) :+ col("cnt") :+ col("avg_val"): _*)
-      .withColumn("doc_id", concat_ws("_", dims.map(col) :+ col("window_start"): _*))
+      .withColumn("doc_id", upsertDocId(dims))
   }
 
   /** Mergeable partial state of [[tumblingStats]] for ONE micro-batch:
@@ -66,7 +80,7 @@ object StreamingAggs {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start") +:
           dims.map(col) :+ col("cnt") :+ col("sum_cents") :+ col("n_vals"): _*)
-      .withColumn("doc_id", concat_ws("_", dims.map(col) :+ col("window_start"): _*))
+      .withColumn("doc_id", upsertDocId(dims))
   }
 
   /** Finalize merged [[tumblingPartials]] states into the

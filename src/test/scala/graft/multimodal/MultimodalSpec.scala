@@ -81,6 +81,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AudioCodec.decodeDurationMs("not audio".getBytes("UTF-8")).isEmpty)
   }
 
+  test("AudioCodec: a truncated WAV quarantines instead of reporting the declared duration") {
+    val wav = Multimodal.AudioCodec.encodeWav(725L, seed = 9L)
+    // the JDK parser trusts the header: a quarter-truncated blob still
+    // "parses" and reports the full 725 ms unless the decoder checks the
+    // declared PCM length against the bytes actually present
+    assert(Multimodal.AudioCodec.decodeDurationMs(wav.take(wav.length / 4)).isEmpty,
+      "truncated audio must take the quarantine path, not report healthy metadata")
+    // the overflow guard: unencodable durations fail loudly, not with a
+    // NegativeArraySizeException from a wrapped frame count
+    intercept[IllegalArgumentException] {
+      Multimodal.AudioCodec.encodeWav(300000000L, seed = 1L)
+    }
+  }
+
   test("GifCodec: multi-frame encode → probe/decode round-trips count, dims, duration") {
     val gif = Multimodal.GifCodec.encodeGif(9, 6, nFrames = 5, delayCs = 10, seed = 3L)
     assert(new String(gif.slice(0, 3), "US-ASCII") == "GIF")

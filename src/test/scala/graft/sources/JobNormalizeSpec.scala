@@ -75,6 +75,34 @@ class JobNormalizeSpec extends SparkSpec {
     assert(r.getAs[String]("category") == "IT Jobs")
   }
 
+  test("garbage in an all-string record degrades to defaults instead of throwing under ANSI") {
+    // Spark 4 runs ANSI mode by default: a plain cast(double->int) throws
+    // CAST_OVERFLOW and to_unix_timestamp throws CANNOT_PARSE_TIMESTAMP —
+    // one bad record must not kill the batch (review finding)
+    val raw = linkedinRaw(
+      Seq("j9", "Acme", "Dev", "d", "X", "-50000", "NaN", "USD", "FT", "ft",
+        "", null, "junk", "9999999999", "1e10"))
+    val r = JobNormalize.normalizeLinkedIn(raw, ingestTs = lit(1.0)).head()
+    assert(r.isNullAt(r.fieldIndex("salary_min")), "negative salary must parse to null")
+    assert(r.isNullAt(r.fieldIndex("salary_max")), "NaN salary must parse to null")
+    assert(!r.getAs[Boolean]("remote_allowed"), "null remote_allowed must be false, not null")
+    assert(r.getAs[Long]("listed_time") == 0L)
+    assert(r.getAs[Int]("views") == 0, "out-of-int-range views must default to 0")
+    assert(r.getAs[Int]("applies") == 0, "out-of-int-range applies must default to 0")
+
+    val adRaw = Seq((7L, "C", "T", "d", Some(-1.0), Option.empty[Double],
+      "full_time", "c", "not-a-timestamp", "L", 0.0, 0.0))
+      .toDF("id", "cn", "title", "description", "salary_min", "salary_max",
+        "contract_time", "contract_type", "created", "cat", "latitude", "longitude")
+      .withColumn("company", struct(col("cn").as("display_name")))
+      .withColumn("location", struct(
+        lit("L").as("display_name"), array().cast("array<string>").as("area")))
+      .withColumn("category", struct(col("cat").as("label")))
+    val ar = JobNormalize.normalizeAdzuna(adRaw, ingestTs = lit(2.0)).head()
+    assert(ar.getAs[Long]("listed_time") == 0L, "malformed created must degrade to 0")
+    assert(ar.isNullAt(ar.fieldIndex("salary_min")), "negative Adzuna salary must be null")
+  }
+
   test("unify merges partially-overlapping schemas with nulls for missing columns") {
     val li = JobNormalize.normalizeLinkedIn(
       linkedinRaw(Seq("j1", "Acme", "Dev", "d", "Austin, TX", "1", "2", "USD", "FULL_TIME",

@@ -93,6 +93,18 @@ class TablesContractSpec extends SparkSpec {
     assert(df.schema("ts").dataType == TimestampType)
   }
 
+  test("events loader does not mutate session parquet semantics for non-nano data") {
+    // the nanosAsLong legacy flag must be flipped ONLY when the file
+    // actually declares TIMESTAMP(NANOS) — an unconditional set silently
+    // changed how every later parquet read in the session handles nano
+    // columns (review finding). The current testdata is micros-typed.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    Tables.events(spark, sf).head()
+    assert(spark.conf.getOption(key) == before,
+      "reading micros-typed events must leave the nanosAsLong conf untouched")
+  }
+
   test("events loader fails with one clear message on an unknown ts physical type") {
     val dir = Files.createTempDirectory("drift").toString
     spark.range(3).selectExpr(

@@ -122,6 +122,21 @@ class StreamingAggsSpec extends SparkSpec {
     }
   }
 
+  test("upsert doc_ids stay distinct for null-bearing dim groups") {
+    // concat_ws silently SKIPS nulls, so (null,'x') and ('x',null) groups
+    // would collide on one keyed-sink key and overwrite each other's
+    // stats; null dims must render as an explicit token (review finding)
+    val static = Seq(
+      (ts("2024-01-01 10:05:00"), Option.empty[String], Some("x"), 1.0),
+      (ts("2024-01-01 10:06:00"), Some("x"), Option.empty[String], 2.0))
+      .toDF("ts", "d1", "d2", "value")
+    val ids = StreamingAggs
+      .tumblingStats(static, "ts", "1 hour", Seq("d1", "d2"), "value")
+      .select("doc_id").as[String].collect().toSeq
+    assert(ids.distinct.length == 2, s"null-dim groups collided: $ids")
+    assert(ids.toSet == Set("null_x_2024-01-01 10:00:00", "x_null_2024-01-01 10:00:00"))
+  }
+
   test("batch and streaming share one code path: same result on a static frame") {
     val static = Seq(
       (ts("2024-01-01 10:05:00"), "click", 10.0),
