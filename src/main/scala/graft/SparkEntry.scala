@@ -2795,8 +2795,8 @@ object SparkEntry {
         |  CAST(length(props) AS INTEGER) AS props_len
         |FROM events ORDER BY event_id""".stripMargin,
     "q19_freshness" ->
-      """SELECT CASE WHEN days IS NULL THEN 'Unknown' WHEN days < 1 THEN 'Fresh'
-        |       WHEN days <= 7 THEN 'Recent' WHEN days <= 28 THEN 'Active'
+      """SELECT CASE WHEN days IS NULL THEN 'Unknown' WHEN days <= 1 THEN 'Fresh'
+        |       WHEN days <= 7 THEN 'Recent' WHEN days <= 30 THEN 'Active'
         |       ELSE 'Old' END AS freshness, COUNT(*) AS cnt
         |FROM (SELECT date_diff('day', CAST(ts AS DATE), DATE '2024-03-01') AS days FROM events) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,

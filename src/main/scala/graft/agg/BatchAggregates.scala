@@ -34,7 +34,13 @@ object BatchAggregates {
     val c = graft.functions.ExactAgg.cents(col(measure))
     val n = count(col(measure))
     val s1 = sum(c)
-    val s2 = sum((c * c).cast("decimal(28,0)"))
+    // c² multiplied in DECIMAL: the long×long form overflowed Long.MaxValue
+    // for any single measure ≥ ~$30.4M in cents (ARITHMETIC_OVERFLOW under
+    // ANSI), inside the very aggregate whose doc promises decimal(38,0)
+    // exactness (review finding). decimal(19,0)² is exact to 10^38 and the
+    // (28,0) cast keeps the downstream sum types — and the oracle SQL —
+    // unchanged.
+    val s2 = sum((c.cast("decimal(19,0)") * c.cast("decimal(19,0)")).cast("decimal(28,0)"))
     val varNum = n.cast("decimal(38,0)") * s2 - s1.cast("decimal(19,0)") * s1.cast("decimal(19,0)")
     val stddev = when(n > 1,
       floor(sqrt(varNum.cast("double") / (n * (n - 1)).cast("double")) * 100.0) / 10000.0)

@@ -95,8 +95,11 @@ object CosineSimilarity {
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
-/** SparkSessionExtensions hook: registers the native expressions —
-  * `cosine_sim(a, b)` and `dot_product(a, b)` — for SQL users. Enable with
+/** SparkSessionExtensions hook: registers the engine's native expressions
+  * for SQL users — similarity: `cosine_sim(a, b)`, `dot_product(a, b)`;
+  * quantization: `quantize_int8(v)`, `cosine_int8(a, b)`; dedup:
+  * `minhash_sig(tokens, nHashes, seed)`, `simhash_fp(tokens, seed)`,
+  * `sig_agree(a, b)`. Enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -49,10 +49,32 @@ object AsOfJoin {
       .partitionBy("__k")
       .orderBy(col("__t").asc, col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(l.unionByName(r, allowMissingColumns = true)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_right") === 0).drop("__k", "__t", "__is_right")
+    attachAtomicPayload(l.unionByName(r, allowMissingColumns = true), payload, w)
+      .drop("__k", "__t", "__is_right")
+  }
+
+  /** Fill payload columns with the values of the SINGLE most-recent right
+    * row, atomically: ONE `last(_, ignoreNulls)` over a struct of the whole
+    * payload. The earlier per-column fold skipped a matched right row's
+    * NULL payload value (silently falling back to an OLDER row's value)
+    * and, with multiple payload columns, could stitch values from
+    * DIFFERENT right rows onto one left row — both violations of the
+    * documented single-right-row as-of contract (review finding). Left
+    * rows contribute a NULL struct (skipped by ignoreNulls); a right row's
+    * struct is non-null even when every payload field inside is null, so
+    * a matched right row with null values is attached as-is — exactly what
+    * DuckDB ASOF JOIN does.
+    */
+  private def attachAtomicPayload(
+      unioned: DataFrame,
+      payload: Seq[String],
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val filled = unioned.withColumn("__pay",
+      last(when(col("__is_right") === 1, struct(payload.map(col): _*)), ignoreNulls = true)
+        .over(w))
+    payload.foldLeft(filled) { (df, p) => df.withColumn(p, col("__pay").getField(p)) }
+      .filter(col("__is_right") === 0)
+      .drop("__pay")
   }
 
   /** Skew-resistant variant of [[asOf]]: the per-key window cannot be split
@@ -91,9 +113,7 @@ object AsOfJoin {
       .partitionBy("__k", "__salt")
       .orderBy(col("__t").asc, col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(l.unionByName(r, allowMissingColumns = true)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_right") === 0).drop("__k", "__t", "__is_right", "__salt")
+    attachAtomicPayload(l.unionByName(r, allowMissingColumns = true), payload, w)
+      .drop("__k", "__t", "__is_right", "__salt")
   }
 }

@@ -36,6 +36,13 @@ object Cleaning {
     * which gets map-side partial aggregation; the window form is kept because
     * it preserves all columns without re-expansion.
     */
+  /** DETERMINISM CONTRACT: the winner is reproducible only when `orderBy`
+    * is a TOTAL order within each key — rows tied on every order column
+    * still pick a partition-order-dependent winner (the exact
+    * non-reproducibility this op exists to fix). Callers whose order
+    * columns can tie must append a content tiebreaker, e.g.
+    * `md5(to_json(struct(cols)))` (see BatchPipeline).
+    */
   def dedupByKey(df: DataFrame, key: Seq[String], orderBy: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(key.map(col): _*).orderBy(orderBy: _*)
     df.withColumn("__rn", row_number().over(w))

@@ -26,12 +26,27 @@ object Temporal {
   def daysSince(newer: Column, older: Column): Column = datediff(newer, older)
 
   /** Freshness bucketing ladder (D7,
-    * reference: bigdata-project/src/spark_batch_v2.py:168-173).
+    * reference: bigdata-project/src/spark_batch_v2.py:168-173): the
+    * reference's boundaries VERBATIM — `<= 1` Fresh, `<= 7` Recent,
+    * `<= 30` Active, else Old. This is the ONE D7 ladder; JobPipeline
+    * passes the reference's display labels (a second inline copy had
+    * drifted to `< 1`/`<= 28` boundaries while citing the same reference
+    * lines — review finding).
+    *
+    * `nullLabel`: the reference has no null branch (a null days falls to
+    * the `otherwise` bucket); `Some("Unknown")` (the default) is the
+    * engine's documented deviation for D7 analytics surfaces — pass
+    * `None` for reference-verbatim null handling.
     */
-  def freshness(days: Column): Column =
-    when(days.isNull, "Unknown")
-      .when(days < 1, "Fresh")
-      .when(days <= 7, "Recent")
-      .when(days <= 28, "Active")
-      .otherwise("Old")
+  def freshness(
+      days: Column,
+      labels: Seq[String] = Seq("Fresh", "Recent", "Active", "Old"),
+      nullLabel: Option[String] = Some("Unknown")): Column = {
+    require(labels.length == 4, s"freshness needs 4 labels, got ${labels.length}")
+    val ladder = when(days <= 1, labels(0))
+      .when(days <= 7, labels(1))
+      .when(days <= 30, labels(2))
+      .otherwise(labels(3))
+    nullLabel.fold(ladder)(u => when(days.isNull, u).otherwise(ladder))
+  }
 }

@@ -36,7 +36,12 @@ object BatchPipeline {
   def run(spark: SparkSession, raw: DataFrame, outDir: String, reportDate: String): Result = {
     if (raw.isEmpty) return Result(0L, Map.empty) // P5 empty-input short-circuit
 
-    val deduped = Cleaning.dedupByKey(raw, Seq("event_id"), Seq(col("ts").desc))
+    // latest-ts wins; the md5-of-row tail makes the order TOTAL, so two
+    // rows sharing (event_id, ts) pick the same winner on every run and
+    // layout — dedupByKey is only as deterministic as its order columns
+    // (review finding)
+    val deduped = Cleaning.dedupByKey(raw, Seq("event_id"),
+      Seq(col("ts").desc, md5(to_json(struct(raw.columns.map(col).toIndexedSeq: _*))).desc))
     // Single-pass fan-out: the detail sink plus five aggregates all consume
     // `enriched` — without a persist each sink's action re-executes the
     // scan+dedup+enrich prefix, six full lake-partition scans at 100 TB
@@ -48,25 +53,39 @@ object BatchPipeline {
       .withColumn("report_date", lit(reportDate).cast("date")) // D6
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // detail docs: keyed upsert (S5 semantics)
-      Sinks.writeKeyedUpsert(
-        enriched, Seq("doc_id"), Seq(col("ts").desc), s"$outDir/detail")
+      // detail docs: keyed upsert (S5 semantics) that ACCUMULATES across
+      // daily runs, like the reference's es.write.operation=upsert index —
+      // writeKeyedUpsert is a whole-table replace, so running day N+1 into
+      // the same outDir destroyed day N's detail docs (review finding).
+      // Version = the report date's epoch day: a re-run of the same date
+      // is idempotent, a later date wins per doc_id.
+      Sinks.upsertBatch(
+        enriched, Seq("doc_id"), s"$outDir/detail",
+        version = java.time.LocalDate.parse(reportDate).toEpochDay)
 
-      // aggregate tables (A2-A7 shapes)
-      val aggs: Map[String, DataFrame] = Map(
-        "type_stats" -> BatchAggregates.dimensionStats(
+      // aggregate tables (A2-A7 shapes), each with its Cassandra-PK dim set:
+      // the reference's Cassandra writes are inserts = PK upserts, so a
+      // later day's stats REPLACE the row per dim key while other dims'
+      // rows survive — the previous mode("overwrite") wiped each whole
+      // table per run, destroying every other day's rows (review finding,
+      // same class as the detail sink above)
+      val aggs: Map[String, (DataFrame, Seq[String])] = Map(
+        "type_stats" -> (BatchAggregates.dimensionStats(
           enriched, Seq("event_type_clean"), "value", col("is_high_value")),
-        "region_stats" -> BatchAggregates.dimensionStats(
+          Seq("event_type_clean")),
+        "region_stats" -> (BatchAggregates.dimensionStats(
           enriched, Seq("region", "category"), "value", col("is_high_value")),
-        "category_percentiles" -> BatchAggregates.percentileStats(
-          enriched, Seq("category"), "value"),
-        "temporal_stats" -> BatchAggregates.temporalStats(
-          enriched, "dow", "month", "value"),
-        "tier_distribution" -> BatchAggregates.distribution(
-          enriched, "value_tier", "category"))
-      val counts = aggs.map { case (name, df) =>
+          Seq("region", "category")),
+        "category_percentiles" -> (BatchAggregates.percentileStats(
+          enriched, Seq("category"), "value"), Seq("category")),
+        "temporal_stats" -> (BatchAggregates.temporalStats(
+          enriched, "dow", "month", "value"), Seq("dow", "month")),
+        "tier_distribution" -> (BatchAggregates.distribution(
+          enriched, "value_tier", "category"), Seq("value_tier", "category")))
+      val version = java.time.LocalDate.parse(reportDate).toEpochDay
+      val counts = aggs.map { case (name, (df, keys)) =>
         val stamped = df.withColumn("report_date", lit(reportDate).cast("date"))
-        stamped.write.mode("overwrite").parquet(s"$outDir/$name")
+        Sinks.upsertBatch(stamped, keys, s"$outDir/$name", version)
         name -> spark.read.parquet(s"$outDir/$name").count()
       }
       Result(spark.read.parquet(s"$outDir/detail").count(), counts)

@@ -32,7 +32,11 @@ object EventsPipeline {
     val valid = Cleaning.validRows(events, requiredString = Seq("event_type"), requiredAny = Seq("event_id"))
     valid
       // S4: JSON decode of the props payload against a known path.
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      // try_cast: a plain cast THROWS under Spark 4's default ANSI mode on
+      // any non-integer k ("abc", "12.5"), killing the batch job and
+      // crash-looping the streaming query on one poison record — the
+      // module contract is degrade-to-null (review finding)
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("int"))
       // F7: canonical dimension string.
       .withColumn("event_type_clean", Cleaning.canonical(col("event_type")))
       // F5: regex taxonomy, first-match-wins.

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Classify, Cleaning, ValueOps}
+import graft.ops.{Classify, Cleaning, Features, Temporal, ValueOps}
 
 /** The reference's FULL batch enrichment on the canonical job-posting
   * schema, ladder for ladder
@@ -83,28 +83,33 @@ object JobPipeline {
       .withColumn("job_category", Classify.byRegex(col("title_clean"), categoryRules, "Other"))
       // work type normalization (F6)
       .withColumn("work_type_clean", Classify.byRegex(col("work_type"), workTypeRules, "Other"))
-      // temporal derivations (D1/D3/D6/D7/D4)
-      .withColumn("listed_date", to_date(timestamp_millis(col("listed_time"))))
+      // temporal derivations (D1/D3/D6/D7/D4) — through the Temporal ops
+      // (the designated single implementations), not inline re-derivations
+      // that can drift from the tested ladders (review finding)
+      .withColumn("listed_date", Temporal.epochMillisToDate(col("listed_time")))
       .withColumn("event_date", lit(reportDate).cast("date"))
       .withColumn("days_since_posted", datediff(col("event_date"), col("listed_date")))
       .withColumn("job_freshness",
-        when(col("days_since_posted") <= 1, "Fresh (< 24h)")
-          .when(col("days_since_posted") <= 7, "Recent (1-7 days)")
-          .when(col("days_since_posted") <= 30, "Active (1-4 weeks)")
-          .otherwise("Old (> 30 days)"))
+        Temporal.freshness(
+          col("days_since_posted"),
+          labels = Seq("Fresh (< 24h)", "Recent (1-7 days)", "Active (1-4 weeks)", "Old (> 30 days)"),
+          nullLabel = None)) // reference-verbatim: null days → the Old bucket
       .withColumn("posted_day_of_week", dayofweek(col("listed_date")))
       .withColumn("posted_month", month(col("listed_date")))
       .withColumn("posted_quarter", quarter(col("listed_date")))
       // metadata (D5)
       .withColumn("ingest_type", lit("batch"))
       .withColumn("processing_timestamp", current_timestamp())
-      // features (M5/M6/M8)
+      // features (M5/M6/M8) — via the Features ops, same single-source
+      // argument as the temporal ladder above; coalesce keeps this
+      // pipeline's false-on-null flag semantics over highDemand's
+      // null-propagating boolean
       .withColumn("competition_score",
-        when(col("views") > 0 && col("applies") > 0,
-          col("applies").cast("double") / col("views").cast("double") * 100.0)
-          .otherwise(0.0))
+        Features.guardedRatio(col("applies"), col("views")))
       .withColumn("is_high_demand",
-        when(col("views") > 100 && col("competition_score") < 5, true).otherwise(false))
+        coalesce(
+          Features.highDemand(col("views"), col("competition_score"), 100, 5),
+          lit(false)))
       .withColumn("region",
         when(col("location_country_clean") === "US", "North America")
           .when(col("location_country_clean") === "UK", "Europe")

@@ -45,7 +45,13 @@ object StreamPipeline {
     val parsed = withValue
       .select(from_json(col("value"), wireSchema).as("data"))
       .select("data.*")
-      .withColumn("ts", to_timestamp(col("ts")))
+      // try_to_timestamp: permissive from_json makes malformed ENVELOPES
+      // null, but a parseable envelope with an unparseable ts string would
+      // THROW under ANSI mode — terminating the streaming query, and the
+      // checkpoint would replay the same poison record on every restart
+      // (review finding). Null ts then drops in the validation filter,
+      // exactly as this method's contract states.
+      .withColumn("ts", try_to_timestamp(col("ts")))
     EventsPipeline.enrich(parsed)
   }
 

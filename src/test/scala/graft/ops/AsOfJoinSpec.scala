@@ -32,6 +32,26 @@ class AsOfJoinSpec extends SparkSpec {
       "t5" -> None))
   }
 
+  test("asOf attaches the matched row's payload ATOMICALLY, nulls included") {
+    // right rows: (t=10:00, a=3, b=7) then (t=11:00, a=null, b=5). True
+    // as-of (and DuckDB ASOF) attaches the 11:00 row AS-IS to a 12:00 left
+    // row: a=null, b=5. The previous per-column ignoreNulls fill skipped
+    // the null and produced the torn pair (a=3, b=5) — values from two
+    // different right rows (review finding).
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(3), Some(7)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Int], Some(5)))
+      .toDF("rk", "rts", "a", "b")
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
+      .toDF("key", "ts", "tag")
+    val out = AsOfJoin.asOf(left, right, "key", "rk", "ts", "rts", Seq("a", "b"))
+      .select("a", "b").as[(Option[Int], Option[Int])].head()
+    assert(out == ((None, Some(5))), s"torn payload: $out")
+    val salted = AsOfJoin.asOfSalted(left, right, "key", "rk", "ts", "rts", Seq("a", "b"), 3)
+      .select("a", "b").as[(Option[Int], Option[Int])].head()
+    assert(salted == ((None, Some(5))))
+  }
+
   test("asOf never matches NULL keys (join-on-equality semantics)") {
     val left = Seq(
       (Some(1L), ts("2024-01-01 12:00:00"), "keyed"),

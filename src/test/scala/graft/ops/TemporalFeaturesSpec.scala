@@ -27,10 +27,17 @@ class TemporalFeaturesSpec extends SparkSpec {
   }
 
   test("freshness ladder buckets match the reference thresholds") {
-    val out = Seq(Some(0), Some(1), Some(7), Some(8), Some(28), Some(29), None)
+    // reference spark_batch_v2.py:168-173 verbatim: <=1 Fresh, <=7 Recent,
+    // <=30 Active, else Old (an earlier version drifted to <1/<=28)
+    val out = Seq(Some(0), Some(1), Some(2), Some(7), Some(8), Some(30), Some(31), None)
       .toDF("days")
       .select(Temporal.freshness(col("days"))).as[String].collect().toSeq
-    assert(out == Seq("Fresh", "Recent", "Recent", "Active", "Active", "Old", "Unknown"))
+    assert(out == Seq(
+      "Fresh", "Fresh", "Recent", "Recent", "Active", "Active", "Old", "Unknown"))
+    // reference-verbatim null handling: no Unknown branch, null -> Old
+    val refNull = Seq(Option.empty[Int]).toDF("days")
+      .select(Temporal.freshness(col("days"), nullLabel = None)).as[String].head()
+    assert(refNull == "Old")
   }
 
   test("daysSince counts calendar days") {

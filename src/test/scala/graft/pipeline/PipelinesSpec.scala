@@ -6,6 +6,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
+
 import graft.sinks.Sinks
 
 class PipelinesSpec extends SparkSpec {
@@ -35,6 +37,63 @@ class PipelinesSpec extends SparkSpec {
     assert(detail.filter($"category" === "Commerce").count() == 1)
     val tiers = spark.read.parquet(s"$out/tier_distribution")
     assert(tiers.columns.contains("report_date"))
+  }
+
+  test("daily batch runs ACCUMULATE: day N+1 upserts, never wipes day N") {
+    val lake = tmpDir() + "/lake"
+    val out = tmpDir() + "/out"
+    mkLake(lake)
+    BatchPipeline.run(spark, lake, out, "2024-01-01")
+    val day1Detail = spark.read.parquet(s"$out/detail").count()
+    val day1Types = spark.read.parquet(s"$out/type_stats")
+      .select("event_type_clean").as[String].collect().toSet
+    // day 2 touches only the 'error' type; day 1's detail docs and the
+    // CLICK/PURCHASE stat rows must survive (the reference's ES/Cassandra
+    // sinks are keyed upserts, not table replaces — review finding)
+    val r2 = BatchPipeline.run(spark, lake, out, "2024-01-02")
+    assert(r2.detailRows == day1Detail + 1,
+      "day 2 must add to the detail store, not replace it")
+    val types = spark.read.parquet(s"$out/type_stats")
+      .select("event_type_clean").as[String].collect().toSet
+    assert(types == day1Types + "ERROR", types.toString)
+    // re-running a date is idempotent (same version wins per key)
+    val r2again = BatchPipeline.run(spark, lake, out, "2024-01-02")
+    assert(r2again.detailRows == r2.detailRows)
+  }
+
+  test("stddev aggregate survives a single >$30M measure (no long overflow in c*c)") {
+    val big = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "click", 4.0e7, """{"k":1}""", "2024-01-01"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 6L, "click", 3.0e7, """{"k":2}""", "2024-01-01"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "event_date")
+    // cents = 4e9 → c*c = 1.6e19 > Long.MaxValue: the old long multiply
+    // threw ARITHMETIC_OVERFLOW under ANSI (review finding)
+    val row = graft.agg.BatchAggregates
+      .dimensionStats(EventsPipeline.enrich(big), Seq("event_type_clean"), "value", lit(false))
+      .select("cnt", "stddev_val").as[(Long, Double)].head()
+    assert(row._1 == 2L)
+    // exact stddev of {3e7, 4e7} = 1e7/sqrt(2)·sqrt(2) = 7071067.8118...
+    assert(math.abs(row._2 - 7071067.8118) < 1e-3, row.toString)
+  }
+
+  test("a poison props record degrades to null k instead of killing the batch") {
+    val poison = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "click", 1.0, """{"k":"abc"}""", "2024-01-01"),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 5L, "click", 2.0, """{"k":"12.5"}""", "2024-01-01"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "event_date")
+    val out = EventsPipeline.enrich(poison).select("event_id", "k")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> None), out.toString)
+  }
+
+  test("a poison ts string in the stream decodes to null and drops, not a crash loop") {
+    val wire = Seq(
+      """{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 5, "event_type": "click", "value": 1.0, "props": "{}"}""",
+      """{"event_id": 2, "ts": "not-a-date", "user_id": 5, "event_type": "click", "value": 2.0, "props": "{}"}""")
+      .toDF("value")
+    val decoded = StreamPipeline.decode(wire)
+    assert(decoded.count() == 2, "both records survive enrichment's id/type filter")
+    assert(decoded.filter($"ts".isNull).count() == 1, "the poison ts must be null, not a throw")
   }
 
   test("BatchPipeline empty-partition short-circuit (P5)") {
