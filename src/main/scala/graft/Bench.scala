@@ -158,6 +158,13 @@ object Bench {
         if t1 >= 0 && t2 >= 0 &&
           math.max(t1, t2) > 2 * math.min(t1, t2) &&
           math.min(t1, t2) > 0.3 => (name, math.min(t1, t2))
+      // a query that failed in exactly ONE pass still has a real
+      // measurement in the other — retry it once instead of discarding
+      // the timing and reporting -1 (review finding: transient one-pass
+      // failures were excluded from the rerun machinery by the
+      // both-valid guard above)
+      case ((name, t1), (_, t2))
+        if (t1 >= 0) != (t2 >= 0) => (name, math.max(t1, t2))
     }.sortBy(-_._2).take(12).map(_._1)
     val thirdPass = disagree.zipWithIndex.map { case (name, i) =>
       canary(s"R:$i")
@@ -166,12 +173,12 @@ object Bench {
       (name, t)
     }.toMap
     val results = passA.zip(passB).map { case ((name, t1), (_, t2)) =>
-      val best =
-        if (t1 < 0 || t2 < 0) -1.0
-        else thirdPass.get(name) match {
-          case Some(t3) if t3 >= 0 => math.min(math.min(t1, t2), t3)
-          case _ => math.min(t1, t2)
-        }
+      // min of whatever measurements are VALID across the (up to) three
+      // runs: a one-pass transient keeps its real timing (visible as -1 in
+      // queries_first and in the reruns map); only a query with no valid
+      // measurement anywhere reports -1 / failed
+      val valid = Seq(t1, t2, thirdPass.getOrElse(name, -1.0)).filter(_ >= 0)
+      val best = if (valid.isEmpty) -1.0 else valid.min
       (name, best, firstByName(name))
     }
     // millisecond precision: sub-ms digits are noise, and the emitted line
@@ -180,13 +187,18 @@ object Bench {
     // Locale.ROOT: the default-locale interpolator would emit comma
     // decimals (invalid JSON) on a comma-decimal JVM.
     def fmt(v: Double): String =
-      if (v < 0) "-1"
+      if (v < 0 || !v.isFinite) "-1" // -1 also encodes "ceiling disabled"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    // every interpolated string goes through Jsons.q — the hand-rolled
+    // bare interpolation produced an invalid artifact for any path/name
+    // with a quote/backslash/control char, the exact driver-side
+    // silent-zero failure Verify's escaper exists to prevent (review
+    // finding; the escaper is now shared)
+    val qs = results.map { case (k, v, _) => Jsons.q(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, _, t1) => s"\"" + k + "\":" + fmt(t1) }
+    val qsFirst = results.map { case (k, _, t1) => Jsons.q(k) + ":" + fmt(t1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => Jsons.q(k) }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val canaryJson = canaryTimes.map(fmt).mkString("[", ",", "]")
@@ -211,7 +223,15 @@ object Bench {
     //     SFs, so one absolute ceiling is safe across SFs); the threshold
     //     is emitted alongside the verdict and env-overridable for a
     //     different box.
-    val quietMax = sys.env.getOrElse("SPARK_GRAFT_CANARY_QUIET_MAX", "0.75").toDouble
+    // The 0.75 s default ceiling is this box's quiet envelope AT THE
+    // DRIVER'S SFs (≤ 0.1) — at larger SFs the canary's quiet floor
+    // legitimately exceeds it and every genuinely-quiet run would
+    // self-certify dirty (review finding). Without an explicit override at
+    // a non-default SF, the absolute-ceiling tests are disabled (emitted
+    // as canary_quiet_max = -1) rather than wrong.
+    val defaultSf = Seq("sf0.1", "sf0.01", "sf0.001").exists(sfDir.stripSuffix("/").endsWith)
+    val quietMax = sys.env.get("SPARK_GRAFT_CANARY_QUIET_MAX").map(_.toDouble)
+      .getOrElse(if (defaultSf) 0.75 else Double.PositiveInfinity)
     // A spike must ALSO clear the quiet-box ceiling: on a genuinely quiet
     // run the warm minimum can be so low (~0.13 s) that 3x of it sits
     // INSIDE the quiet envelope, and ordinary GC/page-cache wobble
@@ -224,16 +244,16 @@ object Bench {
         warmCanary.count(s => s > warmCanary.min * 3 && s > quietMax) >= 2
     val canaryElevated = warmCanary.nonEmpty && warmCanary.min > quietMax
     val canaryNoisy = canarySpiky || canaryElevated
-    val canaryAtJson = canaryAt.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryAtJson = canaryAt.map(a => Jsons.q(a.toString)).mkString("[", ",", "]")
     val rerunMap = disagree.map { n =>
-      s"\"" + n + "\":" + fmt(thirdPass.getOrElse(n, -1.0))
+      Jsons.q(n) + ":" + fmt(thirdPass.getOrElse(n, -1.0))
     }.mkString("{", ",", "}")
     // Full artifact: every pass, all 80 queries, canary series + labels.
     // Written to BENCH_OUT.json (git-tracked, the citable evidence) and
     // printed as the bare stdout line (round-1 contract, for any consumer
     // capturing full stdout).
     def renderFull: String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_first":$qsFirst,"canary":$canaryJson,"canary_at":$canaryAtJson,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_quiet_max":${fmt(quietMax)},"reruns":$rerunMap,"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_first":$qsFirst,"canary":$canaryJson,"canary_at":$canaryAtJson,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_quiet_max":${fmt(quietMax)},"reruns":$rerunMap,"failed":$failed,"queries":$qs,"sf":${Jsons.q(sfDir)}}"""
     // Compact tail line (round-9 verdict #3): the driver archives only the
     // LAST 2000 chars of stdout, and three rounds of full-map lines never
     // fit — BENCH_r07..r09 all have parsed:null with a tail decapitated
@@ -244,9 +264,9 @@ object Bench {
     // artifact file it points to.
     def renderCompact: String = {
       val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-        .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+        .map { case (k, v, _) => Jsons.q(k) + ":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"rerun_count":${disagree.size},"queries":$top10,"artifact":"$outFile","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"rerun_count":${disagree.size},"queries":$top10,"artifact":${Jsons.q(outFile)},"sf":${Jsons.q(sfDir)}}"""
     }
     Files.writeString(Paths.get(outFile), renderFull + "\n")
     println(renderFull)

@@ -54,8 +54,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // read the driver testdata's TIMESTAMP(NANOS) parquet
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOT set here: spark.sql.legacy.parquet.nanosAsLong. It would
+      // silently change how EVERY parquet read in the session handles
+      // TIMESTAMP(NANOS) columns (longs instead of a loud failure) —
+      // including production deploy sessions. Tables.events opts in
+      // adaptively, only when the events file actually declares NANOS
+      // (review finding; see Tables.scala).
       // wide-aggregate plans (the 128-permutation MinHash signature) must
       // stay inside WholeStageCodegen; the default cap of 100 fields
       // silently drops them to interpreted evaluation (measured 2.3×)

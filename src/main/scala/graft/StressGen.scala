@@ -30,7 +30,14 @@ object StressGen {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     val reps = spark.range(copies).select(F.col("id").as("__rep"))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet"))) {
+    // PER-OUTPUT existence checks: a single guard on documents.parquet let
+    // a run killed between the two writes permanently skip regenerating the
+    // missing embeddings half on every later attempt (review finding). The
+    // _SUCCESS marker (not the bare directory) is the completion stamp, so
+    // a killed mid-write corpus regenerates too.
+    def complete(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$name/_SUCCESS"))
+    if (!complete("documents.parquet")) {
       val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       val nDocs = docs.agg(F.max("doc_id")).head.getLong(0) + 1
       docs.crossJoin(reps)
@@ -40,6 +47,8 @@ object StressGen {
             .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("__rep"))).as("text"),
           F.col("lang"), F.col("n_chars"))
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (!complete("embeddings.parquet")) {
       val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
       val nVecs = emb.agg(F.max("vec_id")).head.getLong(0) + 1
       emb.crossJoin(reps)
@@ -51,7 +60,7 @@ object StressGen {
     // lands on user 0 — so user 0 accumulates ~18% of the replicated corpus
     // (the one-pathological-key shape the salted as-of/window variants
     // exist for), while the rest keeps realistic per-user cardinality.
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/events_stress.parquet"))) {
+    if (!complete("events_stress.parquet")) {
       val ev = sources.Tables.events(spark, srcDir)
         .select("event_id", "ts", "user_id", "event_type", "value")
       val nEv = ev.agg(F.max("event_id")).head.getLong(0) + 1
@@ -94,6 +103,12 @@ object StressGen {
       val k = labels.select("rep").distinct().count()
       println(s"GRAFT_STRESS   $n labeled nodes, $k clusters, $rounds CC rounds")
     }
+    // pairs is consumed only by the two sections above — cached 10x-corpus
+    // candidate blocks left resident would evict into every LATER timed
+    // section and skew the very walls this harness prints as evidence
+    // (review finding; Bench clears cache after each query for the same
+    // reason)
+    pairs.unpersist(blocking = false)
     time("q29_lsh_ann_pairs (10x corpus)") {
       val p = functions.Similarity
         .lshCandidatePairs(embs, dims = 64, nBits = 12, seed = 7L)
@@ -291,8 +306,10 @@ object StressGen {
         println(f"GRAFT_STRESS   batch $i: accepted $n in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
           s"(history=${landed - n} docs at probe time)")
       }
-      val expected = docs
-        .filter(F.size(F.split(F.col("text"), " ")).between(5, 5000))
+      // the pipeline's OWN acceptance rule, not a hand-copied token-bound
+      // predicate: a future quality-gate change would silently desync the
+      // oracle and flag healthy runs (review finding)
+      val expected = pipeline.IngestPipeline.qualityFilter(docs)
         .select("text").distinct().count()
       val lake = spark.read.parquet(paths.docLake).count()
       val idx = spark.read.parquet(paths.fpIndex).count()

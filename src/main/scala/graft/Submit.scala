@@ -69,14 +69,14 @@ object Submit {
     "ingest" -> { (spark, opt) =>
       val paths = IngestPipeline.IngestPaths(req(opt, "root"))
       val nearDup =
-        if (opt.get("neardup").contains("true")) Some(IngestPipeline.NearDupConfig())
+        if (boolOpt(opt, "neardup")) Some(IngestPipeline.NearDupConfig())
         else None
       // ivfHealth runs on the maintenance cadence, so asking for it implies
       // maintenance: construct the config when EITHER option is present —
       // `ivfHealth=true` without `maintainEvery` used to be silently ignored
       // (the operator believed the monitor was running; review finding)
       val ivfHealth =
-        if (opt.get("ivfHealth").contains("true"))
+        if (boolOpt(opt, "ivfHealth"))
           Some(IngestPipeline.IvfHealthConfig())
         else None
       val maintenance =
@@ -87,7 +87,7 @@ object Submit {
             ivfHealth = ivfHealth))
         else None
       val decontam =
-        if (opt.get("decontam").contains("true")) Some(IngestPipeline.DecontamConfig())
+        if (boolOpt(opt, "decontam")) Some(IngestPipeline.DecontamConfig())
         else None
       val docs = spark.readStream
         .schema("doc_id LONG, text STRING")
@@ -101,6 +101,32 @@ object Submit {
   private def req(opt: Map[String, String], key: String): String =
     opt.getOrElse(key, sys.error(s"missing required option '$key='"))
 
+  /** The option keys each job understands — [[main]] REJECTS anything else.
+    * Without this, a misspelled `nearDup=true`/`maintainevery=8` parsed
+    * fine and the stage the operator asked for silently did not run —
+    * near-duplicates committed to the lake forever, partitions accreting
+    * unboundedly, zero warning (review finding; the earlier fix for
+    * `ivfHealth=true` implying maintenance was this failure mode fixed for
+    * one key — this generalizes it).
+    */
+  private[graft] val jobKeys: Map[String, Set[String]] = Map(
+    "batch" -> Set("lake", "out", "date"),
+    "stream" -> Set("source", "in", "brokers", "topic", "out", "checkpoint"),
+    "ingest" -> Set("in", "root", "checkpoint", "neardup", "decontam",
+      "maintainEvery", "ivfHealth"))
+
+  /** Strict boolean option: absent → false; anything but a case-insensitive
+    * true/false fails loudly (a silent `Neardup=True → false` is the same
+    * operator trap as an unknown key).
+    */
+  private def boolOpt(opt: Map[String, String], key: String): Boolean =
+    opt.get(key).map(_.toLowerCase) match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => sys.error(s"option '$key=' must be true or false, got '$other'")
+    }
+
   /** `key=value` args → map (first `=` splits; later `=` stay in the value). */
   def parseArgs(args: Seq[String]): Map[String, String] =
     args.map { a =>
@@ -110,18 +136,25 @@ object Submit {
     }.toMap
 
   /** Parse a spark-defaults-format properties file (the conf template's
-    * format: `key value` per line, `#` comments) — used by the spec to
-    * assert the shipped template is well-formed, and usable by ops tooling
-    * that wants to inspect the deploy conf without a cluster.
+    * format) — used by the spec to assert the shipped template is
+    * well-formed, and usable by ops tooling that wants to inspect the
+    * deploy conf without a cluster. Accepts every separator
+    * `java.util.Properties` (what spark-submit's --properties-file loads
+    * through) accepts: whitespace, `=`, or `:`, with optional whitespace
+    * around the separator — the whitespace-only grammar rejected
+    * `spark.master=spark://host:7077`, a conf the cluster runs fine
+    * (review finding). Continuation lines are not supported (the shipped
+    * template does not use them).
     */
   def parseConf(text: String): Map[String, String] =
     text.linesIterator
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("!"))
       .map { l =>
-        val i = l.indexWhere(Character.isWhitespace)
-        require(i > 0, s"expected 'key value', got '$l'")
-        l.take(i) -> l.drop(i).trim
+        def isSep(c: Char) = c == '=' || c == ':' || Character.isWhitespace(c)
+        val i = l.indexWhere(isSep)
+        require(i > 0, s"expected 'key value' (or key=value / key:value), got '$l'")
+        l.take(i) -> l.drop(i).dropWhile(isSep)
       }.toMap
 
   def main(args: Array[String]): Unit = {
@@ -130,6 +163,10 @@ object Submit {
     val job = jobs.getOrElse(args.head,
       sys.error(s"unknown job '${args.head}'; jobs: ${jobs.keys.toSeq.sorted.mkString(", ")}"))
     val opts = parseArgs(args.toSeq.tail)
+    val unknown = opts.keySet -- jobKeys(args.head)
+    require(unknown.isEmpty,
+      s"unknown option(s) ${unknown.toSeq.sorted.mkString(", ")} for job '${args.head}'; " +
+        s"valid: ${jobKeys(args.head).toSeq.sorted.mkString(", ")}")
     // No .master(), no partition override: the submit's conf owns cluster
     // shape (builder .config would outrank the --properties-file, so the
     // deploy builder sets only the engine's semantic defaults).

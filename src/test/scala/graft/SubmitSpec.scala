@@ -62,4 +62,39 @@ class SubmitSpec extends SparkSpec {
       Submit.jobs("batch")(spark, Map("lake" -> "/nope")))
     assert(e.getMessage.contains("out"))
   }
+
+  test("unknown/misspelled options are rejected, not silently ignored") {
+    // a misspelled 'nearDup=true' used to parse fine and run the loop with
+    // dedup OFF — the key sets name both the offender and the valid keys
+    val bad = Submit.parseArgs(Seq("in=/a", "root=/b", "checkpoint=/c", "nearDup=true"))
+    val unknown = bad.keySet -- Submit.jobKeys("ingest")
+    assert(unknown == Set("nearDup"))
+    // every advertised option of every job IS in its key set
+    assert(Submit.jobKeys("batch") == Set("lake", "out", "date"))
+    assert(Submit.jobKeys.keySet == Submit.jobs.keySet)
+  }
+
+  test("boolean options are strict: neardup=1 fails loudly instead of meaning false") {
+    // case-insensitive true/false accepted; anything else is an error, not
+    // a silent "stage off"
+    val e = intercept[RuntimeException](
+      Submit.jobs("ingest")(spark, Map(
+        "in" -> "/a", "root" -> "/b", "checkpoint" -> "/c", "neardup" -> "1")))
+    assert(e.getMessage.contains("true or false"), e.getMessage)
+  }
+
+  test("parseConf accepts every java.util.Properties separator spark-submit accepts") {
+    val conf = Submit.parseConf(
+      """# comment
+        |spark.master spark://h:7077
+        |spark.executor.memory=4g
+        |spark.driver.host : driver.local
+        |spark.eventLog.enabled  =  true
+        |""".stripMargin)
+    assert(conf == Map(
+      "spark.master" -> "spark://h:7077",
+      "spark.executor.memory" -> "4g",
+      "spark.driver.host" -> "driver.local",
+      "spark.eventLog.enabled" -> "true"))
+  }
 }
