@@ -272,5 +272,11 @@ object Bench {
     println(renderFull)
     println("GRAFT_BENCH " + renderCompact)
     spark.stop()
+    // The BARE compact object as the very last stdout line (round-10
+    // verdict #4): the driver's tail parser kept reporting parsed:null even
+    // once the prefixed GRAFT_BENCH line fit its 2000-char window — print
+    // the unprefixed JSON after spark.stop() so no shutdown logging or
+    // prefix can sit between it and sbt's epilogue.
+    println(renderCompact)
   }
 }

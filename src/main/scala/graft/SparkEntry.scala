@@ -2300,7 +2300,7 @@ object SparkEntry {
          |  CAST(SUM(n) AS BIGINT) AS n_vecs,
          |  CAST(MAX(n) AS BIGINT) AS max_list,
          |  CAST(MIN(n) AS BIGINT) AS min_list,
-         |  ${ExactAgg.Sql.divHalfUp("MAX(n) * 100 * COUNT(*)", "SUM(n)")} AS skew_e2,
+         |  CAST(${ExactAgg.Sql.divHalfUp("MAX(n) * 100 * COUNT(*)", "SUM(n)")} AS BIGINT) AS skew_e2,
          |  CAST(CASE WHEN MAX(n) * COUNT(*) <= SUM(n) * 10 THEN 1 ELSE 0 END AS BIGINT) AS skew_ok,
          |  CAST(1 AS BIGINT) AS recall_ok
          |FROM cells""".stripMargin,

@@ -30,6 +30,66 @@ class RegistryContractSpec extends AnyFunSuite {
     }
   }
 
+  /** Offsets of DuckDB floor-division (`//`) occurrences in `sql` that are
+    * not inside any enclosing `CAST(...)`. DuckDB widens `SUM(BIGINT)` to
+    * HUGEINT, so an un-cast `ExactAgg.Sql.divHalfUp`/`floorDiv` output
+    * column silently emits int128 — values identical to Spark's BIGINT but
+    * hash-failed by the driver's type-sensitive compare (q79, rounds 8-10).
+    */
+  private def uncastFloorDivs(rawSql: String): Seq[Int] = {
+    // mask single-quoted string literal CONTENTS (offsets preserved) so a
+    // `//` inside a URL regex literal isn't mistaken for floor division
+    val sb = new StringBuilder(rawSql)
+    var inStr = false
+    var p = 0
+    while (p < sb.length) {
+      if (sb.charAt(p) == '\'') inStr = !inStr
+      else if (inStr) sb.setCharAt(p, ' ')
+      p += 1
+    }
+    val sql = sb.toString
+    val idxs = Iterator.iterate(sql.indexOf("//"))(i => sql.indexOf("//", i + 1))
+      .takeWhile(_ >= 0).toSeq
+    idxs.filterNot { i =>
+      var depth = 0
+      var j = i - 1
+      var cast = false
+      while (j >= 0 && !cast) {
+        sql.charAt(j) match {
+          case ')' => depth += 1
+          case '(' =>
+            if (depth == 0) {
+              // an enclosing open paren — is it CAST's?
+              var k = j - 1
+              while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+              if (k >= 3 && sql.substring(k - 3, k + 1).equalsIgnoreCase("CAST"))
+                cast = true
+            } else depth -= 1
+          case _ =>
+        }
+        j -= 1
+      }
+      cast
+    }
+  }
+
+  test("every oracle floor-division output is wrapped in an explicit CAST") {
+    // self-check: the guard must flag a deliberately un-cast divHalfUp
+    val poison =
+      s"SELECT ${functions.ExactAgg.Sql.divHalfUp("SUM(n)", "COUNT(*)")} AS x FROM t"
+    assert(uncastFloorDivs(poison).nonEmpty,
+      "guard failed to flag an un-cast divHalfUp output")
+    assert(uncastFloorDivs(
+      s"SELECT CAST(${functions.ExactAgg.Sql.divHalfUp("SUM(n)", "COUNT(*)")} AS BIGINT) AS x FROM t").isEmpty,
+      "guard false-positived on a cast divHalfUp output")
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      val bad = uncastFloorDivs(sql)
+      assert(bad.isEmpty,
+        s"$k: un-cast floor-division at offsets $bad — DuckDB will type it " +
+          s"HUGEINT and the driver hash will fail with matching values")
+    }
+  }
+
   test("registry naming and oracle content sanity") {
     SparkEntry.queries.keys.foreach { k =>
       assert(k.matches("q\\d{2}_[a-z0-9_]+"), s"non-conforming query name: $k")

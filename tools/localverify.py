@@ -36,11 +36,13 @@ def main(sf_dir, out_dir):
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = sorted(got.columns)
+            got_types = dict(zip(got.columns, (str(t) for t in got.types)))
             got_rows = sorted(
                 [tuple(norm(v) for v in row) for row in
                  got.select(", ".join(f'"{c}"' for c in got_cols)).fetchall()])
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
+            exp_types = dict(zip(exp.columns, (str(t) for t in exp.types)))
             exp_rows = sorted(
                 [tuple(norm(v) for v in row) for row in
                  exp.select(", ".join(f'"{c}"' for c in exp_cols)).fetchall()])
@@ -50,6 +52,18 @@ def main(sf_dir, out_dir):
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_bad += 1
+            continue
+        # The driver's value hash is TYPE-sensitive (q79 burned three rounds
+        # on a BIGINT-vs-HUGEINT divergence with identical values), so the
+        # local gate must compare DuckDB result types too.
+        type_bad = [(c, got_types[c], exp_types[c]) for c in got_cols
+                    if got_types[c] != exp_types[c]]
+        if type_bad:
+            print(f"FAIL {name}: column types differ (driver hash is "
+                  f"type-sensitive)")
+            for c, g, e in type_bad:
+                print(f"  {c}: dump {g} != oracle {e}")
             n_bad += 1
             continue
         if len(got_rows) != len(exp_rows):
