@@ -45,8 +45,18 @@ object GraftSession {
   def deployBuilder(appName: String): SparkSession.Builder =
     semanticDefaults(SparkSession.builder().appName(appName))
 
+  /** Forward-compat sweep gate (round-10 verdict #5): `SPARK_GRAFT_ANSI=true`
+    * flips every graft session to ANSI mode so the whole registry + pipeline
+    * surface can be certified against Spark's strict-SQL future in ONE pass
+    * instead of finding ANSI poison pills (bad casts, overflow, malformed
+    * timestamps) one per round. Not the default: the engine's published
+    * semantics are the non-ANSI ones the oracles pin.
+    */
+  private[graft] def ansiSweep: Boolean =
+    sys.env.get("SPARK_GRAFT_ANSI").exists(_.equalsIgnoreCase("true"))
+
   private def semanticDefaults(b: SparkSession.Builder): SparkSession.Builder =
-    b
+    (if (ansiSweep) b.config("spark.sql.ansi.enabled", "true") else b)
       // deterministic timestamps across engines and sites
       .config("spark.sql.session.timeZone", "UTC")
       // AQE: runtime shuffle coalescing + skew-join splitting — the safety

@@ -470,6 +470,126 @@ object StressGen {
       evalSuite.unpersist()
       batch.unpersist()
     }
+    // ---- round-11 family: the FULL 4-gate ingest loop at 10× — exact (fp
+    // index), eval decontamination, lexical near-dup (band index) and
+    // semantic near-dup (served IVF index) all enabled in one loop, plus
+    // the maintenance round (lake fold + index fold + IVF health gate).
+    // Every batch carries PLANTED probes for three of the gates, each in
+    // its own id range, so the terminal lake certifies per-gate behavior
+    // mechanically: 16 verbatim eval quotes (decontam must drop all), 16
+    // semantic duplicates — unique text, embedding copied from an indexed
+    // vector (the vector gate must drop all) — and exact replays of the
+    // previous batch's corpus slice (the fp/band pair must drop all).
+    // The wall-clock claim is the r7/r9 one extended to four index
+    // families: per-batch cost stays flat while history grows, because
+    // every probe is O(batch) with directory pruning. ----
+    time("4-gate ingest loop (10x corpus, 8 batches, all indexes live)") {
+      val root = s"$outDir/ingest4gate"
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val paths = pipeline.IngestPipeline.IngestPaths(root)
+      val nB = 8
+      val nDocs10 = docs.agg(F.max("doc_id")).head.getLong(0) + 1
+      val nVecs10 = embs.agg(F.max("vec_id")).head.getLong(0) + 1
+      // offline installs: the eval blocklist (a 2% suite slice, winnowed
+      // once) and the served IVF index (centroids trained on the full 10×
+      // vector corpus — the loop appends accepted vectors, never retrains)
+      val evalSuite = docs.filter(F.col("doc_id") % 50 === 9)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("  eval index install (winnow 2% suite)") {
+        functions.Dedup.writeEvalIndex(evalSuite, paths.evalIndex)
+      }
+      time("  IVF index install (train + quantize 10x vectors)") {
+        val cents = functions.Similarity.kmeansCentroids(embs, k = 16, iters = 2)
+        functions.Similarity.writeIvfIndex(embs, cents, paths.ivfIndex)
+      }
+      val quoteSrc = evalSuite
+        .filter(F.size(F.split(F.col("text"), " ")) >= 8)
+        .orderBy("doc_id").limit(16)
+        .select(F.col("doc_id").as("src_id"), F.col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      quoteSrc.count()
+      val F0 = 100000000L; val S0 = 200000000L; val Q0 = 300000000L; val R0 = 400000000L
+      val nPlant = 16
+      var prevSlice: Option[org.apache.spark.sql.DataFrame] = None
+      val batchSecs = scala.collection.mutable.ArrayBuffer[Double]()
+      for (i <- 0 until nB) {
+        val own = docs.filter(F.pmod(F.col("doc_id"), F.lit(nB)) === i)
+          .select("doc_id", "text")
+        // planted rows, each with enough per-row unique tokens that the
+        // probes test THEIR gate, not incidental scaffold similarity
+        def plant(base: Long, tag: String) =
+          spark.range(nPlant).select(
+            (F.col("id") + base + i * 1000L).as("doc_id"),
+            F.concat(F.lit(s"$tag planted probe row "), F.col("id") + i * 1000L,
+              F.lit(" u"), F.col("id") + i * 1000L, F.lit(s"a$tag b"),
+              F.col("id") + i * 1000L, F.lit("c marker tail")).as("text"))
+        val fresh = plant(F0, "fresh")
+        val sem = plant(S0, "semdup")
+        val quotes = quoteSrc.select(
+          (F.col("src_id") + Q0 + i * 1000L).as("doc_id"),
+          F.concat(F.lit(s"benchmark quote b$i says "), F.col("text")).as("text"))
+        val replays = prevSlice.map(p => p.filter(F.col("doc_id") % 20 === (i - 1))
+            .select((F.col("doc_id") + R0 + i * 1000000L).as("doc_id"), F.col("text")))
+          .getOrElse(spark.emptyDataFrame.selectExpr("CAST(0 AS LONG) doc_id", "'' text").limit(0))
+        val batch = own.unionByName(fresh).unionByName(sem)
+          .unionByName(quotes).unionByName(replays)
+        // embeddings: sem rows copy an indexed vector verbatim (cosine 1.0
+        // → the vector gate must fire); fresh rows carry the NEGATED vector
+        // (cosine −1 vs its source, |cos| ≤ ~0.5 vs the rest → must pass).
+        // Source vectors are (i·nPlant + id): globally DISTINCT BASE vectors
+        // across all batches — the 10× corpus replicates embeddings exactly
+        // (vec_id ≡ base mod nVecs), so any residue collision hands two
+        // batches the SAME vector and the second batch's "novel" plant is a
+        // true semantic duplicate of the first's (the first smoke run's
+        // fresh-kept 16/128).
+        val vecPick = F.pmod(F.col("doc_id"), F.lit(1000L)) + F.lit(i.toLong * nPlant)
+        val embSrc = embs.select(F.col("vec_id").as("__src"), F.col("embedding"))
+        val semEmb = sem.select(F.col("doc_id").as("vec_id"), vecPick.as("__src"))
+          .join(embSrc, "__src").select("vec_id", "embedding")
+        val freshEmb = fresh.select(F.col("doc_id").as("vec_id"), vecPick.as("__src"))
+          .join(embSrc, "__src")
+          .select(F.col("vec_id"),
+            F.transform(F.col("embedding"), x => -x).as("embedding"))
+        val t0 = System.nanoTime()
+        val n = pipeline.IngestPipeline.ingestBatch(
+          spark, paths, batch, i.toLong,
+          embedBatch = Some(semEmb.unionByName(freshEmb)),
+          nearDup = Some(pipeline.IngestPipeline.NearDupConfig()),
+          semanticDedup = Some(pipeline.IngestPipeline.SemanticDedupConfig(nProbe = 2, minSim = 0.95)),
+          decontam = Some(pipeline.IngestPipeline.DecontamConfig()))
+        val secs = (System.nanoTime() - t0) / 1e9
+        batchSecs += secs
+        println(f"GRAFT_STRESS   batch $i: accepted $n in $secs%.1f s")
+        prevSlice = Some(own)
+      }
+      // terminal lake: every planted id range must be absent except the
+      // fresh range, which must be fully present
+      val lake = spark.read.parquet(paths.docLake)
+        .select("doc_id").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nLake = lake.count()
+      def inRange(lo: Long) =
+        lake.filter(F.col("doc_id") >= lo && F.col("doc_id") < lo + 100000000L).count()
+      val (nF, nS, nQ, nR) = (inRange(F0), inRange(S0), inRange(Q0), inRange(R0))
+      val wantFresh = nPlant.toLong * nB
+      println(s"GRAFT_STRESS   lake=$nLake docs; fresh kept $nF/$wantFresh, " +
+        s"semdup leaked $nS, quotes leaked $nQ, replays leaked $nR " +
+        s"ok=${nF == wantFresh && nS == 0 && nQ == 0 && nR == 0}")
+      val flat = batchSecs.drop(1)
+      println(f"GRAFT_STRESS   per-batch wall: first ${batchSecs.head}%.1f s, " +
+        f"rest min ${flat.min}%.1f max ${flat.max}%.1f s (flat = probes are O(batch))")
+      lake.unpersist()
+      time("  maintenance round (lake fold + index fold + IVF health)") {
+        val report = pipeline.IngestPipeline.maintain(spark, paths,
+          Some(pipeline.IngestPipeline.IvfHealthConfig(nProbe = 2)))
+        val lakeDirs = fs.listStatus(new org.apache.hadoop.fs.Path(paths.docLake))
+          .count(_.getPath.getName.startsWith("__ver="))
+        val afterFold = spark.read.parquet(paths.docLake).count()
+        println(s"GRAFT_STRESS   health=$report lakePartitions=$lakeDirs rows=$afterFold " +
+          s"ok=${lakeDirs == 1 && afterFold == nLake}")
+      }
+      quoteSrc.unpersist()
+      evalSuite.unpersist()
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()

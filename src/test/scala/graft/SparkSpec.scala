@@ -12,6 +12,9 @@ object TestSpark {
     .builder()
     .master("local[2]")
     .appName("graft-test")
+    // SPARK_GRAFT_ANSI=true runs the whole suite in ANSI mode (the
+    // forward-compat sweep GraftSession.ansiSweep documents)
+    .config("spark.sql.ansi.enabled", GraftSession.ansiSweep.toString)
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

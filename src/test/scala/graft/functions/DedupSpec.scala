@@ -227,6 +227,32 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.duplicateClusters(empty).count() == 0)
     assert(Dedup.duplicateClustersLogN(empty).count() == 0)
+    assert(Dedup.duplicateClustersLogNWithRounds(empty, localFirst = true)._1.count() == 0)
+  }
+
+  test("localFirst contraction: labels identical, never more rounds (random/chain/clique)") {
+    val rnd = new scala.util.Random(77)
+    val graphs = Seq(
+      // random multigraph
+      Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b },
+      // long chain — the adversarial depth case for local contraction
+      (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      // dense cliques — the dominant LSH-banding shape localFirst targets
+      (0 until 5).flatMap { c =>
+        val ids = (0 until 12).map(i => (c * 100 + i).toLong)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      })
+    graphs.zipWithIndex.foreach { case (edges, gi) =>
+      val pairs = edges.toDF("a_id", "b_id")
+      val (base, baseRounds) = Dedup.duplicateClustersLogNWithRounds(pairs)
+      val (local, localRounds) =
+        Dedup.duplicateClustersLogNWithRounds(pairs, localFirst = true)
+      assert(local.as[(Long, Long)].collect().toMap ==
+        base.as[(Long, Long)].collect().toMap, s"graph $gi labels diverged")
+      assert(localRounds <= baseRounds,
+        s"graph $gi: localFirst took $localRounds rounds vs $baseRounds")
+    }
   }
 
   test("CC reliable pins restore the caller's global checkpoint dir") {
