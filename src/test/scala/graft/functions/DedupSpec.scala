@@ -245,7 +245,8 @@ class DedupSpec extends SparkSpec {
       })
     graphs.zipWithIndex.foreach { case (edges, gi) =>
       val pairs = edges.toDF("a_id", "b_id")
-      val (base, baseRounds) = Dedup.duplicateClustersLogNWithRounds(pairs)
+      val (base, baseRounds) =
+        Dedup.duplicateClustersLogNWithRounds(pairs, localFirst = false)
       val (local, localRounds) =
         Dedup.duplicateClustersLogNWithRounds(pairs, localFirst = true)
       assert(local.as[(Long, Long)].collect().toMap ==
@@ -313,8 +314,11 @@ class DedupSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-gc").toString
     val n = 2000L
     val chain = spark.range(n).select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
-    val (labels, rounds) =
-      Dedup.duplicateClustersLogNWithRounds(chain, checkpointDir = Some(ckpt))
+    // localFirst = false: under the default, the single iteration partition
+    // this spec's sizing produces lets the contraction pre-round solve the
+    // whole chain and the loop converges before the GC path ever runs
+    val (labels, rounds) = Dedup.duplicateClustersLogNWithRounds(
+      chain, checkpointDir = Some(ckpt), localFirst = false)
     assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L))
     assert(rounds >= 3, s"need >= 3 rounds to exercise the GC path, got $rounds")
     // pins live under per-Pinner-instance roots (pinner-N/pin-M) so one
