@@ -83,10 +83,14 @@ object Packing {
         shard.as("shard"),
         // null text budgets as ZERO tokens (sum skips nulls anyway, but an
         // unguarded null n_tokens emits a half-null output row: pack_first
-        // set, pack_last/n_windows null — review finding). A 0-token doc
-        // at an exact window boundary spans no window: pack_last =
-        // pack_first − 1, n_windows = 0.
-        coalesce(Text.tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
+        // set, pack_last/n_windows null — review finding). The guard is an
+        // explicit isNull branch, NOT coalesce: under the legacy (non-ANSI)
+        // default `size(null)` is −1, not null, so coalesce would pass a
+        // NEGATIVE budget through. A 0-token doc at an exact window
+        // boundary spans no window: pack_last = pack_first − 1,
+        // n_windows = 0.
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
       .withColumn("__cumb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         id,
