@@ -1735,6 +1735,25 @@ object SparkEntry {
         .select("doc_id", "text")
       Dedup.evalContaminationReport(s, fixture, batch)
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: corpus-wide hot-span SCRUB (C4/RefinedWeb line
+    // dedup) — q59 scores boilerplate, this REWRITES it out: any 4-token
+    // span occurring ≥3 times corpus-wide is removed from every document
+    // and the survivors re-join in order. Count shuffle carries (hash,
+    // count) only; the rewrite is a zero-shuffle per-row filter against
+    // the plan-shipped hot set (binary-search membership) ----
+    "q84_hot_span_scrub" -> { (s, dir) =>
+      Text.hotSpanScrub(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: intra-document repeated-span removal (the
+    // within-doc face of exact dedup, Lee et al. 2021) — later occurrences
+    // of a 2-token span already seen in the same document are dropped,
+    // first occurrences keep their order. Pure per-row array_distinct in
+    // the scan projection: no shuffle, nothing corpus-global ----
+    "q85_intradoc_span_dedup" -> { (s, dir) =>
+      Text.dropRepeatedSpans(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -2771,6 +2790,51 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT b.fp) AS BIGINT) AS n_shared_fps
         |FROM b JOIN ev ON ev.fp = b.fp
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q84: the same regex span segmentation ([[Text.spanPattern]], one
+    // shared constant) and the same md5-substring 60-bit hash as the Spark
+    // side; hot membership is decided ON THE HASH in both engines so a
+    // collision cannot cause cross-engine drift
+    "q84_hot_span_scrub" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    regexp_extract_all(text, '${Text.spanPattern(4)}') AS l
+         |  FROM documents),
+         |chunks AS (SELECT doc_id, unnest(range(len(l))) AS i, unnest(l) AS ch FROM sp),
+         |hashed AS (SELECT doc_id, i, ch,
+         |    CAST(concat('0x', substring(md5(ch), 1, 15)) AS BIGINT) AS h
+         |  FROM chunks),
+         |hot AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 3),
+         |kept AS (SELECT k.doc_id, k.i, k.ch FROM hashed k
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = k.h)),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(ch, ' ' ORDER BY i) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_spans FROM sp)
+         |SELECT t.doc_id, t.n_spans,
+         |  CAST(t.n_spans - COALESCE(a.n_kept, 0) AS BIGINT) AS n_hot,
+         |  COALESCE(a.clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    // q85: first-occurrence keep via row_number over (doc, span) in span
+    // order — the windowed definition of array_distinct's semantics
+    "q85_intradoc_span_dedup" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    regexp_extract_all(text, '${Text.spanPattern(2)}') AS l
+         |  FROM documents),
+         |chunks AS (SELECT doc_id, unnest(range(len(l))) AS i, unnest(l) AS ch FROM sp),
+         |kept AS (SELECT doc_id, i, ch FROM (
+         |    SELECT doc_id, i, ch,
+         |      row_number() OVER (PARTITION BY doc_id, ch ORDER BY i) AS rn
+         |    FROM chunks) r
+         |  WHERE rn = 1),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(ch, ' ' ORDER BY i) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_spans FROM sp)
+         |SELECT t.doc_id, t.n_spans,
+         |  CAST(t.n_spans - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  COALESCE(a.clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q30_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS cnt,
          |  CAST(${ExactAgg.Sql.divHalfUp("SUM(ne6)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS avg_norm

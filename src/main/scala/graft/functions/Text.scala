@@ -431,6 +431,153 @@ object Text {
     (out, perDoc)
   }
 
+  /** Non-overlapping k-token span segmentation pattern: each match greedily
+    * consumes up to k space-separated tokens, so successive matches tile the
+    * document into ⌈tokens/k⌉ spans with a short tail. ONE regex constant
+    * feeds the Spark expression and the generated DuckDB oracle SQL (the
+    * q68/[[BpeishPattern]] contract: Java regex and RE2 agree on character
+    * classes, bounded greedy repetition and leftmost-first matching — no
+    * lookaround), so the two engines segment identically.
+    *
+    * Deliberate deviation from the [[tokens]] contract: spans are runs of
+    * NON-SPACE tokens, so consecutive spaces never produce empty-string
+    * span members and leading/trailing spaces are skipped (the
+    * single-space tokenizer would count them). Tokens pair into one span
+    * only across a SINGLE space — a double space splits the tiling there
+    * (spec-pinned). Span ops define their own segmentation because a
+    * scrubbed document is re-rendered single-spaced regardless.
+    */
+  def spanPattern(k: Int): String = {
+    require(k >= 1, s"span size must be >= 1, got $k")
+    s"[^ ]+( [^ ]+){0,${k - 1}}"
+  }
+
+  /** The document's k-token spans, in order, as `array<string>`. ONE codegen
+    * `regexp_extract_all` pass — O(chars) per row, no token-array
+    * materialization, no shuffle. Null text yields an EMPTY span array (not
+    * null): every downstream consumer wants "no spans", and `size(null)` is
+    * −1 under the legacy default, a foot-gun the coalesce removes.
+    */
+  def spanChunks(text: Column, k: Int): Column =
+    coalesce(
+      regexp_extract_all(text, lit(spanPattern(k)), lit(0)),
+      typedlit(Array.empty[String]))
+
+  /** Corpus-wide hot-span scrub — the C4/RefinedWeb-style line-dedup pass
+    * (Raffel et al. 2020 §2.2 discard repeated three-sentence spans;
+    * RefinedWeb's line-level dedup): any k-token span whose exact text
+    * occurs ≥ `minCount` times across the corpus (counting multiplicity) is
+    * boilerplate — navigation chrome, license headers, templated intros —
+    * and is removed from EVERY document; the cleaned text is the surviving
+    * spans re-joined in order.
+    *
+    * Differs from [[boilerplateStats]] (which only SCORES documents by
+    * boilerplate ratio): this op rewrites the text, which is what the
+    * training pipeline actually feeds downstream.
+    *
+    * Scale shape (two corpus passes, like every corpus-global text op):
+    * 1. Count pass: span explode (codegen) → md5-derived 60-bit span hash
+    *    ([[Dedup.tokenHash64]]) → count per hash. The shuffle carries ONLY
+    *    (long, count) — document text never shuffles.
+    * 2. Rewrite pass: hot spans are corpus OUTLIERS by construction (a span
+    *    repeated ≥ minCount times), so the hot-hash set is model-sized;
+    *    under `maxBroadcastHot` it is collected (the ONE bounded driver
+    *    action, ≤8 B/entry in the plan) and the rewrite is a pure per-row
+    *    array filter — [[LongSet.contains]] binary-search membership,
+    *    O(spans · log |hot|) per row, ZERO shuffle. Above the ceiling the
+    *    op degrades to the join form: explode → broadcast-anti against the
+    *    hot set → ordered re-assembly (one (id, pos, span) shuffle) — the
+    *    q82 blocklist degrade contract.
+    *
+    * Hash semantics: membership is tested on the 60-bit hash on BOTH
+    * engines (the DuckDB oracle counts and matches the same
+    * md5-substring hash), so a collision — ~n²/2⁶¹ at corpus scale —
+    * cannot cause cross-engine drift, only an over-scrub both engines
+    * agree on.
+    *
+    * Output: (idCol, n_spans, n_hot, clean_text), one row per input
+    * document; a fully-hot document keeps an empty clean_text.
+    */
+  def hotSpanScrub(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 4,
+      minCount: Long = 3L,
+      maxBroadcastHot: Long = 1L << 20): DataFrame = {
+    val spans = docs.select(col(idCol), spanChunks(col(textCol), k).as("__spans"))
+    val hot = spans
+      .select(explode(col("__spans")).as("__ch"))
+      .select(Dedup.tokenHash64(col("__ch")).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("__h")
+    val nSpans = size(col("__spans")).cast("long")
+    // bounded action: sizes the hot set so the plan-literal path is earned,
+    // not blind (the boilerplateStats vocab-guard pattern)
+    if (hot.count() <= maxBroadcastHot) {
+      val hotArr = hot.collect().map(_.getLong(0))
+      val kept = filter(col("__spans"),
+        c => !LongSet.contains(Dedup.tokenHash64(c), hotArr))
+      spans.select(
+        col(idCol),
+        nSpans.as("n_spans"),
+        (nSpans - size(kept).cast("long")).as("n_hot"),
+        concat_ws(" ", kept).as("clean_text"))
+    } else {
+      // totals come from the un-exploded projection: a FULLY-hot document
+      // loses every exploded row to the anti-join below and must still
+      // emit its (n_spans, n_hot, "") row
+      val totals = spans.select(col(idCol), nSpans.as("n_spans"))
+      val kept = spans
+        .select(col(idCol), posexplode(col("__spans")).as(Seq("__pos", "__ch")))
+        .withColumn("__h", Dedup.tokenHash64(col("__ch")))
+        .join(hot, Seq("__h"), "left_anti")
+      val agg = kept.groupBy(idCol)
+        .agg(
+          count(lit(1)).as("__n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("__pos"), col("__ch")))),
+              s => s.getField("__ch")),
+            " ").as("clean_text"))
+      totals.join(agg, Seq(idCol), "left")
+        .select(
+          col(idCol),
+          col("n_spans"),
+          (col("n_spans") - coalesce(col("__n_kept"), lit(0L))).as("n_hot"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
+  }
+
+  /** Intra-document repeated-span removal — the within-document face of
+    * exact dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": repeated substrings inside one document are
+    * memorization fuel): later occurrences of a k-token span already seen
+    * in the SAME document are dropped; first occurrences keep their order.
+    *
+    * Pure per-row composition — `array_distinct` preserves first-occurrence
+    * order and runs a hash-set pass (linear, native), so the whole op lives
+    * in the scan projection: no shuffle, no explode, nothing corpus-global.
+    * The O(tokens²) interpreted-lambda trap ([[topTokenRatios]]'s history)
+    * does not apply.
+    *
+    * Output: (idCol, n_spans, n_dropped, clean_text).
+    */
+  def dropRepeatedSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 2): DataFrame = {
+    val spans = spanChunks(col(textCol), k)
+    val kept = array_distinct(spans)
+    docs.select(
+      col(idCol),
+      size(spans).cast("long").as("n_spans"),
+      (size(spans) - size(kept)).cast("long").as("n_dropped"),
+      concat_ws(" ", kept).as("clean_text"))
+  }
+
   /** PII patterns for the redaction pass ([[redactPii]]). Each is ONE
     * shared constant interpolated into both the Spark expression and the
     * generated DuckDB oracle SQL (the q68 contract: Java regex and RE2
