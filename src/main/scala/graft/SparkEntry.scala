@@ -207,6 +207,31 @@ object SparkEntry {
     fixture
   }
 
+  /** Stamped build of the q86 span-count-index fixture: the doc_id % 5 ∈
+    * {0,2} slice installed as count generation 0, the % 5 ∈ {3,4} slice
+    * appended as generation 1 (together: every non-batch doc), then the
+    * hot list refreshed — exercising install, append and refresh. (k=4,
+    * minCount=3), the q84 geometry.
+    */
+  private[graft] def ensureSpanIndexFixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "span_index")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|${Dedup.SpanIndexVersion}|k=4|min=3|gens-2"
+    if (!fixtureReady(fixture, stamp)) {
+      Dedup.writeSpanCountIndex(
+        docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 2),
+        fixture, k = 4, minCount = 3L)
+      Dedup.appendSpanCounts(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        fixture, generation = 1L)
+      Dedup.refreshHotSpanList(s, fixture)
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   /** q79 diagnostic sidecar (round-9 verdict #1a): one JSON string that
     * pins everything the hash gate can disagree about — the fixture's
     * on-disk identity (stamp + data file count), the per-cell list sizes
@@ -1754,6 +1779,22 @@ object SparkEntry {
     "q85_intradoc_span_dedup" -> { (s, dir) =>
       Text.dropRepeatedSpans(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: the INCREMENTAL face of q84 — a batch scrubbed
+    // against the persisted span-count index's hot list (installed in two
+    // generations over the non-batch corpus, then refreshed). O(batch):
+    // history text is never re-read; the hot list is the only global state.
+    // The oracle re-derives the hot set and the rewrite from text,
+    // independently of the persisted index files (the q82 contract) ----
+    "q86_span_index_scrub" -> { (s, dir) =>
+      val fixture = ensureSpanIndexFixture(s, dir)
+      val batch = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 1)
+        .select("doc_id", "text")
+      Text.scrubAgainstHotList(batch, "text", "doc_id", 4,
+          Dedup.readHotSpanList(s, fixture))
+        .select(col("doc_id"), col("text").as("clean_text"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2814,6 +2855,29 @@ object SparkEntry {
          |  COALESCE(a.clean_text, '') AS clean_text
          |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    // q86: hot set from the NON-batch corpus slices (the two index
+    // generations sum to exactly that corpus, so the oracle needs no index
+    // files), membership on the shared 60-bit hash, rewrite on the batch
+    "q86_span_index_scrub" ->
+      s"""WITH hsp AS (SELECT regexp_extract_all(text, '${Text.spanPattern(4)}') AS l
+         |  FROM documents WHERE doc_id % 5 <> 1),
+         |hch AS (SELECT unnest(l) AS ch FROM hsp),
+         |hot AS (SELECT h FROM (
+         |    SELECT CAST(concat('0x', substring(md5(ch), 1, 15)) AS BIGINT) AS h FROM hch) t
+         |  GROUP BY h HAVING COUNT(*) >= 3),
+         |b AS (SELECT doc_id, regexp_extract_all(text, '${Text.spanPattern(4)}') AS l
+         |  FROM documents WHERE doc_id % 5 = 1),
+         |bc AS (SELECT doc_id, unnest(range(len(l))) AS i, unnest(l) AS ch FROM b),
+         |kept AS (SELECT doc_id, i, ch FROM (
+         |    SELECT doc_id, i, ch,
+         |      CAST(concat('0x', substring(md5(ch), 1, 15)) AS BIGINT) AS h
+         |    FROM bc) k
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = k.h)),
+         |agg AS (SELECT doc_id, string_agg(ch, ' ' ORDER BY i) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text
+         |FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     // q85: first-occurrence keep via row_number over (doc, span) in span
     // order — the windowed definition of array_distinct's semantics
     "q85_intradoc_span_dedup" ->

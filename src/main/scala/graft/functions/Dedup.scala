@@ -1545,6 +1545,170 @@ object Dedup {
       broadcast(contaminatedIds(spark, path, batch, textCol, idCol, minSharedFps)),
       Seq(idCol), "left_anti")
 
+  // -----------------------------------------------------------------------
+  // Persisted SPAN-COUNT index — incremental hot-span scrub.
+  //
+  // [[Text.hotSpanScrub]] (q84) is corpus-global: two passes over ALL text
+  // per run. This index is the q69 move applied to it: each ingest batch
+  // publishes its own span-hash COUNTS as an immutable generation, a
+  // maintenance-cadence refresh folds them into the model-sized HOT LIST
+  // (hashes with total occurrences ≥ minCount), and the scrub stage
+  // rewrites each batch against that list at O(batch) — history text is
+  // never re-read.
+  //
+  // Counts are NOT membership state: a naive fold that concatenates
+  // generations would double-count whatever a post-swap crash left behind.
+  // The index therefore stores per-batch count FACTS — (h, src, c) where
+  // `src` is the ORIGIN batch id carried as a data column — so any
+  // duplication a crash window can produce is row-identical duplication,
+  // removed by the reader's `distinct()` and by the shared generational
+  // fold's distinct ([[compactGenerationalIndex]]'s membership argument
+  // holds verbatim). Totals are then `sum(c) group by h` over distinct
+  // facts.
+  //
+  // Layout:
+  //   <path>/counts/batch=<g>/   (h: long, src: long, c: long) facts
+  //   <path>/hot/                swap-managed hot list (h: long), refreshed
+  //                              by [[refreshHotSpanList]] on the
+  //                              maintenance cadence
+  // The scrub's hyperparameters (k, minCount) are part of the index
+  // identity and recorded in _GRAFT_LAYOUT: counts of k-token spans are
+  // meaningless to a probe expecting a different k, and a drifted minCount
+  // would flip hot decisions between refreshes.
+  // -----------------------------------------------------------------------
+
+  /** Version tag of the span-count index scheme, for fixture stamps. */
+  val SpanIndexVersion = "span-count-v1"
+
+  private def spanCountsRoot(path: String) = s"$path/counts"
+  private def hotListPath(path: String) = s"$path/hot"
+
+  private def writeSpanLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int, minCount: Long): Unit =
+    writeLayoutPayload(spark, path, s"k=$k,minCount=$minCount")
+
+  /** The index's recorded (k, minCount). */
+  def readSpanLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Long) = {
+    val payload = readLayoutPayload(spark, path)
+    val kv = payload.split(",").map(_.split("=", 2)).collect {
+      case Array(a, b) => a -> b
+    }.toMap
+    require(kv.contains("k") && kv.contains("minCount"),
+      s"span index at $path has a malformed layout payload '$payload'; rebuild it")
+    (kv("k").toInt, kv("minCount").toLong)
+  }
+
+  /** [[indexReadable]] for a span-count index (the counts subtable; the hot
+    * list is optional state — an index with counts but no refreshed list
+    * yet is readable, it just scrubs nothing).
+    */
+  def spanCountIndexReadable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    indexReadable(spark, path, Seq("counts"))
+
+  /** One batch's span-count facts: (h, src, c) for every distinct k-token
+    * span hash of `docs`, counted with multiplicity. */
+  private def spanCountFacts(
+      docs: DataFrame, textCol: String, k: Int, generation: Long): DataFrame =
+    docs
+      .select(explode(Text.spanChunks(col(textCol), k)).as("__ch"))
+      .select(tokenHash64(col("__ch")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .select(col("h"), lit(generation).as("src"), col("c"))
+
+  /** Install a span-count index from a history corpus (generation 0). One
+    * span pass over the corpus — paid once; every later batch publishes
+    * only its own counts.
+    */
+  def writeSpanCountIndex(
+      history: DataFrame,
+      path: String,
+      textCol: String = "text",
+      k: Int = 4,
+      minCount: Long = 3L,
+      generation: Long = 0L): Unit = {
+    val spark = history.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    writeSpanLayout(spark, path, k, minCount)
+    graft.sinks.Sinks.publishDir(
+      spanCountFacts(history, textCol, k, generation),
+      spanCountsRoot(path), s"batch=$generation")
+    ()
+  }
+
+  /** Publish one batch's span-count facts as its own immutable generation.
+    * Counts under the index's RECORDED k (drifted span geometry would
+    * accumulate counts no probe can match). Returns false for an
+    * already-published generation (replay no-op), like its siblings.
+    */
+  def appendSpanCounts(
+      batch: DataFrame,
+      path: String,
+      generation: Long,
+      textCol: String = "text"): Boolean = {
+    val (k, _) = readSpanLayout(batch.sparkSession, path)
+    graft.sinks.Sinks.publishDir(
+      spanCountFacts(batch, textCol, k, generation),
+      spanCountsRoot(path), s"batch=$generation")
+  }
+
+  /** Fold count-fact generations ≤ upToGen into one. Safe under the
+    * membership argument BECAUSE the rows are (h, src, c) facts — see the
+    * section note. */
+  def compactSpanCountIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      upToGen: Long): Unit =
+    compactGenerationalIndex(spark, spanCountsRoot(path), upToGen)
+
+  /** Recompute the hot list from the accumulated count facts and swap it
+    * in: `distinct (h, src, c) → sum(c) by h → ≥ minCount`. The distinct is
+    * the crash shield (duplicate facts from a fold's post-swap window sum
+    * once); the aggregate shuffles only (h, c) rows. Maintenance-cadence
+    * work, not per-batch: between refreshes the scrub runs against the
+    * previous list, which is exactly the stability a crash-replayed batch
+    * needs to recompute its acceptance byte-identically.
+    */
+  def refreshHotSpanList(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (!spanCountIndexReadable(spark, path)) return
+    val (_, minCount) = readSpanLayout(spark, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val hot = spark.read.parquet(spanCountsRoot(path))
+      .select("h", "src", "c").distinct()
+      .groupBy("h").agg(sum(col("c")).as("__total"))
+      .filter(col("__total") >= minCount)
+      .select("h")
+    val tmp = new org.apache.hadoop.fs.Path(hotListPath(path) + "__tmp")
+    fs.delete(tmp, true)
+    hot.write.parquet(tmp.toString)
+    graft.sinks.Sinks.swapIn(fs, tmp, new org.apache.hadoop.fs.Path(hotListPath(path)))
+  }
+
+  /** The current hot list (h: long), resolving a crashed swap's parked
+    * generation; empty when no refresh has run yet. */
+  def readHotSpanList(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val live = hotListPath(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.recoverSwap(fs,
+      new org.apache.hadoop.fs.Path(live),
+      new org.apache.hadoop.fs.Path(live + graft.sinks.Sinks.OldSuffix))
+    if (fs.exists(new org.apache.hadoop.fs.Path(live))) spark.read.parquet(live)
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("h")
+    }
+  }
+
   /** Exact token-set Jaccard for a candidate pair of text columns. */
   def jaccardTokens(a: Column, b: Column): Column = {
     val sa = array_distinct(split(a, " "))

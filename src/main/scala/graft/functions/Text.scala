@@ -517,8 +517,7 @@ object Text {
     // not blind (the boilerplateStats vocab-guard pattern)
     if (hot.count() <= maxBroadcastHot) {
       val hotArr = hot.collect().map(_.getLong(0))
-      val kept = filter(col("__spans"),
-        c => !LongSet.contains(Dedup.tokenHash64(c), hotArr))
+      val kept = keptSpans(col("__spans"), hotArr)
       spans.select(
         col(idCol),
         nSpans.as("n_spans"),
@@ -547,6 +546,64 @@ object Text {
           col("n_spans"),
           (col("n_spans") - coalesce(col("__n_kept"), lit(0L))).as("n_hot"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
+  }
+
+  /** The surviving spans of a span array against a sorted hot-hash set —
+    * the shared rewrite kernel of [[hotSpanScrub]]'s plan-literal path and
+    * the incremental scrub ([[scrubAgainstHotList]]): per-element
+    * [[LongSet]] binary-search membership, zero shuffle.
+    */
+  private def keptSpans(spans: Column, hotSorted: Array[Long]): Column =
+    filter(spans, c => !LongSet.contains(Dedup.tokenHash64(c), hotSorted))
+
+  /** `text` with every hot span removed, re-rendered single-spaced. */
+  def scrubSpansColumn(text: Column, k: Int, hotSorted: Array[Long]): Column =
+    concat_ws(" ", keptSpans(spanChunks(text, k), hotSorted))
+
+  /** Rewrite `textCol` IN PLACE against a given hot-span list (the
+    * incremental face of [[hotSpanScrub]], driven by the persisted
+    * span-count index's list — [[Dedup.readHotSpanList]]): every other
+    * column passes through untouched, so an ingest stage can scrub a batch
+    * without knowing its schema.
+    *
+    * Same two-path cost model as [[hotSpanScrub]]: under `maxBroadcastHot`
+    * the list collects into the plan and the rewrite is a zero-shuffle
+    * per-row filter; above it, explode → broadcast-anti → ordered
+    * re-assembly keyed by `idCol` (one narrow (id, pos, span) shuffle plus
+    * the id-join back). An EMPTY list returns the input unchanged — the
+    * bootstrap state before the first [[Dedup.refreshHotSpanList]].
+    */
+  def scrubAgainstHotList(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      hot: DataFrame,
+      maxBroadcastHot: Long = 1L << 20): DataFrame = {
+    // bounded action: the hot list is model-sized by the minCount contract;
+    // sizing it here picks the path AND skips the bootstrap no-op cheaply
+    val nHot = hot.count()
+    if (nHot == 0L) df
+    else if (nHot <= maxBroadcastHot) {
+      val hotArr = hot.collect().map(_.getLong(0))
+      df.withColumn(textCol, scrubSpansColumn(col(textCol), k, hotArr))
+    } else {
+      val cleaned = df
+        .select(col(idCol), posexplode(spanChunks(col(textCol), k)).as(Seq("__pos", "__ch")))
+        .withColumn("__h", Dedup.tokenHash64(col("__ch")))
+        .join(hot.select(col("h").as("__h")), Seq("__h"), "left_anti")
+        .groupBy(idCol)
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__ch")))),
+            s => s.getField("__ch")),
+          " ").as("__clean"))
+      df.drop(textCol)
+        .join(cleaned, Seq(idCol), "left")
+        // fully-hot and zero-span docs have no kept rows: their text is ''
+        .withColumn(textCol, coalesce(col("__clean"), lit("")))
+        .drop("__clean")
     }
   }
 

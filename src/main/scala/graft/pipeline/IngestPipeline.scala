@@ -61,6 +61,7 @@ object IngestPipeline {
     val ivfIndex: String = s"$root/ivf_index"
     val bandIndex: String = s"$root/band_index"
     val evalIndex: String = s"$root/eval_index"
+    val spanIndex: String = s"$root/span_index"
     val manifest: String = s"$root/_ingest_applied"
   }
 
@@ -120,6 +121,32 @@ object IngestPipeline {
     * each content once.
     */
   final case class DecontamConfig(minSharedFps: Int = 1)
+
+  /** Opt-in incremental HOT-SPAN SCRUB stage for [[ingestBatch]] — the
+    * steady-state face of [[Text.hotSpanScrub]] (q84), driven by the
+    * persisted span-count index ([[Dedup.writeSpanCountIndex]]): each
+    * batch's text is rewritten against the index's current hot list (spans
+    * occurring ≥ minCount times across everything landed so far), then its
+    * own span counts publish as an immutable generation. The hot list
+    * itself refreshes only on the MAINTENANCE cadence ([[maintain]] →
+    * [[Dedup.refreshHotSpanList]]) — deliberately: a list that moved
+    * per-batch would make a crash-replay scrub differently than its first
+    * attempt, and the acceptance gates downstream of the rewrite would
+    * recompute a different accepted set. Between refreshes a newly-hot
+    * span sails through, which is the standard freshness/stability trade
+    * every blocklist-style gate here makes.
+    *
+    * Unlike the dedup gates this stage REWRITES rows rather than dropping
+    * them, so it runs FIRST — before the quality filter (a doc that is all
+    * boilerplate should fail the length gate post-scrub) and before every
+    * fingerprint computation (dedup must see the text that will land).
+    * (k, minCount) are part of the index identity and travel in its
+    * layout; the config's values apply at bootstrap install only.
+    */
+  final case class SpanScrubConfig(
+      k: Int = 4,
+      minCount: Long = 3L,
+      maxBroadcastHot: Long = 1L << 20)
 
   /** Steady-state maintenance cadence for the ingest loop: every
     * `everyNBatches` committed batches, fold the lake's `__ver` partitions
@@ -199,6 +226,10 @@ object IngestPipeline {
     if (upTo >= 0L) {
       compactCommitted(spark, paths, upTo)
       compactIndexes(spark, paths, upTo)
+      // the hot-span list refreshes HERE and only here (no-op without a
+      // span index): the scrub stage's replay-invariance argument rests on
+      // the list being frozen between maintenance rounds
+      Dedup.refreshHotSpanList(spark, paths.spanIndex)
       health.flatMap(checkIvfHealth(spark, paths, _))
     } else None
   }
@@ -355,10 +386,28 @@ object IngestPipeline {
       idCol: String = "doc_id",
       nearDup: Option[NearDupConfig] = None,
       semanticDedup: Option[SemanticDedupConfig] = None,
-      decontam: Option[DecontamConfig] = None): Long = {
+      decontam: Option[DecontamConfig] = None,
+      spanScrub: Option[SpanScrubConfig] = None): Long = {
     if (batchId <= lastApplied(spark, paths)) return 0L
 
-    val cleaned = qualityFilter(batch, textCol)
+    // HOT-SPAN SCRUB first (opt-in, rewrite-not-gate — see SpanScrubConfig):
+    // quality and every dedup fingerprint must see the text that will land.
+    // Replay-invariant: the hot list only moves on the maintenance cadence,
+    // which runs after COMMITTED batches — inside one batch's crash window
+    // the list is frozen, so the rewrite (and everything downstream of it)
+    // recomputes identically. Before the first refresh the list is empty
+    // and the stage is a no-op (scrubAgainstHotList returns the input).
+    val spanBootstrap = spanScrub.isDefined &&
+      !Dedup.spanCountIndexReadable(spark, paths.spanIndex)
+    val scrubbed = spanScrub match {
+      case Some(cfg) if !spanBootstrap =>
+        val (k, _) = Dedup.readSpanLayout(spark, paths.spanIndex)
+        Text.scrubAgainstHotList(batch, textCol, idCol, k,
+          Dedup.readHotSpanList(spark, paths.spanIndex), cfg.maxBroadcastHot)
+      case _ => batch
+    }
+
+    val cleaned = qualityFilter(scrubbed, textCol)
     // intra-batch exact dedup, deterministic winner (min id per content).
     // __fp is KEPT and threaded through the fp probe and the commit-point
     // append (fpCol = "__fp") — one md5 pass over the batch text per cycle
@@ -496,6 +545,18 @@ object IngestPipeline {
       // semantically free: there is nothing to index, and the manifest (not
       // the index generation) is what makes the replay no-op.
       if (n > 0) {
+        // span counts publish BEFORE the fp commit point, like the band
+        // generations: a crash after the fp append replays with accepted=∅
+        // and the n>0 guard would skip a not-yet-published count generation
+        // forever. Counts are of the text that LANDED (post-scrub): the
+        // index describes the lake corpus, and a span already hot keeps its
+        // tripped count rather than re-accumulating occurrences it scrubs.
+        spanScrub.foreach { cfg =>
+          if (spanBootstrap)
+            Dedup.writeSpanCountIndex(accepted, paths.spanIndex, textCol,
+              cfg.k, cfg.minCount, generation = batchId)
+          else Dedup.appendSpanCounts(accepted, paths.spanIndex, batchId, textCol)
+        }
         nearDup.foreach { cfg =>
           if (bandBootstrap)
             Dedup.writeBandIndex(accepted, paths.bandIndex, textCol, idCol,
@@ -702,6 +763,7 @@ object IngestPipeline {
     Dedup.compactFingerprintIndex(spark, paths.fpIndex, upToBatch)
     Dedup.compactBandIndex(spark, paths.bandIndex, upToBatch)
     Similarity.compactIvfIndex(spark, paths.ivfIndex)
+    Dedup.compactSpanCountIndex(spark, paths.spanIndex, upToBatch)
   }
 
   /** Fold all committed `__ver ≤ upToBatch` doc-lake partitions into one.
@@ -739,6 +801,7 @@ object IngestPipeline {
       nearDup: Option[NearDupConfig] = None,
       semanticDedup: Option[SemanticDedupConfig] = None,
       decontam: Option[DecontamConfig] = None,
+      spanScrub: Option[SpanScrubConfig] = None,
       maintenance: Option[MaintenanceConfig] = None): StreamingQuery = {
     recoverCompaction(docs.sparkSession, paths)
     val hasEmbedding = docs.columns.contains("embedding")
@@ -751,7 +814,7 @@ object IngestPipeline {
           else None
         ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
           embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup,
-          semanticDedup = semanticDedup, decontam = decontam)
+          semanticDedup = semanticDedup, decontam = decontam, spanScrub = spanScrub)
         // maintenance AFTER the commit: the fold reads only the manifest
         // high-water mark, so a crash between commit and fold just defers
         // the fold to a later cycle (or to startup recovery). Cadence on

@@ -75,6 +75,89 @@ class SpanOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 3L, ""), (2L, 1L, 0L, "r s")))
   }
 
+  private def tmpIndex(): String =
+    java.nio.file.Files.createTempDirectory("graft-spanidx").toString + "/span_index"
+
+  test("span-count index: install, append, refresh — hot trips on CROSS-generation totals") {
+    val path = tmpIndex()
+    // boiler span occurs twice in gen0, once in gen1 — hot only when summed
+    val gen0 = Seq(
+      (1L, "x1 x2 x3 x4 a1 a2 a3 a4"),
+      (2L, "x1 x2 x3 x4 b1 b2 b3 b4")).toDF("doc_id", "text")
+    val gen1 = Seq((3L, "x1 x2 x3 x4 c1 c2 c3 c4")).toDF("doc_id", "text")
+    Dedup.writeSpanCountIndex(gen0, path, k = 4, minCount = 3L)
+    assert(Dedup.spanCountIndexReadable(spark, path))
+    assert(Dedup.readSpanLayout(spark, path) == ((4, 3L)))
+    // no refresh yet: the list is empty, not an error
+    assert(Dedup.readHotSpanList(spark, path).count() == 0)
+    Dedup.refreshHotSpanList(spark, path)
+    assert(Dedup.readHotSpanList(spark, path).count() == 0) // 2 < 3
+    assert(Dedup.appendSpanCounts(gen1, path, generation = 1L))
+    assert(!Dedup.appendSpanCounts(gen1, path, generation = 1L)) // replay no-op
+    Dedup.refreshHotSpanList(spark, path)
+    val hot = Dedup.readHotSpanList(spark, path).as[Long].collect().toSeq
+    val boilerHash = Seq("x1 x2 x3 x4").toDF("ch")
+      .select(Dedup.tokenHash64(col("ch"))).as[Long].head()
+    assert(hot == Seq(boilerHash))
+  }
+
+  test("span-count index: fold preserves totals; a post-swap leftover generation cannot double-count") {
+    val path = tmpIndex()
+    val gen0 = Seq((1L, "x1 x2 x3 x4 a1 a2 a3 a4")).toDF("doc_id", "text")
+    val gen1 = Seq((2L, "x1 x2 x3 x4 b1 b2 b3 b4")).toDF("doc_id", "text")
+    val gen2 = Seq((3L, "x1 x2 x3 x4 c1 c2 c3 c4")).toDF("doc_id", "text")
+    Dedup.writeSpanCountIndex(gen0, path, k = 4, minCount = 3L)
+    Dedup.appendSpanCounts(gen1, path, 1L)
+    Dedup.appendSpanCounts(gen2, path, 2L)
+    Dedup.refreshHotSpanList(spark, path)
+    val before = Dedup.readHotSpanList(spark, path).as[Long].collect().toSeq.sorted
+    assert(before.nonEmpty)
+    Dedup.compactSpanCountIndex(spark, path, upToGen = 2L)
+    val counts = new java.io.File(new java.net.URI("file://" + path + "/counts").getPath)
+    assert(counts.listFiles().count(_.getName.startsWith("batch=")) == 1)
+    // simulate the fold's post-swap crash window: a stale original
+    // generation still on disk next to the consolidated one — its rows are
+    // (h, src, c) facts the reader's distinct removes, so totals hold
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$path/counts/batch=2"), fs,
+      new org.apache.hadoop.fs.Path(s"$path/counts/batch=1"), false,
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.refreshHotSpanList(spark, path)
+    assert(Dedup.readHotSpanList(spark, path).as[Long].collect().toSeq.sorted == before)
+  }
+
+  test("scrubAgainstHotList rewrites text in place on both paths, other columns intact") {
+    val path = tmpIndex()
+    val corpus = Seq(
+      (1L, "x1 x2 x3 x4 a1 a2 a3 a4"),
+      (2L, "x1 x2 x3 x4 b1 b2 b3 b4"),
+      (3L, "x1 x2 x3 x4 c1 c2 c3 c4")).toDF("doc_id", "text")
+    Dedup.writeSpanCountIndex(corpus, path, k = 4, minCount = 3L)
+    Dedup.refreshHotSpanList(spark, path)
+    val hot = Dedup.readHotSpanList(spark, path)
+    val batch = Seq(
+      (10L, "x1 x2 x3 x4 d1 d2 d3 d4", "keep-me"),
+      (11L, "x1 x2 x3 x4", "and-me"), // fully hot -> ''
+      (12L, "e1 e2 e3 e4 e5", "me-too")).toDF("doc_id", "text", "extra")
+    val expected = Seq(
+      (10L, "d1 d2 d3 d4", "keep-me"),
+      (11L, "", "and-me"),
+      (12L, "e1 e2 e3 e4 e5", "me-too"))
+    for (ceiling <- Seq(1L << 20, 0L)) {
+      val out = Text.scrubAgainstHotList(batch, "text", "doc_id", 4, hot, ceiling)
+        .select("doc_id", "text", "extra").orderBy("doc_id")
+        .as[(Long, String, String)].collect().toSeq
+      assert(out == expected, s"ceiling=$ceiling")
+    }
+    // empty list: the input comes back unchanged (bootstrap no-op)
+    val none = Text.scrubAgainstHotList(
+      batch, "text", "doc_id", 4, hot.filter(lit(false)))
+    assert(none.orderBy("doc_id").as[(Long, String, String)].collect().toSeq ==
+      batch.orderBy("doc_id").as[(Long, String, String)].collect().toSeq)
+  }
+
   test("dropRepeatedSpans keeps first occurrences in order") {
     val out = Text.dropRepeatedSpans(
         Seq(

@@ -647,4 +647,58 @@ class IngestPipelineSpec extends SparkSpec {
       .agg(sum("hits")).head().getLong(0)
     assert(hits == 3L * 5L, "full-probe serve must equal the exhaustive ranking")
   }
+
+  test("span-scrub stage: a span going hot is scrubbed from later batches, counted post-scrub, crash-replay stable") {
+    val p = tmpRoot()
+    val scrub = Some(IngestPipeline.SpanScrubConfig(k = 4, minCount = 3L))
+    val boiler = "click here subscribe now"
+    // batch 0 (bootstrap install — no scrub): two aligned occurrences
+    assert(IngestPipeline.ingestBatch(spark, p,
+      Seq((1L, s"$boiler alpha beta gamma delta"),
+          (2L, s"$boiler quick brown fox jumps")).toDF("doc_id", "text"),
+      0L, spanScrub = scrub) == 2L)
+    assert(Dedup.spanCountIndexReadable(spark, p.spanIndex))
+    // batch 1: third occurrence — but the hot list has NOT refreshed, so
+    // doc 11 lands UNscrubbed (freshness/stability trade, documented)
+    assert(IngestPipeline.ingestBatch(spark, p,
+      Seq((11L, s"$boiler rain in spain stays")).toDF("doc_id", "text"),
+      1L, spanScrub = scrub) == 1L)
+    assert(spark.read.parquet(p.docLake).filter(col("doc_id") === 11L)
+      .select("text").as[String].head().startsWith(boiler))
+    // maintenance refreshes the list: 3 occurrences >= minCount -> hot
+    IngestPipeline.maintain(spark, p)
+    assert(Dedup.readHotSpanList(spark, p.spanIndex).count() == 1L)
+    // batch 2: doc 21 lands scrubbed; doc 22 is ALL boilerplate — the
+    // rewrite empties it and the quality gate rejects it post-scrub
+    assert(IngestPipeline.ingestBatch(spark, p,
+      Seq((21L, s"$boiler one two three four five six"),
+          (22L, s"$boiler $boiler")).toDF("doc_id", "text"),
+      2L, spanScrub = scrub) == 1L)
+    val landed = spark.read.parquet(p.docLake).filter(col("doc_id") === 21L)
+      .select("text").as[String].head()
+    assert(landed == "one two three four five six")
+    // counts describe the LAKE text: batch 2's generation carries no
+    // occurrence of the boiler span (it was scrubbed before counting)
+    val boilerHash = Seq(boiler).toDF("ch")
+      .select(Dedup.tokenHash64(col("ch"))).as[Long].head()
+    val gen2 = spark.read.parquet(s"${p.spanIndex}/counts")
+      .filter(col("batch") === 2 && col("h") === boilerHash)
+    assert(gen2.count() == 0L)
+    // crash window: batch 3's span counts already published, fp append not
+    // yet — the replay must no-op the publish and accept identically
+    val b3 = Seq((31L, "tail batch text with unique tokens here")).toDF("doc_id", "text")
+    assert(Dedup.appendSpanCounts(b3, p.spanIndex, 3L))
+    assert(IngestPipeline.ingestBatch(spark, p, b3, 3L, spanScrub = scrub) == 1L)
+    assert(IngestPipeline.lastApplied(spark, p) == 3L)
+    // maintenance folds the count generations like every other index
+    IngestPipeline.maintain(spark, p)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p.root), spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"${p.spanIndex}/counts"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(gens == Seq("batch=3"), s"expected one folded generation, got $gens")
+    // ... and the folded totals still gate: the boiler span stays hot
+    assert(Dedup.readHotSpanList(spark, p.spanIndex).as[Long].collect().toSeq ==
+      Seq(boilerHash))
+  }
 }
