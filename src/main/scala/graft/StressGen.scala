@@ -590,6 +590,81 @@ object StressGen {
       quoteSrc.unpersist()
       evalSuite.unpersist()
     }
+    // ---- round-11 family: the span-scrub ingest loop (5th index family).
+    // NOT run against the 10× replicated corpus on purpose: exact
+    // replication makes EVERY span hot (each occurs ≥ copies times), so the
+    // scrub would legitimately empty every document — a pathological-corpus
+    // behavior, not a soak. The loop instead ingests unique synthetic docs
+    // with two planted families around one boilerplate span:
+    //   B-range: boiler prefix + unique tail — must ALL land; batches after
+    //            the first hot-list refresh must land SCRUBBED, earlier ones
+    //            verbatim (the freshness/stability trade, observed
+    //            mechanically);
+    //   E-range: all-boiler docs (per-batch distinct repetition) — land
+    //            pre-refresh, quality-reject post-refresh (scrub empties
+    //            them first).
+    // Maintenance (lake+index fold + hot refresh) runs mid-loop, so the
+    // soak crosses the refresh boundary and folds count generations while
+    // the loop keeps ingesting. ----
+    time("span-scrub ingest loop (6 batches, planted boilerplate)") {
+      val root = s"$outDir/ingestspan"
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val paths = pipeline.IngestPipeline.IngestPaths(root)
+      val scrub = Some(pipeline.IngestPipeline.SpanScrubConfig())
+      val boiler = "boiler span alpha omega"
+      val nB = 6; val perBatch = 5000L; val nPlant = 16
+      val B0 = 500000000L; val E0 = 600000000L
+      val secs = scala.collection.mutable.ArrayBuffer[Double]()
+      for (i <- 0 until nB) {
+        val filler = spark.range(perBatch).select(
+          (F.col("id") + i * perBatch).as("doc_id"),
+          F.concat(F.lit(s"d${i}f"), F.col("id"),
+            F.lit(s" g${i}f"), F.col("id"), F.lit(s" h${i}f"), F.col("id"),
+            F.lit(s" j${i}f"), F.col("id"), F.lit(s" k${i}f"), F.col("id"),
+            F.lit(s" m${i}f"), F.col("id"), F.lit(s" n${i}f"), F.col("id"),
+            F.lit(s" p${i}f"), F.col("id")).as("text"))
+        val boilered = spark.range(nPlant).select(
+          (F.col("id") + B0 + i * 1000L).as("doc_id"),
+          F.concat(F.lit(s"$boiler u${i}x"), F.col("id"), F.lit(s" v${i}x"),
+            F.col("id"), F.lit(s" w${i}x"), F.col("id"), F.lit(s" y${i}x"),
+            F.col("id"), F.lit(s" z${i}x"), F.col("id")).as("text"))
+        val allBoiler = spark.range(1).select(
+          (F.col("id") + E0 + i).as("doc_id"),
+          F.lit(Seq.fill(i + 2)(boiler).mkString(" ")).as("text"))
+        val batch = filler.unionByName(boilered).unionByName(allBoiler)
+        val t0 = System.nanoTime()
+        val n = pipeline.IngestPipeline.ingestBatch(
+          spark, paths, batch, i.toLong, spanScrub = scrub)
+        secs += (System.nanoTime() - t0) / 1e9
+        println(f"GRAFT_STRESS   batch $i: accepted $n in ${secs.last}%.1f s")
+        // maintenance mid-loop: the refresh after batch 1 is what arms the
+        // scrub for batches 2+ (boiler count is 18 ≥ 3 by then)
+        if (i == 1 || i == 3) pipeline.IngestPipeline.maintain(spark, paths)
+      }
+      pipeline.IngestPipeline.maintain(spark, paths)
+      val nHot = functions.Dedup.readHotSpanList(spark, paths.spanIndex).count()
+      val lake = spark.read.parquet(paths.docLake)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bRows = lake.filter(F.col("doc_id") >= B0 && F.col("doc_id") < E0)
+        .select(F.col("doc_id"), F.col("text").startsWith(boiler).as("hasBoiler"))
+        .collect()
+      val bPre = bRows.count(r => r.getLong(0) < B0 + 2000L && r.getBoolean(1))
+      val bPost = bRows.count(r => r.getLong(0) >= B0 + 2000L && !r.getBoolean(1))
+      val eKept = lake.filter(F.col("doc_id") >= E0 && F.col("doc_id") < E0 + 100L).count()
+      val gens = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"${paths.spanIndex}/counts"))
+        .count(_.getPath.getName.startsWith("batch="))
+      println(s"GRAFT_STRESS   hotSpans=$nHot (want 1); boilered landed ${bRows.length}/" +
+        s"${nPlant * nB} — pre-refresh verbatim $bPre/${nPlant * 2}, post-refresh scrubbed " +
+        s"$bPost/${nPlant * (nB - 2)}; all-boiler kept $eKept (want 2, batches 0-1 only); " +
+        s"count generations after fold: $gens (want 1) " +
+        s"ok=${nHot == 1 && bRows.length == nPlant * nB && bPre == nPlant * 2 &&
+          bPost == nPlant * (nB - 2) && eKept == 2 && gens == 1}")
+      val flat = secs.drop(1)
+      println(f"GRAFT_STRESS   per-batch wall: first ${secs.head}%.1f s, " +
+        f"rest min ${flat.min}%.1f max ${flat.max}%.1f s")
+      lake.unpersist()
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()

@@ -142,6 +142,15 @@ object IngestPipeline {
     * fingerprint computation (dedup must see the text that will land).
     * (k, minCount) are part of the index identity and travel in its
     * layout; the config's values apply at bootstrap install only.
+    *
+    * Composition caveat (inherent to any rewrite ahead of exact dedup):
+    * content RE-PRESENTED across a hot-list refresh boundary scrubs
+    * differently than its landed form did, so its post-scrub fingerprint
+    * no longer matches the index — the exact gate catches same-era
+    * replays only; cross-era re-presentations fall through to the
+    * near-dup gate (which sees them: the texts differ by exactly the
+    * newly-hot spans). Deployments replaying old feeds through a long-
+    * lived loop should enable [[NearDupConfig]] alongside the scrub.
     */
   final case class SpanScrubConfig(
       k: Int = 4,

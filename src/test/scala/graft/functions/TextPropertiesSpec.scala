@@ -58,4 +58,53 @@ class TextPropertiesSpec extends SparkSpec {
         out.map(_._1).toSet == gramCount.filter(_._2 > 0).keySet
     })
   }
+
+  // single-spaced reference tiling: what spanChunks must produce on the
+  // generator's (always single-spaced) documents
+  private def tiles(t: String, k: Int): Seq[String] =
+    if (t.isEmpty) Seq.empty
+    else t.split(" ").filter(_.nonEmpty).grouped(k).map(_.mkString(" ")).toSeq
+
+  test("property: span tiling reassembles the document exactly, for every k") {
+    check(Prop.forAll(corpus, Gen.choose(1, 5)) { (rows, k) =>
+      val out = rows.toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.concat_ws(" ",
+          Text.spanChunks(org.apache.spark.sql.functions.col("text"), k)))
+        .as[String].collect().toSeq
+      out == rows.map(_._2)
+    })
+  }
+
+  test("property: dropRepeatedSpans equals the sequential first-occurrence reference") {
+    check(Prop.forAll(corpus, Gen.choose(1, 4)) { (rows, k) =>
+      val out = Text.dropRepeatedSpans(rows.toDF("doc_id", "text"), "text", "doc_id", k)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val expected = rows.sortBy(_._1).map { case (id, t) =>
+        val sp = tiles(t, k)
+        val kept = sp.distinct // Scala distinct = first-occurrence order
+        (id, sp.size.toLong, (sp.size - kept.size).toLong, kept.mkString(" "))
+      }
+      out == expected
+    })
+  }
+
+  test("property: hotSpanScrub equals the count-threshold reference on BOTH paths") {
+    check(Prop.forAll(corpus, Gen.choose(1, 3), Gen.choose(2L, 4L)) { (rows, k, minCount) =>
+      val sp = rows.map { case (id, t) => id -> tiles(t, k) }
+      val counts = sp.flatMap(_._2).groupBy(identity).map { case (c, o) => c -> o.size }
+      val hot = counts.filter(_._2 >= minCount).keySet
+      val expected = rows.sortBy(_._1).map { case (id, t) =>
+        val s = tiles(t, k)
+        val kept = s.filterNot(hot)
+        (id, s.size.toLong, (s.size - kept.size).toLong, kept.mkString(" "))
+      }
+      Seq(1L << 20, 0L).forall { ceiling => // plan-literal path, then degrade
+        Text.hotSpanScrub(rows.toDF("doc_id", "text"), "text", "doc_id",
+            k, minCount, maxBroadcastHot = ceiling)
+          .orderBy("doc_id")
+          .as[(Long, Long, Long, String)].collect().toSeq == expected
+      }
+    })
+  }
 }
