@@ -31,10 +31,12 @@ import graft.pipeline.{BatchPipeline, IngestPipeline, StreamPipeline}
   *   - `ingest`: the crash-safe exactly-once training-data ingest loop
   *     ([[IngestPipeline.start]]) over a parquet file stream. Args:
   *     `in=<dir> root=<dir> checkpoint=<dir>`, optional
-  *     `neardup=true decontam=true maintainEvery=<n> ivfHealth=true`
-  *     (`ivfHealth=true` implies maintenance at the default cadence;
-  *     `decontam=true` expects an eval index installed under
-  *     `<root>/eval_index` via [[graft.functions.Dedup.writeEvalIndex]]).
+  *     `neardup=true decontam=true spanscrub=true maintainEvery=<n>
+  *     ivfHealth=true` (`ivfHealth=true` and `spanscrub=true` each imply
+  *     maintenance at the default cadence — the health monitor and the
+  *     hot-list refresh only run there; `decontam=true` expects an eval
+  *     index installed under `<root>/eval_index` via
+  *     [[graft.functions.Dedup.writeEvalIndex]]).
   */
 object Submit {
 
@@ -79,8 +81,14 @@ object Submit {
         if (boolOpt(opt, "ivfHealth"))
           Some(IngestPipeline.IvfHealthConfig())
         else None
+      // the span scrub's hot list refreshes ONLY inside maintenance, so
+      // asking for the scrub implies maintenance too — without it the
+      // stage would arm but never fire (the ivfHealth failure mode again)
+      val spanScrub =
+        if (boolOpt(opt, "spanscrub")) Some(IngestPipeline.SpanScrubConfig())
+        else None
       val maintenance =
-        if (opt.contains("maintainEvery") || ivfHealth.isDefined)
+        if (opt.contains("maintainEvery") || ivfHealth.isDefined || spanScrub.isDefined)
           Some(IngestPipeline.MaintenanceConfig(
             everyNBatches = opt.get("maintainEvery").map(_.toInt)
               .getOrElse(IngestPipeline.MaintenanceConfig().everyNBatches),
@@ -94,7 +102,8 @@ object Submit {
         .parquet(req(opt, "in"))
       IngestPipeline.start(
         docs, paths, req(opt, "checkpoint"),
-        nearDup = nearDup, decontam = decontam, maintenance = maintenance)
+        nearDup = nearDup, decontam = decontam, spanScrub = spanScrub,
+        maintenance = maintenance)
       ()
     })
 
@@ -113,7 +122,7 @@ object Submit {
     "batch" -> Set("lake", "out", "date"),
     "stream" -> Set("source", "in", "brokers", "topic", "out", "checkpoint"),
     "ingest" -> Set("in", "root", "checkpoint", "neardup", "decontam",
-      "maintainEvery", "ivfHealth"))
+      "maintainEvery", "ivfHealth", "spanscrub"))
 
   /** Strict boolean option: absent → false; anything but a case-insensitive
     * true/false fails loudly (a silent `Neardup=True → false` is the same

@@ -72,6 +72,10 @@ class SubmitSpec extends SparkSpec {
     // every advertised option of every job IS in its key set
     assert(Submit.jobKeys("batch") == Set("lake", "out", "date"))
     assert(Submit.jobKeys.keySet == Submit.jobs.keySet)
+    // the round-11 scrub stage is deployable (and only under its exact key)
+    assert(Submit.jobKeys("ingest").contains("spanscrub"))
+    assert((Submit.parseArgs(Seq("spanScrub=true")).keySet --
+      Submit.jobKeys("ingest")) == Set("spanScrub"))
   }
 
   test("boolean options are strict: neardup=1 fails loudly instead of meaning false") {
