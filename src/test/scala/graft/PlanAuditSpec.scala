@@ -49,6 +49,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q28_embedding_knn").contains("WindowGroupLimit"))
   }
 
+  test("q84/q85/q86: the span REWRITE plans are scan-projections — the only exchange is the presentation sort") {
+    // PLANS.md's zero-shuffle claim for the span family, pinned: q84's
+    // corpus count pass runs eagerly at construction (its hot set is a
+    // plan literal), so the returned rewrite plan — like q85's pure
+    // per-row form and q86's hot-list-driven scrub — must contain no
+    // Generate/HashAggregate/Join and exactly one Exchange (the orderBy).
+    Seq("q84_hot_span_scrub", "q85_intradoc_span_dedup",
+        "q86_span_index_scrub").foreach { q =>
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1, s"$q: expected only the presentation sort's exchange:\n$p")
+      Seq("Generate", "HashAggregate", "Join").foreach { op =>
+        assert(!p.contains(op), s"$q: unexpected $op in the rewrite plan:\n${p.take(900)}")
+      }
+    }
+  }
+
   test("q02: top-10 uses TakeOrderedAndProject, not a global sort") {
     val p = plan("q02_top_customers")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
