@@ -496,7 +496,9 @@ object Text {
     * agree on.
     *
     * Output: (idCol, n_spans, n_hot, clean_text), one row per input
-    * document; a fully-hot document keeps an empty clean_text.
+    * document; a fully-hot document keeps an empty clean_text. The
+    * over-ceiling path re-assembles by `idCol` and therefore requires it
+    * unique per row (the [[scrubAgainstHotList]] precondition).
     */
   def hotSpanScrub(
       docs: DataFrame,
@@ -573,6 +575,13 @@ object Text {
     * re-assembly keyed by `idCol` (one narrow (id, pos, span) shuffle plus
     * the id-join back). An EMPTY list returns the input unchanged — the
     * bootstrap state before the first [[Dedup.refreshHotSpanList]].
+    *
+    * Precondition (degrade path only): `idCol` must be unique per row —
+    * the over-ceiling re-assembly groups spans by id, so duplicate ids
+    * would interleave two documents' spans into one rewritten text. The
+    * ingest loop satisfies this by contract (ids are unique upstream of
+    * content dedup); the plan-literal path is per-row and has no such
+    * requirement.
     */
   def scrubAgainstHotList(
       df: DataFrame,
