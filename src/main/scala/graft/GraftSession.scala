@@ -53,7 +53,16 @@ object GraftSession {
     * semantics are the non-ANSI ones the oracles pin.
     */
   private[graft] def ansiSweep: Boolean =
-    sys.env.get("SPARK_GRAFT_ANSI").exists(_.equalsIgnoreCase("true"))
+    sys.env.get("SPARK_GRAFT_ANSI") match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") || v.isEmpty => false
+      // strict like Submit.boolOpt: SPARK_GRAFT_ANSI=1 silently running the
+      // PERMISSIVE suite would certify an ANSI sweep that never happened —
+      // the silent-boolean failure mode, applied to the CI gate itself
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_ANSI must be true or false, got '$other'")
+    }
 
   private def semanticDefaults(b: SparkSession.Builder): SparkSession.Builder =
     (if (ansiSweep) b.config("spark.sql.ansi.enabled", "true") else b)

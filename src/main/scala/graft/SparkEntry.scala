@@ -2836,8 +2836,12 @@ object SparkEntry {
     // side; hot membership is decided ON THE HASH in both engines so a
     // collision cannot cause cross-engine drift
     "q84_hot_span_scrub" ->
+      // COALESCE(text, ''): the Spark side's spanChunks deliberately maps
+      // null text to an EMPTY span array (n_spans 0, clean_text ''), and
+      // regexp_extract_all(NULL) would propagate NULL counts instead (the
+      // q75 oracle's guard, same column)
       s"""WITH sp AS (SELECT doc_id,
-         |    regexp_extract_all(text, '${Text.spanPattern(4)}') AS l
+         |    regexp_extract_all(COALESCE(text, ''), '${Text.spanPattern(4)}') AS l
          |  FROM documents),
          |chunks AS (SELECT doc_id, unnest(range(len(l))) AS i, unnest(l) AS ch FROM sp),
          |hashed AS (SELECT doc_id, i, ch,
@@ -2859,13 +2863,13 @@ object SparkEntry {
     // generations sum to exactly that corpus, so the oracle needs no index
     // files), membership on the shared 60-bit hash, rewrite on the batch
     "q86_span_index_scrub" ->
-      s"""WITH hsp AS (SELECT regexp_extract_all(text, '${Text.spanPattern(4)}') AS l
+      s"""WITH hsp AS (SELECT regexp_extract_all(COALESCE(text, ''), '${Text.spanPattern(4)}') AS l
          |  FROM documents WHERE doc_id % 5 <> 1),
          |hch AS (SELECT unnest(l) AS ch FROM hsp),
          |hot AS (SELECT h FROM (
          |    SELECT CAST(concat('0x', substring(md5(ch), 1, 15)) AS BIGINT) AS h FROM hch) t
          |  GROUP BY h HAVING COUNT(*) >= 3),
-         |b AS (SELECT doc_id, regexp_extract_all(text, '${Text.spanPattern(4)}') AS l
+         |b AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '${Text.spanPattern(4)}') AS l
          |  FROM documents WHERE doc_id % 5 = 1),
          |bc AS (SELECT doc_id, unnest(range(len(l))) AS i, unnest(l) AS ch FROM b),
          |kept AS (SELECT doc_id, i, ch FROM (
@@ -2882,7 +2886,7 @@ object SparkEntry {
     // order — the windowed definition of array_distinct's semantics
     "q85_intradoc_span_dedup" ->
       s"""WITH sp AS (SELECT doc_id,
-         |    regexp_extract_all(text, '${Text.spanPattern(2)}') AS l
+         |    regexp_extract_all(COALESCE(text, ''), '${Text.spanPattern(2)}') AS l
          |  FROM documents),
          |chunks AS (SELECT doc_id, unnest(range(len(l))) AS i, unnest(l) AS ch FROM sp),
          |kept AS (SELECT doc_id, i, ch FROM (

@@ -488,8 +488,6 @@ object StressGen {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val paths = pipeline.IngestPipeline.IngestPaths(root)
       val nB = 8
-      val nDocs10 = docs.agg(F.max("doc_id")).head.getLong(0) + 1
-      val nVecs10 = embs.agg(F.max("vec_id")).head.getLong(0) + 1
       // offline installs: the eval blocklist (a 2% suite slice, winnowed
       // once) and the served IVF index (centroids trained on the full 10×
       // vector corpus — the loop appends accepted vectors, never retrains)

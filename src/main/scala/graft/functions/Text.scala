@@ -475,18 +475,21 @@ object Text {
     * boilerplate ratio): this op rewrites the text, which is what the
     * training pipeline actually feeds downstream.
     *
-    * Scale shape (two corpus passes, like every corpus-global text op):
+    * Scale shape (two corpus passes on the standard path):
     * 1. Count pass: span explode (codegen) → md5-derived 60-bit span hash
     *    ([[Dedup.tokenHash64]]) → count per hash. The shuffle carries ONLY
-    *    (long, count) — document text never shuffles.
+    *    (long, count) — document text never shuffles. ONE bounded
+    *    `take(cap+1)` both sizes the hot set and materializes it (a
+    *    count-then-collect pair would run this pass twice).
     * 2. Rewrite pass: hot spans are corpus OUTLIERS by construction (a span
     *    repeated ≥ minCount times), so the hot-hash set is model-sized;
-    *    under `maxBroadcastHot` it is collected (the ONE bounded driver
-    *    action, ≤8 B/entry in the plan) and the rewrite is a pure per-row
-    *    array filter — [[LongSet.contains]] binary-search membership,
-    *    O(spans · log |hot|) per row, ZERO shuffle. Above the ceiling the
-    *    op degrades to the join form: explode → broadcast-anti against the
-    *    hot set → ordered re-assembly (one (id, pos, span) shuffle) — the
+    *    under `maxBroadcastHot` it ships in the plan (≤8 B/entry) and the
+    *    rewrite is a pure per-row array filter — [[LongSet.contains]]
+    *    binary-search membership, O(spans · log |hot|) per row, ZERO
+    *    shuffle. Above the ceiling the op degrades to the join form:
+    *    explode → broadcast-anti against the hot set (re-executing the
+    *    count aggregate — a third pass, the price of a set too big for the
+    *    plan) → ordered re-assembly (one (id, pos, span) shuffle) — the
     *    q82 blocklist degrade contract.
     *
     * Hash semantics: membership is tested on the 60-bit hash on BOTH
@@ -515,41 +518,62 @@ object Text {
       .filter(col("__c") >= minCount)
       .select("__h")
     val nSpans = size(col("__spans")).cast("long")
-    // bounded action: sizes the hot set so the plan-literal path is earned,
-    // not blind (the boilerplateStats vocab-guard pattern)
-    if (hot.count() <= maxBroadcastHot) {
-      val hotArr = hot.collect().map(_.getLong(0))
-      val kept = keptSpans(col("__spans"), hotArr)
+    // ONE bounded action sizes AND (under the ceiling) materializes the hot
+    // set — a count-then-collect pair would execute the full corpus
+    // explode+aggregate twice back to back (review finding); take(cap+1)
+    // is bounded driver memory by the same ceiling contract
+    val hotRows = hot.take(boundedHotCap(maxBroadcastHot) + 1)
+    if (hotRows.length <= boundedHotCap(maxBroadcastHot)) {
+      val kept = keptSpans(col("__spans"), hotRows.map(_.getLong(0)))
       spans.select(
         col(idCol),
         nSpans.as("n_spans"),
         (nSpans - size(kept).cast("long")).as("n_hot"),
         concat_ws(" ", kept).as("clean_text"))
     } else {
-      // totals come from the un-exploded projection: a FULLY-hot document
-      // loses every exploded row to the anti-join below and must still
-      // emit its (n_spans, n_hot, "") row
-      val totals = spans.select(col(idCol), nSpans.as("n_spans"))
-      val kept = spans
-        .select(col(idCol), posexplode(col("__spans")).as(Seq("__pos", "__ch")))
-        .withColumn("__h", Dedup.tokenHash64(col("__ch")))
-        .join(hot, Seq("__h"), "left_anti")
-      val agg = kept.groupBy(idCol)
-        .agg(
-          count(lit(1)).as("__n_kept"),
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("__pos"), col("__ch")))),
-              s => s.getField("__ch")),
-            " ").as("clean_text"))
-      totals.join(agg, Seq(idCol), "left")
+      // over the ceiling the anti-join re-executes the hot aggregate (a
+      // third corpus pass — the price of a hot set too big to ship in the
+      // plan). Totals come from the un-exploded projection: a FULLY-hot
+      // document loses every exploded row to the anti-join and must still
+      // emit its (n_spans, n_hot, "") row.
+      spans.select(col(idCol), nSpans.as("n_spans"))
+        .join(reassembleKept(spans, idCol, hot), Seq(idCol), "left")
         .select(
           col(idCol),
           col("n_spans"),
           (col("n_spans") - coalesce(col("__n_kept"), lit(0L))).as("n_hot"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+          coalesce(col("__clean"), lit("")).as("clean_text"))
     }
   }
+
+  /** Clamp a caller's broadcast ceiling to what a driver-side take can
+    * actually materialize (guards the `Long.MaxValue`-ceiling overflow). */
+  private def boundedHotCap(maxBroadcastHot: Long): Int =
+    math.max(0L, math.min(maxBroadcastHot, (Int.MaxValue >> 4).toLong)).toInt
+
+  /** The over-ceiling reassembly kernel, shared by [[hotSpanScrub]] and
+    * [[scrubAgainstHotList]] (review finding: it was duplicated line for
+    * line): explode the spans, drop hot-hash members via broadcast-anti,
+    * group back per id in span order. Documents with no surviving spans
+    * emit NO row — callers left-join and coalesce. Requires `idCol` unique
+    * per row (the degrade-path precondition).
+    */
+  private def reassembleKept(
+      spans: DataFrame, // (idCol, __spans: array<string>)
+      idCol: String,
+      hot: DataFrame): DataFrame = // one hash column, any name
+    spans
+      .select(col(idCol), posexplode(col("__spans")).as(Seq("__pos", "__ch")))
+      .withColumn("__h", Dedup.tokenHash64(col("__ch")))
+      .join(hot.select(col(hot.columns.head).as("__h")), Seq("__h"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__ch")))),
+            s => s.getField("__ch")),
+          " ").as("__clean"))
 
   /** The surviving spans of a span array against a sorted hot-hash set —
     * the shared rewrite kernel of [[hotSpanScrub]]'s plan-literal path and
@@ -573,8 +597,14 @@ object Text {
     * the list collects into the plan and the rewrite is a zero-shuffle
     * per-row filter; above it, explode → broadcast-anti → ordered
     * re-assembly keyed by `idCol` (one narrow (id, pos, span) shuffle plus
-    * the id-join back). An EMPTY list returns the input unchanged — the
-    * bootstrap state before the first [[Dedup.refreshHotSpanList]].
+    * the id-join back).
+    *
+    * An EMPTY list still RE-RENDERS the text single-spaced (zero spans
+    * removed): rendering must not depend on WHEN the list arms — an
+    * early-return of the verbatim input would make a multi-spaced document
+    * ingested before the first [[Dedup.refreshHotSpanList]] fingerprint
+    * differently from the same document ingested after it, for a reason
+    * unrelated to hot spans (review finding).
     *
     * Precondition (degrade path only): `idCol` must be unique per row —
     * the over-ceiling re-assembly groups spans by id, so duplicate ids
@@ -590,29 +620,20 @@ object Text {
       k: Int,
       hot: DataFrame,
       maxBroadcastHot: Long = 1L << 20): DataFrame = {
-    // bounded action: the hot list is model-sized by the minCount contract;
-    // sizing it here picks the path AND skips the bootstrap no-op cheaply
-    val nHot = hot.count()
-    if (nHot == 0L) df
-    else if (nHot <= maxBroadcastHot) {
-      val hotArr = hot.collect().map(_.getLong(0))
-      df.withColumn(textCol, scrubSpansColumn(col(textCol), k, hotArr))
+    // one bounded action sizes AND materializes the list (the
+    // count-then-collect double-read removed — review finding, as
+    // hotSpanScrub)
+    val hotRows = hot.take(boundedHotCap(maxBroadcastHot) + 1)
+    if (hotRows.length <= boundedHotCap(maxBroadcastHot)) {
+      df.withColumn(textCol,
+        scrubSpansColumn(col(textCol), k, hotRows.map(_.getLong(0))))
     } else {
-      val cleaned = df
-        .select(col(idCol), posexplode(spanChunks(col(textCol), k)).as(Seq("__pos", "__ch")))
-        .withColumn("__h", Dedup.tokenHash64(col("__ch")))
-        .join(hot.select(col("h").as("__h")), Seq("__h"), "left_anti")
-        .groupBy(idCol)
-        .agg(array_join(
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__ch")))),
-            s => s.getField("__ch")),
-          " ").as("__clean"))
+      val spans = df.select(col(idCol), spanChunks(col(textCol), k).as("__spans"))
       df.drop(textCol)
-        .join(cleaned, Seq(idCol), "left")
+        .join(reassembleKept(spans, idCol, hot), Seq(idCol), "left")
         // fully-hot and zero-span docs have no kept rows: their text is ''
         .withColumn(textCol, coalesce(col("__clean"), lit("")))
-        .drop("__clean")
+        .drop("__n_kept", "__clean")
     }
   }
 

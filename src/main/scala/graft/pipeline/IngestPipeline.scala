@@ -405,7 +405,8 @@ object IngestPipeline {
     // which runs after COMMITTED batches — inside one batch's crash window
     // the list is frozen, so the rewrite (and everything downstream of it)
     // recomputes identically. Before the first refresh the list is empty
-    // and the stage is a no-op (scrubAgainstHotList returns the input).
+    // and nothing is removed — but the text still re-renders single-spaced
+    // (scrubAgainstHotList's arming-independence contract).
     val spanBootstrap = spanScrub.isDefined &&
       !Dedup.spanCountIndexReadable(spark, paths.spanIndex)
     val scrubbed = spanScrub match {

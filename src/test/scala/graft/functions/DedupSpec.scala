@@ -214,9 +214,14 @@ class DedupSpec extends SparkSpec {
   test("duplicateClustersLogN: O(log n) rounds on a 10k-edge chain") {
     // min-label propagation needs ~10k rounds here; large-star/small-star
     // must close it in O(log n). All 10001 nodes collapse to rep 0.
+    // localFirst = false: this input sizes to ONE iteration partition, so
+    // the default local-contraction pre-round would solve the whole chain
+    // in its partition-local union-find and the round-bound assertion
+    // would be vacuous (rounds == 1 regardless of the star loop's health)
+    // — same pinning as the GC test below.
     val n = 10000L
     val chain = spark.range(n).select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
-    val (labels, rounds) = Dedup.duplicateClustersLogNWithRounds(chain)
+    val (labels, rounds) = Dedup.duplicateClustersLogNWithRounds(chain, localFirst = false)
     assert(rounds <= 3 * (64 - java.lang.Long.numberOfLeadingZeros(n)),
       s"took $rounds rounds on a ${n}-edge chain")
     val out = labels.as[(Long, Long)].collect()

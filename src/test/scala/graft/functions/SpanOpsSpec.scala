@@ -151,11 +151,17 @@ class SpanOpsSpec extends SparkSpec {
         .as[(Long, String, String)].collect().toSeq
       assert(out == expected, s"ceiling=$ceiling")
     }
-    // empty list: the input comes back unchanged (bootstrap no-op)
+    // empty list: zero spans removed, but the text still re-renders
+    // single-spaced — rendering must not depend on WHEN the list arms, or
+    // the same multi-spaced doc would fingerprint differently across the
+    // arming boundary for a reason unrelated to hot spans
+    val multiSpaced = Seq((20L, "g1  g2 g3", "w")).toDF("doc_id", "text", "extra")
     val none = Text.scrubAgainstHotList(
-      batch, "text", "doc_id", 4, hot.filter(lit(false)))
-    assert(none.orderBy("doc_id").as[(Long, String, String)].collect().toSeq ==
-      batch.orderBy("doc_id").as[(Long, String, String)].collect().toSeq)
+      batch.unionByName(multiSpaced), "text", "doc_id", 4, hot.filter(lit(false)))
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(none ==
+      batch.orderBy("doc_id").as[(Long, String, String)].collect().toSeq :+
+        ((20L, "g1 g2 g3", "w")))
   }
 
   test("dropRepeatedSpans keeps first occurrences in order") {
