@@ -89,6 +89,25 @@ class TextPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: scrubAgainstHotList literal and degrade paths agree on random corpora and hot lists") {
+    // the refactored two-path rewrite (review pass): for any corpus and any
+    // hot-hash list — including empty and corpus-foreign hashes — the
+    // plan-literal filter and the explode/anti-join/reassembly produce
+    // byte-identical rewritten text
+    check(Prop.forAll(corpus, Gen.choose(1, 3), Gen.choose(0, 4)) { (rows, k, nHot) =>
+      val df = rows.toDF("doc_id", "text")
+      val spans = rows.flatMap { case (_, t) => tiles(t, k) }.distinct
+      val hotStrings = spans.take(nHot) :+ "not in any doc"
+      val hot = hotStrings.toDF("ch")
+        .select(Dedup.tokenHash64(org.apache.spark.sql.functions.col("ch")).as("h"))
+      Seq(1L << 20, 0L).map { ceiling =>
+        Text.scrubAgainstHotList(df, "text", "doc_id", k, hot, ceiling)
+          .orderBy("doc_id").select("doc_id", "text")
+          .as[(Long, String)].collect().toSeq
+      } match { case Seq(a, b) => a == b }
+    })
+  }
+
   test("property: hotSpanScrub equals the count-threshold reference on BOTH paths") {
     check(Prop.forAll(corpus, Gen.choose(1, 3), Gen.choose(2L, 4L)) { (rows, k, minCount) =>
       val sp = rows.map { case (id, t) => id -> tiles(t, k) }
