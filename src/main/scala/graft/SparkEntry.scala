@@ -1795,6 +1795,35 @@ object SparkEntry {
           Dedup.readHotSpanList(s, fixture))
         .select(col("doc_id"), col("text").as("clean_text"))
         .orderBy("doc_id")
+    },
+    // ---- binned range join (RangeJoin op): 30-minute click→purchase
+    // attribution. Every purchase counts the same user's clicks in the
+    // half-open window [ts − 30 min, ts) — the inequality-join shape that
+    // nested-loops at scale unless binned into a plain equi-join on
+    // (user, bin). Purchases with no preceding click are kept at 0 so the
+    // output is one row per purchase (deterministic row count) ----
+    "q87_attribution_window" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("lo", col("ts") - expr("INTERVAL 30 MINUTES"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val matched = ops.RangeJoin.pointInInterval(
+        purchases, clicks,
+        intervalKeys = Seq("user_id"), pointKeys = Seq("c_user"),
+        lo = "lo", hi = "ts", pt = "c_ts",
+        binWidthSec = 1800, inclusiveLo = true, inclusiveHi = false)
+      val counts = matched.groupBy("event_id")
+        .agg(count(lit(1)).as("clicks_30m"))
+      // fresh scan (new attribute ids) for the zero-fill left join, so the
+      // shared-lineage self-join ambiguity never arises
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("clicks_30m"), lit(0L)).as("clicks_30m"))
+        .orderBy("event_id")
     }
   )
 
@@ -2882,6 +2911,19 @@ object SparkEntry {
          |SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text
          |FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+    // q87: the range join stated as the plain SQL inequality join the
+    // binned rewrite must be indistinguishable from (COUNT(c.ts) counts
+    // only matched clicks, so unmatched purchases report 0)
+    "q87_attribution_window" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  CAST(COUNT(c.ts) AS BIGINT) AS clicks_30m
+        |FROM events p
+        |LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2
+        |ORDER BY 1""".stripMargin,
     // q85: first-occurrence keep via row_number over (doc, span) in span
     // order — the windowed definition of array_distinct's semantics
     "q85_intradoc_span_dedup" ->

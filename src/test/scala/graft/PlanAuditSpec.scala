@@ -485,4 +485,23 @@ class PlanAuditSpec extends SparkSpec {
     val n = lists.selectedPartitions.partitionCount
     assert(n >= 1 && n <= 4, s"lists scan selected $n of 16 cell partitions")
   }
+
+  test("q87: the binned range join is an EQUI join on (key, bin) — never a nested loop") {
+    // the operator's whole reason to exist: a declared-naive inequality
+    // join would plan as BroadcastNestedLoopJoin (O(n·m) per key group);
+    // the binned rewrite must land every matcher on a hash/sort-merge
+    // join whose keys include the time bin, with the exact range check
+    // demoted to the join's residual condition
+    val p = plan("q87_attribution_window")
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach { bad =>
+      assert(!p.contains(bad), s"range join degenerated to $bad:\n${p.take(900)}")
+    }
+    val binJoin = p.linesIterator.find(l =>
+      l.matches(""".*(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*__jk0.*__bin.*"""))
+    assert(binJoin.isDefined,
+      s"no equi-join keyed on (__jk0, __bin):\n${p.linesIterator.filter(_.contains("Join")).mkString("\n")}")
+    // both event_type predicates reach the parquet scans
+    assert(p.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("event_type")) >= 2, p.take(900))
+  }
 }
