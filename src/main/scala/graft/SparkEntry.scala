@@ -1824,6 +1824,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           coalesce(col("clicks_30m"), lit(0L)).as("clicks_30m"))
         .orderBy("event_id")
+    },
+    // ---- symmetric band self-join (RangeJoin.bandPairs): unordered pairs
+    // of same-customer orders placed within 7 days of each other — the
+    // near-in-time audit shape (burst ordering, duplicate submissions).
+    // gap_days is signed (b relative to a under a_key < b_key ordering) ----
+    "q88_order_band_pairs" -> { (s, dir) =>
+      ops.RangeJoin.bandPairs(
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+          keys = Seq("o_custkey"), id = "o_orderkey", ts = "o_orderdate",
+          bandSec = 7L * 86400L)
+        .select(col("a_o_custkey").as("custkey"),
+          col("a_o_orderkey").as("a_key"), col("b_o_orderkey").as("b_key"),
+          datediff(col("b_o_orderdate"), col("a_o_orderdate")).cast("long").as("gap_days"))
+        .orderBy("custkey", "a_key", "b_key")
     }
   )
 
@@ -2924,6 +2938,19 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2
         |ORDER BY 1""".stripMargin,
+    // q88: the band self-join stated as the plain SQL inequality self-join
+    // (BETWEEN is inclusive both ends, matching bandPairs)
+    "q88_order_band_pairs" ->
+      """SELECT a.o_custkey AS custkey, a.o_orderkey AS a_key,
+        |  b.o_orderkey AS b_key,
+        |  CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS BIGINT) AS gap_days
+        |FROM orders a
+        |JOIN orders b
+        |  ON b.o_custkey = a.o_custkey
+        | AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 7 DAY
+        |                       AND a.o_orderdate + INTERVAL 7 DAY
+        | AND a.o_orderkey < b.o_orderkey
+        |ORDER BY 1, 2, 3""".stripMargin,
     // q85: first-occurrence keep via row_number over (doc, span) in span
     // order — the windowed definition of array_distinct's semantics
     "q85_intradoc_span_dedup" ->

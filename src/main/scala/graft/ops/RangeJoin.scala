@@ -121,4 +121,43 @@ object RangeJoin {
       .filter(loOk && hiOk)
       .drop((jk ++ Seq("__bin", "__lo_us", "__hi_us", "__pt_us")): _*)
   }
+
+  /** Symmetric band self-join: all UNORDERED pairs of `rows` sharing the
+    * equi-keys whose timestamps lie within `bandSec` of each other
+    * (inclusive) — the near-in-time-pairs shape of event near-dup sweeps
+    * and sessionization audits. Composed on [[pointInInterval]]: the
+    * interval side expands each row to `[ts − band, ts + band]` and the
+    * `idA < idB` filter keeps each pair exactly once (rows with a NULL id
+    * pair with nothing, like any join-on-equality column). Output carries
+    * both rows' full payloads under `a_`/`b_` prefixes.
+    *
+    * Scale shape inherits from [[pointInInterval]]: a plain equi-shuffle
+    * on (keys…, bin) with ≤ 3× interval-side replication at the default
+    * `binWidthSec = bandSec` (span = 2×band). The id-ordering filter also
+    * halves the surviving pairs before anything downstream.
+    */
+  def bandPairs(
+      rows: DataFrame,
+      keys: Seq[String],
+      id: String,
+      ts: String,
+      bandSec: Long,
+      binWidthSec: Long = 0L): DataFrame = {
+    require(bandSec >= 0, s"bandSec must be non-negative, got $bandSec")
+    val w = if (binWidthSec > 0) binWidthSec else math.max(bandSec, 1L)
+    val bandUs = bandSec * 1000000L
+    val a = rows.select(rows.columns.map(c => col(c).as(s"a_$c")): _*)
+      .withColumn("__alo",
+        timestamp_micros(micros(col(s"a_$ts")) - lit(bandUs)))
+      .withColumn("__ahi",
+        timestamp_micros(micros(col(s"a_$ts")) + lit(bandUs)))
+    val b = rows.select(rows.columns.map(c => col(c).as(s"b_$c")): _*)
+    pointInInterval(
+        a, b,
+        intervalKeys = keys.map("a_" + _), pointKeys = keys.map("b_" + _),
+        lo = "__alo", hi = "__ahi", pt = s"b_$ts",
+        binWidthSec = w)
+      .filter(col(s"a_$id") < col(s"b_$id"))
+      .drop("__alo", "__ahi")
+  }
 }

@@ -102,6 +102,38 @@ class RangeJoinSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("RangeJoin")), s"unexpected failure: $ex")
   }
 
+  test("bandPairs equals the naive banded self-join, each unordered pair once (property)") {
+    val rnd = new Random(11)
+    val base = ts("2024-03-01 00:00:00").getTime
+    val rows = (1L to 150L).map { i =>
+      (i, rnd.nextInt(5).toLong, new Timestamp(base + rnd.nextInt(600000)))
+    }.toDF("id", "key", "ts")
+    val bandSec = 60L
+    val naivePairs = rows.select(col("id").as("lid"), col("key").as("lkey"), col("ts").as("lts"))
+      .join(rows.select(col("id").as("rid"), col("key").as("rkey"), col("ts").as("rts")),
+        col("lkey") === col("rkey") && col("lid") < col("rid") &&
+          abs(unix_micros(col("lts")) - unix_micros(col("rts"))) <= lit(bandSec * 1000000L))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(naivePairs.nonEmpty, "degenerate fixture: no pairs")
+    for (w <- Seq(0L /* default = band */, 7L, 3600L)) {
+      val got = RangeJoin.bandPairs(rows, Seq("key"), "id", "ts", bandSec, binWidthSec = w)
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"binWidthSec=$w emitted a duplicate pair")
+      assert(got.toSet == naivePairs, s"binWidthSec=$w diverged from the naive self-join")
+    }
+  }
+
+  test("bandPairs band boundary is inclusive on both sides") {
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:01:00")), // exactly +band from id 1
+      (3L, 1L, ts("2024-01-01 10:02:01"))) // 61 s from id 2 -> out
+      .toDF("id", "key", "ts")
+    val got = RangeJoin.bandPairs(rows, Seq("key"), "id", "ts", bandSec = 60L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("overlapping column names are rejected up front") {
     val intervals = Seq((1L, 1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")))
       .toDF("iid", "key", "lo", "hi")
