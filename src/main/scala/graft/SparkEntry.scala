@@ -1838,6 +1838,24 @@ object SparkEntry {
           col("a_o_orderkey").as("a_key"), col("b_o_orderkey").as("b_key"),
           datediff(col("b_o_orderdate"), col("a_o_orderdate")).cast("long").as("gap_days"))
         .orderBy("custkey", "a_key", "b_key")
+    },
+    // ---- Catalyst optimizer rule (plans/RangeJoinRewrite): the SAME
+    // inequality-join SQL a reference user would write, executed on a child
+    // session with spark.graft.rangeJoin.binWidthSec set — the rule rewrites
+    // the logical join into the binned equi-join (PlanAuditSpec pins the
+    // shape), so the query text never changes. Purchase←click pairs with
+    // their gap in seconds ----
+    "q89_sql_range_join" -> { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set(plans.RangeJoinRewrite.WidthConf, "1800")
+      Tables.events(s2, dir).createOrReplaceTempView("ev")
+      s2.sql("""SELECT p.event_id AS p_event, c.event_id AS c_event,
+        |  CAST((unix_micros(p.ts) - unix_micros(c.ts)) DIV 1000000 AS BIGINT) AS gap_sec
+        |FROM ev p JOIN ev c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts < p.ts
+        |ORDER BY p_event, c_event""".stripMargin)
     }
   )
 
@@ -2951,6 +2969,17 @@ object SparkEntry {
         |                       AND a.o_orderdate + INTERVAL 7 DAY
         | AND a.o_orderkey < b.o_orderkey
         |ORDER BY 1, 2, 3""".stripMargin,
+    // q89: the same inequality join in DuckDB's dialect (epoch_us for
+    // unix_micros; both gaps are positive so // truncation == floor)
+    "q89_sql_range_join" ->
+      """SELECT p.event_id AS p_event, c.event_id AS c_event,
+        |  CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS gap_sec
+        |FROM events p
+        |JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+        |ORDER BY 1, 2""".stripMargin,
     // q85: first-occurrence keep via row_number over (doc, span) in span
     // order — the windowed definition of array_distinct's semantics
     "q85_intradoc_span_dedup" ->

@@ -104,6 +104,10 @@ object CosineSimilarity {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // conf-gated logical rewrite: SQL inequality range joins plan as binned
+    // equi-joins (see graft.plans.RangeJoinRewrite; off unless
+    // spark.graft.rangeJoin.binWidthSec is set)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // arity guard: a missing argument must fail analysis with the function's
     // name and position, not an IndexOutOfBoundsException from children(1)
     def arg(fn: String, children: Seq[Expression], i: Int): Expression = {

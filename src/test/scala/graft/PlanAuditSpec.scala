@@ -504,4 +504,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(l =>
       l.contains("PushedFilters") && l.contains("event_type")) >= 2, p.take(900))
   }
+
+  test("q89: the SQL inequality join is rewritten by the optimizer rule — binned, nested-loop-free") {
+    // the user's SQL is untouched; the conf-gated logical rule
+    // (plans/RangeJoinRewrite) must land it on the same plan family as the
+    // q87 operator: an equi-join whose keys include the bin marker
+    val p = plan("q89_sql_range_join")
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach { bad =>
+      assert(!p.contains(bad), s"rule did not fire — $bad in plan:\n${p.take(900)}")
+    }
+    assert(p.contains("__graft_bin"), s"no bin marker in plan:\n${p.take(900)}")
+  }
 }
