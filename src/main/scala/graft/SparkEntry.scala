@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
-import graft.functions.{Dedup, ExactAgg, Similarity, Text}
+import graft.functions.{Dedup, ExactAgg, Pq, Similarity, Text}
 import graft.ops.{Cleaning, Features, Packing}
 import graft.pipeline.{EventsPipeline, IngestPipeline}
 import graft.sources.{Bucketing, Tables}
@@ -1856,8 +1856,89 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts < p.ts
         |ORDER BY p_event, c_event""".stripMargin)
+    },
+    // ---- LLM-pipeline: product-quantization ANN (the CAPACITY scale path
+    // — 16 bytes per 64-dim vector vs 256 float / 64 int8; IVF-PQ is the
+    // standard billion-scale ANN design). Everything is deterministic
+    // (fixed-point Lloyd's, fixed-order IEEE kernels), so like q62/q64 the
+    // gate is an ENVELOPE of exact 0/1 flags: results_ok (every query
+    // returns exactly k rows ranked 1..k), recall_ok (ADC shortlist 10k +
+    // exact re-rank clears 0.60 recall@10 vs the in-query float baseline —
+    // measured 0.88/0.99/0.88 at sf0.001/0.01/0.1 (the synthetic
+    // embeddings are near-uniform, PQ's hardest case; a broken code path
+    // scores near random ≈ shortlist/corpus), distortion_ok (Lloyd's
+    // improved on the init codebooks — the training-works assertion),
+    // code_bytes exact ----
+    "q90_pq_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = 10
+      val queries = emb.filter(col("vec_id") < 10)
+      val init = Pq.initCodebooks(emb, dims = 64, m = PqM, k = PqK)
+      val model = Pq.train(emb, init, iters = PqIters)
+      val distortionOk = Pq.distortion(emb, model) <= Pq.distortion(emb, init) + 1e-9
+      // persisted like q64: the approx result feeds both the recall join
+      // and the shape flags
+      val approx = Pq.pqTopK(emb, queries, model, k = k, refine = 10 * k).persist()
+      val exact = Similarity.bruteForceTopK(emb, queries, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+      approx
+        .groupBy("query_id")
+        .agg(
+          count(lit(1)).as("__n"),
+          min(col("rank")).as("__rmin"),
+          max(col("rank")).as("__rmax"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          coalesce(
+            (min(col("__n")) === k && max(col("__n")) === k &&
+              min(col("__rmin")) === 1 && max(col("__rmax")) === k).cast("long"),
+            lit(0L)).as("results_ok"))
+        .crossJoin(hits)
+        .select(
+          col("n_queries"),
+          col("results_ok"),
+          coalesce(
+            (col("__hits") * 10000L >= col("n_queries") * (k * 6000L)).cast("long"),
+            lit(0L)).as("recall_ok"),
+          lit(if (distortionOk) 1L else 0L).as("distortion_ok"),
+          lit(PqM.toLong).as("code_bytes"))
+    },
+    // ---- the PRODUCTION PQ shape (q66's role for q90): codes-only ADC
+    // scan + bounded exact re-rank, no training-baseline baggage — the
+    // shape a serving tier runs per query batch once codebooks are
+    // trained. Same envelope as q66 ----
+    "q91_pq_production" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = 10
+      val queries = emb.filter(col("vec_id") < 10)
+      val model = Pq.train(emb, Pq.initCodebooks(emb, dims = 64, m = PqM, k = PqK), iters = PqIters)
+      Pq.pqTopK(emb, queries, model, k = k, refine = 10 * k)
+        .groupBy("query_id")
+        .agg(
+          count(lit(1)).as("__n"),
+          min(col("rank")).as("__rmin"),
+          max(col("rank")).as("__rmax"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          coalesce(
+            (min(col("__n")) === k && max(col("__n")) === k &&
+              min(col("__rmin")) === 1 && max(col("__rmax")) === k).cast("long"),
+            lit(0L)).as("results_ok"))
     }
   )
+
+  /** PQ model shape for the q90/q91 gates: 16 subspaces × 16 codes over
+    * the 64-dim embeddings = 16 bytes/vector (16× vs float32) — chosen by
+    * a recall sweep on the near-uniform synthetic embeddings (m=8's 32×
+    * codes recall 0.53-0.73 at 5k shortlist; m=16 at 10k recalls
+    * 0.88-0.99, see PLANS.md).
+    */
+  private val PqM = 16
+  private val PqK = 16
+  private val PqIters = 3
 
   // DuckDB mirrors of the exact-integer aggregate arithmetic — generated by
   // the same module as the Spark side (graft.functions.ExactAgg) so the two
@@ -2752,6 +2833,21 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q66_ivf_int8_production" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(1 AS BIGINT) AS results_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // q90/q91: same envelope family as q64/q66 — the PQ pipeline is fully
+    // deterministic (fixed-point Lloyd's + fixed-order IEEE kernels), so
+    // every flag is an exact 0/1; code_bytes pins the 8-byte (32×)
+    // representation the gate is actually exercising
+    "q90_pq_ann" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(1 AS BIGINT) AS results_ok,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS distortion_ok,
+        |  CAST(16 AS BIGINT) AS code_bytes
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q91_pq_production" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(1 AS BIGINT) AS results_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -505,6 +505,20 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("event_type")) >= 2, p.take(900))
   }
 
+  test("q91: the PQ serving plan never exchanges or SMJs the corpus — codes scan + broadcast re-rank") {
+    // the capacity-path claims: corpus embeddings are consumed INSIDE the
+    // scan stage (pq_encode) and only m-byte codes + score rows move; the
+    // exact re-rank joins the corpus via BROADCAST of the bounded
+    // shortlist, never a corpus-wide sort-merge
+    val p = plan("q91_pq_production")
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchanges.exists(l => l.contains("embedding") || l.contains("cand_vec")),
+      s"an exchange carries vector payloads:\n${exchanges.mkString("\n")}")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("q89: the SQL inequality join is rewritten by the optimizer rule — binned, nested-loop-free") {
     // the user's SQL is untouched; the conf-gated logical rule
     // (plans/RangeJoinRewrite) must land it on the same plan family as the
