@@ -110,6 +110,24 @@ object SparkEntry {
     }
   }
 
+  /** Stamped build of the q92 IVF-PQ index fixture — the [[ensureIvfIndex]]
+    * contract with the PQ model folded into the identity: both models'
+    * hyperparameters AND both scheme versions (coarse kmeans + PQ trainer)
+    * are stamp ingredients, so changing any of them rebuilds instead of
+    * serving codes trained under the old scheme.
+    */
+  private[graft] def ensureIvfPqIndex(
+      emb: DataFrame, dir: String, fixture: String): Unit = {
+    val stamp = ivfIndexStamp(emb, dir, IvfCells, IvfIters) +
+      s"|pq_m=$PqM|pq_k=$PqK|pq_iters=$PqIters|pq=${Pq.PqVersion}"
+    if (!fixtureReady(fixture, stamp)) {
+      val cents = Similarity.kmeansCentroids(emb, k = IvfCells, iters = IvfIters)
+      val model = Pq.train(emb, Pq.initCodebooks(emb, dims = 64, m = PqM, k = PqK), iters = PqIters)
+      Pq.writeIvfPqIndex(emb, cents, model, fixture)
+      stampFixture(fixture, stamp)
+    }
+  }
+
   /** The GROWN-index fixture q70 (append gate) and q79 (health monitor)
     * share: an index trained+built over 90% of the corpus, then the
     * remaining 10% appended against the frozen centroids. The stamp covers
@@ -286,6 +304,7 @@ object SparkEntry {
     ensureIvfIndex(Tables.embeddings(s, dir), dir,
       scopedFixture(dir, "ivf_index"), k = IvfCells, iters = IvfIters)
     ensureAppendedIvfIndex(s, dir)
+    ensureIvfPqIndex(Tables.embeddings(s, dir), dir, scopedFixture(dir, "ivf_pq_index"))
     Bucketing.ensureCustomerOrders(s, dir, s"$fixtureRoot/bucketed")
   }
 
@@ -1927,6 +1946,32 @@ object SparkEntry {
             (min(col("__n")) === k && max(col("__n")) === k &&
               min(col("__rmin")) === 1 && max(col("__rmax")) === k).cast("long"),
             lit(0L)).as("results_ok"))
+    },
+    // ---- the PERSISTED IVF-PQ index (q67's role for the PQ family): the
+    // billion-scale composition — coarse cells directory-prune the scan,
+    // m-byte PQ codes are all the lists store (16× smaller resident set
+    // than float, 4× than the int8 index). Built once behind a stamp that
+    // folds BOTH models' hyperparameters and scheme versions; served via
+    // isin partition pruning + broadcast probes + the ADC kernel. Same
+    // envelope as q67: any correct index returns the 3 queries' k results
+    // ranked 1..k ----
+    "q92_ivf_pq_index_serve" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = 5
+      val fixture = scopedFixture(dir, "ivf_pq_index")
+      ensureIvfPqIndex(emb, dir, fixture)
+      Pq.queryIvfPqIndex(s, fixture, emb.filter(col("vec_id") < 3), nProbe = 3, k = k)
+        .groupBy("query_id")
+        .agg(
+          count(lit(1)).as("__n"),
+          min(col("rank")).as("__rmin"),
+          max(col("rank")).as("__rmax"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          coalesce(
+            (min(col("__n")) === k && max(col("__n")) === k &&
+              min(col("__rmin")) === 1 && max(col("__rmax")) === k).cast("long"),
+            lit(0L)).as("results_ok"))
     }
   )
 
@@ -2851,6 +2896,11 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(1 AS BIGINT) AS results_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // q92: q67's envelope for the persisted IVF-PQ index
+    "q92_ivf_pq_index_serve" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(1 AS BIGINT) AS results_ok
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k

@@ -194,40 +194,7 @@ object Pq {
     val qIds = qRows.map(_.getLong(0))
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
 
-    // per-query dot LUT (m × k) + shared reconstruction-norm² LUT + query
-    // norms — k·D multiplies per query, corpus-independent
-    val subDim = model.subDim
-    val dotLuts = qVecs.map { q =>
-      val lut = new Array[Double](model.m * model.k)
-      for (mi <- 0 until model.m; ki <- 0 until model.k) {
-        var s = 0.0
-        var d = 0
-        while (d < subDim) {
-          val qi = mi * subDim + d
-          val qv = if (qi < q.length) q(qi).toDouble else 0.0
-          s += qv * model.codebooks(((mi * model.k) + ki) * subDim + d).toDouble
-          d += 1
-        }
-        lut(mi * model.k + ki) = s
-      }
-      lut
-    }
-    val n2Lut = new Array[Double](model.m * model.k)
-    for (mi <- 0 until model.m; ki <- 0 until model.k) {
-      var s = 0.0
-      var d = 0
-      while (d < subDim) {
-        val c = model.codebooks(((mi * model.k) + ki) * subDim + d).toDouble
-        s += c * c
-        d += 1
-      }
-      n2Lut(mi * model.k + ki) = s
-    }
-    val qNorms = qVecs.map { q =>
-      var s = 0.0; var i = 0
-      while (i < q.length) { s += q(i).toDouble * q(i).toDouble; i += 1 }
-      math.sqrt(s)
-    }
+    val (dotLuts, n2Lut, qNorms) = adcTables(model, qVecs)
 
     import spark.implicits._
     val qTable = broadcast(
@@ -266,6 +233,197 @@ object Pq {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(col("esim"), 4).as("sim"), col("rank"))
     }
+  }
+  /** Persist an IVF-PQ index — the billion-scale composition: coarse cells
+    * prune the search space (directory pruning, exactly as the int8 index),
+    * PQ codes shrink the resident lists to `m` bytes/vector. Layout:
+    * `<path>/lists/cell_id=N/…` (vec_id, codes), `<path>/codebooks` (the
+    * PQ model + scheme version), `<path>/cells` (cell_id, cell_vec) —
+    * `cells` is written LAST so cells-has-data implies every other leg
+    * committed (the [[Similarity.ivfIndexReadable]] crash-window
+    * convention). Codes quantize the RAW vectors, not cell residuals —
+    * the residual (IVFADC) variant would need a per-row centroid inside
+    * the encode kernel; on near-uniform corpora the gain is marginal and
+    * the non-residual form keeps encode a pure function of the model,
+    * which is what makes append/replay exactly reproducible.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      model: PqModel,
+      path: String): Unit = {
+    val centsIdx = centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    corpus.select(
+        col("vec_id"),
+        encodeNative(col("embedding"), model).as("codes"),
+        Similarity.nearestCentroid(col("embedding"), centsIdx).as("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/lists")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((model.dims, model.m, model.k, model.codebooks.toSeq, PqVersion))
+      .toDF("dims", "m", "k", "codebooks", "pq_version")
+      .select(col("dims"), col("m"), col("k"),
+        col("codebooks").cast("array<float>"), col("pq_version"))
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    spark.createDataFrame(centsIdx.map { case (i, v) => (i, v.toSeq) }.toSeq)
+      .toDF("cell_id", "cell_vec")
+      .select(col("cell_id"), col("cell_vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Load a persisted index's PQ model. Fails loudly on a scheme-version
+    * mismatch: codes written under one training/encoding scheme must never
+    * be ADC-scored under another ([[Int8Ops.QuantizerVersion]] contract).
+    */
+  def readPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val row = spark.read.parquet(s"$path/codebooks").head()
+    val ver = row.getAs[String]("pq_version")
+    require(ver == PqVersion,
+      s"IVF-PQ index at $path was written under scheme $ver, this engine runs $PqVersion — rebuild the index")
+    PqModel(row.getAs[Int]("dims"), row.getAs[Int]("m"), row.getAs[Int]("k"),
+      row.getAs[scala.collection.Seq[Float]]("codebooks").toArray)
+  }
+
+  /** True when a readable [[writeIvfPqIndex]] index exists at `path`: the
+    * int8-index legs (committed `cells` + a data-bearing list directory)
+    * plus a committed `codebooks` model. Same crash-window rationale as
+    * [[Similarity.ivfIndexReadable]].
+    */
+  def ivfPqIndexReadable(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val cb = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    Similarity.ivfIndexReadable(spark, path) &&
+      fs.exists(cb) && fs.listStatus(cb).exists { st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")
+      }
+  }
+
+  /** Append a new batch against the index's FROZEN models (centroids and
+    * codebooks are the index's identity — retraining either would orphan
+    * every resident code). One linear pass over the batch; history lists
+    * are never read. At-least-once safe: ADC scoring is deterministic in
+    * the model, so [[queryIvfPqIndex]]'s distinct absorbs a crash-replayed
+    * append's duplicate rows — the same contract as the int8 index.
+    */
+  def appendToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newBatch: DataFrame): Unit = {
+    val model = readPqModel(spark, path)
+    val centsIdx = Similarity.readIvfCentroids(spark, path).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    newBatch.select(
+        col("vec_id"),
+        encodeNative(col("embedding"), model).as("codes"),
+        Similarity.nearestCentroid(col("embedding"), centsIdx).as("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/lists")
+  }
+
+  /** Serve top-k ANN from a persisted [[writeIvfPqIndex]] index. Same
+    * serving shape as [[Similarity.queryIvfIndex]] — probes per query
+    * against the persisted centroids, the DISTINCT probed cells become an
+    * `isin` directory-pruning predicate, the probe table broadcasts — but
+    * the pruned lists scan reads `m`-BYTE CODES, not vectors, and ranks
+    * via the ADC kernel (2m lookups/candidate). Results are ADC-ordered
+    * (the codes are all the index stores); callers wanting an exact-cosine
+    * re-rank own fetching the shortlist's float vectors from their primary
+    * store — the index deliberately doesn't duplicate them.
+    *
+    * Maintenance: the list layout is identical to the int8 index's, so
+    * [[Similarity.compactIvfIndex]] folds this index's append debris
+    * unchanged.
+    */
+  def queryIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      nProbe: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val model = readPqModel(spark, path)
+    val qRows = queries.select(col(idCol), col(embCol)).orderBy(idCol).collect()
+    require(qRows.nonEmpty, "queryIvfPqIndex needs at least one query")
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val (dotLuts, n2Lut, qNorms) = adcTables(model, qVecs)
+    import spark.implicits._
+    val qIdx = broadcast(
+      qIds.zipWithIndex.map { case (id, i) => (id, i) }.toSeq.toDF("query_id", "qidx"))
+
+    val cents = spark.read.parquet(s"$path/cells")
+    val wProbe = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cell_id"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", CosineSimilarity.cosineNative(col(embCol), col("cell_vec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col(idCol).as("query_id"), col("cell_id"))
+      .join(qIdx, Seq("query_id"))
+    // bounded collect: nQueries × nProbe probe-plan parameters (the
+    // ivfIndexProbeScores contract — recomputing the cheap probe subtree
+    // beats pinning it, A/B-measured there)
+    val probedCells = probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cell_id").isInCollection(probedCells))
+    val adcCol = ColumnBridge.column(PqAdcCosine(
+      ColumnBridge.expression(col("codes")), ColumnBridge.expression(col("qidx")),
+      model.m, model.k, dotLuts, n2Lut, qNorms))
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    lists
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), adcCol.as("sim"))
+      // at-least-once absorber for replayed appends, as in the int8 index
+      .distinct()
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** Driver-side ADC tables for a query batch: per-query dot LUTs (m × k),
+    * the shared reconstruction-norm² LUT, and query norms — k·D multiplies
+    * per query, corpus-independent.
+    */
+  private def adcTables(
+      model: PqModel,
+      qVecs: Array[Array[Float]]): (Array[Array[Double]], Array[Double], Array[Double]) = {
+    val subDim = model.subDim
+    val dotLuts = qVecs.map { q =>
+      val lut = new Array[Double](model.m * model.k)
+      for (mi <- 0 until model.m; ki <- 0 until model.k) {
+        var s = 0.0
+        var d = 0
+        while (d < subDim) {
+          val qi = mi * subDim + d
+          val qv = if (qi < q.length) q(qi).toDouble else 0.0
+          s += qv * model.codebooks(((mi * model.k) + ki) * subDim + d).toDouble
+          d += 1
+        }
+        lut(mi * model.k + ki) = s
+      }
+      lut
+    }
+    val n2Lut = new Array[Double](model.m * model.k)
+    for (mi <- 0 until model.m; ki <- 0 until model.k) {
+      var s = 0.0
+      var d = 0
+      while (d < subDim) {
+        val c = model.codebooks(((mi * model.k) + ki) * subDim + d).toDouble
+        s += c * c
+        d += 1
+      }
+      n2Lut(mi * model.k + ki) = s
+    }
+    val qNorms = qVecs.map { q =>
+      var s = 0.0; var i = 0
+      while (i < q.length) { s += q(i).toDouble * q(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    (dotLuts, n2Lut, qNorms)
   }
 }
 
