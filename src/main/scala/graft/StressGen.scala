@@ -369,6 +369,47 @@ object StressGen {
       println(s"GRAFT_STRESS   serve-after-append vs in-memory full corpus: " +
         s"${served.count()} rows, symmetric diff $diff, identical=${diff == 0L}")
     }
+    // ---- round-11 family: product quantization at 10× — training cost
+    // must stay model-bounded (one action/iter, k·D-cell collects), the
+    // codes-only ADC scan must beat re-ranking economics (shortlist ≪
+    // corpus), and the persisted IVF-PQ serve must agree with the
+    // in-memory pipeline's ADC ordering under the same models.
+    time("q90_pq (10x vectors: train, encode, ADC+re-rank, recall)") {
+      val init = functions.Pq.initCodebooks(embs, dims = 64, m = 16, k = 16)
+      val t0 = System.nanoTime()
+      val model = functions.Pq.train(embs, init, iters = 3)
+      println(f"GRAFT_STRESS   trained 16x16 codebooks over ${nv} vectors: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val queries = embs.filter(F.col("vec_id") < 20)
+      val t1 = System.nanoTime()
+      val approx = functions.Pq.pqTopK(embs, queries, model, k = 10, refine = 100)
+      val nRes = approx.count()
+      println(f"GRAFT_STRESS   ADC search + re-rank (20 queries x $nv codes): " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s, $nRes rows")
+      val exact = functions.Similarity.bruteForceTopK(embs, queries, 10)
+        .select("query_id", "neighbor_id")
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"GRAFT_STRESS   recall@10 vs float: $hits/$nRes = " +
+        f"${100.0 * hits / nRes}%.1f%% ok=${hits * 10 >= nRes * 6}")
+    }
+    time("q92_ivf_pq (10x vectors: persisted IVF-PQ index serve parity)") {
+      val idxPath = s"$outDir/ivfpq10x"
+      fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+      val cents = functions.Similarity.kmeansCentroids(embs, k = 16, iters = 2)
+      val model = functions.Pq.train(
+        embs, functions.Pq.initCodebooks(embs, dims = 64, m = 16, k = 16), iters = 3)
+      val t0 = System.nanoTime()
+      functions.Pq.writeIvfPqIndex(embs, cents, model, idxPath)
+      println(f"GRAFT_STRESS   index build (lists+codebooks+cells): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val queries = embs.filter(F.col("vec_id") < 20)
+      val t1 = System.nanoTime()
+      val served = functions.Pq.queryIvfPqIndex(spark, idxPath, queries, nProbe = 3, k = 10)
+      val nServed = served.count()
+      println(f"GRAFT_STRESS   served (3 of 16 cells probed): " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s, $nServed rows " +
+        s"ok=${nServed == 20L * 10}")
+    }
     // ---- round-9 family: the persisted dedup indexes at 10× — the
     // steady-state ingest shape. The claim under test: once history lives
     // in an index, probing a micro-batch must cost O(batch), not

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming deduplication — the stream-side twin of the batch ingest
+  * loop's exact-dedup stage (`Dedup.dedupAgainstFingerprintIndex`): drop a
+  * document/event the moment a duplicate arrives, BEFORE it lands in the
+  * lake, instead of scrubbing it out later.
+  *
+  * Built on `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`):
+  * unbounded streams cannot keep per-key state forever — the watermark
+  * bounds the dedup state to keys first seen within the delay window, so
+  * state size tracks the duplicate-arrival horizon, not stream lifetime.
+  * The guarantee is correspondingly scoped: duplicates arriving within
+  * the watermark delay of the first occurrence are dropped; a duplicate
+  * arriving after state eviction is re-admitted (and the BATCH fp-index
+  * stage downstream catches those — the two layers compose, stream dedup
+  * cutting the hot-window volume, the persisted index enforcing corpus
+  * history).
+  */
+object StreamingDedup {
+
+  /** Keep the first row per `keys` within the watermark horizon. */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** Content-exact document-stream dedup: fingerprint the text (the same
+    * 16-byte md5 the batch fingerprint index keys on) and keep the first
+    * document per fingerprint within the watermark horizon. The
+    * fingerprint column is internal — the output schema is the input's.
+    */
+  def dedupDocStream(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withColumn("__graft_fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__graft_fp"))
+      .drop("__graft_fp")
+}
