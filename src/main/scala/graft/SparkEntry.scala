@@ -1972,6 +1972,27 @@ object SparkEntry {
             (min(col("__n")) === k && max(col("__n")) === k &&
               min(col("__rmin")) === 1 && max(col("__rmax")) === k).cast("long"),
             lit(0L)).as("results_ok"))
+    },
+    // ---- the q79 monitor's contract for the PQ family: recall of the
+    // nProbe-pruned serve vs the exhaustive ADC ranking over the SAME
+    // index (both sides score codes, so this isolates the cell-pruning
+    // loss — quantization loss is q90's gate). Fully deterministic
+    // (frozen fixture models + ADC), so the envelope asserts exact flags:
+    // probe-sample size, and a 0.50 recall floor with measured margin
+    // (0.74/0.71/0.83 at sf0.001/0.01/0.1; a collapsed probe scores
+    // ~nProbe/nCells = 0.25) ----
+    "q93_ivf_pq_health" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = 10
+      val fixture = scopedFixture(dir, "ivf_pq_index")
+      ensureIvfPqIndex(emb, dir, fixture)
+      Pq.ivfPqIndexRecall(s, fixture, emb.filter(col("vec_id") < 10), nProbe = 4, k = k)
+        .agg(
+          count(lit(1)).as("n_queries"),
+          coalesce(
+            (sum(col("hits")) * 10000L >=
+              count(lit(1)) * (k * 5000L)).cast("long"),
+            lit(0L)).as("recall_ok"))
     }
   )
 
@@ -2901,6 +2922,11 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(1 AS BIGINT) AS results_ok
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    // q93: q79's envelope for the PQ family's recall monitor
+    "q93_ivf_pq_health" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k

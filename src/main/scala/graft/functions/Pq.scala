@@ -384,6 +384,53 @@ object Pq {
         round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Recall health of a persisted [[writeIvfPqIndex]] index — the q79
+    * monitor's contract for the PQ family: per query, how many of the
+    * nProbe-pruned serve's top-k survive against the EXHAUSTIVE ADC
+    * ranking over every list (same representation both sides, so this
+    * isolates what cell pruning loses — quantization loss is q90's gate).
+    * Self-contained on the index: PQ codes are all that is scored, no
+    * corpus vectors needed. O(index) by design — a monitoring cadence
+    * samples its probe queries, exactly like [[Similarity.ivfIndexRecall]].
+    * Returns (query_id, hits) with hits ∈ [0, k], 0 for a query whose
+    * probed cells are all empty.
+    */
+  def ivfPqIndexRecall(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      nProbe: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val served = queryIvfPqIndex(spark, path, queries, nProbe, k, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val model = readPqModel(spark, path)
+    val qRows = queries.select(col(idCol), col(embCol)).orderBy(idCol).collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val (dotLuts, n2Lut, qNorms) = adcTables(model, qVecs)
+    import spark.implicits._
+    val qIdx = broadcast(
+      qIds.zipWithIndex.map { case (id, i) => (id, i) }.toSeq.toDF("query_id", "qidx"))
+    val adcCol = ColumnBridge.column(PqAdcCosine(
+      ColumnBridge.expression(col("codes")), ColumnBridge.expression(col("qidx")),
+      model.m, model.k, dotLuts, n2Lut, qNorms))
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val exhaustive = spark.read.parquet(s"$path/lists")
+      .join(qIdx, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcCol.as("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    qIdx.select("query_id")
+      .join(served.join(exhaustive, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   /** Driver-side ADC tables for a query batch: per-query dot LUTs (m × k),
     * the shared reconstruction-norm² LUT, and query norms — k·D multiplies
     * per query, corpus-independent.

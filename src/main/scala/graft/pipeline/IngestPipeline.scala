@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Dedup, Pq, Similarity, Text}
 import graft.ops.Cleaning
 import graft.sinks.Sinks
 
@@ -19,7 +19,9 @@ import graft.sinks.Sinks
   * land the accepted docs in the versioned lake, append their fingerprints
   * (and band generations) to the indexes, and (when the batch carries
   * embeddings and a served IVF index exists) grow the index with
-  * [[Similarity.appendToIvfIndex]] (q70's operator). This is the loop a
+  * [[Similarity.appendToIvfIndex]] (q70's operator) — plus, when an
+  * IVF-PQ serving index is installed, keep its 16-byte codes fresh with
+  * [[Pq.appendToIvfPqIndex]] (q92's family). This is the loop a
   * 100 TB corpus actually runs: every per-cycle cost is O(batch) — the
   * history is touched only through its 16-byte/doc fingerprint index, its
   * ~(nBands+signature)-bytes/doc band index, and its centroid model, never
@@ -59,6 +61,7 @@ object IngestPipeline {
     val embLake: String = s"$root/emb_lake"
     val fpIndex: String = s"$root/fp_index"
     val ivfIndex: String = s"$root/ivf_index"
+    val ivfPqIndex: String = s"$root/ivf_pq_index"
     val bandIndex: String = s"$root/band_index"
     val evalIndex: String = s"$root/eval_index"
     val spanIndex: String = s"$root/span_index"
@@ -537,6 +540,16 @@ object IngestPipeline {
         if (Similarity.ivfIndexReadable(spark, paths.ivfIndex)) {
           Similarity.appendToIvfIndex(spark, paths.ivfIndex, acceptedEmb)
         }
+        // the SERVING-tier IVF-PQ index (q92's family) rides the same
+        // presence-driven contract as the int8 index above: install it
+        // once offline (Pq.writeIvfPqIndex) and every accepted batch's
+        // vectors encode against its frozen models in one linear pass —
+        // the loop keeps the 16-byte serving codes fresh without the
+        // serving tier ever rescanning the lake. Replayed appends are
+        // absorbed by queryIvfPqIndex's distinct, like the int8 family.
+        if (Pq.ivfPqIndexReadable(spark, paths.ivfPqIndex)) {
+          Pq.appendToIvfPqIndex(spark, paths.ivfPqIndex, acceptedEmb)
+        }
       }
       val n = accepted.count()
       // band generations publish BEFORE the fp commit point: each is its
@@ -773,6 +786,9 @@ object IngestPipeline {
     Dedup.compactFingerprintIndex(spark, paths.fpIndex, upToBatch)
     Dedup.compactBandIndex(spark, paths.bandIndex, upToBatch)
     Similarity.compactIvfIndex(spark, paths.ivfIndex)
+    // the PQ lists share the int8 index's cell_id layout, so the same
+    // per-cell fold maintains them (no-op when no PQ index is installed)
+    Similarity.compactIvfIndex(spark, paths.ivfPqIndex)
     Dedup.compactSpanCountIndex(spark, paths.spanIndex, upToBatch)
   }
 

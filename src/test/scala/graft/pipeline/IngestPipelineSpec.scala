@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.{Dedup, Similarity}
+import graft.functions.{Dedup, Pq, Similarity}
 import graft.pipeline.IngestPipeline.IngestPaths
 
 class IngestPipelineSpec extends SparkSpec {
@@ -178,6 +178,46 @@ class IngestPipelineSpec extends SparkSpec {
     assert(servedDup.collect().toSeq.sortBy(_.getInt(3)) ==
       oneShot.collect().toSeq.sortBy(_.getInt(3)),
       "duplicate list rows must be absorbed at serve time")
+  }
+
+  test("ingest keeps an installed IVF-PQ serving index fresh; serve parity with a one-shot rebuild") {
+    val p = tmpRoot()
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    def emb(id: Long, v: Array[Float]) = (id, v.toSeq)
+    val emb0 = Seq(
+      emb(1L, Array(0.9f, 0.1f, 0f, 0f)), emb(2L, Array(0.1f, 0.95f, 0.2f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+    val emb1 = Seq(
+      emb(11L, Array(0.8f, 0.3f, 0.1f, 0f)), emb(12L, Array(0.2f, 0.9f, 0f, 0.1f)),
+      emb(13L, Array(0.7f, 0.7f, 0f, 0f)))
+      .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>"))
+
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L, embedBatch = Some(emb0))
+    // install the serving index AFTER batch 0 (models trained offline on
+    // the corpus so far), then let ingest keep it fresh
+    val inst = spark.read.parquet(p.docLake).filter(col("__ver") === 0)
+      .select(col("doc_id").as("vec_id")).join(emb0, Seq("vec_id"))
+    val model = Pq.train(inst, Pq.initCodebooks(inst, dims = 4, m = 2, k = 2), iters = 2)
+    Pq.writeIvfPqIndex(inst, cents, model, p.ivfPqIndex)
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L, embedBatch = Some(emb1))
+
+    // 12 was a duplicate doc: its vector must NOT have been appended
+    val indexed = spark.read.parquet(s"${p.ivfPqIndex}/lists")
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(indexed == Seq(1L, 2L, 11L, 13L))
+
+    val queries = emb1.filter(col("vec_id") === 11L)
+    def servedRows(path: String) =
+      Pq.queryIvfPqIndex(spark, path, queries, 2, 3).collect().toSeq.sortBy(_.getInt(3))
+    val rebuilt = Files.createTempDirectory("graft-ivfpq-oneshot").toString
+    Pq.writeIvfPqIndex(
+      emb0.unionByName(emb1.filter(col("vec_id").isin(11L, 13L))), cents, model, rebuilt)
+    assert(servedRows(p.ivfPqIndex) == servedRows(rebuilt))
+
+    // maintenance folds the PQ lists via the shared cell layout; serving
+    // is unchanged across the fold
+    IngestPipeline.maintain(spark, p)
+    assert(servedRows(p.ivfPqIndex) == servedRows(rebuilt))
   }
 
   private val expectedCompacted =
