@@ -384,6 +384,49 @@ object Pq {
         round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Re-index migration for a tripped PQ drift monitor — the
+    * [[Similarity.migrateIvfIndex]] protocol for the PQ family: retrain
+    * BOTH models (coarse centroids and codebooks) on the caller-supplied
+    * float corpus — the index stores only codes, so re-encoding must
+    * start from the source — build the replacement alongside the serving
+    * index, and swap it in with the two-rename crash-safe protocol. The
+    * new codebooks keep the old model's (dims, m, k) shape: the serving
+    * tier's storage budget is the operator's choice, not the monitor's.
+    * Crash windows and single-writer contract exactly as the int8
+    * migration (recover with [[recoverIvfPqIndex]] on startup).
+    */
+  def migrateIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      nCells: Int,
+      kmIters: Int,
+      pqIters: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    recoverIvfPqIndex(spark, path)
+    val old = readPqModel(spark, path)
+    val next = path + "__next"
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    val cents = Similarity.kmeansCentroids(corpus, k = nCells, iters = kmIters)
+    val model = train(corpus, initCodebooks(corpus, old.dims, old.m, old.k), iters = pqIters)
+    writeIvfPqIndex(corpus, cents, model, next)
+    graft.sinks.Sinks.swapIn(fs,
+      new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+  }
+
+  /** Restore an index a crashed [[migrateIvfPqIndex]] swap left parked at
+    * `<path>__old`. No-op when the live path exists. */
+  def recoverIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.recoverSwap(fs,
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix))
+  }
+
   /** Recall health of a persisted [[writeIvfPqIndex]] index — the q79
     * monitor's contract for the PQ family: per query, how many of the
     * nProbe-pruned serve's top-k survive against the EXHAUSTIVE ADC

@@ -177,7 +177,8 @@ object IngestPipeline {
     */
   final case class MaintenanceConfig(
       everyNBatches: Int = 8,
-      ivfHealth: Option[IvfHealthConfig] = None) {
+      ivfHealth: Option[IvfHealthConfig] = None,
+      pqHealth: Option[PqHealthConfig] = None) {
     // a zero cadence would divide-by-zero inside foreachBatch and kill the
     // stream on its first committed batch; fail at construction instead
     require(everyNBatches > 0, s"everyNBatches must be positive, got $everyNBatches")
@@ -233,7 +234,8 @@ object IngestPipeline {
   def maintain(
       spark: SparkSession,
       paths: IngestPaths,
-      health: Option[IvfHealthConfig] = None): Option[IvfHealthReport] = {
+      health: Option[IvfHealthConfig] = None,
+      pqHealth: Option[PqHealthConfig] = None): Option[IvfHealthReport] = {
     val upTo = lastApplied(spark, paths)
     if (upTo >= 0L) {
       compactCommitted(spark, paths, upTo)
@@ -242,6 +244,10 @@ object IngestPipeline {
       // span index): the scrub stage's replay-invariance argument rests on
       // the list being frozen between maintenance rounds
       Dedup.refreshHotSpanList(spark, paths.spanIndex)
+      // the PQ monitor repairs as a side effect; its report is logged by
+      // checkIvfPqHealth's callers that want it (the specs call it
+      // directly) — maintain's return stays the int8 family's report
+      pqHealth.foreach(checkIvfPqHealth(spark, paths, _))
       health.flatMap(checkIvfHealth(spark, paths, _))
     } else None
   }
@@ -343,6 +349,109 @@ object IngestPipeline {
       Similarity.migrateIvfIndex(spark, paths.ivfIndex, corpus, k, cfg.retrainIters)
     }
     Some(IvfHealthReport(nCells, nVecs, maxList, skewOk, hits, nq, recallOk,
+      migrated = corpusCovers))
+  }
+
+  /** Drift monitor thresholds for the IVF-PQ serving index — the
+    * [[IvfHealthConfig]] contract for the PQ family (q93's monitor). Same
+    * two trips: list SKEW under frozen coarse centroids, and a sampled
+    * RECALL re-gate ([[Pq.ivfPqIndexRecall]] — pruned serve vs exhaustive
+    * ADC over the same codes, so the monitor isolates what cell pruning
+    * loses; quantization quality is fixed at install/migration time).
+    * Either trip triggers [[Pq.migrateIvfPqIndex]]: retrain BOTH models
+    * on the float-embedding lake (codes cannot be re-encoded from
+    * themselves — the lake is what makes repair possible, exactly as for
+    * the int8 family) and swap crash-safely. The default recall floor is
+    * lower than the int8 monitor's: ADC recall feeds a re-ranking tier,
+    * so the serving contract is shortlist quality, not final-rank
+    * quality.
+    */
+  final case class PqHealthConfig(
+      nProbe: Int = 4,
+      k: Int = 10,
+      sampleQueries: Int = 8,
+      maxSkewRatio: Int = 10,
+      minRecallPct: Int = 50,
+      retrainKmIters: Int = 5,
+      retrainPqIters: Int = 3,
+      retrainCells: Option[Int] = None)
+
+  /** One PQ health-check outcome — shape-identical to [[IvfHealthReport]]. */
+  final case class PqHealthReport(
+      nCells: Long,
+      nVecs: Long,
+      maxList: Long,
+      skewOk: Boolean,
+      hits: Long,
+      nQueries: Long,
+      recallOk: Boolean,
+      migrated: Boolean)
+
+  /** Run the drift monitor over the IVF-PQ serving index and, when it
+    * trips, the [[Pq.migrateIvfPqIndex]] repair. Mirrors [[checkIvfHealth]]
+    * guard-for-guard: readable-index + data-bearing-lake detection, the
+    * achievable-hits recall clamp, and the lake-coverage anti-join that
+    * refuses a migration which would drop residents the lake never saw.
+    */
+  def checkIvfPqHealth(
+      spark: SparkSession,
+      paths: IngestPaths,
+      cfg: PqHealthConfig): Option[PqHealthReport] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(paths.ivfPqIndex), spark.sparkContext.hadoopConfiguration)
+    val hasIndex = Pq.ivfPqIndexReadable(spark, paths.ivfPqIndex)
+    val hasCorpus = {
+      val root = new org.apache.hadoop.fs.Path(paths.embLake)
+      fs.exists(root) && {
+        val it = fs.listFiles(root, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next()
+          found = f.isFile && f.getPath.getName.endsWith(".parquet")
+        }
+        found
+      }
+    }
+    if (!hasIndex || !hasCorpus) return None
+
+    val sizes = spark.read.parquet(s"${paths.ivfPqIndex}/lists")
+      .select(col("cell_id"), col("vec_id")).distinct()
+      .groupBy("cell_id").agg(count(lit(1)).as("n"))
+    val s = sizes.agg(
+      count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+      max(col("n")).as("max_list")).head()
+    val (nCells, nVecs, maxList) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val skewOk = maxList * nCells <= nVecs * cfg.maxSkewRatio
+
+    val corpus = spark.read.parquet(paths.embLake).drop("__ver")
+    val probe = corpus.orderBy("vec_id").limit(cfg.sampleQueries)
+    val r = Pq.ivfPqIndexRecall(spark, paths.ivfPqIndex, probe, cfg.nProbe, cfg.k)
+      .agg(coalesce(sum(col("hits")), lit(0L)), count(lit(1))).head()
+    val (hits, nq) = (r.getLong(0), r.getLong(1))
+    val achievable = math.min(cfg.k.toLong, math.max(nVecs - 1, 0L))
+    val recallOk = hits * 100 >= nq * achievable * cfg.minRecallPct
+
+    val tripped = !skewOk || !recallOk
+    val corpusCovers = tripped && {
+      val uncovered = spark.read.parquet(s"${paths.ivfPqIndex}/lists")
+        .select("vec_id").distinct()
+        .join(corpus.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .count()
+      if (uncovered > 0) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"IVF-PQ health tripped but the embedding lake is missing $uncovered of $nVecs " +
+            s"index residents — migration SKIPPED (it would drop the uncovered vectors). " +
+            s"Backfill ${paths.embLake} with the install corpus's float vectors to enable repair.")
+      }
+      uncovered == 0
+    }
+    if (corpusCovers) {
+      val k = cfg.retrainCells.getOrElse(
+        Similarity.readIvfCentroids(spark, paths.ivfPqIndex).length)
+      Pq.migrateIvfPqIndex(spark, paths.ivfPqIndex, corpus,
+        nCells = k, kmIters = cfg.retrainKmIters, pqIters = cfg.retrainPqIters)
+    }
+    Some(PqHealthReport(nCells, nVecs, maxList, skewOk, hits, nq, recallOk,
       migrated = corpusCovers))
   }
 
@@ -764,6 +873,8 @@ object IngestPipeline {
     Sinks.recoverPartitions(spark, paths.fpIndex)
     Similarity.recoverIvfIndex(spark, paths.ivfIndex) // a crashed migration swap
     Sinks.recoverPartitions(spark, s"${paths.ivfIndex}/lists")
+    Pq.recoverIvfPqIndex(spark, paths.ivfPqIndex) // a crashed PQ migration swap
+    Sinks.recoverPartitions(spark, s"${paths.ivfPqIndex}/lists")
     Sinks.recoverPartitions(spark, s"${paths.bandIndex}/sigs")
     Sinks.recoverPartitions(spark, s"${paths.bandIndex}/bands")
     Dedup.recoverEvalIndex(spark, paths.evalIndex) // a crashed install swap
@@ -849,7 +960,7 @@ object IngestPipeline {
         // drifting the schedule.
         maintenance.foreach { m =>
           if (batchId > 0 && batchId % m.everyNBatches.toLong == 0) {
-            maintain(batch.sparkSession, paths, m.ivfHealth)
+            maintain(batch.sparkSession, paths, m.ivfHealth, m.pqHealth)
           }
         }
         ()
