@@ -32,7 +32,7 @@ import graft.pipeline.{BatchPipeline, IngestPipeline, StreamPipeline}
   *     ([[IngestPipeline.start]]) over a parquet file stream. Args:
   *     `in=<dir> root=<dir> checkpoint=<dir>`, optional
   *     `neardup=true decontam=true spanscrub=true maintainEvery=<n>
-  *     ivfHealth=true` (`ivfHealth=true` and `spanscrub=true` each imply
+  *     ivfHealth=true pqHealth=true` (`ivfHealth=true`, `pqHealth=true` and `spanscrub=true` each imply
   *     maintenance at the default cadence — the health monitor and the
   *     hot-list refresh only run there; `decontam=true` expects an eval
   *     index installed under `<root>/eval_index` via
@@ -81,6 +81,12 @@ object Submit {
         if (boolOpt(opt, "ivfHealth"))
           Some(IngestPipeline.IvfHealthConfig())
         else None
+      // the PQ serving index's monitor follows the same implied-maintenance
+      // contract as the int8 one
+      val pqHealth =
+        if (boolOpt(opt, "pqHealth"))
+          Some(IngestPipeline.PqHealthConfig())
+        else None
       // the span scrub's hot list refreshes ONLY inside maintenance, so
       // asking for the scrub implies maintenance too — without it the
       // stage would arm but never fire (the ivfHealth failure mode again)
@@ -88,11 +94,13 @@ object Submit {
         if (boolOpt(opt, "spanscrub")) Some(IngestPipeline.SpanScrubConfig())
         else None
       val maintenance =
-        if (opt.contains("maintainEvery") || ivfHealth.isDefined || spanScrub.isDefined)
+        if (opt.contains("maintainEvery") || ivfHealth.isDefined ||
+            pqHealth.isDefined || spanScrub.isDefined)
           Some(IngestPipeline.MaintenanceConfig(
             everyNBatches = opt.get("maintainEvery").map(_.toInt)
               .getOrElse(IngestPipeline.MaintenanceConfig().everyNBatches),
-            ivfHealth = ivfHealth))
+            ivfHealth = ivfHealth,
+            pqHealth = pqHealth))
         else None
       val decontam =
         if (boolOpt(opt, "decontam")) Some(IngestPipeline.DecontamConfig())
@@ -122,7 +130,7 @@ object Submit {
     "batch" -> Set("lake", "out", "date"),
     "stream" -> Set("source", "in", "brokers", "topic", "out", "checkpoint"),
     "ingest" -> Set("in", "root", "checkpoint", "neardup", "decontam",
-      "maintainEvery", "ivfHealth", "spanscrub"))
+      "maintainEvery", "ivfHealth", "pqHealth", "spanscrub"))
 
   /** Strict boolean option: absent → false; anything but a case-insensitive
     * true/false fails loudly (a silent `Neardup=True → false` is the same
