@@ -124,12 +124,21 @@ object Pq {
     val subDim = init.subDim
     for (_ <- 0 until iters) {
       val stats = corpus
+        // the update averages FULL-dimension members only: a short vector's
+        // posexplode emits no rows for its missing components, so including
+        // it would count its zero-padding in assignment but not in the mean
+        // — the update would no longer be the Lloyd's minimizer of the
+        // encode objective (short vectors still ENCODE, zero-padded, they
+        // just don't move codebook entries — the emptied-cell policy)
+        .filter(size(col(embCol)) >= init.dims)
         .select(encodeNative(col(embCol), cur).as("codes"),
           posexplode(col(embCol)).as(Seq("dim", "v")))
         .filter(col("dim") < init.dims)
         .withColumn("mi", floor(col("dim") / subDim).cast("int"))
         .select(col("mi"),
-          element_at(col("codes"), col("mi") + 1).cast("int").as("code"),
+          // pmod undoes the byte's sign extension — codes ≥ 128 (k up to
+          // 256) would otherwise index the codebook negatively
+          pmod(element_at(col("codes"), col("mi") + 1).cast("int"), lit(256)).as("code"),
           col("dim"),
           round(col("v").cast("double") * Scale).cast("long").as("fx"))
         .groupBy("mi", "code", "dim")
@@ -161,8 +170,11 @@ object Pq {
     * training objective, used by the q90 gate to assert Lloyd's actually
     * improved on the init model.
     */
-  def distortion(corpus: DataFrame, model: PqModel, embCol: String = "embedding"): Double =
-    corpus.agg(avg(sqErrorNative(col(embCol), model)).as("d")).head().getDouble(0)
+  def distortion(corpus: DataFrame, model: PqModel, embCol: String = "embedding"): Double = {
+    val row = corpus.agg(avg(sqErrorNative(col(embCol), model)).as("d")).head()
+    require(!row.isNullAt(0), "distortion over an empty corpus (or all-null embeddings) is undefined")
+    row.getDouble(0)
+  }
 
   /** ADC top-k over PQ codes, with optional exact re-rank.
     *
@@ -194,20 +206,14 @@ object Pq {
     val qIds = qRows.map(_.getLong(0))
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
 
-    val (dotLuts, n2Lut, qNorms) = adcTables(model, qVecs)
-
     import spark.implicits._
-    val qTable = broadcast(
-      qIds.zipWithIndex.map { case (id, i) => (id, i) }.toSeq.toDF("query_id", "qidx"))
+    val (qTable, adc) = adcKit(spark, model, qIds, qVecs)
     val coded = corpus.select(col(idCol).as("vec_id"), encodeNative(col(embCol), model).as("codes"))
-    val adc = (codes: Column, qidx: Column) => ColumnBridge.column(PqAdcCosine(
-      ColumnBridge.expression(codes), ColumnBridge.expression(qidx),
-      model.m, model.k, dotLuts, n2Lut, qNorms))
     val short = math.max(k, refine)
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     val shortlist = coded
       .join(qTable, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adc(col("codes"), col("qidx")).as("sim"))
+      .select(col("query_id"), col("vec_id"), adc.as("sim"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= short)
     if (refine <= k) {
@@ -341,16 +347,26 @@ object Pq {
       nProbe: Int,
       k: Int,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val model = readPqModel(spark, path)
+      embCol: String = "embedding"): DataFrame =
+    queryIvfPqIndexWith(spark, path, readPqModel(spark, path), queries, nProbe, k, idCol, embCol)
+
+  /** [[queryIvfPqIndex]] with a pre-loaded model — lets the recall monitor
+    * (which needs the model for its exhaustive side anyway) pay the
+    * codebooks read once. */
+  private def queryIvfPqIndexWith(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      model: PqModel,
+      queries: DataFrame,
+      nProbe: Int,
+      k: Int,
+      idCol: String,
+      embCol: String): DataFrame = {
     val qRows = queries.select(col(idCol), col(embCol)).orderBy(idCol).collect()
     require(qRows.nonEmpty, "queryIvfPqIndex needs at least one query")
     val qIds = qRows.map(_.getLong(0))
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
-    val (dotLuts, n2Lut, qNorms) = adcTables(model, qVecs)
-    import spark.implicits._
-    val qIdx = broadcast(
-      qIds.zipWithIndex.map { case (id, i) => (id, i) }.toSeq.toDF("query_id", "qidx"))
+    val (qIdx, adcCol) = adcKit(spark, model, qIds, qVecs)
 
     val cents = spark.read.parquet(s"$path/cells")
     val wProbe = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cell_id"))
@@ -368,9 +384,6 @@ object Pq {
       .collect().map(_.getLong(0)).toSeq
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("cell_id").isInCollection(probedCells))
-    val adcCol = ColumnBridge.column(PqAdcCosine(
-      ColumnBridge.expression(col("codes")), ColumnBridge.expression(col("qidx")),
-      model.m, model.k, dotLuts, n2Lut, qNorms))
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     lists
       .join(broadcast(probes), Seq("cell_id"))
@@ -413,7 +426,6 @@ object Pq {
     writeIvfPqIndex(corpus, cents, model, next)
     graft.sinks.Sinks.swapIn(fs,
       new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
-    fs.delete(new org.apache.hadoop.fs.Path(next), true)
   }
 
   /** Restore an index a crashed [[migrateIvfPqIndex]] swap left parked at
@@ -446,19 +458,13 @@ object Pq {
       k: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val served = queryIvfPqIndex(spark, path, queries, nProbe, k, idCol, embCol)
-      .select(col("query_id"), col("neighbor_id"))
     val model = readPqModel(spark, path)
+    val served = queryIvfPqIndexWith(spark, path, model, queries, nProbe, k, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"))
     val qRows = queries.select(col(idCol), col(embCol)).orderBy(idCol).collect()
     val qIds = qRows.map(_.getLong(0))
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
-    val (dotLuts, n2Lut, qNorms) = adcTables(model, qVecs)
-    import spark.implicits._
-    val qIdx = broadcast(
-      qIds.zipWithIndex.map { case (id, i) => (id, i) }.toSeq.toDF("query_id", "qidx"))
-    val adcCol = ColumnBridge.column(PqAdcCosine(
-      ColumnBridge.expression(col("codes")), ColumnBridge.expression(col("qidx")),
-      model.m, model.k, dotLuts, n2Lut, qNorms))
+    val (qIdx, adcCol) = adcKit(spark, model, qIds, qVecs)
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     val exhaustive = spark.read.parquet(s"$path/lists")
       .join(qIdx, col("vec_id") =!= col("query_id"))
@@ -472,6 +478,26 @@ object Pq {
         .groupBy("query_id").agg(count(lit(1)).as("hits")),
         Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** The per-query-batch serving kit every ADC consumer shares: the
+    * broadcastable (query_id, qidx) lookup table and the [[PqAdcCosine]]
+    * score column over `codes`/`qidx` — extracted so [[pqTopK]],
+    * [[queryIvfPqIndex]] and [[ivfPqIndexRecall]] cannot drift apart.
+    */
+  private def adcKit(
+      spark: org.apache.spark.sql.SparkSession,
+      model: PqModel,
+      qIds: Array[Long],
+      qVecs: Array[Array[Float]]): (DataFrame, Column) = {
+    val (dotLuts, n2Lut, qNorms) = adcTables(model, qVecs)
+    import spark.implicits._
+    val qIdx = broadcast(
+      qIds.zipWithIndex.map { case (id, i) => (id, i) }.toSeq.toDF("query_id", "qidx"))
+    val adc = ColumnBridge.column(PqAdcCosine(
+      ColumnBridge.expression(col("codes")), ColumnBridge.expression(col("qidx")),
+      model.m, model.k, dotLuts, n2Lut, qNorms))
+    (qIdx, adc)
   }
 
   /** Driver-side ADC tables for a query batch: per-query dot LUTs (m × k),

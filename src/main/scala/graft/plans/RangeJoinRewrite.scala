@@ -45,10 +45,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerInterval"
   private val Mark = "__graft_bin"
 
+  /** A malformed conf would otherwise surface as a raw
+    * NumberFormatException from the optimizer on EVERY query in the
+    * session (the rule is session-injected), with nothing pointing at the
+    * key — name the key and the accepted form instead. Loud, not silent:
+    * treating "30m" as off would leave the user believing the rewrite is
+    * active (the Submit option-grammar lesson).
+    */
+  private def longConf(key: String, default: String): Long = {
+    val raw = conf.getConfString(key, default)
+    try raw.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a whole number (of seconds / bins), got '$raw' — " +
+          "duration syntax like '30m' is not supported")
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val widthSec = conf.getConfString(WidthConf, "0").toLong
+    val widthSec = longConf(WidthConf, "0")
     if (widthSec <= 0) return plan
-    val maxBins = conf.getConfString(MaxBinsConf, (1 << 20).toString).toLong
+    val maxBins = longConf(MaxBinsConf, (1 << 20).toString)
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), _)
           if cond.deterministic && !alreadyRewritten(j) =>

@@ -145,6 +145,45 @@ class PqSpec extends SparkSpec {
     assert(both(1L) == both(2L))
   }
 
+  test("training with k > 128 codes survives the byte's sign (no negative codebook indexing)") {
+    // codes ≥ 128 store as negative bytes; the trainer must mask them back
+    // (review finding: an unmasked cast crashed the update or silently
+    // overwrote a DIFFERENT subspace's entry)
+    val df = clustered(260, nClusters = 40, seed = 31)
+    val init = Pq.initCodebooks(df, Dims, m = 2, k = 200)
+    val trained = Pq.train(df, init, iters = 2)
+    assert(trained.codebooks.length == init.codebooks.length)
+    // the trained model must still be a strict improvement on clustered data
+    assert(Pq.distortion(df, trained) <= Pq.distortion(df, init) + 1e-9)
+    // and high codes actually occur (the fixture exercises the masked path)
+    val codes = df.select(Pq.encodeNative(col("embedding"), trained))
+      .collect().flatMap(_.getSeq[Byte](0))
+    assert(codes.exists(_ < 0), "fixture never produced a code >= 128 — weaken nothing")
+  }
+
+  test("short vectors encode zero-padded but do not move codebook entries in training") {
+    val full = clustered(100, seed = 37)
+    val short = Seq((900L, Array.fill(24)(0.5f).toSeq), (901L, Array.fill(8)(-0.3f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val init = Pq.initCodebooks(full, Dims, M, K)
+    val a = Pq.train(full, init, iters = 2)
+    val b = Pq.train(full.unionByName(short), init, iters = 2)
+    // the update averages full-dimension members only (assignment counts a
+    // short vector's zero-padding, the mean would not — excluding it keeps
+    // the update the Lloyd's minimizer; review finding)
+    assert(java.util.Arrays.equals(a.codebooks, b.codebooks))
+  }
+
+  test("distortion on an empty corpus fails with a clear message, not an NPE") {
+    val df = clustered(40, seed = 41)
+    val model = Pq.initCodebooks(df, Dims, M, K)
+    val ex = intercept[IllegalArgumentException] {
+      Pq.distortion(df.filter(col("vec_id") < 0), model)
+    }
+    assert(ex.getMessage.contains("empty"), ex.getMessage)
+  }
+
   test("interpreted eval agrees with codegen (the driver-side eval path)") {
     val df = clustered(30, seed = 23)
     val model = Pq.train(df, Pq.initCodebooks(df, Dims, M, K), iters = 1)

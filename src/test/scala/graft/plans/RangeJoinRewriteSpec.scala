@@ -121,6 +121,18 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a malformed bin-width conf names the key instead of a raw NumberFormatException") {
+    val s = spark.newSession()
+    s.conf.set(RangeJoinRewrite.WidthConf, "30m")
+    val ex = intercept[Exception] {
+      s.sql("SELECT 1").collect() // the session-injected rule runs on EVERY plan
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains(RangeJoinRewrite.WidthConf) && m.contains("30m")),
+      s"error must point at the conf key: $ex")
+  }
+
   test("runaway intervals fail loudly under the rewrite's maxBins guard") {
     withBinWidth(1L) { s =>
       import s.implicits._
