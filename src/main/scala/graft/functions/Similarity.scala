@@ -609,7 +609,6 @@ object Similarity {
     writeIvfIndex(corpus, kmeansCentroids(corpus, k = k, iters = iters), next)
     graft.sinks.Sinks.swapIn(fs,
       new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
-    fs.delete(new org.apache.hadoop.fs.Path(next), true)
   }
 
   /** Restore an index a crashed [[migrateIvfIndex]] swap left parked at
