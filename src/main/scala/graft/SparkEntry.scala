@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
-import graft.functions.{Dedup, ExactAgg, Pq, Similarity, Text}
+import graft.functions.{Dedup, ExactAgg, HeavyHitters, Pq, Similarity, Text}
 import graft.ops.{Cleaning, Features, Packing}
 import graft.pipeline.{EventsPipeline, IngestPipeline}
 import graft.sources.{Bucketing, Tables}
@@ -1993,6 +1993,43 @@ object SparkEntry {
             (sum(col("hits")) * 10000L >=
               count(lit(1)) * (k * 5000L)).cast("long"),
             lit(0L)).as("recall_ok"))
+    },
+    // ---- LLM-pipeline: Misra-Gries heavy-hitter tokens — vocabulary-scale
+    // frequent items WITHOUT a token shuffle (the map side compresses to
+    // <= capacity counters per partition, like approx_count_distinct's HLL
+    // buffers). The summary SET is legitimately partition-dependent, so
+    // the gate asserts the sketch's mathematical guarantees against the
+    // exact baseline — undercount-only, error <= n/(c+1), every item above
+    // the threshold present — each deterministically TRUE for any correct
+    // execution (the q39 exact-baseline discipline; both verification
+    // joins run distributed against the capacity-bounded summary, no
+    // vocabulary collect) ----
+    "q94_heavy_hitter_tokens" -> { (s, dir) =>
+      import s.implicits._
+      val capacity = 64
+      val toks = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val summary = toks.select(col("tok").as[String])
+        .select(new HeavyHitters.MisraGries(capacity).toColumn).head().items
+      val summaryDf = summary.map(i => (i.item, i.est)).toDF("tok", "est")
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val totals = exact.agg(
+        sum(col("cnt")).as("n"), count(lit(1)).as("d")).head()
+      val (n, nDistinct) = (totals.getLong(0), totals.getLong(1))
+      // integer-exact guarantee checks: truth > n/(c+1)  <=>  truth*(c+1) > n
+      val heavyMissing = exact
+        .filter(col("cnt") * (capacity + 1) > n)
+        .join(broadcast(summaryDf), Seq("tok"), "left_anti")
+        .count()
+      val boundViolations = broadcast(summaryDf)
+        .join(exact, Seq("tok"), "left")
+        .filter(col("cnt").isNull || col("est") > col("cnt") ||
+          (col("cnt") - col("est")) * (capacity + 1) > n)
+        .count()
+      Seq((n, nDistinct,
+        if (heavyMissing == 0L) 1L else 0L,
+        if (boundViolations == 0L) 1L else 0L))
+        .toDF("n_tokens", "n_distinct", "containment_ok", "bounds_ok")
     }
   )
 
@@ -2927,6 +2964,16 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // q94: exact token totals (the q68-pinned single-space tokenizer in
+    // both engines) + the MG guarantees as deterministic flags
+    "q94_heavy_hitter_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+        |  CAST(1 AS BIGINT) AS containment_ok,
+        |  CAST(1 AS BIGINT) AS bounds_ok
+        |FROM toks""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k
