@@ -2030,6 +2030,47 @@ object SparkEntry {
         if (heavyMissing == 0L) 1L else 0L,
         if (boundViolations == 0L) 1L else 0L))
         .toDF("n_tokens", "n_distinct", "containment_ok", "bounds_ok")
+    },
+    // ---- the GROUPED composition of q94 — per-language heavy hitters via
+    // KeyValueGroupedDataset.agg, the realistic usage (per-domain vocab):
+    // one shuffle of capacity-bounded partial summaries per language, the
+    // same guarantees asserted per group. The collected summaries are
+    // (n_langs × capacity) rows — model-sized; the verification joins run
+    // distributed against them ----
+    "q95_heavy_hitters_by_lang" -> { (s, dir) =>
+      import s.implicits._
+      val capacity = 32
+      val toksL = Tables.documents(s, dir)
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      val summaries = toksL.as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new HeavyHitters.MisraGries(capacity).toColumn)
+        .collect()
+      val sumDf = broadcast(summaries
+        .flatMap { case (lang, sm) => sm.items.map(i => (lang, i.item, i.est)) }
+        .toSeq.toDF("lang", "tok", "est"))
+      val exact = toksL.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val perLang = exact.groupBy("lang")
+        .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+      val missing = exact
+        .join(perLang.select(col("lang"), col("n_tokens").as("__n")), Seq("lang"))
+        .filter(col("cnt") * (capacity + 1) > col("__n"))
+        .join(sumDf, Seq("lang", "tok"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("__miss"))
+      val violations = sumDf
+        .join(exact, Seq("lang", "tok"), "left")
+        .join(perLang.select(col("lang"), col("n_tokens").as("__n")), Seq("lang"))
+        .filter(col("cnt").isNull || col("est") > col("cnt") ||
+          (col("cnt") - col("est")) * (capacity + 1) > col("__n"))
+        .groupBy("lang").agg(count(lit(1)).as("__viol"))
+      perLang
+        .join(missing, Seq("lang"), "left")
+        .join(violations, Seq("lang"), "left")
+        .select(
+          col("lang"), col("n_tokens"), col("n_distinct"),
+          (coalesce(col("__miss"), lit(0L)) === 0L).cast("long").as("containment_ok"),
+          (coalesce(col("__viol"), lit(0L)) === 0L).cast("long").as("bounds_ok"))
+        .orderBy("lang")
     }
   )
 
@@ -2974,6 +3015,15 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS containment_ok,
         |  CAST(1 AS BIGINT) AS bounds_ok
         |FROM toks""".stripMargin,
+    // q95: q94's envelope per language
+    "q95_heavy_hitters_by_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+        |  CAST(1 AS BIGINT) AS containment_ok,
+        |  CAST(1 AS BIGINT) AS bounds_ok
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k
