@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
 import graft.functions.{Dedup, ExactAgg, HeavyHitters, Pq, Similarity, Text}
-import graft.ops.{Cleaning, Features, Packing}
+import graft.ops.{Cleaning, Features, Packing, Sampling}
 import graft.pipeline.{EventsPipeline, IngestPipeline}
 import graft.sources.{Bucketing, Tables}
 import graft.streaming.StreamingAggs
@@ -2071,6 +2071,18 @@ object SparkEntry {
           (coalesce(col("__miss"), lit(0L)) === 0L).cast("long").as("containment_ok"),
           (coalesce(col("__viol"), lit(0L)) === 0L).cast("long").as("bounds_ok"))
         .orderBy("lang")
+    },
+    // ---- LLM-pipeline: fixed-size per-stratum sampling ("exactly 20 eval
+    // docs per language") — reservoir sampling's job done content-stably:
+    // hash-rank order is a pure function of the keys, so replays and
+    // repartitions draw the SAME sample and DuckDB reproduces it exactly
+    // (a full value oracle, not an envelope). Salted so the carve
+    // decorrelates from the module's other unsalted key decisions ----
+    "q96_fixed_size_sample" -> { (s, dir) =>
+      Sampling.takePerStratum(
+        Tables.documents(s, dir), "doc_id", "lang", n = 20, salt = "carve-v1")
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
     }
   )
 
@@ -3024,6 +3036,16 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS containment_ok,
         |  CAST(1 AS BIGINT) AS bounds_ok
         |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+    // q96: the exact hash-rank carve — the same 60-bit md5 hash of the
+    // '#carve-v1'-salted key, ranked per stratum
+    "q96_fixed_size_sample" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '#carve-v1')), 1, 15)) AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM documents WHERE doc_id IS NOT NULL) t
+        |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k

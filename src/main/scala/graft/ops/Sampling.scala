@@ -66,6 +66,39 @@ object Sampling {
   def sampleByHash(df: DataFrame, keyCol: String, pct: Int, salt: String = ""): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) < pct)
 
+  /** Deterministic FIXED-SIZE per-stratum sample — the exact-count sibling
+    * of [[sampleByStratum]] (rates give expected sizes; eval-set carving
+    * needs "exactly n docs per language"): rank each stratum's rows by the
+    * salted key hash (then by key, a total order) and keep the first `n`.
+    * The classic tool here is reservoir sampling, but a reservoir is
+    * RNG-dependent — a replay or a different partitioning draws a
+    * different sample; hash-rank order is a pure function of the keys, so
+    * the same corpus always yields the same sample (content-stable like
+    * every decision in this module) and the oracle reproduces it exactly.
+    *
+    * One shuffle on the stratum (partial ranking is not map-side prunable
+    * for exact top-n per group, but WindowGroupLimit caps what each
+    * partition forwards). NULL keys are DROPPED (the [[sampleByHash]]
+    * policy: an unsampleable row is excluded, never always-kept).
+    * Duplicate keys within a stratum tie completely; keys are expected
+    * unique per row (the dedupByKey determinism contract).
+    */
+  def takePerStratum(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      n: Int,
+      salt: String = ""): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(Dedup.tokenHash64(salted(col(keyCol), salt)), col(keyCol))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= n)
+      .drop("__graft_rk")
+  }
+
   /** Basis-point bucket 0-9999 for a key — the finer-grained sibling of
     * [[hashBucket]] for per-stratum sampling rates below 1%.
     */

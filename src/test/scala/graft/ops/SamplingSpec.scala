@@ -100,4 +100,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._1) == Seq(eval.head), s"only the leaked eval doc flags: $out")
     assert(out.head._3 == 1L && out.head._4 >= 1L) // one train collider, ≥1 shared fp
   }
+
+  test("takePerStratum: exact n per stratum, content-stable across partitionings, null keys dropped") {
+    val df = (1L to 200L).map(i => (i, s"s${i % 3}"))
+      .toDF("id", "stratum")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], "s0"))
+        .toDF("id", "stratum").select(col("id").cast("long"), col("stratum")))
+    val a = Sampling.takePerStratum(df, "id", "stratum", n = 10, salt = "t1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.size == 30)
+    a.groupBy(_._2).foreach { case (_, rows) => assert(rows.size == 10) }
+    // content-stable: any partitioning draws the SAME sample
+    val b = Sampling.takePerStratum(df.repartition(32), "id", "stratum", n = 10, salt = "t1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    // a different salt draws a different (decorrelated) sample
+    val c = Sampling.takePerStratum(df, "id", "stratum", n = 10, salt = "t2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a != c)
+    // n beyond the stratum size keeps everything (no padding, no error)
+    assert(Sampling.takePerStratum(df, "id", "stratum", n = 1000, salt = "t1").count() == 200L)
+  }
 }
