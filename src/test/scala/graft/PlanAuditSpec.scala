@@ -519,6 +519,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q96: the fixed-size carve prunes map-side via WindowGroupLimit, one stratum exchange") {
+    // the content-stable reservoir replacement's scale claim: each input
+    // partition forwards at most n rows per stratum into the ONE hash
+    // exchange on the stratum key — no global sort, no second shuffle
+    val p = plan("q96_fixed_size_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("lang")),
+      s"expected only stratum-keyed exchanges:\n${exchanges.mkString("\n")}")
+  }
+
   test("q89: the SQL inequality join is rewritten by the optimizer rule — binned, nested-loop-free") {
     // the user's SQL is untouched; the conf-gated logical rule
     // (plans/RangeJoinRewrite) must land it on the same plan family as the
