@@ -2994,7 +2994,7 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // q90/q91: same envelope family as q64/q66 — the PQ pipeline is fully
     // deterministic (fixed-point Lloyd's + fixed-order IEEE kernels), so
-    // every flag is an exact 0/1; code_bytes pins the 8-byte (32×)
+    // every flag is an exact 0/1; code_bytes pins the 16-byte (16×, PqM=16)
     // representation the gate is actually exercising
     "q90_pq_ann" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

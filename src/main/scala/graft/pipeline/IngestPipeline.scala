@@ -516,17 +516,28 @@ object IngestPipeline {
     // Replay-invariant: the hot list only moves on the maintenance cadence,
     // which runs after COMMITTED batches — inside one batch's crash window
     // the list is frozen, so the rewrite (and everything downstream of it)
-    // recomputes identically. Before the first refresh the list is empty
-    // and nothing is removed — but the text still re-renders single-spaced
-    // (scrubAgainstHotList's arming-independence contract).
+    // recomputes identically. The BOOTSTRAP batch scrubs too, against an
+    // explicit empty list: spanBootstrap flips mid-batch (the span index
+    // commits at the spanScrub.foreach below, BEFORE the fp commit point),
+    // so a crash in that window replays with spanBootstrap=false — if the
+    // first attempt had landed VERBATIM text, the replay's re-render
+    // (single-spacing, arming-independent) would compute different text
+    // and a different __fp than the landed rows and the already-published
+    // generation-0 counts (round-11 advice). Scrubbing both sides with the
+    // same k makes first attempt and replay byte-identical.
     val spanBootstrap = spanScrub.isDefined &&
       !Dedup.spanCountIndexReadable(spark, paths.spanIndex)
     val scrubbed = spanScrub match {
-      case Some(cfg) if !spanBootstrap =>
+      case Some(cfg) if spanBootstrap =>
+        // empty single-LONG-column frame: zero spans removed, text still
+        // re-rendered exactly as every post-bootstrap batch renders it
+        Text.scrubAgainstHotList(batch, textCol, idCol, cfg.k,
+          spark.range(0).toDF(), cfg.maxBroadcastHot)
+      case Some(cfg) =>
         val (k, _) = Dedup.readSpanLayout(spark, paths.spanIndex)
         Text.scrubAgainstHotList(batch, textCol, idCol, k,
           Dedup.readHotSpanList(spark, paths.spanIndex), cfg.maxBroadcastHot)
-      case _ => batch
+      case None => batch
     }
 
     val cleaned = qualityFilter(scrubbed, textCol)

@@ -835,4 +835,26 @@ class IngestPipelineSpec extends SparkSpec {
     assert(Dedup.readHotSpanList(spark, p.spanIndex).as[Long].collect().toSeq ==
       Seq(boilerHash))
   }
+
+  test("span-scrub bootstrap renders arming-independently (replay fp-stable)") {
+    val p = tmpRoot()
+    val scrub = Some(IngestPipeline.SpanScrubConfig(k = 4, minCount = 3L))
+    // irregular whitespace: the BOOTSTRAP batch must land the same
+    // single-spaced rendering every post-bootstrap batch produces.
+    // Otherwise a crash between the span-count publish and the fp commit
+    // replays with spanBootstrap=false, and the replay's re-render computes
+    // different text and a different __fp than the landed rows and the
+    // already-published generation-0 counts (round-11 advice).
+    val messy = "alpha   beta  gamma delta epsilon zeta"
+    assert(IngestPipeline.ingestBatch(spark, p,
+      Seq((1L, messy)).toDF("doc_id", "text"), 0L, spanScrub = scrub) == 1L)
+    val landed = spark.read.parquet(p.docLake).select("text").as[String].head()
+    assert(landed == "alpha beta gamma delta epsilon zeta",
+      s"bootstrap must single-space like every later batch, got '$landed'")
+    // steady state renders the same messy doc to the same text, so the fp
+    // probe catches it as an exact duplicate — the cross-arming fp match
+    // that the verbatim bootstrap used to break
+    assert(IngestPipeline.ingestBatch(spark, p,
+      Seq((2L, messy)).toDF("doc_id", "text"), 1L, spanScrub = scrub) == 0L)
+  }
 }
