@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt runMain graft.Bench` stdout and parses the LAST
+// line as the bench JSON. sbt's default LoggedOutput prefixes every forked
+// stdout line with "[info] " and appends "[success] Total time ...", so the
+// bare JSON line the engine prints last never reaches the tail parser
+// (BENCH_r07..r11 all parsed:null). Inherit the forked process's stdio
+// (unprefixed; Spark logs go to stderr) and drop the success epilogue so
+// the engine owns the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
