@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
-import graft.functions.{Bpe, Dedup, ExactAgg, HeavyHitters, Pq, Similarity, Text}
+import graft.functions.{Bpe, Dedup, ExactAgg, HeavyHitters, Pq, QualityClassifier, Similarity, Text}
 import graft.ops.{Cleaning, Features, Packing, Sampling}
 import graft.pipeline.{EventsPipeline, IngestPipeline}
 import graft.sources.{Bucketing, Tables}
@@ -329,9 +329,29 @@ object SparkEntry {
     fixture
   }
 
+  /** Stamped install of the q98 quality-classifier model fixture — the
+    * synthesized demo weight table ([[QualityClassifier.synthesizeWeights]]).
+    * Corpus-independent (a model is not a function of the data it scores),
+    * so the stamp carries only the model identity: dimension + scheme
+    * version.
+    */
+  private[graft] def ensureQualityModel(s: SparkSession, dir: String): String = {
+    val fixture = scopedFixture(dir, "quality_model")
+    val dim = QualityClassifier.DefaultDim
+    val stamp = s"dim=$dim|bias=0|qc=${QualityClassifier.ModelVersion}"
+    if (!fixtureReady(fixture, stamp)) {
+      QualityClassifier.writeModel(s,
+        QualityClassifier.Model(QualityClassifier.synthesizeWeights(dim), bias = 0L),
+        s"$fixture/model")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   private[graft] def prebuildFixtures(s: SparkSession, dir: String): Unit = {
     ensureFpIndexFixture(s, dir)
     ensureBpeFixture(s, dir)
+    ensureQualityModel(s, dir)
     ensureBandIndexFixture(s, dir)
     ensureEvalIndexFixture(s, dir)
     ensureIvfIndex(Tables.embeddings(s, dir), dir,
@@ -2136,6 +2156,20 @@ object SparkEntry {
           col("b.n_tokens").as("n_tokens"),
           col("b.detok").as("detok"))
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: fastText-style quality-classifier INFERENCE
+    // (round-11 verdict #2) — a persisted (bucket, weight) linear model
+    // over hashed unigram+bigram features, scored per document in exact
+    // integer fixed point. One codegen map pass, model as a plan constant,
+    // zero pre-sort exchanges (PlanAuditSpec pins it). The installed demo
+    // table's weights are a pure formula of the bucket index, so DuckDB
+    // re-derives the ENTIRE path — hash, bucket, weight, sum, rounding —
+    // from the base table (full value oracle, no fixture join) ----
+    "q98_quality_classifier" -> { (s, dir) =>
+      val model = QualityClassifier.readModel(s, s"${ensureQualityModel(s, dir)}/model")
+      QualityClassifier.classify(Tables.documents(s, dir), "text", model)
+        .select("doc_id", "n_feats", "score_e4", "label")
+        .orderBy("doc_id")
     }
   )
 
@@ -3112,6 +3146,30 @@ object SparkEntry {
          |JOIN read_parquet('${scopedFixture(dir, "bpe")}/expected/*.parquet') e
          |  ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q98: the full classifier path re-derived in SQL — same single-space
+    // tokens (+ empty-token contract), same space-joined bigrams, same
+    // 60-bit md5 bucket hash, the same weight formula the installed model
+    // table was synthesized from, and the shared half-up fixed-point mean
+    "q98_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(t) AS f FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(${graft.functions.QualityClassifier.Sql.weight(
+                  graft.functions.QualityClassifier.Sql.bucket("f",
+                    graft.functions.QualityClassifier.DefaultDim))}) AS BIGINT) AS wsum
+         |  FROM feats GROUP BY doc_id)
+         |SELECT doc_id, n_feats, score_e4,
+         |  CASE WHEN score_e4 >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM (
+         |  SELECT doc_id, n_feats,
+         |    CAST(${ExactAgg.Sql.divHalfUp("(wsum + 0) * 10000", "n_feats")} AS BIGINT) AS score_e4
+         |  FROM scored)
+         |ORDER BY doc_id""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k

@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** fastText/CCNet-style quality-classifier INFERENCE (round-11 verdict #2
+  * — the biggest curation operator real pipelines ran outside this engine):
+  * a linear model over hashed word n-gram features, scored per document in
+  * fixed-point integer arithmetic so the result is bit-exact across
+  * engines and replays.
+  *
+  * Model shape (the fastText supervised classifier, collapsed to one
+  * output class): features are the single-space unigrams plus adjacent
+  * bigrams (fastText's `wordNgrams=2` default), hashed into `dim` buckets;
+  * the document score is the mean bucket weight plus bias. Weights are a
+  * PERSISTED (bucket, weight) parquet table — inference never sees where
+  * they came from, so a production deployment installs trained integer
+  * weights (milli-units of the real float model) and the engine's scoring
+  * path is unchanged. The gate installs [[synthesizeWeights]]' table,
+  * whose weights are a pure integer formula of the bucket index, which is
+  * what lets DuckDB re-derive the entire pipeline — hash, bucket, weight,
+  * sum, rounding — from the base tables alone (the q26/q59 md5-formula
+  * contract, not a differential fixture).
+  *
+  * Fixed-point contract: feature hash = [[Dedup.tokenHash64]] (md5 15-hex
+  * prefix → 60-bit long) mod dim; score_e4 = half-up((bias + Σ weights) ·
+  * 10⁴ / n_feats) via [[ExactAgg.divHalfUp]] — integers end to end, no
+  * float crosses an engine or replay boundary.
+  *
+  * Scale design (100 TB): inference is ONE whole-stage-codegen map pass —
+  * the weight table (a few thousand ints) rides the plan as a reference
+  * object, each document is scored inside its partition, and nothing
+  * shuffles (PlanAuditSpec pins zero pre-sort exchanges on the q98 plan).
+  * This is the operator's production shape: per-row, model-broadcast,
+  * O(corpus/executors) with no aggregation at all.
+  */
+object QualityClassifier {
+
+  /** Scheme version — stamp ingredient for the persisted model fixture. */
+  val ModelVersion = 1
+
+  /** Default hash dimension (buckets). Power of two not required — the
+    * bucket is a positive modulo in both engines.
+    */
+  val DefaultDim = 2048
+
+  /** Knuth multiplicative constant + odd-prime modulus of the synthesized
+    * demo weights: w(j) = (j · 2654435761) mod 2003 − 1001, an integer in
+    * [−1001, 1001]. Interpolated into the generated oracle SQL so the two
+    * sides cannot drift.
+    */
+  val WeightMultiplier = 2654435761L
+  val WeightModulus = 2003L
+  val WeightOffset = 1001L
+
+  /** The installable demo model: deterministic synthetic weights by the
+    * shared formula. Real deployments write trained integer weights here
+    * instead; everything downstream is table-driven.
+    */
+  def synthesizeWeights(dim: Int): Array[Long] =
+    Array.tabulate(dim)(j => (j * WeightMultiplier) % WeightModulus - WeightOffset)
+
+  /** In-memory model: bucket weights + bias, all integer. */
+  final case class Model(weights: Array[Long], bias: Long) {
+    def dim: Int = weights.length
+  }
+
+  /** Persist a model as a (bucket, weight) parquet table; the bias rides
+    * as the reserved bucket −1 so one table round-trips the whole model.
+    */
+  def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    ((-1, model.bias) +: model.weights.toSeq.zipWithIndex.map(_.swap))
+      .toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("weight"))).toMap
+    val dim = rows.keysIterator.max + 1
+    Model(Array.tabulate(dim)(rows(_)), rows.getOrElse(-1, 0L))
+  }
+
+  /** `struct(n_feats, wsum)` per document: feature count and raw integer
+    * weight sum (bias NOT folded in — it joins in the score formula below,
+    * so the expression stays a pure function of text and table).
+    */
+  def featureSum(text: Column, model: Model): Column =
+    ColumnBridge.column(
+      QualityFeatureSum(ColumnBridge.expression(text), model.weights))
+
+  /** Document quality score in e4 fixed point:
+    * half-up((bias + Σw) · 10⁴ / n_feats).
+    */
+  def scoreE4(text: Column, model: Model): Column = {
+    val s = featureSum(text, model)
+    ExactAgg.divHalfUp((s.getField("wsum") + model.bias) * 10000, s.getField("n_feats"))
+  }
+
+  /** Score + threshold a corpus: adds `n_feats`, `score_e4` and `label`
+    * ('keep' when score_e4 ≥ minScoreE4). One codegen map stage.
+    */
+  def classify(df: DataFrame, textCol: String, model: Model,
+      minScoreE4: Long = 0L): DataFrame = {
+    val s = featureSum(col(textCol), model)
+    df.withColumn("__q", s)
+      .withColumn("n_feats", col("__q.n_feats"))
+      .withColumn("score_e4",
+        ExactAgg.divHalfUp((col("__q.wsum") + model.bias) * 10000, col("__q.n_feats")))
+      .withColumn("label",
+        when(col("score_e4") >= minScoreE4, "keep").otherwise("drop"))
+      .drop("__q")
+  }
+
+  /** The oracle-side SQL mirrors, generated from the same constants. */
+  object Sql {
+    /** Bucket weight by the synthesized-demo formula. */
+    def weight(bucket: String): String =
+      s"(($bucket) * $WeightMultiplier) % $WeightModulus - $WeightOffset"
+
+    /** 60-bit md5 feature hash → bucket (the q26/q59 hash contract). */
+    def bucket(feat: String, dim: Int): String =
+      s"(CAST(concat('0x', substring(md5($feat), 1, 15)) AS BIGINT) % $dim)"
+  }
+}
+
+/** `quality_feature_sum(string)` → `struct<n_feats:bigint, wsum:bigint>`:
+  * hashed unigram+bigram weight sum — see [[QualityClassifier]]. Codegen
+  * delegates to the shared scorer object (the [[BpeEncodeStats]] pattern):
+  * the loop stays compiled Scala, the expression stays inside whole-stage
+  * codegen.
+  */
+case class QualityFeatureSum(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quality_feature_sum requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("wsum", LongType, nullable = false)))
+  override def prettyName: String = "quality_feature_sum"
+
+  @transient private lazy val scorer = new QualityScorer(weights)
+
+  override protected def nullSafeEval(v: Any): Any =
+    scorer.score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.addReferenceObj("qualityScorer", scorer, classOf[QualityScorer].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $s.score($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-task scorer: md5 digest + weight table reused across rows. Features
+  * are the engine-contract single-space tokens (split keeps empty tokens,
+  * matching Spark `split` / DuckDB `string_split`) plus adjacent bigrams
+  * joined with one space — so every feature string is re-derivable from
+  * the document text alone.
+  */
+private[graft] class QualityScorer(weights: Array[Long]) extends Serializable {
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  private def bucketOf(feat: String): Int = {
+    md.reset()
+    val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes, the Dedup.tokenHash64 60-bit value
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+    (v % weights.length).toInt
+  }
+
+  def score(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    var wsum = 0L
+    var i = 0
+    while (i < toks.length) {
+      wsum += weights(bucketOf(toks(i)))
+      if (i > 0) wsum += weights(bucketOf(toks(i - 1) + " " + toks(i)))
+      i += 1
+    }
+    val nFeats = toks.length.toLong + (toks.length - 1).toLong
+    new GenericInternalRow(Array[Any](nFeats, wsum))
+  }
+}

@@ -160,6 +160,19 @@ object IngestPipeline {
       minCount: Long = 3L,
       maxBroadcastHot: Long = 1L << 20)
 
+  /** Opt-in model-based quality gate ([[graft.functions.QualityClassifier]]):
+    * docs scoring below `minScoreE4` are rejected alongside the heuristic
+    * [[qualityFilter]]. The MODEL travels in the config, not as a path:
+    * the caller loads it once ([[QualityClassifier.readModel]]) and every
+    * batch — first attempt and crash replay alike — scores under the same
+    * frozen weights, the same replay-invariance contract as the span
+    * scrub's per-batch hot-list freeze. Scoring is a pure per-row codegen
+    * pass; the gate adds no shuffle to the ingest plan.
+    */
+  final case class QualityGateConfig(
+      model: graft.functions.QualityClassifier.Model,
+      minScoreE4: Long = 0L)
+
   /** Steady-state maintenance cadence for the ingest loop: every
     * `everyNBatches` committed batches, fold the lake's `__ver` partitions
     * and every index's generations up to the manifest high-water mark
@@ -508,7 +521,8 @@ object IngestPipeline {
       nearDup: Option[NearDupConfig] = None,
       semanticDedup: Option[SemanticDedupConfig] = None,
       decontam: Option[DecontamConfig] = None,
-      spanScrub: Option[SpanScrubConfig] = None): Long = {
+      spanScrub: Option[SpanScrubConfig] = None,
+      qualityGate: Option[QualityGateConfig] = None): Long = {
     if (batchId <= lastApplied(spark, paths)) return 0L
 
     // HOT-SPAN SCRUB first (opt-in, rewrite-not-gate — see SpanScrubConfig):
@@ -540,7 +554,15 @@ object IngestPipeline {
       case None => batch
     }
 
-    val cleaned = qualityFilter(scrubbed, textCol)
+    val heuristicClean = qualityFilter(scrubbed, textCol)
+    val cleaned = qualityGate match {
+      case Some(cfg) =>
+        graft.functions.QualityClassifier
+          .classify(heuristicClean, textCol, cfg.model, cfg.minScoreE4)
+          .filter(col("label") === "keep")
+          .drop("n_feats", "score_e4", "label")
+      case None => heuristicClean
+    }
     // intra-batch exact dedup, deterministic winner (min id per content).
     // __fp is KEPT and threaded through the fp probe and the commit-point
     // append (fpCol = "__fp") — one md5 pass over the batch text per cycle

@@ -519,6 +519,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q98: classifier inference is one map stage — no join, no aggregate, no pre-sort exchange") {
+    // the operator's 100 TB shape: the model rides the plan as a reference
+    // object and every document is scored inside its own partition; the
+    // ONLY exchange is the final presentation sort's range partitioning
+    val p = plan("q98_quality_classifier")
+    assert(!p.contains("Join"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("HashAggregate"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only the final sort exchange:\n${exchanges.mkString("\n")}")
+    // the scorer is evaluated ONCE (projection collapse did not duplicate
+    // the expression per struct field)
+    assert(p.linesIterator.count(_.contains("quality_feature_sum")) == 1, p.take(1200))
+  }
+
   test("q96: the fixed-size carve prunes map-side via WindowGroupLimit, one stratum exchange") {
     // the content-stable reservoir replacement's scale claim: each input
     // partition forwards at most n rows per stratum into the ONE hash

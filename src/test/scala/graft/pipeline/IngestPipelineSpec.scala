@@ -857,4 +857,40 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.ingestBatch(spark, p,
       Seq((2L, messy)).toDF("doc_id", "text"), 1L, spanScrub = scrub) == 0L)
   }
+
+  test("model quality gate rejects below-threshold docs beside the heuristic filter") {
+    import graft.functions.QualityClassifier
+    val allNeg = IngestPipeline.QualityGateConfig(
+      QualityClassifier.Model(Array.fill(64)(-1L), bias = 0L))
+    val allPos = IngestPipeline.QualityGateConfig(
+      QualityClassifier.Model(Array.fill(64)(1L), bias = 0L))
+
+    // every doc scores -10000 under the all-negative model -> all rejected
+    val p1 = tmpRoot()
+    assert(IngestPipeline.ingestBatch(spark, p1,
+      Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), 0L,
+      qualityGate = Some(allNeg)) == 0L)
+
+    // all-positive model keeps everything the heuristic filter kept: the
+    // "hi" row still dies on the TOO_SHORT heuristic, not the model
+    val p2 = tmpRoot()
+    assert(IngestPipeline.ingestBatch(spark, p2,
+      Seq((1L, tA), (2L, tB), (3L, "hi")).toDF("doc_id", "text"), 0L,
+      qualityGate = Some(allPos)) == 2L)
+    // gate bookkeeping columns never land in the lake
+    val landed = spark.read.parquet(p2.docLake)
+    assert(!landed.columns.exists(Set("n_feats", "score_e4", "label")))
+
+    // a selective threshold keeps exactly the docs scoring >= min: with
+    // uniform +1 weights every doc scores exactly 10000, so a threshold
+    // above it rejects all and at it keeps all — pinning >= (not >)
+    val p3 = tmpRoot()
+    assert(IngestPipeline.ingestBatch(spark, p3,
+      Seq((1L, tA)).toDF("doc_id", "text"), 0L,
+      qualityGate = Some(allPos.copy(minScoreE4 = 10001L))) == 0L)
+    val p4 = tmpRoot()
+    assert(IngestPipeline.ingestBatch(spark, p4,
+      Seq((1L, tA)).toDF("doc_id", "text"), 0L,
+      qualityGate = Some(allPos.copy(minScoreE4 = 10000L))) == 1L)
+  }
 }
