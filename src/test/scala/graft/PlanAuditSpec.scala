@@ -534,6 +534,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("quality_feature_sum")) == 1, p.take(1200))
   }
 
+  test("q99: the domain cap carves heavy hosts via WindowGroupLimit; the tail joins by union") {
+    // the composition's scale claims: the cap window (q96 shape) runs on
+    // the heavy-host BRANCH only, every hash exchange is keyed on the
+    // host stratum, and the tail branch reaches the union without any
+    // aggregation or window of its own
+    val p = plan("q99_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("Union"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("host")),
+      s"expected only host-keyed exchanges:\n${exchanges.mkString("\n")}")
+  }
+
   test("q96: the fixed-size carve prunes map-side via WindowGroupLimit, one stratum exchange") {
     // the content-stable reservoir replacement's scale claim: each input
     // partition forwards at most n rows per stratum into the ONE hash
