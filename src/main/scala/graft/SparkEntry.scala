@@ -2193,6 +2193,20 @@ object SparkEntry {
           UrlOps.registrableDomain(col("host")).as("domain"),
           col("doc_id"))
         .orderBy("host", "doc_id")
+    },
+    // ---- LLM-pipeline: SemDeDup-style cluster-balanced sampling (round-11
+    // verdict #8) — a fixed-size content-stable draw from EVERY semantic
+    // cell of the persisted IVF index (q62 centroids + the q96 carve), the
+    // diversity-balanced eval-set move. Cell assignment is read from the
+    // index's inverted lists — the shared persisted artifact — so the
+    // oracle reads the SAME lists parquet and re-derives the exact carve
+    // (full value oracle, q96 family) ----
+    "q100_semantic_carve" -> { (s, dir) =>
+      val fixture = scopedFixture(dir, "ivf_index")
+      ensureIvfIndex(Tables.embeddings(s, dir), dir, fixture,
+        k = IvfCells, iters = IvfIters)
+      Sampling.semanticCarve(s, fixture, n = 10, salt = "semcarve-v1")
+        .orderBy("cell_id", "vec_id")
     }
   )
 
@@ -3218,6 +3232,18 @@ object SparkEntry {
          |SELECT host, regexp_extract(host, '${UrlOps.DomainPattern}', 1) AS domain, doc_id
          |FROM r WHERE n <= 25 OR rk <= 25
          |ORDER BY host, doc_id""".stripMargin,
+    // q100: the oracle reads the SAME persisted inverted lists the query
+    // carves (shared artifact, like q70's append gate) and re-derives the
+    // q96 hash-rank carve per cell — exact value oracle
+    "q100_semantic_carve" ->
+      s"""SELECT cell_id, vec_id FROM (
+         |  SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id,
+         |    row_number() OVER (PARTITION BY cell_id ORDER BY
+         |      CAST(concat('0x', substring(md5(concat(CAST(vec_id AS VARCHAR), '#semcarve-v1')), 1, 15)) AS BIGINT),
+         |      vec_id) AS rk
+         |  FROM read_parquet('${scopedFixture(dir, "ivf_index")}/lists/*/*.parquet', hive_partitioning=1)
+         |  WHERE vec_id IS NOT NULL) t
+         |WHERE rk <= 10 ORDER BY cell_id, vec_id""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k

@@ -172,4 +172,28 @@ object Sampling {
         countDistinct(col("__train_id")).as("n_train_docs"),
         countDistinct(col("fp")).as("n_shared_fps"))
   }
+
+  /** SemDeDup-style cluster-balanced carve (the q62/q96 composition): draw
+    * a fixed-size, content-stable sample PER SEMANTIC CELL of a persisted
+    * IVF index — "n vectors from every k-means cluster" — so the carve is
+    * diversity-balanced rather than frequency-weighted (a frequency-
+    * proportional sample of a web corpus is mostly its dominant modes;
+    * SemDeDup's observation is that balanced per-cluster draws cover the
+    * embedding space). The cell assignment comes from the index's
+    * inverted-list layout ([[graft.functions.Similarity.writeIvfIndex]]),
+    * NOT recomputed — the persisted artifact is the shared source of
+    * truth, which is also what makes the carve exactly re-derivable by
+    * any engine that can read the lists. Scale shape: one scan of the
+    * (vec_id, cell_id) lists — vectors themselves never load — and the
+    * q96 WindowGroupLimit carve on the cell stratum.
+    */
+  def semanticCarve(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      n: Int,
+      salt: String = ""): DataFrame = {
+    val lists = spark.read.parquet(s"$indexPath/lists")
+      .select(col("cell_id").cast("long").as("cell_id"), col("vec_id"))
+    takePerStratum(lists, "vec_id", "cell_id", n, salt)
+  }
 }

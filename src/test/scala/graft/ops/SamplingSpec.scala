@@ -121,4 +121,25 @@ class SamplingSpec extends SparkSpec {
     // n beyond the stratum size keeps everything (no padding, no error)
     assert(Sampling.takePerStratum(df, "id", "stratum", n = 1000, salt = "t1").count() == 200L)
   }
+
+  test("semanticCarve draws n per persisted IVF cell, content-stably") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semcarve").toString
+    // two orthogonal clusters of 30 vectors each -> 2 cells
+    val emb = (0L until 60L).map { i =>
+      val v = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, v.map(x => x + (i % 7) * 0.001f).toSeq)
+    }.toDF("vec_id", "embedding").select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    val cents = graft.functions.Similarity.kmeansCentroids(emb, k = 2, iters = 2)
+    graft.functions.Similarity.writeIvfIndex(emb, cents, s"$dir/idx")
+    val a = Sampling.semanticCarve(spark, s"$dir/idx", n = 5, salt = "s")
+      .orderBy("cell_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(a.groupBy(_._1).forall(_._2.size == 5), s"5 per cell, got $a")
+    assert(a.map(_._1).distinct.size == 2)
+    // replay draws the identical carve (pure function of the lists)
+    val b = Sampling.semanticCarve(spark, s"$dir/idx", n = 5, salt = "s")
+      .orderBy("cell_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
 }
