@@ -714,75 +714,26 @@ object Dedup {
     */
   private def prefixCol(key: Column, mod: Int): Column = pmod(hash(key), lit(mod))
 
-  private def layoutPath(path: String) = new org.apache.hadoop.fs.Path(path, "_GRAFT_LAYOUT")
-
-  // One filesystem read/write pair serves every index layout format (the fp/
-  // band modulus, the eval index's winnowing geometry) — the payload differs,
-  // the plumbing and the missing-layout contract must not (review: the two
-  // copies would drift on the next layout hardening).
+  // Layout IO, readable-detection and the generational fold live in
+  // [[IndexProtocol]] (the one-copy home of the shared crash protocol,
+  // round-11 verdict #4); this module binds them to the fp/band/eval/span
+  // families' payload formats and data roots.
   private def writeLayoutPayload(
-      spark: org.apache.spark.sql.SparkSession, path: String, payload: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(layoutPath(path), true)
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String, payload: String): Unit =
+    IndexProtocol.writeLayoutPayload(spark, path, payload)
 
   private def readLayoutPayload(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val p = layoutPath(path)
-    require(fs.exists(p),
-      s"index at $path has no _GRAFT_LAYOUT — built under a pre-v4 scheme or the build crashed; rebuild it")
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    IndexProtocol.readLayoutPayload(spark, path)
 
   private def writeLayout(spark: org.apache.spark.sql.SparkSession, path: String, mod: Int): Unit =
     writeLayoutPayload(spark, path, s"mod=$mod")
 
-  /** True when a READABLE generational index exists at `path`: the layout
-    * file AND at least one published `batch=<gen>` directory under every
-    * data root. Callers deciding bootstrap-vs-probe must use this, never
-    * bare `fs.exists(path)`: the build sequence (mkdirs + layout, THEN the
-    * first generation's atomic publish) has a crash window that leaves a
-    * directory containing only `_GRAFT_LAYOUT` — treating that debris as
-    * an index sends the replay down the probe path, which throws on the
-    * data-less read and crash-loops every subsequent replay (round-9
-    * advice). A generation-less root is bootstrap: the builders delete
-    * `path` first, so the debris is swept on rebuild.
-    */
   private def indexReadable(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      dataRoots: Seq[String]): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    // a generation counts only when it holds an actual parquet DATA file:
-    // Spark's partitioned write of an EMPTY DataFrame commits a directory
-    // with no data files, and a dir-name-only check would send the probe
-    // onto a schema-less read that throws and crash-loops every replay —
-    // the very failure mode this detection exists to prevent (review
-    // finding). The recursive walk short-circuits at the first data file,
-    // so a populated index pays one listing, not a full tree scan.
-    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean = {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val f = it.next()
-        found = f.isFile && f.getPath.getName.endsWith(".parquet")
-      }
-      found
-    }
-    def hasGeneration(root: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(if (root.isEmpty) path else s"$path/$root")
-      fs.exists(p) && fs.listStatus(p)
-        .filter(_.getPath.getName.startsWith("batch="))
-        .exists(st => hasDataFile(st.getPath))
-    }
-    fs.exists(layoutPath(path)) && dataRoots.forall(hasGeneration)
-  }
+      dataRoots: Seq[String]): Boolean =
+    IndexProtocol.generationalReadable(spark, path, dataRoots)
 
   /** [[indexReadable]] for a [[writeFingerprintIndex]] layout. */
   def fingerprintIndexReadable(
@@ -926,51 +877,15 @@ object Dedup {
       upToGen: Long): Unit =
     compactGenerationalIndex(spark, path, upToGen, partitionBy = Seq("fpp"))
 
-  /** The shared fold for ANY membership-state table published as immutable
-    * `batch=<gen>` directories (the fp index, and the band index's sigs and
-    * bands subtables): consolidate generations ≤ upToGen into one. See
-    * [[compactFingerprintIndex]]'s scaladoc for the crash-window argument;
-    * it holds for every caller because it relies only on membership
-    * semantics (duplicate rows invisible to semi-join probes, distinct
-    * restoring canonical content).
-    */
+  /** The shared generational fold, bound here for the fp index and the
+    * band index's subtables — one implementation in
+    * [[IndexProtocol.compactGenerational]]. */
   private def compactGenerationalIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       upToGen: Long,
-      partitionBy: Seq[String] = Nil): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val rootP = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(rootP)) return
-    graft.sinks.Sinks.recoverPartitions(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
-    val gens = fs.listStatus(rootP).map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map(_.drop("batch=".length).toLong)
-      .filter(_ <= upToGen).sorted.toSeq
-    if (gens.size < 2) return
-    val dirName = s"batch=$upToGen"
-    // distinct restores canonical one-row-per-doc content even when a
-    // previous fold's post-swap crash left duplicate generations behind
-    val consolidated = spark.read.parquet(path)
-      .filter(col("batch").cast("long") <= upToGen)
-      .drop("batch").distinct()
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp", dirName)
-    // a partitioned subtable (the band index's bp layout) must fold into
-    // the same layout — an unpartitioned folded generation next to
-    // partitioned live ones would break partition discovery
-    val cw = consolidated.write
-    (if (partitionBy.nonEmpty) cw.partitionBy(partitionBy: _*) else cw)
-      .parquet(tmp.toString)
-    graft.sinks.Sinks.swapIn(fs, tmp, new org.apache.hadoop.fs.Path(rootP, dirName),
-      trash = Some(new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix, dirName)))
-    gens.filter(_ != upToGen).foreach { g =>
-      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"batch=$g"), true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix), true)
-  }
+      partitionBy: Seq[String] = Nil): Unit =
+    IndexProtocol.compactGenerational(spark, path, upToGen, partitionBy)
 
   // -----------------------------------------------------------------------
   // Persisted MinHash BAND index — incremental NEAR-dup dedup.
@@ -1403,32 +1318,23 @@ object Dedup {
       w: Int = 4,
       generation: Long = 0L): Unit = {
     val spark = evalDocs.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    recoverEvalIndex(spark, path)
-    val next = path + "__next"
-    fs.delete(new org.apache.hadoop.fs.Path(next), true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(next))
-    writeEvalLayout(spark, next, k, w)
-    graft.sinks.Sinks.publishDir(
-      Text.winnowFingerprintsSalted(evalDocs, textCol, idCol, k, w)
-        .select(col(idCol).as("eval_id"), col("fp")),
-      next, s"batch=$generation")
-    graft.sinks.Sinks.swapIn(fs,
-      new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
-    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    IndexProtocol.stagedReplace(spark, path) { next =>
+      IndexProtocol.fileSystem(spark, next)
+        .mkdirs(new org.apache.hadoop.fs.Path(next))
+      writeEvalLayout(spark, next, k, w)
+      graft.sinks.Sinks.publishDir(
+        Text.winnowFingerprintsSalted(evalDocs, textCol, idCol, k, w)
+          .select(col(idCol).as("eval_id"), col("fp")),
+        next, s"batch=$generation")
+      ()
+    }
   }
 
   /** Restore an eval index a crashed [[writeEvalIndex]] swap left parked at
     * `<path>__old`. No-op when the live path exists. */
   def recoverEvalIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    graft.sinks.Sinks.recoverSwap(fs,
-      new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix))
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    IndexProtocol.recoverReplace(spark, path)
 
   /** Append a NEW eval suite to the index as its own immutable generation —
     * adding a benchmark to the blocklist without re-fingerprinting the
@@ -1678,17 +1584,26 @@ object Dedup {
       path: String): Unit = {
     if (!spanCountIndexReadable(spark, path)) return
     val (_, minCount) = readSpanLayout(spark, path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val hot = spark.read.parquet(spanCountsRoot(path))
       .select("h", "src", "c").distinct()
       .groupBy("h").agg(sum(col("c")).as("__total"))
       .filter(col("__total") >= minCount)
       .select("h")
-    val tmp = new org.apache.hadoop.fs.Path(hotListPath(path) + "__tmp")
-    fs.delete(tmp, true)
-    hot.write.parquet(tmp.toString)
-    graft.sinks.Sinks.swapIn(fs, tmp, new org.apache.hadoop.fs.Path(hotListPath(path)))
+    IndexProtocol.stagedReplace(spark, hotListPath(path), "__tmp") { next =>
+      hot.write.parquet(next)
+    }
+  }
+
+  /** Post-crash repair of a span index: restore a hot list a crashed
+    * [[refreshHotSpanList]] swap left parked, and any parked count-fold
+    * generation. (Readers self-heal — [[readHotSpanList]] resolves the
+    * parked swap inline — so this is the maintenance-sweep entry point,
+    * not a correctness prerequisite.)
+    */
+  def recoverSpanIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    IndexProtocol.recoverReplace(spark, hotListPath(path))
+    graft.sinks.Sinks.recoverPartitions(spark, spanCountsRoot(path))
   }
 
   /** The current hot list (h: long), resolving a crashed swap's parked
@@ -1697,11 +1612,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val live = hotListPath(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    graft.sinks.Sinks.recoverSwap(fs,
-      new org.apache.hadoop.fs.Path(live),
-      new org.apache.hadoop.fs.Path(live + graft.sinks.Sinks.OldSuffix))
+    IndexProtocol.recoverReplace(spark, live)
+    val fs = IndexProtocol.fileSystem(spark, live)
     if (fs.exists(new org.apache.hadoop.fs.Path(live))) spark.read.parquet(live)
     else {
       import spark.implicits._

@@ -295,15 +295,11 @@ object Pq {
     * plus a committed `codebooks` model. Same crash-window rationale as
     * [[Similarity.ivfIndexReadable]].
     */
-  def ivfPqIndexReadable(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val cb = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+  def ivfPqIndexReadable(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
     Similarity.ivfIndexReadable(spark, path) &&
-      fs.exists(cb) && fs.listStatus(cb).exists { st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet")
-      }
-  }
+      IndexProtocol.hasTopLevelParquet(
+        IndexProtocol.fileSystem(spark, path),
+        new org.apache.hadoop.fs.Path(s"$path/codebooks"))
 
   /** Append a new batch against the index's FROZEN models (centroids and
     * codebooks are the index's identity — retraining either would orphan
@@ -414,30 +410,22 @@ object Pq {
       corpus: DataFrame,
       nCells: Int,
       kmIters: Int,
-      pqIters: Int): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    recoverIvfPqIndex(spark, path)
-    val old = readPqModel(spark, path)
-    val next = path + "__next"
-    fs.delete(new org.apache.hadoop.fs.Path(next), true)
-    val cents = Similarity.kmeansCentroids(corpus, k = nCells, iters = kmIters)
-    val model = train(corpus, initCodebooks(corpus, old.dims, old.m, old.k), iters = pqIters)
-    writeIvfPqIndex(corpus, cents, model, next)
-    graft.sinks.Sinks.swapIn(fs,
-      new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
-  }
+      pqIters: Int): Unit =
+    IndexProtocol.stagedReplace(spark, path) { next =>
+      // read the OLD model inside the staged build: stagedReplace has
+      // recovered any parked generation by now, and the live index stays
+      // readable until the post-build swap
+      val old = readPqModel(spark, path)
+      val cents = Similarity.kmeansCentroids(corpus, k = nCells, iters = kmIters)
+      val model = train(corpus, initCodebooks(corpus, old.dims, old.m, old.k), iters = pqIters)
+      writeIvfPqIndex(corpus, cents, model, next)
+    }
 
   /** Restore an index a crashed [[migrateIvfPqIndex]] swap left parked at
     * `<path>__old`. No-op when the live path exists. */
   def recoverIvfPqIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    graft.sinks.Sinks.recoverSwap(fs,
-      new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix))
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    IndexProtocol.recoverReplace(spark, path)
 
   /** Recall health of a persisted [[writeIvfPqIndex]] index — the q79
     * monitor's contract for the PQ family: per query, how many of the

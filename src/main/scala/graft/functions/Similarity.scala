@@ -290,19 +290,18 @@ object Similarity {
     */
   def ivfIndexReadable(
       spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(p) && fs.listStatus(p).exists { st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet")
-      }
+    val fs = IndexProtocol.fileSystem(spark, path)
+    // top-level detection on purpose, both legs: a crashed un-staged write
+    // leaves only `_temporary` debris, which must read as bootstrap — the
+    // contract documented at [[IndexProtocol.hasTopLevelParquet]]
     def listsHaveData: Boolean = {
       val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
       fs.exists(lists) && fs.listStatus(lists)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell_id="))
-        .exists(st => hasDataFile(st.getPath))
+        .exists(st => IndexProtocol.hasTopLevelParquet(fs, st.getPath))
     }
-    hasDataFile(new org.apache.hadoop.fs.Path(s"$path/cells")) && listsHaveData
+    IndexProtocol.hasTopLevelParquet(
+      fs, new org.apache.hadoop.fs.Path(s"$path/cells")) && listsHaveData
   }
 
   /** Load a persisted index's centroid model, ordered by cell id — k × dims
@@ -600,27 +599,16 @@ object Similarity {
       path: String,
       corpus: DataFrame,
       k: Int,
-      iters: Int): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    recoverIvfIndex(spark, path)
-    val next = path + "__next"
-    fs.delete(new org.apache.hadoop.fs.Path(next), true)
-    writeIvfIndex(corpus, kmeansCentroids(corpus, k = k, iters = iters), next)
-    graft.sinks.Sinks.swapIn(fs,
-      new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
-  }
+      iters: Int): Unit =
+    IndexProtocol.stagedReplace(spark, path) { next =>
+      writeIvfIndex(corpus, kmeansCentroids(corpus, k = k, iters = iters), next)
+    }
 
   /** Restore an index a crashed [[migrateIvfIndex]] swap left parked at
     * `<path>__old`. No-op when the live path exists. */
   def recoverIvfIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    graft.sinks.Sinks.recoverSwap(fs,
-      new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.fs.Path(path + graft.sinks.Sinks.OldSuffix))
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    IndexProtocol.recoverReplace(spark, path)
 
   /** SPHERICAL Lloyd's k-means over embedding vectors — the
     * trained-centroid companion to [[ivfTopK]] (whose exemplar centroids

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.functions.{Dedup, Pq, Similarity, Text}
+import graft.functions.{Dedup, PersistedIndex, Pq, Similarity, Text}
 import graft.ops.Cleaning
 import graft.sinks.Sinks
 
@@ -902,16 +902,25 @@ object IngestPipeline {
     // the index folds' crash windows (a swap interrupted between its two
     // renames parks the live generation dir in __old): restore on startup,
     // BEFORE any probe reads the index — a probe that misses a parked
-    // generation would accept duplicates
-    Sinks.recoverPartitions(spark, paths.fpIndex)
-    Similarity.recoverIvfIndex(spark, paths.ivfIndex) // a crashed migration swap
-    Sinks.recoverPartitions(spark, s"${paths.ivfIndex}/lists")
-    Pq.recoverIvfPqIndex(spark, paths.ivfPqIndex) // a crashed PQ migration swap
-    Sinks.recoverPartitions(spark, s"${paths.ivfPqIndex}/lists")
-    Sinks.recoverPartitions(spark, s"${paths.bandIndex}/sigs")
-    Sinks.recoverPartitions(spark, s"${paths.bandIndex}/bands")
-    Dedup.recoverEvalIndex(spark, paths.evalIndex) // a crashed install swap
+    // generation would accept duplicates. One uniform sweep over every
+    // persisted family ([[graft.functions.PersistedIndex]]); the IVF
+    // handle repairs both the int8 and the PQ install (same migration-swap
+    // + cell-fold windows, same layout).
+    indexFamilies(paths).foreach { case (ix, p) => ix.recover(spark, p) }
   }
+
+  /** The loop's persisted index families and their install paths — the one
+    * table [[recoverCompaction]]'s sweep and [[compactIndexes]]' fold both
+    * iterate (keeping repair and fold coverage in lockstep by
+    * construction).
+    */
+  private def indexFamilies(paths: IngestPaths): Seq[(PersistedIndex, String)] = Seq(
+    PersistedIndex.Fingerprint -> paths.fpIndex,
+    PersistedIndex.Band -> paths.bandIndex,
+    PersistedIndex.Ivf -> paths.ivfIndex,
+    PersistedIndex.Ivf -> paths.ivfPqIndex,
+    PersistedIndex.SpanCounts -> paths.spanIndex,
+    PersistedIndex.Eval -> paths.evalIndex)
 
   /** Fold the append-mode INDEX state the ingest loop grows — the
     * fingerprint index's per-batch `batch=<id>` publishes
@@ -927,13 +936,14 @@ object IngestPipeline {
   def compactIndexes(spark: SparkSession, paths: IngestPaths, upToBatch: Long): Unit = {
     require(upToBatch <= lastApplied(spark, paths),
       s"index fold of uncommitted batches (upTo=$upToBatch > manifest=${lastApplied(spark, paths)})")
-    Dedup.compactFingerprintIndex(spark, paths.fpIndex, upToBatch)
-    Dedup.compactBandIndex(spark, paths.bandIndex, upToBatch)
-    Similarity.compactIvfIndex(spark, paths.ivfIndex)
-    // the PQ lists share the int8 index's cell_id layout, so the same
-    // per-cell fold maintains them (no-op when no PQ index is installed)
-    Similarity.compactIvfIndex(spark, paths.ivfPqIndex)
-    Dedup.compactSpanCountIndex(spark, paths.spanIndex, upToBatch)
+    // one fold per family via the uniform handles; the generational
+    // families bound by the manifest, the IVF per-cell file fold (which
+    // also maintains the PQ install's shared cell_id layout) committed-only
+    // by construction. The eval index folds on human cadence, not here —
+    // suites arrive rarely and its generations are few by nature.
+    indexFamilies(paths)
+      .filter { case (ix, _) => ix != PersistedIndex.Eval }
+      .foreach { case (ix, p) => ix.compact(spark, p, upToBatch) }
   }
 
   /** Fold all committed `__ver ≤ upToBatch` doc-lake partitions into one.
