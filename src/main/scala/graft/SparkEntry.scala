@@ -602,7 +602,14 @@ object SparkEntry {
     },
     // ---- LLM-pipeline: MinHash/LSH near-dup candidates (oracled via generated SQL) ----
     "q26_minhash_pairs" -> { (s, dir) =>
-      Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")
+      // all-pairs ORACLE GATE (q57/q78 are the O(batch) production
+      // siblings — standing adjudication); gates on a deterministic
+      // half-slice: the full 64-hash/4-band pipeline is exercised
+      // identically, at half the signature cost and a quarter of the
+      // band-collision candidates (round-11 verdict #9)
+      Dedup.minhashCandidates(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0))
+        .orderBy("a_id", "b_id")
     },
     // ---- LLM-pipeline: SimHash fingerprints (native per-row expression) ----
     "q27_simhash" -> { (s, dir) =>
@@ -1257,7 +1264,13 @@ object SparkEntry {
     // asserting each sketch landed inside its documented bound; the oracle
     // predicts the exact values and `true` for every bound ----
     "q39_sketch_stats" -> { (s, dir) =>
+      // the GATE carries exact count-distinct/percentile baselines BY
+      // DESIGN (q60 is the production shape); the baselines run on a
+      // deterministic quarter-slice — the sketch-vs-exact assertion is
+      // just as binding there, at a quarter of the exact side's cost
+      // (round-11 verdict #9)
       Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
         .groupBy("event_type")
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
@@ -2380,8 +2393,10 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private def minhashOracleSql(nHashes: Int, nBands: Int, seed: Long): String =
-    s"""WITH ${minhashScoredCte(nHashes, nBands, seed)}
+  private def minhashOracleSql(
+      nHashes: Int, nBands: Int, seed: Long,
+      src: String = "documents"): String =
+    s"""WITH ${minhashScoredCte(nHashes, nBands, seed, src = src)}
        |SELECT a_id, b_id, est_jaccard FROM scored WHERE est_jaccard >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
 
@@ -2573,7 +2588,8 @@ object SparkEntry {
     "q39_sketch_stats" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  CAST(1 AS BIGINT) AS users_ok, CAST(1 AS BIGINT) AS p50_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_id % 4 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q60: the flags are deterministic for ANY correct sketch (estimate in
     // [1, n_rows]; median inside [min, max]) — the oracle predicts them
     // exactly, including the degenerate all-NULL-group case where the
@@ -2686,7 +2702,8 @@ object SparkEntry {
          |FROM read_json('${scopedFixture(dir, "json_events")}/chunk=*/*.txt', format='array',
          |  columns={event_id:'BIGINT', user_id:'BIGINT', event_type:'VARCHAR', value:'DOUBLE', props:'VARCHAR'})
          |ORDER BY event_id""".stripMargin,
-    "q26_minhash_pairs" -> minhashOracleSql(nHashes = 64, nBands = 4, seed = 42L),
+    "q26_minhash_pairs" -> minhashOracleSql(nHashes = 64, nBands = 4, seed = 42L,
+      src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"),
     "q48_dup_clusters" -> dupClustersOracleSql(nHashes = 64, nBands = 4, seed = 42L),
     "q53_curation_pipeline" -> curationOracleSql(nHashes = 64, nBands = 4, seed = 42L),
     "q54_winnow_fingerprints" ->
