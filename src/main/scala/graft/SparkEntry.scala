@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
-import graft.functions.{Bpe, Dedup, ExactAgg, HeavyHitters, Pq, QualityClassifier, Similarity, Text}
+import graft.functions.{Bpe, Dedup, ExactAgg, HeavyHitters, LangModel, Pq, QualityClassifier, Similarity, Text}
 import graft.ops.{Cleaning, Features, Packing, Sampling, UrlOps}
 import graft.pipeline.{EventsPipeline, IngestPipeline}
 import graft.sources.{Bucketing, Tables}
@@ -348,10 +348,28 @@ object SparkEntry {
     fixture
   }
 
+  /** Stamped train of the q101 bigram-LM fixture ([[LangModel.train]]) —
+    * the model is a pure function of the corpus slice, so the stamp is
+    * the corpus content hash + the scheme version.
+    */
+  private[graft] def ensureLmFixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "bigram_lm")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|lm=${LangModel.LmVersion}"
+    if (!fixtureReady(fixture, stamp)) {
+      LangModel.train(docs, "text", s"$fixture/model")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   private[graft] def prebuildFixtures(s: SparkSession, dir: String): Unit = {
     ensureFpIndexFixture(s, dir)
     ensureBpeFixture(s, dir)
     ensureQualityModel(s, dir)
+    ensureLmFixture(s, dir)
     ensureBandIndexFixture(s, dir)
     ensureEvalIndexFixture(s, dir)
     ensureIvfIndex(Tables.embeddings(s, dir), dir,
@@ -2220,6 +2238,24 @@ object SparkEntry {
         k = IvfCells, iters = IvfIters)
       Sampling.semanticCarve(s, fixture, n = 10, salt = "semcarve-v1")
         .orderBy("cell_id", "vec_id")
+    },
+    // ---- LLM-pipeline: CCNet-style bigram-LM perplexity filter — the
+    // model trained on this corpus slice persists as INTEGER log-prob
+    // tables (the one log quantization happens at train time), scoring
+    // resolves bigram-hit → known-w1 floor → global floor entirely from
+    // the artifact, and the band ladder buckets docs by mean transition
+    // log-prob. The oracle joins the SAME persisted tables (q100
+    // shared-artifact discipline) — full value gate, no float crosses
+    // the engine boundary ----
+    "q101_lm_perplexity" -> { (s, dir) =>
+      val fixture = ensureLmFixture(s, dir)
+      LangModel.scoreDocs(Tables.documents(s, dir), "text", "doc_id", s"$fixture/model")
+        .withColumn("band",
+          when(col("n_transitions") === 0, "empty")
+            .when(col("ppl_e4") < 80000L, "fluent")
+            .when(col("ppl_e4") < 120000L, "mid")
+            .otherwise("suspect"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3261,6 +3297,38 @@ object SparkEntry {
          |  FROM read_parquet('${scopedFixture(dir, "ivf_index")}/lists/*/*.parquet', hive_partitioning=1)
          |  WHERE vec_id IS NOT NULL) t
          |WHERE rk <= 10 ORDER BY cell_id, vec_id""".stripMargin,
+    // q101: same single-space transitions, the SAME persisted integer
+    // log-prob tables (trained artifact = shared source of truth), same
+    // coalesce ladder and half-up mean, same band thresholds
+    "q101_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tr AS (
+         |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |lp AS (
+         |  SELECT tr.doc_id,
+         |    COALESCE(b.lp_e4, un.miss_lp_e4,
+         |      (SELECT lp0_e4 FROM read_parquet('${scopedFixture(dir, "bigram_lm")}/model/defaults/*.parquet'))) AS l
+         |  FROM tr
+         |  LEFT JOIN read_parquet('${scopedFixture(dir, "bigram_lm")}/model/bigrams/*.parquet') b
+         |    ON tr.w1 = b.w1 AND tr.w2 = b.w2
+         |  LEFT JOIN read_parquet('${scopedFixture(dir, "bigram_lm")}/model/unigrams/*.parquet') un
+         |    ON tr.w1 = un.w1),
+         |s AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         |    CAST(SUM(l) AS BIGINT) AS lps
+         |  FROM lp GROUP BY doc_id)
+         |SELECT doc_id, n_transitions, ppl_e4,
+         |  CASE WHEN n_transitions = 0 THEN 'empty'
+         |       WHEN ppl_e4 < 80000 THEN 'fluent'
+         |       WHEN ppl_e4 < 120000 THEN 'mid'
+         |       ELSE 'suspect' END AS band
+         |FROM (
+         |  SELECT d.doc_id,
+         |    COALESCE(s.n_transitions, 0) AS n_transitions,
+         |    COALESCE(CAST(${ExactAgg.Sql.divHalfUp("s.lps", "s.n_transitions")} AS BIGINT), 0) AS ppl_e4
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k

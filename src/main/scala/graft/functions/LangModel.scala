@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model perplexity filtering: train a bigram
+  * LM on a reference corpus, persist it as an INTEGER log-probability
+  * artifact, and score documents by mean per-transition log-probability —
+  * the quality signal CCNet/LLaMA-era curation actually ranks Common
+  * Crawl with (a KenLM perplexity, here an order-2 model with add-one
+  * smoothing; [[QualityClassifier]] is the discriminative sibling).
+  *
+  * Fixed-point contract: floating point happens ONCE, at train time —
+  * each probability becomes `lp_e4 = round(−10⁴·log₂ p)` (StrictMath, so
+  * the artifact is platform-reproducible) and lands in the persisted
+  * tables. Scoring and the DuckDB oracle both consume the SAME integer
+  * tables (the q100 shared-artifact discipline), so no engine ever
+  * recomputes a logarithm and scores replay bit-identically.
+  *
+  * Model artifact layout at `path`:
+  *   - `bigrams/`  (w1, w2, lp_e4): observed transitions,
+  *     p = (c(w1,w2)+1)/(c(w1)+V)
+  *   - `unigrams/` (w1, miss_lp_e4): the smoothed floor for an UNSEEN
+  *     transition out of a known w1, p = 1/(c(w1)+V)
+  *   - `defaults/` (lp0_e4): the global floor for an unknown w1,
+  *     p = 1/V — one row, so every scoring constant comes from the
+  *     artifact, never from code
+  *   - `_GRAFT_LAYOUT` (v=<vocab>,lm=<version>): the smoothing
+  *     denominator travels with the model ([[IndexProtocol]] contract)
+  *
+  * Scale shape: training is two hash aggregations over exploded
+  * transitions (narrow (w1, w2) rows, one shuffle each); scoring joins
+  * the batch's transitions against the bigram table — broadcast when the
+  * model is small, an ordinary equi-join keyed on (w1, w2) when a 100 TB
+  * reference corpus makes it big — followed by one per-doc aggregation.
+  * Nothing driver-side at any size.
+  */
+object LangModel {
+
+  /** Scheme version — a stamp ingredient for persisted model fixtures. */
+  val LmVersion = 1
+
+  private def lpE4(p: Double): Long =
+    Math.round(-10000.0 * Math.log(p) / Math.log(2.0))
+
+  /** Column form of [[lpE4]] over a probability ratio num/den — built-in
+    * log2 + half-up round, so quantization stays inside codegen (no UDF).
+    * The artifact persists the RESULT, so every consumer — scoring,
+    * replays, the oracle — reads identical integers regardless of where
+    * the model was trained.
+    */
+  private def lpE4Col(num: Column, den: Column): Column =
+    round(lit(-10000.0) * log2(num / den)).cast("long")
+
+  /** Adjacent token transitions of a text column: (w1, w2) per consecutive
+    * pair under the engine-wide single-space tokenizer. Documents with
+    * fewer than two tokens emit no rows.
+    */
+  private def transitions(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = Text.tokens(col(textCol))
+    docs
+      .select(col(idCol), explode(
+        arrays_zip(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("w1"),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w2"))).as("__tr"))
+      .select(col(idCol),
+        col("__tr").getField("w1").as("w1"),
+        col("__tr").getField("w2").as("w2"))
+  }
+
+  /** Train and persist a bigram model from a reference corpus. One pass:
+    * transitions exploded once, counted per (w1, w2) and per w1; log-probs
+    * quantized to e4 integers and written as the three artifact tables.
+    */
+  def train(docs: DataFrame, textCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tr = transitions(
+        docs.withColumn("__lm_id", lit(0L)), textCol, "__lm_id")
+      .select("w1", "w2")
+    val big = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false) // feeds both the bigram table and the w1 margins
+    val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // vocab = distinct tokens seen in ANY transition position — one exact
+    // distinct count, never collected
+    val vocab = tr.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val V = math.max(vocab, 1L)
+    big.join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        lpE4Col(col("c12") + 1, col("c1") + V).as("lp_e4"))
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+    uni
+      .select(col("w1"), lpE4Col(lit(1), col("c1") + V).as("miss_lp_e4"))
+      .write.mode("overwrite").parquet(s"$path/unigrams")
+    Seq(lpE4(1.0 / V.toDouble)).toDF("lp0_e4")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/defaults")
+    IndexProtocol.writeLayoutPayload(spark, path, s"v=$V,lm=$LmVersion")
+  }
+
+  /** The model's recorded vocabulary size (smoothing denominator). */
+  def readVocabSize(spark: SparkSession, path: String): Long = {
+    val payload = IndexProtocol.readLayoutPayload(spark, path)
+    val m = "v=(\\d+),lm=(\\d+)".r.findFirstMatchIn(payload).getOrElse(
+      throw new IllegalStateException(s"malformed LM layout at $path: $payload"))
+    require(m.group(2).toInt == LmVersion,
+      s"LM at $path is scheme v${m.group(2)}, this build scores v$LmVersion — retrain")
+    m.group(1).toLong
+  }
+
+  /** Score documents against a persisted model: per doc, the number of
+    * transitions and the mean per-transition log₂-probability in e4 units
+    * (half-up — [[ExactAgg.divHalfUp]], mirrored in the oracle). Lower is
+    * more fluent under the reference corpus; `ppl_e4 = 0` with
+    * `n_transitions = 0` for sub-2-token docs (nothing to score, kept
+    * rather than crashed — the caller's ladder decides their fate).
+    * Transition log-probs resolve bigram-hit → known-w1 floor → global
+    * floor, every value read from the artifact.
+    */
+  def scoreDocs(
+      docs: DataFrame, textCol: String, idCol: String, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    readVocabSize(spark, path) // version check up front
+    val bigrams = spark.read.parquet(s"$path/bigrams")
+    val unigrams = spark.read.parquet(s"$path/unigrams")
+    val lp0 = spark.read.parquet(s"$path/defaults").head().getLong(0)
+    val scored = transitions(docs, textCol, idCol)
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .select(col(idCol),
+        coalesce(col("lp_e4"), col("miss_lp_e4"), lit(lp0)).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_transitions"), sum(col("__lp")).as("__lp_sum"))
+      .withColumn("ppl_e4",
+        ExactAgg.divHalfUp(col("__lp_sum"), col("n_transitions")))
+      .drop("__lp_sum")
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("ppl_e4"), lit(0L)).as("ppl_e4"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus "a b a b": transitions (a,b)×2, (b,a)×1; c1: a=2, b=1; V=2.
+  // Hand-quantized: lp(a,b) = round(−1e4·log2(3/4)) = 4150
+  //                 lp(b,a) = round(−1e4·log2(2/3)) = 5850
+  //                 miss(a) = round(−1e4·log2(1/4)) = 20000
+  //                 miss(b) = round(−1e4·log2(1/3)) = 15850
+  //                 lp0     = round(−1e4·log2(1/2)) = 10000
+  private def trainToy(): String = {
+    val dir = Files.createTempDirectory("lm").toString
+    LangModel.train(Seq((1L, "a b a b")).toDF("doc_id", "text"), "text", s"$dir/lm")
+    s"$dir/lm"
+  }
+
+  test("train persists the hand-computed integer log-prob artifact") {
+    val p = trainToy()
+    val big = spark.read.parquet(s"$p/bigrams")
+      .as[(String, String, Long)].collect().toSet
+    assert(big == Set(("a", "b", 4150L), ("b", "a", 5850L)))
+    val uni = spark.read.parquet(s"$p/unigrams")
+      .as[(String, Long)].collect().toSet
+    assert(uni == Set(("a", 20000L), ("b", 15850L)))
+    assert(spark.read.parquet(s"$p/defaults").head().getLong(0) == 10000L)
+    assert(LangModel.readVocabSize(spark, p) == 2L)
+  }
+
+  test("scoreDocs resolves bigram-hit, known-w1 floor and global floor") {
+    val p = trainToy()
+    val docs = Seq(
+      (1L, "a b a"), // (a,b)+(b,a) = 4150+5850 = 10000 over 2 -> 5000
+      (2L, "a c"),   // unseen bigram, known w1 -> miss(a) = 20000
+      (3L, "z z"),   // unknown w1 -> lp0 = 10000
+      (4L, "a"),     // no transitions -> (0, 0)
+      (5L, "")).toDF("doc_id", "text")
+    val out = LangModel.scoreDocs(docs, "text", "doc_id", p)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 5000L), (2L, 1L, 20000L), (3L, 1L, 10000L),
+      (4L, 0L, 0L), (5L, 0L, 0L)))
+  }
+
+  test("fluent text scores below disfluent text under the reference corpus") {
+    val dir = Files.createTempDirectory("lm2").toString
+    val ref = (0L until 50L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    LangModel.train(ref, "text", s"$dir/lm")
+    val out = LangModel.scoreDocs(Seq(
+        (1L, "the quick brown fox"),
+        (2L, "fox the dog quick brown")).toDF("doc_id", "text"),
+      "text", "doc_id", s"$dir/lm")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(out(0)._3 < out(1)._3,
+      s"in-distribution text must score lower: $out")
+  }
+
+  test("scoring is replay- and partitioning-stable") {
+    val p = trainToy()
+    val docs = (0L until 40L).map(i => (i, s"a b a c b t$i")).toDF("doc_id", "text")
+    val a = LangModel.scoreDocs(docs, "text", "doc_id", p)
+      .orderBy("doc_id").collect().toSeq
+    val b = LangModel.scoreDocs(docs.repartition(7), "text", "doc_id", p)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("version check refuses a future-scheme model") {
+    val p = trainToy()
+    IndexProtocol.writeLayoutPayload(spark, p, "v=2,lm=99")
+    val e = intercept[IllegalArgumentException] {
+      LangModel.readVocabSize(spark, p)
+    }
+    assert(e.getMessage.contains("retrain"))
+  }
+}
