@@ -2256,6 +2256,23 @@ object SparkEntry {
             .when(col("ppl_e4") < 120000L, "mid")
             .otherwise("suspect"))
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: sequence packing under the REAL tokenizer — q75's
+    // sharded running-sum pack budgeted by the trained BPE token counts
+    // (Packing.packByCount × Bpe) instead of whitespace words: the
+    // end-to-end shape a shard-writer actually runs (learn merges →
+    // tokenize → slice the token stream into context windows). The oracle
+    // budgets with the naive-encoder expected table — q97 pins production
+    // == naive per doc, so the counts coincide by the already-gated
+    // equality ----
+    "q102_bpe_packing" -> { (s, dir) =>
+      val fixture = ensureBpeFixture(s, dir)
+      val merges = Bpe.readMerges(s, s"$fixture/merges")
+      Packing.packByCount(
+        Tables.documents(s, dir).withColumn("__bpe_n",
+          Bpe.encodeStats(col("text"), merges).getField("n_tokens")),
+        "__bpe_n", "doc_id", budget = 1024, shards = 8)
+        .orderBy("doc_id")
     }
   )
 
@@ -3328,6 +3345,23 @@ object SparkEntry {
          |    COALESCE(s.n_transitions, 0) AS n_transitions,
          |    COALESCE(CAST(${ExactAgg.Sql.divHalfUp("s.lps", "s.n_transitions")} AS BIGINT), 0) AS ppl_e4
          |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q102: the q75 running-sum shape, budgeted with the BPE expected
+    // table's counts (production == naive is q97's already-gated equality)
+    "q102_bpe_packing" ->
+      s"""SELECT doc_id, shard, n_tokens,
+         |  CAST(floor(cumb / 1024.0) AS BIGINT) AS pack_first,
+         |  CAST(floor((cumb + n_tokens - 1) / 1024.0) AS BIGINT) AS pack_last,
+         |  CAST(floor((cumb + n_tokens - 1) / 1024.0) AS BIGINT)
+         |    - CAST(floor(cumb / 1024.0) AS BIGINT) + 1 AS n_windows
+         |FROM (
+         |  SELECT d.doc_id, d.doc_id % 8 AS shard, e.n_tokens,
+         |    COALESCE(SUM(e.n_tokens) OVER (
+         |      PARTITION BY d.doc_id % 8 ORDER BY d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM documents d
+         |  JOIN read_parquet('${scopedFixture(dir, "bpe")}/expected/*.parquet') e
+         |    ON d.doc_id = e.doc_id) t
          |ORDER BY doc_id""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3

@@ -58,6 +58,32 @@ object Packing {
       textCol: String,
       idCol: String,
       budget: Int = 2048,
+      shards: Int = 0): DataFrame =
+    packByCount(
+      docs.withColumn("__graft_pack_n",
+        // null text budgets as ZERO tokens (sum skips nulls anyway, but an
+        // unguarded null n_tokens emits a half-null output row: pack_first
+        // set, pack_last/n_windows null — review finding). The guard is an
+        // explicit isNull branch, NOT coalesce: under the legacy (non-ANSI)
+        // default `size(null)` is −1, not null, so coalesce would pass a
+        // NEGATIVE budget through. A 0-token doc at an exact window
+        // boundary spans no window: pack_last = pack_first − 1,
+        // n_windows = 0.
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(Text.tokenCount(col(textCol)).cast("long"))),
+      "__graft_pack_n", idCol, budget, shards)
+
+  /** [[packSequences]] with the per-document token budget supplied as a
+    * COLUMN instead of derived from whitespace tokens — the hook that
+    * packs under a real tokenizer (q102 budgets with the trained BPE
+    * counts, [[graft.functions.Bpe]]); any cost model (characters, bytes,
+    * image patches) plugs in the same way. Null counts budget as zero.
+    */
+  def packByCount(
+      docs: DataFrame,
+      countCol: String,
+      idCol: String,
+      budget: Int = 2048,
       shards: Int = 0): DataFrame = {
     require(budget > 0 && (budget & (budget - 1)) == 0,
       s"budget must be a power of two, got $budget")
@@ -81,16 +107,7 @@ object Packing {
       .select(
         id,
         shard.as("shard"),
-        // null text budgets as ZERO tokens (sum skips nulls anyway, but an
-        // unguarded null n_tokens emits a half-null output row: pack_first
-        // set, pack_last/n_windows null — review finding). The guard is an
-        // explicit isNull branch, NOT coalesce: under the legacy (non-ANSI)
-        // default `size(null)` is −1, not null, so coalesce would pass a
-        // NEGATIVE budget through. A 0-token doc at an exact window
-        // boundary spans no window: pack_last = pack_first − 1,
-        // n_windows = 0.
-        when(col(textCol).isNull, lit(0L))
-          .otherwise(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+        coalesce(col(countCol).cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("__cumb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, size, split, when}
 
 import graft.SparkSpec
 
@@ -98,5 +98,35 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Packing.packSequences(docs, "text", "doc_id", budget = 1000, shards = 2)
     }
+  }
+
+  test("packByCount budgets with the supplied column; null counts as zero") {
+    // one shard, counts 3, null, 6: stream positions 0-2, (skip), 3-8
+    // under budget 4 -> doc1 [0,0]; doc2 contributes nothing mid-window;
+    // doc3 spans windows [0,2]
+    val docs = Seq(
+      (1L, java.lang.Long.valueOf(3L)),
+      (2L, null: java.lang.Long),
+      (3L, java.lang.Long.valueOf(6L))).toDF("doc_id", "cnt")
+    val out = Packing.packByCount(docs, "cnt", "doc_id", budget = 4, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "pack_first", "pack_last", "n_windows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L, 1L), (2L, 0L, 0L, 0L, 1L), (3L, 6L, 0L, 2L, 3L)),
+      out.toString)
+  }
+
+  test("packSequences delegates to packByCount with whitespace counts (q75 parity)") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val a = Packing.packSequences(docs, "text", "doc_id", budget = 4, shards = 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.packByCount(
+      docs.withColumn("n", when(col("text").isNull, 0L)
+        .otherwise(size(split(col("text"), " ")).cast("long"))),
+      "n", "doc_id", budget = 4, shards = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
   }
 }
