@@ -53,16 +53,26 @@ object LangModel {
     round(lit(-10000.0) * log2(num / den)).cast("long")
 
   /** Adjacent token transitions of a text column: (w1, w2) per consecutive
-    * pair under the engine-wide single-space tokenizer. Documents with
-    * fewer than two tokens emit no rows.
+    * pair under the engine-wide single-space tokenizer. With
+    * `padShortDocs`, a document with fewer than two tokens emits ONE
+    * all-null row instead of none — the scoring aggregation counts only
+    * non-null transitions, so short docs surface as (0, 0) WITHOUT a
+    * join-back against the corpus (which planned as a second doc_id
+    * exchange + sort-merge join — plan-audit finding).
     */
-  private def transitions(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private def transitions(
+      docs: DataFrame, textCol: String, idCol: String,
+      padShortDocs: Boolean = false): DataFrame = {
     val t = Text.tokens(col(textCol))
+    val pairs = arrays_zip(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("w1"),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w2"))
+    val nullPad = array(struct(
+      lit(null).cast("string").as("w1"), lit(null).cast("string").as("w2")))
+    val src = if (padShortDocs)
+      when(size(pairs) > 0, pairs).otherwise(nullPad) else pairs
     docs
-      .select(col(idCol), explode(
-        arrays_zip(
-          slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("w1"),
-          slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w2"))).as("__tr"))
+      .select(col(idCol), explode(src).as("__tr"))
       .select(col(idCol),
         col("__tr").getField("w1").as("w1"),
         col("__tr").getField("w2").as("w2"))
@@ -124,20 +134,23 @@ object LangModel {
     val bigrams = spark.read.parquet(s"$path/bigrams")
     val unigrams = spark.read.parquet(s"$path/unigrams")
     val lp0 = spark.read.parquet(s"$path/defaults").head().getLong(0)
-    val scored = transitions(docs, textCol, idCol)
-      .join(bigrams, Seq("w1", "w2"), "left")
-      .join(unigrams, Seq("w1"), "left")
+    // short docs ride the SAME explode as a null pad, so one aggregation
+    // keyed on the doc id is the whole plan — scan → explode → two
+    // BROADCAST model joins → partial agg → one id exchange → final agg
+    // (no corpus join-back; plan-asserted in PlanAuditSpec)
+    transitions(docs, textCol, idCol, padShortDocs = true)
+      .join(broadcast(bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(unigrams), Seq("w1"), "left")
       .select(col(idCol),
-        coalesce(col("lp_e4"), col("miss_lp_e4"), lit(lp0)).as("__lp"))
+        col("w1"),
+        when(col("w1").isNotNull,
+          coalesce(col("lp_e4"), col("miss_lp_e4"), lit(lp0))).as("__lp"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_transitions"), sum(col("__lp")).as("__lp_sum"))
-      .withColumn("ppl_e4",
-        ExactAgg.divHalfUp(col("__lp_sum"), col("n_transitions")))
-      .drop("__lp_sum")
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
+      .agg(count(col("w1")).as("n_transitions"), sum(col("__lp")).as("__lp_sum"))
       .select(col(idCol),
-        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
-        coalesce(col("ppl_e4"), lit(0L)).as("ppl_e4"))
+        col("n_transitions"),
+        when(col("n_transitions") === 0, lit(0L))
+          .otherwise(ExactAgg.divHalfUp(col("__lp_sum"), col("n_transitions")))
+          .as("ppl_e4"))
   }
 }

@@ -519,6 +519,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q97: BPE encode is one map stage over the scan — no join, no aggregate") {
+    // the tokenizer's 100 TB shape: the merge table rides the plan as a
+    // reference object and every document encodes inside its partition;
+    // only the presentation sort exchanges
+    val p = plan("q97_bpe_tokenize")
+    assert(!p.contains("Join"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("HashAggregate"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only the final sort exchange:\n${exchanges.mkString("\n")}")
+    assert(p.linesIterator.count(_.contains("bpe_stats")) == 1, p.take(1200))
+  }
+
+  test("q101: LM scoring joins the persisted tables BROADCAST — the corpus never sort-merges") {
+    // transitions explode corpus-side and the integer log-prob tables
+    // broadcast under them; a SortMergeJoin here would shuffle every
+    // transition of a 100 TB corpus on a string key
+    val p = plan("q101_lm_perplexity")
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+  }
+
+  test("q102: BPE packing exchanges only narrow (id, shard, count) rows — text never shuffles") {
+    val p = plan("q102_bpe_packing")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+    // the BPE count is computed BELOW the shard exchange (map-side), once
+    assert(p.linesIterator.count(_.contains("bpe_stats")) == 1, p.take(1500))
+  }
+
   test("q98: classifier inference is one map stage — no join, no aggregate, no pre-sort exchange") {
     // the operator's 100 TB shape: the model rides the plan as a reference
     // object and every document is scored inside its own partition; the
