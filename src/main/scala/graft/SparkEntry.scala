@@ -2273,6 +2273,34 @@ object SparkEntry {
           Bpe.encodeStats(col("text"), merges).getField("n_tokens")),
         "__bpe_n", "doc_id", budget = 1024, shards = 8)
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: Unicode canonicalization (NFC + zero-width
+    // strip) — the normalize-before-everything ingest stage. The corpus
+    // is ASCII-clean, so known non-NFC suffixes are INJECTED
+    // deterministically from doc_id (the q76 discipline: every branch
+    // gets positive AND negative rows) — combining acute that must
+    // compose, the Angstrom singleton that must map to Å, a zero-width
+    // space that must strip, and an already-canonical tail. DuckDB
+    // re-derives via its own independent nfc_normalize, so the JVM
+    // Normalizer is value-checked byte-for-byte ----
+    "q103_unicode_normalize" -> { (s, dir) =>
+      val d = col("doc_id")
+      // decomposed e+combining-acute (must compose), the U+212B Angstrom
+      // singleton (must map to U+00C5), an embedded zero-width space
+      // (must strip), and an already-canonical tail (must pass unchanged)
+      def injected = concat(col("text"),
+        when(d % 4 === 0, lit(" café"))
+          .when(d % 4 === 1, lit(" Å"))
+          .when(d % 4 === 2, lit(" zw​sp"))
+          .otherwise(lit(" plain")))
+      Tables.documents(s, dir)
+        .select(d,
+          graft.functions.Normalize.canonicalize(injected).as("norm_text"),
+          injected.as("__raw"))
+        .withColumn("changed", (col("norm_text") =!= col("__raw")).cast("long"))
+        .withColumn("n_chars", length(col("norm_text")).cast("long"))
+        .drop("__raw")
+        .orderBy("doc_id")
     }
   )
 
@@ -3363,6 +3391,26 @@ object SparkEntry {
          |  JOIN read_parquet('${scopedFixture(dir, "bpe")}/expected/*.parquet') e
          |    ON d.doc_id = e.doc_id) t
          |ORDER BY doc_id""".stripMargin,
+    // q103: identical injected suffixes (chr() forms of the same code
+    // points), DuckDB's OWN nfc_normalize + the shared zero-width class
+    // (literal code points — RE2 has no \\u escapes), 'g' for
+    // replace-all parity with Spark's regexp_replace
+    "q103_unicode_normalize" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769)
+         |         WHEN doc_id % 4 = 1 THEN ' ' || chr(8491)
+         |         WHEN doc_id % 4 = 2 THEN ' zw' || chr(8203) || 'sp'
+         |         ELSE ' plain' END AS raw
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, raw,
+         |    regexp_replace(nfc_normalize(raw), '${graft.functions.Normalize.ZeroWidthPattern}', '', 'g') AS norm_text
+         |  FROM inj)
+         |SELECT doc_id, norm_text,
+         |  CAST(norm_text <> raw AS BIGINT) AS changed,
+         |  CAST(length(norm_text) AS BIGINT) AS n_chars
+         |FROM n ORDER BY doc_id""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k
