@@ -2301,6 +2301,16 @@ object SparkEntry {
         .withColumn("n_chars", length(col("norm_text")).cast("long"))
         .drop("__raw")
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: deterministic training-order shuffle — the final
+    // epoch permutation a shard writer iterates in: salted hash-rank
+    // order (reproducible pseudo-random; new salt = new epoch), shard
+    // from the hash (map-side, no global count barrier). Full value
+    // oracle incl. row order: the same md5 formula ranks in DuckDB ----
+    "q104_training_order" -> { (s, dir) =>
+      Sampling.trainingOrder(Tables.documents(s, dir), "doc_id",
+          shards = 16, salt = "epoch0")
+        .select("doc_id", "shuffle_key", "shard")
     }
   )
 
@@ -3411,6 +3421,13 @@ object SparkEntry {
          |  CAST(norm_text <> raw AS BIGINT) AS changed,
          |  CAST(length(norm_text) AS BIGINT) AS n_chars
          |FROM n ORDER BY doc_id""".stripMargin,
+    // q104: the same salted 60-bit hash, ranked; shard = hash mod 16
+    "q104_training_order" ->
+      """SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard FROM (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '#epoch0')), 1, 15)) AS BIGINT) AS shuffle_key
+        |  FROM documents WHERE doc_id IS NOT NULL) t
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
     // q67: same envelope family — the served results depend on the
     // persisted trained model, but any correct index returns the 3
     // queries' k results ranked 1..k

@@ -173,6 +173,31 @@ object Sampling {
         countDistinct(col("fp")).as("n_shared_fps"))
   }
 
+  /** Deterministic global training order — the final-mile shuffle a shard
+    * writer iterates in: every epoch's data order must be pseudo-random
+    * (adjacent corpus docs decorrelated) yet REPRODUCIBLE (a re-run, a
+    * resumed job, or a differently-sized cluster must emit byte-identical
+    * shards). `ORDER BY hash(key # salt)` gives both: the salted 60-bit
+    * key hash is a pure function of the row key, a new salt ("epoch1") is
+    * a fresh permutation, and the total sort is Spark's range exchange —
+    * the one shuffle the operation inherently is. The shard assignment
+    * comes from the HASH, not the sorted position (a position-based shard
+    * would need a global row count barrier; the hash shard is map-side
+    * and equally balanced). Null keys are DROPPED ([[sampleByHash]]'s
+    * policy: an unorderable row is excluded, never pinned to an end).
+    */
+  def trainingOrder(
+      df: DataFrame,
+      keyCol: String,
+      shards: Int,
+      salt: String = ""): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("shuffle_key", Dedup.tokenHash64(salted(col(keyCol), salt)))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))
+      .orderBy(col("shuffle_key"), col(keyCol))
+  }
+
   /** SemDeDup-style cluster-balanced carve (the q62/q96 composition): draw
     * a fixed-size, content-stable sample PER SEMANTIC CELL of a persisted
     * IVF index — "n vectors from every k-means cluster" — so the carve is

@@ -173,6 +173,20 @@ object IngestPipeline {
       model: graft.functions.QualityClassifier.Model,
       minScoreE4: Long = 0L)
 
+  /** Opt-in CCNet-style perplexity gate ([[graft.functions.LangModel]]):
+    * docs whose mean transition log-prob under the installed reference
+    * model exceeds `maxPplE4` are rejected (high = unlike the reference
+    * corpus). The model is the PERSISTED artifact at `modelPath` —
+    * integer tables, so scoring replays bit-identically — under the same
+    * freeze contract as the span hot list: install/retrain the model on
+    * maintenance cadence only, never between a batch's first attempt and
+    * its crash replay. Sub-2-token docs score (0, 0) and pass; the length
+    * heuristics own them.
+    */
+  final case class PerplexityGateConfig(
+      modelPath: String,
+      maxPplE4: Long)
+
   /** Steady-state maintenance cadence for the ingest loop: every
     * `everyNBatches` committed batches, fold the lake's `__ver` partitions
     * and every index's generations up to the manifest high-water mark
@@ -522,7 +536,8 @@ object IngestPipeline {
       semanticDedup: Option[SemanticDedupConfig] = None,
       decontam: Option[DecontamConfig] = None,
       spanScrub: Option[SpanScrubConfig] = None,
-      qualityGate: Option[QualityGateConfig] = None): Long = {
+      qualityGate: Option[QualityGateConfig] = None,
+      perplexityGate: Option[PerplexityGateConfig] = None): Long = {
     if (batchId <= lastApplied(spark, paths)) return 0L
 
     // HOT-SPAN SCRUB first (opt-in, rewrite-not-gate — see SpanScrubConfig):
@@ -555,13 +570,22 @@ object IngestPipeline {
     }
 
     val heuristicClean = qualityFilter(scrubbed, textCol)
-    val cleaned = qualityGate match {
+    val classifierClean = qualityGate match {
       case Some(cfg) =>
         graft.functions.QualityClassifier
           .classify(heuristicClean, textCol, cfg.model, cfg.minScoreE4)
           .filter(col("label") === "keep")
           .drop("n_feats", "score_e4", "label")
       case None => heuristicClean
+    }
+    val cleaned = perplexityGate match {
+      case Some(cfg) =>
+        val fluent = graft.functions.LangModel
+          .scoreDocs(classifierClean, textCol, idCol, cfg.modelPath)
+          .filter(col("ppl_e4") <= cfg.maxPplE4)
+          .select(col(idCol))
+        classifierClean.join(fluent, Seq(idCol), "left_semi")
+      case None => classifierClean
     }
     // intra-batch exact dedup, deterministic winner (min id per content).
     // __fp is KEPT and threaded through the fp probe and the commit-point

@@ -122,6 +122,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.takePerStratum(df, "id", "stratum", n = 1000, salt = "t1").count() == 200L)
   }
 
+  test("trainingOrder is a reproducible permutation; salts decorrelate epochs") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(Tuple1(_)).toDF("doc_id")
+    val e0 = Sampling.trainingOrder(docs, "doc_id", shards = 8, salt = "e0")
+      .select("doc_id").as[Long].collect().toSeq
+    // a permutation of the corpus, not the input order
+    assert(e0.sorted == (0L until 300L))
+    assert(e0 != (0L until 300L).toSeq)
+    // reproducible across partitionings (shard-writer contract)
+    val e0b = Sampling.trainingOrder(docs.repartition(7), "doc_id", 8, "e0")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(e0 == e0b)
+    // a new salt is a fresh permutation
+    val e1 = Sampling.trainingOrder(docs, "doc_id", 8, "e1")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(e0 != e1 && e1.sorted == (0L until 300L))
+    // shard comes from the hash: stable under reordering, roughly balanced
+    val shardSizes = Sampling.trainingOrder(docs, "doc_id", 8, "e0")
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(shardSizes.size == 8 && shardSizes.values.forall(c => c > 10 && c < 80),
+      shardSizes.toString)
+  }
+
   test("semanticCarve draws n per persisted IVF cell, content-stably") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("semcarve").toString

@@ -893,4 +893,26 @@ class IngestPipelineSpec extends SparkSpec {
       Seq((1L, tA)).toDF("doc_id", "text"), 0L,
       qualityGate = Some(allPos.copy(minScoreE4 = 10000L))) == 1L)
   }
+
+  test("perplexity gate rejects out-of-distribution docs against the installed LM") {
+    import graft.functions.LangModel
+    val lmDir = Files.createTempDirectory("ingest-lm").toString
+    // reference corpus: tB repeated — its transitions are cheap under the
+    // model; a scrambled word salad is expensive
+    LangModel.train(
+      (0L until 30L).map(i => (i, tB)).toDF("doc_id", "text"), "text", s"$lmDir/m")
+    val scores = LangModel.scoreDocs(
+      Seq((1L, tB), (2L, "dog lazy jumps the fox brown quick the over"))
+        .toDF("doc_id", "text"), "text", "doc_id", s"$lmDir/m")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("ppl_e4"))
+    assert(scores(0) < scores(1), s"fluent must score lower: ${scores.toSeq}")
+    val threshold = (scores(0) + scores(1)) / 2
+    val p = tmpRoot()
+    assert(IngestPipeline.ingestBatch(spark, p,
+      Seq((1L, tB), (2L, "dog lazy jumps the fox brown quick the over"))
+        .toDF("doc_id", "text"), 0L,
+      perplexityGate = Some(IngestPipeline.PerplexityGateConfig(s"$lmDir/m", threshold)))
+      == 1L)
+    assert(spark.read.parquet(p.docLake).select("doc_id").head().getLong(0) == 1L)
+  }
 }
