@@ -187,6 +187,24 @@ object IngestPipeline {
       modelPath: String,
       maxPplE4: Long)
 
+  /** Per-stage survivor counts of one ingest transaction — the curation
+    * funnel every production pipeline logs ("200k in, 180k past quality,
+    * 120k past dedup, 95k landed"). Stages that are not configured report
+    * the previous stage's count (nothing dropped there), so the fields
+    * always telescope: input ≥ afterQuality ≥ … ≥ accepted.
+    */
+  final case class FunnelReport(
+      batchId: Long,
+      input: Long,
+      afterQuality: Long,
+      afterClassifier: Long,
+      afterPerplexity: Long,
+      afterIntraDedup: Long,
+      afterExactIndex: Long,
+      afterDecontam: Long,
+      afterNearDup: Long,
+      accepted: Long)
+
   /** Steady-state maintenance cadence for the ingest loop: every
     * `everyNBatches` committed batches, fold the lake's `__ver` partitions
     * and every index's generations up to the manifest high-water mark
@@ -537,7 +555,8 @@ object IngestPipeline {
       decontam: Option[DecontamConfig] = None,
       spanScrub: Option[SpanScrubConfig] = None,
       qualityGate: Option[QualityGateConfig] = None,
-      perplexityGate: Option[PerplexityGateConfig] = None): Long = {
+      perplexityGate: Option[PerplexityGateConfig] = None,
+      funnelSink: Option[FunnelReport => Unit] = None): Long = {
     if (batchId <= lastApplied(spark, paths)) return 0L
 
     // HOT-SPAN SCRUB first (opt-in, rewrite-not-gate — see SpanScrubConfig):
@@ -676,6 +695,25 @@ object IngestPipeline {
       case _ => afterBand
     }
     val accepted = afterSemantic.persist() // consumers below; unpersisted before return
+
+    // Opt-in observability: one count per stage, telescoping input →
+    // accepted. Each count re-executes its stage prefix (the stages are
+    // lazy filters), so this is a monitoring-cadence tool, not a per-batch
+    // default — acceptance itself never depends on it, and a crash between
+    // the report and the commit point just reports again on replay.
+    funnelSink.foreach { sink =>
+      sink(FunnelReport(
+        batchId = batchId,
+        input = batch.count(),
+        afterQuality = heuristicClean.count(),
+        afterClassifier = classifierClean.count(),
+        afterPerplexity = cleaned.count(),
+        afterIntraDedup = intra.count(),
+        afterExactIndex = afterExact.count(),
+        afterDecontam = afterDecontam.count(),
+        afterNearDup = afterBand.count(),
+        accepted = accepted.count()))
+    }
 
     try {
       // WRITE ORDER IS LOAD-BEARING. The fingerprint append is the batch's

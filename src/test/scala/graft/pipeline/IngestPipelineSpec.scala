@@ -894,6 +894,32 @@ class IngestPipelineSpec extends SparkSpec {
       qualityGate = Some(allPos.copy(minScoreE4 = 10000L))) == 1L)
   }
 
+  test("funnel report telescopes stage survivor counts") {
+    val p = tmpRoot()
+    var funnel: Option[IngestPipeline.FunnelReport] = None
+    // batch0: 4 rows in — "hi" dies on quality, dup of tA dies intra-batch
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L,
+      funnelSink = Some(r => funnel = Some(r))) == 2L)
+    val f = funnel.get
+    assert(f.batchId == 0L && f.input == 4L && f.afterQuality == 3L)
+    assert(f.afterClassifier == 3L && f.afterPerplexity == 3L,
+      "unconfigured gates drop nothing")
+    assert(f.afterIntraDedup == 2L && f.accepted == 2L)
+    // batch1: a replay-fresh batch carrying one exact-index duplicate
+    funnel = None
+    assert(IngestPipeline.ingestBatch(spark, p,
+      Seq((10L, tB), (11L, tC)).toDF("doc_id", "text"), 1L,
+      funnelSink = Some(r => funnel = Some(r))) == 1L)
+    val f1 = funnel.get
+    assert(f1.input == 2L && f1.afterIntraDedup == 2L && f1.afterExactIndex == 1L
+      && f1.accepted == 1L, f1.toString)
+    // a replayed committed batch never reports (it no-ops before the DAG)
+    funnel = None
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L,
+      funnelSink = Some(r => funnel = Some(r))) == 0L)
+    assert(funnel.isEmpty)
+  }
+
   test("perplexity gate rejects out-of-distribution docs against the installed LM") {
     import graft.functions.LangModel
     val lmDir = Files.createTempDirectory("ingest-lm").toString
