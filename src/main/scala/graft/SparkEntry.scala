@@ -320,10 +320,15 @@ object SparkEntry {
     val stamp =
       s"$dir|${fp.get(0)}|${fp.get(1)}|merges=$BpeMergeCount|bpe=${Bpe.BpeVersion}"
     if (!fixtureReady(fixture, stamp)) {
-      val merges = Bpe.learnMerges(docs, "text", numMerges = BpeMergeCount)
+      val dict = Bpe.learnDictionary(docs, "text")
+      val merges = Bpe.trainFromDictionary(dict, numMerges = BpeMergeCount)
+      val vocab = Bpe.buildVocab(dict, merges)
       Bpe.writeMerges(s, merges, s"$fixture/merges")
+      Bpe.writeVocab(s, vocab, s"$fixture/vocab")
       Bpe.naiveTokenCounts(docs, "text", "doc_id", merges)
         .write.mode("overwrite").parquet(s"$fixture/expected")
+      Bpe.naiveIdsTable(docs, "text", "doc_id", merges, vocab)
+        .write.mode("overwrite").parquet(s"$fixture/expected_ids")
       stampFixture(fixture, stamp)
     }
     fixture
@@ -2311,6 +2316,26 @@ object SparkEntry {
       Sampling.trainingOrder(Tables.documents(s, dir), "doc_id",
           shards = 16, salt = "epoch0")
         .select("doc_id", "shuffle_key", "shard")
+    },
+    // ---- LLM-pipeline: token-ID encoding under the persisted vocabulary
+    // — the tokenizer's serving surface (what actually feeds a trainer:
+    // int ids, not strings). Vocab = base code points + merge outputs in
+    // rank order, minted once at fixture build; OOV (symbols outside the
+    // capped training dictionary) encode as −1 and are counted. The
+    // oracle joins the expected-ids table the independent textbook
+    // encoder wrote through the SAME persisted vocab (q97's differential
+    // discipline, extended to ids) ----
+    "q105_bpe_token_ids" -> { (s, dir) =>
+      val fixture = ensureBpeFixture(s, dir)
+      val merges = Bpe.readMerges(s, s"$fixture/merges")
+      val vocab = Bpe.readVocab(s, s"$fixture/vocab")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Bpe.encodeIds(col("text"), merges, vocab).as("e"))
+        .select(col("doc_id"),
+          col("e.n_tokens").as("n_tokens"),
+          col("e.n_oov").as("n_oov"),
+          col("e.ids").as("ids"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3421,6 +3446,14 @@ object SparkEntry {
          |  CAST(norm_text <> raw AS BIGINT) AS changed,
          |  CAST(length(norm_text) AS BIGINT) AS n_chars
          |FROM n ORDER BY doc_id""".stripMargin,
+    // q105: the expected-ids table from the independent encoder through
+    // the same persisted vocab; ids compare as one space-joined string
+    "q105_bpe_token_ids" ->
+      s"""SELECT d.doc_id, e.n_tokens, e.n_oov, e.ids
+         |FROM documents d
+         |JOIN read_parquet('${scopedFixture(dir, "bpe")}/expected_ids/*.parquet') e
+         |  ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q104: the same salted 60-bit hash, ranked; shard = hash mod 16
     "q104_training_order" ->
       """SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard FROM (

@@ -58,8 +58,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object Bpe {
 
   /** Scheme version — a stamp ingredient for the persisted merges fixture:
-    * any change to the trainer/encoder semantics must rebuild. */
-  val BpeVersion = 1
+    * any change to the trainer/encoder semantics must rebuild. (v2: the
+    * fixture grew the id vocabulary + expected-ids tables.) */
+  val BpeVersion = 2
 
   // ---------------------------------------------------------------- train
 
@@ -131,15 +132,21 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxVocab: Int = 50000): Seq[(String, String)] = {
-    val dict = docs
+      maxVocab: Int = 50000): Seq[(String, String)] =
+    trainFromDictionary(learnDictionary(docs, textCol, maxVocab), numMerges)
+
+  /** The capped (piece, frequency) dictionary [[learnMerges]] trains over
+    * — exposed so a fixture build can derive the merge table AND the id
+    * vocabulary ([[buildVocab]]) from the same dictionary snapshot.
+    */
+  def learnDictionary(
+      docs: DataFrame, textCol: String, maxVocab: Int = 50000): Seq[(String, Long)] =
+    docs
       .select(explode(regexp_extract_all(col(textCol), lit(Text.BpeishPattern), lit(0))).as("piece"))
       .groupBy("piece").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("piece").asc)
       .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainFromDictionary(dict, numMerges)
-  }
 
   /** Persist a trained merge table as a versioned single-file parquet
     * (rank, left, right) — the fixture other sessions/queries read back.
@@ -156,6 +163,40 @@ object Bpe {
   def readMerges(spark: SparkSession, path: String): Seq[(String, String)] =
     spark.read.parquet(path).orderBy("rank")
       .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
+  // ---------------------------------------------------------------- vocab
+
+  /** The id vocabulary a trained tokenizer serves: base symbols (the
+    * distinct code points of the training dictionary, lexicographic) take
+    * ids 0..B−1, merge OUTPUTS take B.. in rank order (first occurrence
+    * wins when two merge paths produce the same string — ("a","bc") and
+    * ("ab","c") both yield "abc"). A pure function of (dictionary,
+    * merges), so the same training inputs always mint the same ids —
+    * GPT-2's alphabet+merges vocabulary construction at the code-point
+    * level.
+    */
+  def buildVocab(
+      dictionary: Seq[(String, Long)],
+      merges: Seq[(String, String)]): Seq[String] = {
+    val base = dictionary.iterator.flatMap(w => toSymbols(w._1))
+      .toSet.toSeq.sorted
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    base.foreach(seen += _)
+    merges.foreach { case (l, r) => seen += (l + r) }
+    seen.toSeq
+  }
+
+  /** Persist a vocabulary as (id, token) parquet. */
+  def writeVocab(spark: SparkSession, vocab: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    vocab.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "token")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a vocabulary back in id order. */
+  def readVocab(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path).orderBy("id")
+      .collect().map(_.getAs[String]("token")).toSeq
 
   // ---------------------------------------------------------------- apply
 
@@ -277,6 +318,42 @@ object Bpe {
       .toDF(idCol, "n_tokens")
   }
 
+  /** Distributed naive-encode ID table — the q105 differential expected
+    * table: the textbook encoder's token stream mapped through the
+    * persisted vocabulary, OOV tokens (symbols outside the capped training
+    * dictionary) as −1. Ids render as one space-joined string so the
+    * cross-engine compare is a plain string equality.
+    */
+  private[graft] def naiveIdsTable(
+      docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], vocab: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = merges.zipWithIndex.toMap
+        val ids = vocab.zipWithIndex.toMap
+        val pat = java.util.regex.Pattern.compile(Text.BpeishPattern)
+        it.map { case (id, text) =>
+          val m = pat.matcher(if (text == null) "" else text)
+          val out = new StringBuilder
+          var n = 0L
+          var oov = 0L
+          while (m.find()) {
+            naiveEncodePiece(m.group(), ranks).foreach { tok =>
+              val tid = ids.getOrElse(tok, -1)
+              if (tid < 0) oov += 1
+              if (n > 0) out.append(' ')
+              out.append(tid)
+              n += 1
+            }
+          }
+          (id, n, oov, out.toString)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_oov", "ids")
+  }
+
   // ------------------------------------------------------------ column API
 
   /** `struct(n_pieces, n_tokens, detok)` per document — the q97 carrier
@@ -293,6 +370,16 @@ object Bpe {
   /** `array<string>` BPE tokens per document. */
   def encode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncodeTokens(ColumnBridge.expression(text), merges.toArray))
+
+  /** `struct(n_tokens, n_oov, ids)` — the production id-encode (q105):
+    * tokens mapped through the vocabulary, OOV as −1, ids space-joined
+    * (the cross-engine render). One codegen pass, merge table and vocab
+    * as plan constants.
+    */
+  def encodeIds(
+      text: Column, merges: Seq[(String, String)], vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeEncodeIds(
+      ColumnBridge.expression(text), merges.toArray, vocab.toArray))
 }
 
 /** Shared runtime for the two BPE expressions: compiled pre-tokenizer +
@@ -335,6 +422,80 @@ private[graft] class BpeEncoder(merges: Array[(String, String)]) extends Seriali
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+/** [[BpeEncoder]] + an id vocabulary: the serving-side encode-to-ids. */
+private[graft] class BpeIdEncoder(
+    merges: Array[(String, String)], vocab: Array[String]) extends Serializable {
+  @transient private lazy val pattern =
+    java.util.regex.Pattern.compile(Text.BpeishPattern)
+  @transient private lazy val ranks = {
+    val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+  @transient private lazy val ids = {
+    val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) { m.putIfAbsent(vocab(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  /** (n_tokens, n_oov, space-joined ids; OOV = −1). */
+  def stats(text: UTF8String): InternalRow = {
+    val m = pattern.matcher(text.toString)
+    val out = new java.lang.StringBuilder
+    var n = 0L
+    var oov = 0L
+    while (m.find()) {
+      val enc = Bpe.encodePiece(m.group(), ranks)
+      var i = 0
+      while (i < enc.length) {
+        val tid = ids.get(enc(i))
+        val v = if (tid == null) { oov += 1; -1 } else tid.intValue()
+        if (n > 0) out.append(' ')
+        out.append(v)
+        n += 1
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](n, oov, UTF8String.fromString(out.toString)))
+  }
+}
+
+/** `bpe_encode_ids(string)` → `struct<n_tokens:bigint, n_oov:bigint,
+  * ids:string>`: see [[Bpe.encodeIds]].
+  */
+case class BpeEncodeIds(
+    child: Expression, merges: Array[(String, String)], vocab: Array[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false),
+    StructField("ids", StringType, nullable = false)))
+  override def prettyName: String = "bpe_encode_ids"
+
+  @transient private lazy val encoder = new BpeIdEncoder(merges, vocab)
+
+  override protected def nullSafeEval(v: Any): Any =
+    encoder.stats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val enc = ctx.addReferenceObj("bpeIdEncoder", encoder, classOf[BpeIdEncoder].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $enc.stats($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `bpe_stats(string)` → `struct<n_pieces:bigint, n_tokens:bigint,

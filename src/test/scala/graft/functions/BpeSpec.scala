@@ -163,6 +163,46 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.readMerges(spark, s"$dir/merges") == merges)
   }
 
+  test("buildVocab mints base code points then merge outputs, first rank wins dupes") {
+    val dict = Seq("abc" -> 5L, "ab" -> 2L)
+    // contrived merges where two paths produce "abc"
+    val merges = Seq(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc"))
+    val vocab = Bpe.buildVocab(dict, merges)
+    // base a,b,c then outputs ab, abc (first minting), bc — no dupe
+    assert(vocab == Seq("a", "b", "c", "ab", "abc", "bc"))
+  }
+
+  test("encodeIds maps tokens through the vocab; OOV encodes as -1 and is counted") {
+    val docs = Seq((1L, "the theme"), (2L, "the θ theme")).toDF("doc_id", "text")
+    val dict = Bpe.learnDictionary(docs.filter(col("doc_id") === 1L), "text")
+    val merges = Bpe.trainFromDictionary(dict, 8)
+    val vocab = Bpe.buildVocab(dict, merges)
+    assert(!vocab.contains("θ"), "θ is outside the training dictionary")
+    val out = docs
+      .select(col("doc_id"), Bpe.encodeIds(col("text"), merges, vocab).as("e"))
+      .select(col("doc_id"), col("e.n_tokens"), col("e.n_oov"), col("e.ids"))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out(0)._3 == 0L, "doc 1 is fully in-vocab")
+    assert(out(1)._3 == 1L, "θ is the one OOV token")
+    assert(out(1)._4.split(" ").contains("-1"))
+    // ids decode back to the production token stream through the vocab
+    val toks1 = docs.filter(col("doc_id") === 1L)
+      .select(Bpe.encode(col("text"), merges)).as[Seq[String]].head()
+    val ids1 = out(0)._4.split(" ").map(_.toInt).toSeq
+    assert(ids1.map(vocab(_)) == toks1)
+    // and they match the independent naive-ids table row for row
+    val naive = Bpe.naiveIdsTable(docs, "text", "doc_id", merges, vocab)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == naive.toSeq)
+  }
+
+  test("vocab round-trips through the persisted (id, token) table in id order") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
+    val vocab = Seq("a", "b", "ab", "abb")
+    Bpe.writeVocab(spark, vocab, s"$dir/vocab")
+    assert(Bpe.readVocab(spark, s"$dir/vocab") == vocab)
+  }
+
   test("null text yields null struct; whitespace-only text yields zero counts") {
     val docs = Seq((1L, null: String), (2L, "   ")).toDF("doc_id", "text")
     val out = docs.select(col("doc_id"),
