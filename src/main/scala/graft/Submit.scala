@@ -32,11 +32,15 @@ import graft.pipeline.{BatchPipeline, IngestPipeline, StreamPipeline}
   *     ([[IngestPipeline.start]]) over a parquet file stream. Args:
   *     `in=<dir> root=<dir> checkpoint=<dir>`, optional
   *     `neardup=true decontam=true spanscrub=true maintainEvery=<n>
-  *     ivfHealth=true pqHealth=true` (`ivfHealth=true`, `pqHealth=true` and `spanscrub=true` each imply
+  *     ivfHealth=true pqHealth=true qualitygate=true minScore=<e4>
+  *     perplexity=<maxPplE4>` (`ivfHealth=true`, `pqHealth=true` and `spanscrub=true` each imply
   *     maintenance at the default cadence — the health monitor and the
   *     hot-list refresh only run there; `decontam=true` expects an eval
   *     index installed under `<root>/eval_index` via
-  *     [[graft.functions.Dedup.writeEvalIndex]]).
+  *     [[graft.functions.Dedup.writeEvalIndex]]; `qualitygate=true` and
+  *     `perplexity=<maxPplE4>` expect model artifacts installed under
+  *     `<root>/quality_model` ([[graft.functions.QualityClassifier.writeModel]])
+  *     and `<root>/lm_model` ([[graft.functions.LangModel.train]])).
   */
 object Submit {
 
@@ -105,13 +109,27 @@ object Submit {
       val decontam =
         if (boolOpt(opt, "decontam")) Some(IngestPipeline.DecontamConfig())
         else None
+      // model gates read artifacts installed OFFLINE under the root (the
+      // decontam contract): qualitygate=true loads <root>/quality_model
+      // ONCE here — the frozen-model replay-invariance contract — and
+      // perplexity=<maxPplE4> points the scorer at <root>/lm_model
+      val qualityGate =
+        if (boolOpt(opt, "qualitygate"))
+          Some(IngestPipeline.QualityGateConfig(
+            graft.functions.QualityClassifier.readModel(spark, paths.qualityModel),
+            minScoreE4 = opt.get("minScore").map(_.toLong).getOrElse(0L)))
+        else None
+      val perplexityGate = opt.get("perplexity").map { max =>
+        IngestPipeline.PerplexityGateConfig(paths.lmModel, max.toLong)
+      }
       val docs = spark.readStream
         .schema("doc_id LONG, text STRING")
         .parquet(req(opt, "in"))
       IngestPipeline.start(
         docs, paths, req(opt, "checkpoint"),
         nearDup = nearDup, decontam = decontam, spanScrub = spanScrub,
-        maintenance = maintenance)
+        maintenance = maintenance,
+        qualityGate = qualityGate, perplexityGate = perplexityGate)
       ()
     })
 
@@ -130,7 +148,8 @@ object Submit {
     "batch" -> Set("lake", "out", "date"),
     "stream" -> Set("source", "in", "brokers", "topic", "out", "checkpoint"),
     "ingest" -> Set("in", "root", "checkpoint", "neardup", "decontam",
-      "maintainEvery", "ivfHealth", "pqHealth", "spanscrub"))
+      "maintainEvery", "ivfHealth", "pqHealth", "spanscrub",
+      "qualitygate", "minScore", "perplexity"))
 
   /** Strict boolean option: absent → false; anything but a case-insensitive
     * true/false fails loudly (a silent `Neardup=True → false` is the same

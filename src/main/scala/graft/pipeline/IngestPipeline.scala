@@ -65,6 +65,10 @@ object IngestPipeline {
     val bandIndex: String = s"$root/band_index"
     val evalIndex: String = s"$root/eval_index"
     val spanIndex: String = s"$root/span_index"
+    // model artifacts the opt-in gates read (installed offline, like the
+    // eval index: QualityClassifier.writeModel / LangModel.train)
+    val qualityModel: String = s"$root/quality_model"
+    val lmModel: String = s"$root/lm_model"
     val manifest: String = s"$root/_ingest_applied"
   }
 
@@ -1044,7 +1048,9 @@ object IngestPipeline {
       semanticDedup: Option[SemanticDedupConfig] = None,
       decontam: Option[DecontamConfig] = None,
       spanScrub: Option[SpanScrubConfig] = None,
-      maintenance: Option[MaintenanceConfig] = None): StreamingQuery = {
+      maintenance: Option[MaintenanceConfig] = None,
+      qualityGate: Option[QualityGateConfig] = None,
+      perplexityGate: Option[PerplexityGateConfig] = None): StreamingQuery = {
     recoverCompaction(docs.sparkSession, paths)
     val hasEmbedding = docs.columns.contains("embedding")
     docs.writeStream
@@ -1056,7 +1062,8 @@ object IngestPipeline {
           else None
         ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
           embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup,
-          semanticDedup = semanticDedup, decontam = decontam, spanScrub = spanScrub)
+          semanticDedup = semanticDedup, decontam = decontam, spanScrub = spanScrub,
+          qualityGate = qualityGate, perplexityGate = perplexityGate)
         // maintenance AFTER the commit: the fold reads only the manifest
         // high-water mark, so a crash between commit and fold just defers
         // the fold to a later cycle (or to startup recovery). Cadence on

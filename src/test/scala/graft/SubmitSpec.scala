@@ -76,6 +76,19 @@ class SubmitSpec extends SparkSpec {
     assert(Submit.jobKeys("ingest").contains("spanscrub"))
     assert((Submit.parseArgs(Seq("spanScrub=true")).keySet --
       Submit.jobKeys("ingest")) == Set("spanScrub"))
+    // the round-12 model gates are deployable
+    assert(Set("qualitygate", "minScore", "perplexity")
+      .subsetOf(Submit.jobKeys("ingest")))
+  }
+
+  test("qualitygate=true fails loudly when no model artifact is installed") {
+    // the decontam contract: a configured-but-missing model must not start
+    // an unguarded loop
+    val e = intercept[Exception](
+      Submit.jobs("ingest")(spark, Map(
+        "in" -> "/a", "root" -> "/tmp/graft-no-such-root", "checkpoint" -> "/c",
+        "qualitygate" -> "true")))
+    assert(e.getMessage != null)
   }
 
   test("boolean options are strict: neardup=1 fails loudly instead of meaning false") {
