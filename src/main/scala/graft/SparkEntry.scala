@@ -2336,6 +2336,30 @@ object SparkEntry {
           col("e.n_oov").as("n_oov"),
           col("e.ids").as("ids"))
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: HTML → text extraction (the web-crawl WET step).
+    // Markup is INJECTED deterministically around the corpus text — three
+    // wrapper shapes by doc_id: full page with script+style payloads,
+    // inline tags with entities, and a no-markup control — and the
+    // extraction chain (drop script/style, strip tags, decode entities,
+    // collapse whitespace) is the SAME constant sequence in the Spark
+    // column and the generated oracle SQL (q68/q76 contract) ----
+    "q106_html_extract" -> { (s, dir) =>
+      val d = col("doc_id")
+      val wrapped =
+        when(d % 3 === 0, concat(
+            lit("<html><head><script type=\"a\">var x = 1 < 2;</script>" +
+              "<style>.c { }</style></head><body><p>"),
+            col("text"), lit("</p></body></html>")))
+          .when(d % 3 === 1, concat(
+            lit("<div class=\"x\">Tom &amp; co say &quot;hi&quot;: </div>"),
+            col("text"), lit(" &lt;tail&gt;&nbsp;end")))
+          .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(d,
+          graft.functions.Html.extractText(wrapped).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3454,6 +3478,25 @@ object SparkEntry {
          |JOIN read_parquet('${scopedFixture(dir, "bpe")}/expected_ids/*.parquet') e
          |  ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q106: identical injected wrappers; the extraction chain is
+    // GENERATED from Html's constants (Html.extractTextSql), so the two
+    // engines run the same replace sequence
+    "q106_html_extract" -> {
+      // single-line: a leading "||" would lose a pipe to the enclosing
+      // template's stripMargin
+      val wrapped =
+        "CASE WHEN doc_id % 3 = 0 THEN " +
+          "'<html><head><script type=\"a\">var x = 1 < 2;</script><style>.c { }</style></head><body><p>' " +
+          "|| text || '</p></body></html>' " +
+          "WHEN doc_id % 3 = 1 THEN " +
+          "'<div class=\"x\">Tom &amp; co say &quot;hi&quot;: </div>' " +
+          "|| text || ' &lt;tail&gt;&nbsp;end' " +
+          "ELSE text END"
+      s"""SELECT doc_id,
+         |  ${graft.functions.Html.extractTextSql(s"($wrapped)")} AS clean_text,
+         |  CAST(length(${graft.functions.Html.extractTextSql(s"($wrapped)")}) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // q104: the same salted 60-bit hash, ranked; shard = hash mod 16
     "q104_training_order" ->
       """SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard FROM (

@@ -704,6 +704,105 @@ object StressGen {
         f"rest min ${flat.min}%.1f max ${flat.max}%.1f s")
       lake.unpersist()
     }
+    // ---- round-12 family: MODEL-gate ingest loop at 10× — classifier
+    // (hashed-linear) and perplexity (bigram LM) gates live together, each
+    // with planted probes in its own id range. The classifier's poisoned
+    // weight is −1 against a +1 background, so score_e4 = (1 − 2·ratio)·10⁴
+    // where ratio = poisoned-feature fraction: the plant saturates its
+    // features with the marker token (ratio ≈ 0.74 → ≈ −4800), while a
+    // corpus doc that accidentally hash-collides moves by its collision
+    // RATIO only — ~1/n per colliding occurrence, nowhere near the
+    // −2000 threshold (ratio 0.6). The first smoke run used a −10⁶ poison
+    // weight, where ONE collision anywhere rejected the doc — 6% of the
+    // corpus — because e4 scoring amplifies the raw mean 10⁴×; magnitude
+    // discrimination is the wrong axis under mean scoring, ratio is the
+    // right one. Perplexity probes alternate the model's most frequent
+    // prefix with unknowns (the maximal-cost miss); the threshold is the
+    // midpoint of measured corpus-max and probe-min, and the SEPARATION
+    // is itself an asserted flag. ----
+    time("model-gate ingest loop (classifier + perplexity, planted probes)") {
+      val root = s"$outDir/ingestmodelgate"
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val paths = pipeline.IngestPipeline.IngestPaths(root)
+      val clean = pipeline.IngestPipeline.qualityFilter(docs).select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("  LM install (train bigram model on 10x corpus)") {
+        functions.LangModel.train(clean, "text", paths.lmModel)
+      }
+      val dim = functions.QualityClassifier.DefaultDim
+      val w = Array.fill(dim)(1L)
+      w(functions.QualityClassifier.featureBucket("qpoison", dim)) = -1L
+      w(functions.QualityClassifier.featureBucket("qpoison qpoison", dim)) = -1L
+      functions.QualityClassifier.writeModel(spark,
+        functions.QualityClassifier.Model(w, 0L), paths.qualityModel)
+      val qModel = functions.QualityClassifier.readModel(spark, paths.qualityModel)
+      val gate = pipeline.IngestPipeline.QualityGateConfig(qModel, minScoreE4 = -2000L)
+      // measured separation: corpus max vs gibberish min mean log-prob.
+      // Probe design: ALL-unknown gibberish scores exactly the smoothing
+      // FLOOR log2(V) per transition — the cheapest miss there is, below
+      // many real docs (the first smoke run measured the inversion). The
+      // expensive miss is a KNOWN, maximally-frequent prefix with an
+      // unseen continuation: log2(c1max + V), which upper-bounds every
+      // in-corpus transition of that prefix by ≥1 bit. So the probe
+      // alternates the model's own most-frequent token (argmax of the
+      // persisted miss table — no second corpus pass) with unknowns.
+      val maxOwn = functions.LangModel.scoreDocs(clean, "text", "doc_id", paths.lmModel)
+        .agg(F.max("ppl_e4")).head().getLong(0)
+      val commonTok = spark.read.parquet(s"${paths.lmModel}/unigrams")
+        .filter(F.length(F.col("w1")) > 0) // an empty token would mangle the probe text
+        .orderBy(F.col("miss_lp_e4").desc, F.col("w1")).head().getString(0)
+      val QP0 = 700000000L; val GB0 = 800000000L
+      val nB = 4; val nPlant = 16
+      def gibberish(i: Int) = spark.range(nPlant).select(
+        (F.col("id") + GB0 + i * 1000L).as("doc_id"),
+        F.concat(F.lit(s"zq${i}h"), F.col("id"), F.lit(" "),
+          F.lit(Seq("zzqa", "zzqb", "zzqc", "zzqd", "zzqe", "zzqf")
+            .map(z => s"$commonTok $z").mkString(" "))).as("text"))
+      val minGib = functions.LangModel.scoreDocs(gibberish(0), "text", "doc_id", paths.lmModel)
+        .agg(F.min("ppl_e4")).head().getLong(0)
+      val sep = maxOwn < minGib
+      val pplMax = (maxOwn + minGib) / 2
+      println(s"GRAFT_STRESS   ppl separation: corpusMax=$maxOwn gibberishMin=$minGib " +
+        s"threshold=$pplMax ok=$sep")
+      val ppl = pipeline.IngestPipeline.PerplexityGateConfig(paths.lmModel, pplMax)
+      var funnels = List.empty[pipeline.IngestPipeline.FunnelReport]
+      val secs = scala.collection.mutable.ArrayBuffer[Double]()
+      for (i <- 0 until nB) {
+        val own = clean.filter(F.pmod(F.col("doc_id"), F.lit(nB)) === i)
+        val poisoned = spark.range(nPlant).select(
+          (F.col("id") + QP0 + i * 1000L).as("doc_id"),
+          F.concat(F.lit(Seq.fill(12)("qpoison").mkString(" ")),
+            F.lit(" filler"), F.col("id"),
+            F.lit(s" ra${i}t"), F.col("id"), F.lit(s" rb${i}t"), F.col("id"),
+            F.lit(s" rc${i}t"), F.col("id")).as("text"))
+        val batch = own.unionByName(poisoned).unionByName(gibberish(i))
+        val t0 = System.nanoTime()
+        val n = pipeline.IngestPipeline.ingestBatch(
+          spark, paths, batch, i.toLong,
+          qualityGate = Some(gate), perplexityGate = Some(ppl),
+          funnelSink = Some(r => funnels = r :: funnels))
+        secs += (System.nanoTime() - t0) / 1e9
+        println(f"GRAFT_STRESS   batch $i: accepted $n in ${secs.last}%.1f s " +
+          s"funnel=${funnels.headOption.getOrElse("")}")
+      }
+      val lake = spark.read.parquet(paths.docLake).select("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def inRange(lo: Long) =
+        lake.filter(F.col("doc_id") >= lo && F.col("doc_id") < lo + 100000000L).count()
+      val (nQP, nGB) = (inRange(QP0), inRange(GB0))
+      val expected = clean.select("text").distinct().count()
+      val nOwn = lake.count() - nQP - nGB
+      // funnel telescoping held on every batch, and the two model stages
+      // each dropped exactly their plants
+      val fOk = funnels.forall(f =>
+        f.afterQuality >= f.afterClassifier &&
+          f.afterClassifier - f.afterPerplexity == nPlant &&
+          f.afterQuality - f.afterClassifier == nPlant)
+      println(s"GRAFT_STRESS   poisoned landed=$nQP (want 0), gibberish landed=$nGB (want 0), " +
+        s"own=$nOwn expectedUnique=$expected funnelOk=$fOk " +
+        s"ok=${nQP == 0 && nGB == 0 && nOwn == expected && fOk && sep}")
+      lake.unpersist(); clean.unpersist()
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()

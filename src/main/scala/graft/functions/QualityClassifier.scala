@@ -120,6 +120,14 @@ object QualityClassifier {
       .drop("__q")
   }
 
+  /** Bucket index of one feature string under a dimension — the scorer's
+    * own hash, exposed so model CONSTRUCTION can target specific buckets
+    * (planting a poisoned weight for a marker token in tests/soaks, or
+    * importing trained weights keyed by feature).
+    */
+  def featureBucket(feat: String, dim: Int): Int =
+    new QualityScorer(new Array[Long](dim)).bucket(feat)
+
   /** The oracle-side SQL mirrors, generated from the same constants. */
   object Sql {
     /** Bucket weight by the synthesized-demo formula. */
@@ -175,6 +183,8 @@ case class QualityFeatureSum(child: Expression, weights: Array[Long])
   */
 private[graft] class QualityScorer(weights: Array[Long]) extends Serializable {
   @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  private[graft] def bucket(feat: String): Int = bucketOf(feat)
 
   private def bucketOf(feat: String): Int = {
     md.reset()
