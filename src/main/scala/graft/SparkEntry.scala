@@ -2360,6 +2360,25 @@ object SparkEntry {
           graft.functions.Html.extractText(wrapped).as("clean_text"))
         .withColumn("n_chars", length(col("clean_text")).cast("long"))
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: chat-template rendering (SFT data prep) —
+    // (system, user, assistant) turns synthesized deterministically from
+    // documents (every fifth doc gets a NULL system prompt, pinning the
+    // empty-turn contract), serialized with the shared ChatML constants,
+    // and token-budgeted. The oracle renders with the SAME generated
+    // template, so any drift in special tokens or turn order hash-fails ----
+    "q107_chat_template" -> { (s, dir) =>
+      val d = col("doc_id")
+      graft.ops.ChatTemplate.renderConversations(
+        Tables.documents(s, dir)
+          .withColumn("system",
+            when(d % 5 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("You are assistant "), (d % 7).cast("string"))))
+          .withColumn("user", concat(lit("Summarize document "), d.cast("string")))
+          .withColumn("assistant", col("text")),
+        "system", "user", "assistant")
+        .select("doc_id", "rendered", "rendered_tokens")
+        .orderBy("doc_id")
     }
   )
 
@@ -3495,6 +3514,17 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  ${graft.functions.Html.extractTextSql(s"($wrapped)")} AS clean_text,
          |  CAST(length(${graft.functions.Html.extractTextSql(s"($wrapped)")}) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // q107: identical synthesized turns, the template generated from the
+    // SAME constants (ChatTemplate.renderSql)
+    "q107_chat_template" -> {
+      val rendered = graft.ops.ChatTemplate.renderSql(
+        "(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'You are assistant ' || CAST(doc_id % 7 AS VARCHAR) END)",
+        "('Summarize document ' || CAST(doc_id AS VARCHAR))",
+        "text")
+      s"""SELECT doc_id, $rendered AS rendered,
+         |  CAST(len(string_split($rendered, ' ')) AS BIGINT) AS rendered_tokens
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     // q104: the same salted 60-bit hash, ranked; shard = hash mod 16
