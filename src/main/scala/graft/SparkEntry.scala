@@ -370,11 +370,35 @@ object SparkEntry {
     fixture
   }
 
+  /** Stamped build of the q108 INCREMENTAL LM fixture: generation 0
+    * installed from the even docs, generation 1 appended from the
+    * doc_id % 4 == 1 quarter (so a quarter of the corpus stays unseen and
+    * scoring exercises the miss ladders), model refreshed from the
+    * accumulated facts. 6th generational-index family, same protocol.
+    */
+  private[graft] def ensureLmIncFixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "bigram_lm_inc")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|lm=${LangModel.LmVersion}|incr-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      LangModel.installCountIndex(
+        docs.filter(col("doc_id") % 2 === 0), "text", s"$fixture/inc")
+      LangModel.appendCounts(
+        docs.filter(col("doc_id") % 4 === 1), s"$fixture/inc", generation = 1L)
+      LangModel.refreshModel(s, s"$fixture/inc")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   private[graft] def prebuildFixtures(s: SparkSession, dir: String): Unit = {
     ensureFpIndexFixture(s, dir)
     ensureBpeFixture(s, dir)
     ensureQualityModel(s, dir)
     ensureLmFixture(s, dir)
+    ensureLmIncFixture(s, dir)
     ensureBandIndexFixture(s, dir)
     ensureEvalIndexFixture(s, dir)
     ensureIvfIndex(Tables.embeddings(s, dir), dir,
@@ -2379,6 +2403,19 @@ object SparkEntry {
         "system", "user", "assistant")
         .select("doc_id", "rendered", "rendered_tokens")
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: INCREMENTALLY-built LM served end-to-end — the
+    // model grown as a generational count-fact index (install gen 0 on
+    // the even docs, append gen 1 as the %4==1 quarter, refresh via
+    // staged swap; the %4==3 quarter stays unseen so scoring exercises
+    // every miss ladder) under the shared IndexProtocol. Spec-pinned
+    // equal to a full retrain on the same union; the oracle joins the
+    // refreshed artifact (q101's shared-artifact family) ----
+    "q108_lm_incremental" -> { (s, dir) =>
+      val fixture = ensureLmIncFixture(s, dir)
+      LangModel.scoreDocs(Tables.documents(s, dir), "text", "doc_id",
+          LangModel.modelRoot(s"$fixture/inc"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3516,6 +3553,32 @@ object SparkEntry {
          |  CAST(length(${graft.functions.Html.extractTextSql(s"($wrapped)")}) AS BIGINT) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // q108: the q101 scoring SQL against the INCREMENTALLY-refreshed
+    // artifact (same shared-artifact family; no band ladder — the gate's
+    // subject is the grown model's serve path)
+    "q108_lm_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tr AS (
+         |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |lp AS (
+         |  SELECT tr.doc_id,
+         |    COALESCE(b.lp_e4, un.miss_lp_e4,
+         |      (SELECT lp0_e4 FROM read_parquet('${scopedFixture(dir, "bigram_lm_inc")}/inc/model/defaults/*.parquet'))) AS l
+         |  FROM tr
+         |  LEFT JOIN read_parquet('${scopedFixture(dir, "bigram_lm_inc")}/inc/model/bigrams/*.parquet') b
+         |    ON tr.w1 = b.w1 AND tr.w2 = b.w2
+         |  LEFT JOIN read_parquet('${scopedFixture(dir, "bigram_lm_inc")}/inc/model/unigrams/*.parquet') un
+         |    ON tr.w1 = un.w1),
+         |s AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         |    CAST(SUM(l) AS BIGINT) AS lps
+         |  FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(s.n_transitions, 0) AS n_transitions,
+         |  COALESCE(CAST(${ExactAgg.Sql.divHalfUp("s.lps", "s.n_transitions")} AS BIGINT), 0) AS ppl_e4
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q107: identical synthesized turns, the template generated from the
     // SAME constants (ChatTemplate.renderSql)
     "q107_chat_template" -> {

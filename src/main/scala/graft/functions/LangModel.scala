@@ -118,6 +118,103 @@ object LangModel {
     m.group(1).toLong
   }
 
+  // ------------------------------------------------- incremental counts
+
+  /** The incremental flavor (q108): transition-count FACTS live as a
+    * generational persisted index — `counts/batch=<gen>` directories of
+    * (w1, w2, src, c) rows under the [[IndexProtocol]] crash protocol,
+    * exactly the span-count index's shape — and the SERVED artifact (the
+    * `model/` tables [[scoreDocs]] reads) is re-derived from the
+    * accumulated facts on maintenance cadence via a staged swap. A
+    * training corpus that grows by ingest batches then pays one O(batch)
+    * count pass per batch, not an O(corpus) retrain: counts are the
+    * sufficient statistics of this model, so refresh-from-facts is
+    * EXACTLY a full retrain (`LangModelSpec` pins the two byte-equal).
+    *
+    * Crash windows, by construction: appends are atomic generation
+    * publishes (replay no-ops); the refresh reads `distinct` facts (a
+    * fold's post-swap duplicate generations sum once — the span-index
+    * argument verbatim) and swaps the model in whole; scoring between
+    * refreshes sees the previous model, which is the frozen-artifact
+    * contract the ingest gate already requires.
+    */
+  private def countsRoot(path: String) = s"$path/counts"
+
+  /** Served-model root under an incremental install — pass to
+    * [[scoreDocs]]/[[readVocabSize]]. */
+  def modelRoot(path: String): String = s"$path/model"
+
+  private def countFacts(
+      docs: DataFrame, textCol: String, generation: Long): DataFrame =
+    transitions(docs.withColumn("__lm_id", lit(0L)), textCol, "__lm_id")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .select(col("w1"), col("w2"), lit(generation).as("src"), col("c"))
+
+  /** Install a count index from a history corpus (generation 0) and
+    * derive the first served model. */
+  def installCountIndex(
+      history: DataFrame, textCol: String, path: String): Unit = {
+    val spark = history.sparkSession
+    val fs = IndexProtocol.fileSystem(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    IndexProtocol.writeLayoutPayload(spark, path, s"lm=$LmVersion")
+    graft.sinks.Sinks.publishDir(
+      countFacts(history, textCol, generation = 0L), countsRoot(path), "batch=0")
+    refreshModel(spark, path)
+  }
+
+  /** Publish one batch's transition counts as its own immutable
+    * generation. Returns false for an already-published generation
+    * (replay no-op), like every generational append. */
+  def appendCounts(
+      batch: DataFrame, path: String, generation: Long,
+      textCol: String = "text"): Boolean = {
+    val payload = IndexProtocol.readLayoutPayload(batch.sparkSession, path)
+    require(payload == s"lm=$LmVersion",
+      s"LM count index at $path is '$payload', this build writes lm=$LmVersion — rebuild")
+    graft.sinks.Sinks.publishDir(
+      countFacts(batch, textCol, generation), countsRoot(path), s"batch=$generation")
+  }
+
+  def countIndexReadable(spark: SparkSession, path: String): Boolean =
+    IndexProtocol.generationalReadable(spark, path, Seq("counts"))
+
+  /** Fold count generations ≤ upToGen into one (membership-fact argument:
+    * rows are (w1, w2, src, c) facts, duplicates from a crashed fold sum
+    * once through the refresh's distinct). */
+  def compactCountIndex(spark: SparkSession, path: String, upToGen: Long): Unit =
+    IndexProtocol.compactGenerational(spark, countsRoot(path), upToGen)
+
+  /** Re-derive the served model from the accumulated facts and swap it
+    * in. Identical arithmetic to [[train]] — same smoothing, same
+    * quantization — over summed counts, so an install+appends+refresh
+    * equals a full retrain on the union corpus. */
+  def refreshModel(spark: SparkSession, path: String): Unit = {
+    if (!countIndexReadable(spark, path)) return
+    val big = spark.read.parquet(countsRoot(path))
+      .select("w1", "w2", "src", "c").distinct()
+      .groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
+      .localCheckpoint(false)
+    val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = big.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val V = math.max(vocab, 1L)
+    IndexProtocol.stagedReplace(spark, modelRoot(path)) { next =>
+      import spark.implicits._
+      big.join(uni, "w1")
+        .select(col("w1"), col("w2"),
+          lpE4Col(col("c12") + 1, col("c1") + V).as("lp_e4"))
+        .write.mode("overwrite").parquet(s"$next/bigrams")
+      uni
+        .select(col("w1"), lpE4Col(lit(1), col("c1") + V).as("miss_lp_e4"))
+        .write.mode("overwrite").parquet(s"$next/unigrams")
+      Seq(lpE4(1.0 / V.toDouble)).toDF("lp0_e4")
+        .coalesce(1).write.mode("overwrite").parquet(s"$next/defaults")
+      IndexProtocol.writeLayoutPayload(spark, next, s"v=$V,lm=$LmVersion")
+    }
+  }
+
   /** Score documents against a persisted model: per doc, the number of
     * transitions and the mean per-transition log₂-probability in e4 units
     * (half-up — [[ExactAgg.divHalfUp]], mirrored in the oracle). Lower is

@@ -24,8 +24,8 @@ class RegistryContractSpec extends AnyFunSuite {
     // exactly the fixture-reading oracles may vary, and only in their path
     // (q97 joins the BPE expected table, q100 reads the IVF lists)
     assert(differing == Seq("q100_semantic_carve", "q101_lm_perplexity",
-        "q102_bpe_packing", "q105_bpe_token_ids", "q47_json_raw_lake",
-        "q79_ivf_index_health", "q97_bpe_tokenize"),
+        "q102_bpe_packing", "q105_bpe_token_ids", "q108_lm_incremental",
+        "q47_json_raw_lake", "q79_ivf_index_health", "q97_bpe_tokenize"),
       s"unexpected sf-dependent oracles: $differing")
     differing.foreach { k =>
       assert(a(k).contains("_root_testdata_sf0_01") && b(k).contains("_root_testdata_sf0_1"),

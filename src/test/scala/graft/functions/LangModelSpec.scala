@@ -72,6 +72,55 @@ class LangModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("install + appends + refresh equals a full retrain, byte for byte") {
+    val dir = Files.createTempDirectory("lm_inc").toString
+    val half1 = (0L until 40L).map(i => (i, s"the quick fox t$i runs the maze"))
+      .toDF("doc_id", "text")
+    val half2 = (40L until 80L).map(i => (i, s"a lazy dog d$i naps in a sunbeam"))
+      .toDF("doc_id", "text")
+    // incremental: install on half1, append half2, refresh
+    LangModel.installCountIndex(half1, "text", s"$dir/inc")
+    assert(LangModel.appendCounts(half2, s"$dir/inc", generation = 1L))
+    LangModel.refreshModel(spark, s"$dir/inc")
+    // full retrain on the union
+    LangModel.train(half1.unionByName(half2), "text", s"$dir/full")
+    val incModel = LangModel.modelRoot(s"$dir/inc")
+    for (t <- Seq("bigrams", "unigrams", "defaults")) {
+      val a = spark.read.parquet(s"$incModel/$t").collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$dir/full/$t").collect().map(_.toSeq).toSet
+      assert(a == b, s"table $t diverged")
+    }
+    assert(LangModel.readVocabSize(spark, incModel) ==
+      LangModel.readVocabSize(spark, s"$dir/full"))
+    // and the served scores agree on a probe batch
+    val probe = Seq((1L, "the quick fox runs"), (2L, "unknown words only zz"))
+      .toDF("doc_id", "text")
+    assert(LangModel.scoreDocs(probe, "text", "doc_id", incModel)
+        .orderBy("doc_id").collect().toSeq ==
+      LangModel.scoreDocs(probe, "text", "doc_id", s"$dir/full")
+        .orderBy("doc_id").collect().toSeq)
+  }
+
+  test("count-index protocol: replayed appends no-op, fold preserves the refreshed model") {
+    val dir = Files.createTempDirectory("lm_inc2").toString
+    val p = s"$dir/inc"
+    LangModel.installCountIndex(
+      Seq((1L, "a b a b c")).toDF("doc_id", "text"), "text", p)
+    val batch = Seq((2L, "b c b c a")).toDF("doc_id", "text")
+    assert(LangModel.appendCounts(batch, p, 1L))
+    assert(!LangModel.appendCounts(batch, p, 1L), "replay must no-op")
+    LangModel.refreshModel(spark, p)
+    val before = spark.read.parquet(s"${LangModel.modelRoot(p)}/bigrams")
+      .collect().map(_.toSeq).toSet
+    LangModel.compactCountIndex(spark, p, upToGen = 1L)
+    LangModel.refreshModel(spark, p)
+    val after = spark.read.parquet(s"${LangModel.modelRoot(p)}/bigrams")
+      .collect().map(_.toSeq).toSet
+    assert(before == after, "fold must not change the derived model")
+    assert(LangModel.countIndexReadable(spark, p))
+    assert(!LangModel.countIndexReadable(spark, s"$dir/nowhere"))
+  }
+
   test("version check refuses a future-scheme model") {
     val p = trainToy()
     IndexProtocol.writeLayoutPayload(spark, p, "v=2,lm=99")
