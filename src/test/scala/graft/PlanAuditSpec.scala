@@ -551,6 +551,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("bpe_stats")) == 1, p.take(1500))
   }
 
+  test("q100: the semantic carve scans list metadata only — no vector column anywhere") {
+    val p = plan("q100_semantic_carve")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("embedding"),
+      "the carve must never load vectors:\n" + p.take(1200))
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashEx.forall(_.contains("cell_id")),
+      s"expected only cell-keyed exchanges:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q104: the epoch permutation is ONE range-sort exchange; keys derive map-side") {
+    val p = plan("q104_training_order")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only the total-sort exchange:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("HashAggregate") && !p.contains("Window "),
+      "no count barrier, no window:\n" + p.take(800))
+  }
+
+  test("q107: template rendering is a pure map stage") {
+    val p = plan("q107_chat_template")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only the final sort exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q98: classifier inference is one map stage — no join, no aggregate, no pre-sort exchange") {
     // the operator's 100 TB shape: the model rides the plan as a reference
     // object and every document is scored inside its own partition; the
