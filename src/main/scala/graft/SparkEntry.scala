@@ -2589,6 +2589,50 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Generated DuckDB oracle for LM scoring against a persisted artifact
+    * (q101 full-trained, q108 incrementally-grown): ONE scoring SQL —
+    * single-space transitions, the bigram-hit → known-prefix → global-
+    * floor coalesce ladder over the artifact tables, the shared half-up
+    * mean — so the two gates cannot drift; q101 additionally appends its
+    * fluency band ladder.
+    */
+  private def lmScoringOracleSql(modelRoot: String, withBand: Boolean): String = {
+    val core =
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tr AS (
+         |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |lp AS (
+         |  SELECT tr.doc_id,
+         |    COALESCE(b.lp_e4, un.miss_lp_e4,
+         |      (SELECT lp0_e4 FROM read_parquet('$modelRoot/defaults/*.parquet'))) AS l
+         |  FROM tr
+         |  LEFT JOIN read_parquet('$modelRoot/bigrams/*.parquet') b
+         |    ON tr.w1 = b.w1 AND tr.w2 = b.w2
+         |  LEFT JOIN read_parquet('$modelRoot/unigrams/*.parquet') un
+         |    ON tr.w1 = un.w1),
+         |s AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         |    CAST(SUM(l) AS BIGINT) AS lps
+         |  FROM lp GROUP BY doc_id),
+         |scored AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(s.n_transitions, 0) AS n_transitions,
+         |    COALESCE(CAST(${ExactAgg.Sql.divHalfUp("s.lps", "s.n_transitions")} AS BIGINT), 0) AS ppl_e4
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+         |""".stripMargin
+    if (withBand)
+      core +
+        """SELECT doc_id, n_transitions, ppl_e4,
+          |  CASE WHEN n_transitions = 0 THEN 'empty'
+          |       WHEN ppl_e4 < 80000 THEN 'fluent'
+          |       WHEN ppl_e4 < 120000 THEN 'mid'
+          |       ELSE 'suspect' END AS band
+          |FROM scored ORDER BY doc_id""".stripMargin
+    else
+      core + "SELECT doc_id, n_transitions, ppl_e4 FROM scored ORDER BY doc_id"
+  }
+
   private def minhashOracleSql(
       nHashes: Int, nBands: Int, seed: Long,
       src: String = "documents"): String =
@@ -3461,34 +3505,7 @@ object SparkEntry {
     // log-prob tables (trained artifact = shared source of truth), same
     // coalesce ladder and half-up mean, same band thresholds
     "q101_lm_perplexity" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |tr AS (
-         |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
-         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
-         |lp AS (
-         |  SELECT tr.doc_id,
-         |    COALESCE(b.lp_e4, un.miss_lp_e4,
-         |      (SELECT lp0_e4 FROM read_parquet('${scopedFixture(dir, "bigram_lm")}/model/defaults/*.parquet'))) AS l
-         |  FROM tr
-         |  LEFT JOIN read_parquet('${scopedFixture(dir, "bigram_lm")}/model/bigrams/*.parquet') b
-         |    ON tr.w1 = b.w1 AND tr.w2 = b.w2
-         |  LEFT JOIN read_parquet('${scopedFixture(dir, "bigram_lm")}/model/unigrams/*.parquet') un
-         |    ON tr.w1 = un.w1),
-         |s AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
-         |    CAST(SUM(l) AS BIGINT) AS lps
-         |  FROM lp GROUP BY doc_id)
-         |SELECT doc_id, n_transitions, ppl_e4,
-         |  CASE WHEN n_transitions = 0 THEN 'empty'
-         |       WHEN ppl_e4 < 80000 THEN 'fluent'
-         |       WHEN ppl_e4 < 120000 THEN 'mid'
-         |       ELSE 'suspect' END AS band
-         |FROM (
-         |  SELECT d.doc_id,
-         |    COALESCE(s.n_transitions, 0) AS n_transitions,
-         |    COALESCE(CAST(${ExactAgg.Sql.divHalfUp("s.lps", "s.n_transitions")} AS BIGINT), 0) AS ppl_e4
-         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
-         |ORDER BY doc_id""".stripMargin,
+      lmScoringOracleSql(s"${scopedFixture(dir, "bigram_lm")}/model", withBand = true),
     // q102: the q75 running-sum shape, budgeted with the BPE expected
     // table's counts (production == naive is q97's already-gated equality)
     "q102_bpe_packing" ->
@@ -3557,28 +3574,8 @@ object SparkEntry {
     // artifact (same shared-artifact family; no band ladder — the gate's
     // subject is the grown model's serve path)
     "q108_lm_incremental" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |tr AS (
-         |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
-         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
-         |lp AS (
-         |  SELECT tr.doc_id,
-         |    COALESCE(b.lp_e4, un.miss_lp_e4,
-         |      (SELECT lp0_e4 FROM read_parquet('${scopedFixture(dir, "bigram_lm_inc")}/inc/model/defaults/*.parquet'))) AS l
-         |  FROM tr
-         |  LEFT JOIN read_parquet('${scopedFixture(dir, "bigram_lm_inc")}/inc/model/bigrams/*.parquet') b
-         |    ON tr.w1 = b.w1 AND tr.w2 = b.w2
-         |  LEFT JOIN read_parquet('${scopedFixture(dir, "bigram_lm_inc")}/inc/model/unigrams/*.parquet') un
-         |    ON tr.w1 = un.w1),
-         |s AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
-         |    CAST(SUM(l) AS BIGINT) AS lps
-         |  FROM lp GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  COALESCE(s.n_transitions, 0) AS n_transitions,
-         |  COALESCE(CAST(${ExactAgg.Sql.divHalfUp("s.lps", "s.n_transitions")} AS BIGINT), 0) AS ppl_e4
-         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      lmScoringOracleSql(
+        s"${scopedFixture(dir, "bigram_lm_inc")}/inc/model", withBand = false),
     // q107: identical synthesized turns, the template generated from the
     // SAME constants (ChatTemplate.renderSql)
     "q107_chat_template" -> {
