@@ -393,12 +393,31 @@ object SparkEntry {
     fixture
   }
 
+  /** Stamped train of the q110 TRIGRAM fixture — the same artifact family
+    * as q101 at order 3 (CCNet's production filter is order 5; order 3 is
+    * the smallest n that exercises the joined-context path). Pure function
+    * of (corpus slice, order, scheme version).
+    */
+  private[graft] def ensureLm3Fixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "trigram_lm")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|lm=${LangModel.LmVersion}|n=3"
+    if (!fixtureReady(fixture, stamp)) {
+      LangModel.train(docs, "text", s"$fixture/model", order = 3)
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   private[graft] def prebuildFixtures(s: SparkSession, dir: String): Unit = {
     ensureFpIndexFixture(s, dir)
     ensureBpeFixture(s, dir)
     ensureQualityModel(s, dir)
     ensureLmFixture(s, dir)
     ensureLmIncFixture(s, dir)
+    ensureLm3Fixture(s, dir)
     ensureBandIndexFixture(s, dir)
     ensureEvalIndexFixture(s, dir)
     ensureIvfIndex(Tables.embeddings(s, dir), dir,
@@ -2416,6 +2435,19 @@ object SparkEntry {
       LangModel.scoreDocs(Tables.documents(s, dir), "text", "doc_id",
           LangModel.modelRoot(s"$fixture/inc"))
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: ORDER-3 LM perplexity (round-12 verdict #2) —
+    // the same integer-artifact scoring family as q101 with the context
+    // generalized to the two preceding tokens (CCNet's real filter is a
+    // 5-gram KenLM; the order is a training knob recorded in the
+    // artifact's layout, so scoring can never probe at the wrong n).
+    // Same plan shape: explode → size-chosen model joins → one id-keyed
+    // agg, no corpus join-back (PlanAuditSpec) ----
+    "q110_lm_trigram" -> { (s, dir) =>
+      val fixture = ensureLm3Fixture(s, dir)
+      LangModel.scoreDocs(Tables.documents(s, dir), "text", "doc_id",
+          s"$fixture/model")
+        .orderBy("doc_id")
     }
   )
 
@@ -2590,18 +2622,22 @@ object SparkEntry {
   }
 
   /** Generated DuckDB oracle for LM scoring against a persisted artifact
-    * (q101 full-trained, q108 incrementally-grown): ONE scoring SQL —
-    * single-space transitions, the bigram-hit → known-prefix → global-
-    * floor coalesce ladder over the artifact tables, the shared half-up
-    * mean — so the two gates cannot drift; q101 additionally appends its
-    * fluency band ladder.
+    * (q101 full-trained order 2, q108 incrementally-grown, q110 order 3):
+    * ONE scoring SQL — single-space transitions at the model's order
+    * (context = the n−1 preceding tokens space-joined), the hit →
+    * known-context → global-floor coalesce ladder over the artifact
+    * tables, the shared half-up mean — so the gates cannot drift; q101
+    * additionally appends its fluency band ladder.
     */
-  private def lmScoringOracleSql(modelRoot: String, withBand: Boolean): String = {
+  private def lmScoringOracleSql(
+      modelRoot: String, withBand: Boolean, order: Int = 2): String = {
     val core =
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |tr AS (
-         |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
-         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |  SELECT doc_id,
+         |    array_to_string(t[CAST(i AS INT):CAST(i AS INT) + ${order - 2}], ' ') AS w1,
+         |    t[CAST(i AS INT) + ${order - 1}] AS w2
+         |  FROM toks, UNNEST(range(1, len(t) - ${order - 2})) AS u(i)),
          |lp AS (
          |  SELECT tr.doc_id,
          |    COALESCE(b.lp_e4, un.miss_lp_e4,
@@ -3576,6 +3612,11 @@ object SparkEntry {
     "q108_lm_incremental" ->
       lmScoringOracleSql(
         s"${scopedFixture(dir, "bigram_lm_inc")}/inc/model", withBand = false),
+    // q110: the q101 scoring SQL generalized to the order-3 context (the
+    // two preceding tokens space-joined) against the trigram artifact
+    "q110_lm_trigram" ->
+      lmScoringOracleSql(
+        s"${scopedFixture(dir, "trigram_lm")}/model", withBand = false, order = 3),
     // q107: identical synthesized turns, the template generated from the
     // SAME constants (ChatTemplate.renderSql)
     "q107_chat_template" -> {

@@ -3,70 +3,95 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** CCNet-style n-gram language-model perplexity filtering: train a bigram
-  * LM on a reference corpus, persist it as an INTEGER log-probability
-  * artifact, and score documents by mean per-transition log-probability —
-  * the quality signal CCNet/LLaMA-era curation actually ranks Common
-  * Crawl with (a KenLM perplexity, here an order-2 model with add-one
-  * smoothing; [[QualityClassifier]] is the discriminative sibling).
+/** CCNet-style n-gram language-model perplexity filtering: train an
+  * order-n LM on a reference corpus, persist it as an INTEGER
+  * log-probability artifact, and score documents by mean per-transition
+  * log-probability — the quality signal CCNet/LLaMA-era curation actually
+  * ranks Common Crawl with (a KenLM perplexity; CCNet's production filter
+  * is a 5-gram model — `order` is the knob. [[QualityClassifier]] is the
+  * discriminative sibling).
+  *
+  * Model order: a transition is (context, w) where context is the n−1
+  * preceding tokens joined with one space (for the default order 2 the
+  * context IS the previous token, so the artifact is the classic bigram
+  * table). Add-one smoothing over contexts: p = (c(ctx,w)+1)/(c(ctx)+V),
+  * V = distinct tokens appearing in any transition position.
   *
   * Fixed-point contract: floating point happens ONCE, at train time —
-  * each probability becomes `lp_e4 = round(−10⁴·log₂ p)` (StrictMath, so
-  * the artifact is platform-reproducible) and lands in the persisted
-  * tables. Scoring and the DuckDB oracle both consume the SAME integer
-  * tables (the q100 shared-artifact discipline), so no engine ever
-  * recomputes a logarithm and scores replay bit-identically.
+  * each probability becomes `lp_e4 = round(−10⁴·log₂ p)` and lands in the
+  * persisted tables; scoring and the DuckDB oracle both consume the SAME
+  * integer tables (the q100 shared-artifact discipline), so no engine ever
+  * recomputes a logarithm and scores replay bit-identically. The driver-
+  * side constant ([[lpE4]], the `defaults` row) quantizes via StrictMath
+  * so that one value is platform-reproducible; the table columns quantize
+  * through Spark's codegen `log2` + half-up `round`, which may differ from
+  * StrictMath by an ulp on other platforms — the artifact is therefore
+  * reproducible PER PERSISTED TRAIN (every consumer reads identical
+  * integers), not bit-pinned across JVMs, and nothing downstream depends
+  * on more.
   *
   * Model artifact layout at `path`:
-  *   - `bigrams/`  (w1, w2, lp_e4): observed transitions,
+  *   - `bigrams/`  (w1, w2, lp_e4): observed transitions (w1 = the joined
+  *     n−1-token context, w2 = the next token),
   *     p = (c(w1,w2)+1)/(c(w1)+V)
   *   - `unigrams/` (w1, miss_lp_e4): the smoothed floor for an UNSEEN
-  *     transition out of a known w1, p = 1/(c(w1)+V)
-  *   - `defaults/` (lp0_e4): the global floor for an unknown w1,
+  *     next token out of a known context, p = 1/(c(w1)+V)
+  *   - `defaults/` (lp0_e4): the global floor for an unknown context,
   *     p = 1/V — one row, so every scoring constant comes from the
   *     artifact, never from code
-  *   - `_GRAFT_LAYOUT` (v=<vocab>,lm=<version>): the smoothing
-  *     denominator travels with the model ([[IndexProtocol]] contract)
+  *   - `_GRAFT_LAYOUT` (v=<vocab>,lm=<version>,n=<order>): the smoothing
+  *     denominator and the order travel with the model
+  *     ([[IndexProtocol]] contract) — scoring derives its transition
+  *     shape from the artifact, so a model can never be probed at the
+  *     wrong order
   *
   * Scale shape: training is two hash aggregations over exploded
   * transitions (narrow (w1, w2) rows, one shuffle each); scoring joins
-  * the batch's transitions against the bigram table — broadcast when the
-  * model is small, an ordinary equi-join keyed on (w1, w2) when a 100 TB
-  * reference corpus makes it big — followed by one per-doc aggregation.
-  * Nothing driver-side at any size.
+  * the batch's transitions against the model tables — no join strategy is
+  * hinted, so the optimizer broadcasts a small model by size and degrades
+  * to an ordinary (w1, w2)-keyed equi-join when a 100 TB reference corpus
+  * makes the table exceed the broadcast threshold (an explicit hint here
+  * would instead fail hard on the 8 GB broadcast cap — round-12 advice) —
+  * followed by one per-doc aggregation. Nothing driver-side at any size.
   */
 object LangModel {
 
-  /** Scheme version — a stamp ingredient for persisted model fixtures. */
-  val LmVersion = 1
+  /** Scheme version — a stamp ingredient for persisted model fixtures.
+    * (v2: the artifact records its order and supports n > 2.) */
+  val LmVersion = 2
 
   private def lpE4(p: Double): Long =
-    Math.round(-10000.0 * Math.log(p) / Math.log(2.0))
+    Math.round(-10000.0 * StrictMath.log(p) / StrictMath.log(2.0))
 
   /** Column form of [[lpE4]] over a probability ratio num/den — built-in
     * log2 + half-up round, so quantization stays inside codegen (no UDF).
     * The artifact persists the RESULT, so every consumer — scoring,
     * replays, the oracle — reads identical integers regardless of where
-    * the model was trained.
+    * the model was trained (see the reproducibility note in the scaladoc).
     */
   private def lpE4Col(num: Column, den: Column): Column =
     round(lit(-10000.0) * log2(num / den)).cast("long")
 
-  /** Adjacent token transitions of a text column: (w1, w2) per consecutive
-    * pair under the engine-wide single-space tokenizer. With
-    * `padShortDocs`, a document with fewer than two tokens emits ONE
-    * all-null row instead of none — the scoring aggregation counts only
-    * non-null transitions, so short docs surface as (0, 0) WITHOUT a
-    * join-back against the corpus (which planned as a second doc_id
-    * exchange + sort-merge join — plan-audit finding).
+  /** (context, next-token) transitions of a text column under the
+    * engine-wide single-space tokenizer: one row per position i in
+    * [order, len], context = tokens[i−order+1 .. i−1] joined with one
+    * space, w2 = tokens[i]. With `padShortDocs`, a document with fewer
+    * than `order` tokens emits ONE all-null row instead of none — the
+    * scoring aggregation counts only non-null transitions, so short docs
+    * surface as (0, 0) WITHOUT a join-back against the corpus (which
+    * planned as a second doc_id exchange + sort-merge join — plan-audit
+    * finding).
     */
   private def transitions(
-      docs: DataFrame, textCol: String, idCol: String,
+      docs: DataFrame, textCol: String, idCol: String, order: Int,
       padShortDocs: Boolean = false): DataFrame = {
+    require(order >= 2, s"LM order must be >= 2, got $order")
     val t = Text.tokens(col(textCol))
-    val pairs = arrays_zip(
-      slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("w1"),
-      slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w2"))
+    val idx = when(size(t) >= order, sequence(lit(order), size(t)))
+      .otherwise(array().cast("array<int>"))
+    val pairs = transform(idx, i => struct(
+      array_join(slice(t, i - (order - 1), lit(order - 1)), " ").as("w1"),
+      element_at(t, i).as("w2")))
     val nullPad = array(struct(
       lit(null).cast("string").as("w1"), lit(null).cast("string").as("w2")))
     val src = if (padShortDocs)
@@ -78,24 +103,32 @@ object LangModel {
         col("__tr").getField("w2").as("w2"))
   }
 
-  /** Train and persist a bigram model from a reference corpus. One pass:
-    * transitions exploded once, counted per (w1, w2) and per w1; log-probs
-    * quantized to e4 integers and written as the three artifact tables.
+  /** Distinct-token count over transition rows: contexts split back into
+    * their constituent tokens plus the next-token position — for order 2
+    * this is exactly the distinct over both positions. One exact distinct
+    * count, never collected.
     */
-  def train(docs: DataFrame, textCol: String, path: String): Unit = {
+  private def vocabSize(tr: DataFrame): Long =
+    math.max(
+      tr.select(explode(concat(split(col("w1"), " ", -1), array(col("w2")))).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0),
+      1L)
+
+  /** Train and persist an order-n model from a reference corpus. One pass:
+    * transitions exploded once, counted per (w1, w2) and per context;
+    * log-probs quantized to e4 integers and written as the three artifact
+    * tables.
+    */
+  def train(docs: DataFrame, textCol: String, path: String, order: Int = 2): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tr = transitions(
-        docs.withColumn("__lm_id", lit(0L)), textCol, "__lm_id")
+        docs.withColumn("__lm_id", lit(0L)), textCol, "__lm_id", order)
       .select("w1", "w2")
     val big = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(false) // feeds both the bigram table and the w1 margins
     val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    // vocab = distinct tokens seen in ANY transition position — one exact
-    // distinct count, never collected
-    val vocab = tr.select(explode(array(col("w1"), col("w2"))).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0)
-    val V = math.max(vocab, 1L)
+    val V = vocabSize(tr)
     big.join(uni, "w1")
       .select(col("w1"), col("w2"),
         lpE4Col(col("c12") + 1, col("c1") + V).as("lp_e4"))
@@ -105,18 +138,23 @@ object LangModel {
       .write.mode("overwrite").parquet(s"$path/unigrams")
     Seq(lpE4(1.0 / V.toDouble)).toDF("lp0_e4")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/defaults")
-    IndexProtocol.writeLayoutPayload(spark, path, s"v=$V,lm=$LmVersion")
+    IndexProtocol.writeLayoutPayload(spark, path, s"v=$V,lm=$LmVersion,n=$order")
   }
 
-  /** The model's recorded vocabulary size (smoothing denominator). */
-  def readVocabSize(spark: SparkSession, path: String): Long = {
+  /** The model's recorded (vocabulary size, order). The version check
+    * rejects pre-order artifacts (scheme v1) — retrain, don't guess. */
+  def readModelMeta(spark: SparkSession, path: String): (Long, Int) = {
     val payload = IndexProtocol.readLayoutPayload(spark, path)
-    val m = "v=(\\d+),lm=(\\d+)".r.findFirstMatchIn(payload).getOrElse(
+    val m = "v=(\\d+),lm=(\\d+),n=(\\d+)".r.findFirstMatchIn(payload).getOrElse(
       throw new IllegalStateException(s"malformed LM layout at $path: $payload"))
     require(m.group(2).toInt == LmVersion,
       s"LM at $path is scheme v${m.group(2)}, this build scores v$LmVersion — retrain")
-    m.group(1).toLong
+    (m.group(1).toLong, m.group(3).toInt)
   }
+
+  /** The model's recorded vocabulary size (smoothing denominator). */
+  def readVocabSize(spark: SparkSession, path: String): Long =
+    readModelMeta(spark, path)._1
 
   // ------------------------------------------------- incremental counts
 
@@ -145,36 +183,47 @@ object LangModel {
   def modelRoot(path: String): String = s"$path/model"
 
   private def countFacts(
-      docs: DataFrame, textCol: String, generation: Long): DataFrame =
-    transitions(docs.withColumn("__lm_id", lit(0L)), textCol, "__lm_id")
+      docs: DataFrame, textCol: String, order: Int, generation: Long): DataFrame =
+    transitions(docs.withColumn("__lm_id", lit(0L)), textCol, "__lm_id", order)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .select(col("w1"), col("w2"), lit(generation).as("src"), col("c"))
 
   /** Install a count index from a history corpus (generation 0) and
-    * derive the first served model. */
+    * derive the first served model. The order is recorded in the index
+    * layout — appends and refreshes inherit it. */
   def installCountIndex(
-      history: DataFrame, textCol: String, path: String): Unit = {
+      history: DataFrame, textCol: String, path: String, order: Int = 2): Unit = {
     val spark = history.sparkSession
     val fs = IndexProtocol.fileSystem(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-    IndexProtocol.writeLayoutPayload(spark, path, s"lm=$LmVersion")
+    IndexProtocol.writeLayoutPayload(spark, path, s"lm=$LmVersion,n=$order")
     graft.sinks.Sinks.publishDir(
-      countFacts(history, textCol, generation = 0L), countsRoot(path), "batch=0")
+      countFacts(history, textCol, order, generation = 0L), countsRoot(path), "batch=0")
     refreshModel(spark, path)
   }
 
+  /** The count index's recorded order (validates the scheme version). */
+  private def readCountIndexOrder(spark: SparkSession, path: String): Int = {
+    val payload = IndexProtocol.readLayoutPayload(spark, path)
+    val m = "lm=(\\d+),n=(\\d+)".r.findFirstMatchIn(payload).getOrElse(
+      throw new IllegalStateException(
+        s"malformed LM count-index layout at $path: $payload"))
+    require(m.group(1).toInt == LmVersion,
+      s"LM count index at $path is scheme v${m.group(1)}, this build writes lm=$LmVersion — rebuild")
+    m.group(2).toInt
+  }
+
   /** Publish one batch's transition counts as its own immutable
-    * generation. Returns false for an already-published generation
-    * (replay no-op), like every generational append. */
+    * generation, at the index's recorded order. Returns false for an
+    * already-published generation (replay no-op), like every generational
+    * append. */
   def appendCounts(
       batch: DataFrame, path: String, generation: Long,
       textCol: String = "text"): Boolean = {
-    val payload = IndexProtocol.readLayoutPayload(batch.sparkSession, path)
-    require(payload == s"lm=$LmVersion",
-      s"LM count index at $path is '$payload', this build writes lm=$LmVersion — rebuild")
+    val order = readCountIndexOrder(batch.sparkSession, path)
     graft.sinks.Sinks.publishDir(
-      countFacts(batch, textCol, generation), countsRoot(path), s"batch=$generation")
+      countFacts(batch, textCol, order, generation), countsRoot(path), s"batch=$generation")
   }
 
   def countIndexReadable(spark: SparkSession, path: String): Boolean =
@@ -192,14 +241,13 @@ object LangModel {
     * equals a full retrain on the union corpus. */
   def refreshModel(spark: SparkSession, path: String): Unit = {
     if (!countIndexReadable(spark, path)) return
+    val order = readCountIndexOrder(spark, path)
     val big = spark.read.parquet(countsRoot(path))
       .select("w1", "w2", "src", "c").distinct()
       .groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
       .localCheckpoint(false)
     val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = big.select(explode(array(col("w1"), col("w2"))).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0)
-    val V = math.max(vocab, 1L)
+    val V = vocabSize(big)
     IndexProtocol.stagedReplace(spark, modelRoot(path)) { next =>
       import spark.implicits._
       big.join(uni, "w1")
@@ -211,33 +259,36 @@ object LangModel {
         .write.mode("overwrite").parquet(s"$next/unigrams")
       Seq(lpE4(1.0 / V.toDouble)).toDF("lp0_e4")
         .coalesce(1).write.mode("overwrite").parquet(s"$next/defaults")
-      IndexProtocol.writeLayoutPayload(spark, next, s"v=$V,lm=$LmVersion")
+      IndexProtocol.writeLayoutPayload(spark, next, s"v=$V,lm=$LmVersion,n=$order")
     }
   }
 
   /** Score documents against a persisted model: per doc, the number of
     * transitions and the mean per-transition log₂-probability in e4 units
-    * (half-up — [[ExactAgg.divHalfUp]], mirrored in the oracle). Lower is
+    * (half-up — [[ExactAgg.divHalfUp]], mirrored in the oracle). The
+    * transition shape (order) comes from the artifact's layout. Lower is
     * more fluent under the reference corpus; `ppl_e4 = 0` with
-    * `n_transitions = 0` for sub-2-token docs (nothing to score, kept
-    * rather than crashed — the caller's ladder decides their fate).
-    * Transition log-probs resolve bigram-hit → known-w1 floor → global
-    * floor, every value read from the artifact.
+    * `n_transitions = 0` for docs shorter than the order (nothing to
+    * score, kept rather than crashed — the caller's ladder decides their
+    * fate). Transition log-probs resolve hit → known-context floor →
+    * global floor, every value read from the artifact.
     */
   def scoreDocs(
       docs: DataFrame, textCol: String, idCol: String, path: String): DataFrame = {
     val spark = docs.sparkSession
-    readVocabSize(spark, path) // version check up front
+    val (_, order) = readModelMeta(spark, path) // version check up front
     val bigrams = spark.read.parquet(s"$path/bigrams")
     val unigrams = spark.read.parquet(s"$path/unigrams")
     val lp0 = spark.read.parquet(s"$path/defaults").head().getLong(0)
     // short docs ride the SAME explode as a null pad, so one aggregation
-    // keyed on the doc id is the whole plan — scan → explode → two
-    // BROADCAST model joins → partial agg → one id exchange → final agg
-    // (no corpus join-back; plan-asserted in PlanAuditSpec)
-    transitions(docs, textCol, idCol, padShortDocs = true)
-      .join(broadcast(bigrams), Seq("w1", "w2"), "left")
-      .join(broadcast(unigrams), Seq("w1"), "left")
+    // keyed on the doc id is the whole plan — scan → explode → two model
+    // joins (broadcast by SIZE, not by hint — a huge model degrades to an
+    // equi-join instead of tripping the broadcast cap) → partial agg →
+    // one id exchange → final agg (no corpus join-back; plan-asserted in
+    // PlanAuditSpec)
+    transitions(docs, textCol, idCol, order, padShortDocs = true)
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
       .select(col(idCol),
         col("w1"),
         when(col("w1").isNotNull,

@@ -542,6 +542,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1000))
   }
 
+  test("q110: order-3 LM scoring keeps the q101 shape — size-chosen broadcast, no corpus SMJ") {
+    // the model joins carry NO broadcast hint (round-12 advice: a hinted
+    // broadcast fails hard on a huge reference model instead of degrading
+    // to the (w1, w2) equi-join) — at this scale the optimizer must still
+    // CHOOSE broadcast by size, and the corpus must never sort-merge
+    val p = plan("q110_lm_trigram")
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+  }
+
   test("q102: BPE packing exchanges only narrow (id, shard, count) rows — text never shuffles") {
     val p = plan("q102_bpe_packing")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList

@@ -123,10 +123,78 @@ class LangModelSpec extends SparkSpec {
 
   test("version check refuses a future-scheme model") {
     val p = trainToy()
-    IndexProtocol.writeLayoutPayload(spark, p, "v=2,lm=99")
+    IndexProtocol.writeLayoutPayload(spark, p, "v=2,lm=99,n=2")
     val e = intercept[IllegalArgumentException] {
       LangModel.readVocabSize(spark, p)
     }
     assert(e.getMessage.contains("retrain"))
+  }
+
+  test("a pre-order (scheme v1) artifact is rejected as malformed, not misread") {
+    val p = trainToy()
+    IndexProtocol.writeLayoutPayload(spark, p, "v=2,lm=1")
+    intercept[IllegalStateException] { LangModel.readVocabSize(spark, p) }
+  }
+
+  // corpus "a b c a b c": order-3 transitions ("a b")→c ×2, ("b c")→a ×1,
+  // ("c a")→b ×1; context margins "a b"=2, "b c"=1, "c a"=1; V=3.
+  // Hand-quantized: lp(a b, c) = round(−1e4·log2(3/5)) = 7370
+  //                 lp(b c, a) = lp(c a, b) = round(−1e4·log2(2/4)) = 10000
+  //                 miss(a b)  = round(−1e4·log2(1/5)) = 23219
+  //                 miss(b c)  = miss(c a) = 20000
+  //                 lp0        = round(−1e4·log2(1/3)) = 15850
+  private def trainToy3(): String = {
+    val dir = Files.createTempDirectory("lm3").toString
+    LangModel.train(
+      Seq((1L, "a b c a b c")).toDF("doc_id", "text"), "text", s"$dir/lm", order = 3)
+    s"$dir/lm"
+  }
+
+  test("order-3 train persists the hand-computed joined-context artifact") {
+    val p = trainToy3()
+    val big = spark.read.parquet(s"$p/bigrams")
+      .as[(String, String, Long)].collect().toSet
+    assert(big == Set(
+      ("a b", "c", 7370L), ("b c", "a", 10000L), ("c a", "b", 10000L)))
+    val uni = spark.read.parquet(s"$p/unigrams")
+      .as[(String, Long)].collect().toSet
+    assert(uni == Set(("a b", 23219L), ("b c", 20000L), ("c a", 20000L)))
+    assert(spark.read.parquet(s"$p/defaults").head().getLong(0) == 15850L)
+    assert(LangModel.readModelMeta(spark, p) == ((3L, 3)))
+  }
+
+  test("order-3 scoring resolves hit, known-context floor and global floor from the artifact") {
+    val p = trainToy3()
+    val docs = Seq(
+      (1L, "a b c"),   // hit: lp(a b, c) = 7370
+      (2L, "a b z"),   // unseen next token, known context -> miss(a b) = 23219
+      (3L, "z z z"),   // unknown context -> lp0 = 15850
+      (4L, "a b"),     // shorter than the order -> (0, 0)
+      (5L, "")).toDF("doc_id", "text")
+    val out = LangModel.scoreDocs(docs, "text", "doc_id", p)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 7370L), (2L, 1L, 23219L), (3L, 1L, 15850L),
+      (4L, 0L, 0L), (5L, 0L, 0L)))
+  }
+
+  test("order-3 incremental install + append + refresh equals an order-3 full retrain") {
+    val dir = Files.createTempDirectory("lm3_inc").toString
+    val half1 = (0L until 20L).map(i => (i, s"the quick fox t$i runs the maze"))
+      .toDF("doc_id", "text")
+    val half2 = (20L until 40L).map(i => (i, s"a lazy dog d$i naps in a sunbeam"))
+      .toDF("doc_id", "text")
+    LangModel.installCountIndex(half1, "text", s"$dir/inc", order = 3)
+    assert(LangModel.appendCounts(half2, s"$dir/inc", generation = 1L))
+    LangModel.refreshModel(spark, s"$dir/inc")
+    LangModel.train(half1.unionByName(half2), "text", s"$dir/full", order = 3)
+    val incModel = LangModel.modelRoot(s"$dir/inc")
+    for (t <- Seq("bigrams", "unigrams", "defaults")) {
+      val a = spark.read.parquet(s"$incModel/$t").collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$dir/full/$t").collect().map(_.toSeq).toSet
+      assert(a == b, s"table $t diverged")
+    }
+    assert(LangModel.readModelMeta(spark, incModel) ==
+      LangModel.readModelMeta(spark, s"$dir/full"))
   }
 }
