@@ -353,6 +353,44 @@ object SparkEntry {
     fixture
   }
 
+  /** Marker suffixes of the q109 labeled training corpus: every even doc
+    * is a "good" example and every odd doc a "bad" one, with a class
+    * marker appended so the centroid fit has real signal to separate on
+    * (the q76 discipline — both branches get rows). Interpolated into the
+    * generated oracle SQL, so the two sides label identically.
+    */
+  private[graft] val QcGoodMark = " verified concise informative prose"
+  private[graft] val QcBadMark = " click here buy now free prize offer"
+
+  /** The labeled corpus both the q109 trainer and its scoring pass read:
+    * label = even doc_id, text = corpus text + the class marker.
+    */
+  private[graft] def qcLabeled(docs: DataFrame): DataFrame = docs
+    .withColumn("__lbl", col("doc_id") % 2 === 0)
+    .withColumn("__ltext", concat(col("text"),
+      when(col("__lbl"), lit(QcGoodMark)).otherwise(lit(QcBadMark))))
+
+  /** Stamped TRAIN of the q109 classifier fixture: the deterministic
+    * closed-form centroid fit ([[QualityClassifier.trainCentroid]]) over
+    * the labeled corpus, persisted as the same (bucket, weight) artifact
+    * q98 serves — train → install → score is the full production loop.
+    * A pure function of (corpus slice, dim, trainer scheme).
+    */
+  private[graft] def ensureTrainedQualityModel(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "quality_model_trained")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|dim=${QualityClassifier.DefaultDim}" +
+      s"|scale=${QualityClassifier.TrainScale}|qc=${QualityClassifier.ModelVersion}|centroid-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      val model = QualityClassifier.trainCentroid(qcLabeled(docs), "__ltext", "__lbl")
+      QualityClassifier.writeModel(s, model, s"$fixture/model")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   /** Stamped train of the q101 bigram-LM fixture ([[LangModel.train]]) —
     * the model is a pure function of the corpus slice, so the stamp is
     * the corpus content hash + the scheme version.
@@ -415,6 +453,7 @@ object SparkEntry {
     ensureFpIndexFixture(s, dir)
     ensureBpeFixture(s, dir)
     ensureQualityModel(s, dir)
+    ensureTrainedQualityModel(s, dir)
     ensureLmFixture(s, dir)
     ensureLmIncFixture(s, dir)
     ensureLm3Fixture(s, dir)
@@ -2448,6 +2487,23 @@ object SparkEntry {
       LangModel.scoreDocs(Tables.documents(s, dir), "text", "doc_id",
           s"$fixture/model")
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: in-engine classifier TRAINING (round-12 verdict
+    // #1) — the q98 family's missing half: a deterministic closed-form
+    // centroid fit over the hashed feature space (one explode + hash agg,
+    // dim-bounded collect), persisted as the same (bucket, weight)
+    // artifact, then served back through the q98 inference path — the
+    // full train → install → score production loop in one gate. The
+    // oracle re-derives EVERYTHING — labels, markers, buckets, class
+    // shares, weights, scores — from the base table and the shared
+    // integer constants (no fixture join: the trained model is itself
+    // re-derivable, which is the point of closed-form training) ----
+    "q109_classifier_train" -> { (s, dir) =>
+      val fixture = ensureTrainedQualityModel(s, dir)
+      val model = QualityClassifier.readModel(s, s"$fixture/model")
+      QualityClassifier.classify(qcLabeled(Tables.documents(s, dir)), "__ltext", model)
+        .select("doc_id", "n_feats", "score_e4", "label")
+        .orderBy("doc_id")
     }
   )
 
@@ -3617,6 +3673,49 @@ object SparkEntry {
     "q110_lm_trigram" ->
       lmScoringOracleSql(
         s"${scopedFixture(dir, "trigram_lm")}/model", withBand = false, order = 3),
+    // q109: the ENTIRE train→score loop re-derived in SQL — same labels
+    // and markers, same feature space and 60-bit md5 buckets (the q98
+    // CTEs), the same e6 centroid-share weight formula over the class
+    // totals, and the shared half-up fixed-point mean. Every scored
+    // feature was trained on (same corpus), so the weight join is total.
+    "q109_classifier_train" -> {
+      val dim = QualityClassifier.DefaultDim
+      val scale = QualityClassifier.TrainScale
+      s"""WITH lab AS (
+         |  SELECT doc_id, doc_id % 2 = 0 AS lbl,
+         |    text || CASE WHEN doc_id % 2 = 0 THEN '$QcGoodMark'
+         |                 ELSE '$QcBadMark' END AS ltext
+         |  FROM documents),
+         |toks AS (SELECT doc_id, lbl, string_split(ltext, ' ') AS t FROM lab),
+         |feats AS (
+         |  SELECT doc_id, lbl, unnest(t) AS f FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, lbl, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |bk AS (SELECT doc_id, lbl,
+         |    ${graft.functions.QualityClassifier.Sql.bucket("f", dim)} AS bucket
+         |  FROM feats),
+         |cnt AS (SELECT bucket,
+         |    SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS g,
+         |    SUM(CASE WHEN lbl THEN 0 ELSE 1 END) AS b
+         |  FROM bk GROUP BY bucket),
+         |tot AS (SELECT SUM(g) AS gt, SUM(b) AS bt FROM cnt),
+         |w AS (SELECT bucket,
+         |    ${ExactAgg.Sql.divHalfUp(s"g * $scale", "gt")}
+         |      - ${ExactAgg.Sql.divHalfUp(s"b * $scale", "bt")} AS wt
+         |  FROM cnt, tot),
+         |scored AS (
+         |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    SUM(w.wt) AS wsum
+         |  FROM bk JOIN w USING (bucket) GROUP BY bk.doc_id)
+         |SELECT doc_id, n_feats, score_e4,
+         |  CASE WHEN score_e4 >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM (
+         |  SELECT doc_id, n_feats,
+         |    CAST(${ExactAgg.Sql.divHalfUp("wsum * 10000", "n_feats")} AS BIGINT) AS score_e4
+         |  FROM scored)
+         |ORDER BY doc_id""".stripMargin
+    },
     // q107: identical synthesized turns, the template generated from the
     // SAME constants (ChatTemplate.renderSql)
     "q107_chat_template" -> {

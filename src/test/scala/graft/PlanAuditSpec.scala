@@ -604,6 +604,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("quality_feature_sum")) == 1, p.take(1200))
   }
 
+  test("q109: serving a TRAINED model keeps the q98 inference shape — one map stage") {
+    // training happens at fixture build (one explode + hash agg,
+    // dim-bounded collect); the registered query is the serve path, and
+    // installing trained weights must not change its plan: model as a
+    // plan constant, no join, no aggregate, only the presentation sort
+    val p = plan("q109_classifier_train")
+    assert(!p.contains("Join"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("HashAggregate"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only the final sort exchange:\n${exchanges.mkString("\n")}")
+    assert(p.linesIterator.count(_.contains("quality_feature_sum")) == 1, p.take(1200))
+  }
+
   test("q99: the domain cap carves heavy hosts via WindowGroupLimit; the tail joins by union") {
     // the composition's scale claims: the cap window (q96 shape) runs on
     // the heavy-host BRANCH only, every hash exchange is keyed on the

@@ -101,4 +101,66 @@ class QualityClassifierSpec extends SparkSpec {
       .select(QualityClassifier.featureSum(col("text"), model).as("s")).collect()
     assert(out(0).isNullAt(0))
   }
+
+  test("a SPARSE weight table installs: absent buckets read as 0, dim from the reserved row") {
+    val dir = java.nio.file.Files.createTempDirectory("qc_sparse").toString
+    // a production-style sparse table: dim 10, only two non-zero weights
+    Seq((-2, 10L), (-1, 4L), (3, 7L), (8, -2L)).toDF("bucket", "weight")
+      .write.parquet(s"$dir/model")
+    val m = QualityClassifier.readModel(spark, s"$dir/model")
+    assert(m.dim == 10 && m.bias == 4L)
+    assert(m.weights.toSeq == Seq(0L, 0L, 0L, 7L, 0L, 0L, 0L, 0L, -2L, 0L))
+  }
+
+  test("a pre-v2 dense table without the dim row still reads (max bucket + 1)") {
+    val dir = java.nio.file.Files.createTempDirectory("qc_legacy").toString
+    Seq((-1, 2L), (0, 5L), (1, 6L), (2, 7L), (3, 8L)).toDF("bucket", "weight")
+      .write.parquet(s"$dir/model")
+    val m = QualityClassifier.readModel(spark, s"$dir/model")
+    assert(m.dim == 4 && m.bias == 2L && m.weights.toSeq == Seq(5L, 6L, 7L, 8L))
+  }
+
+  // ------------------------------------------------------------- training
+
+  private def labeled(n: Long) = (0L until n).map { i =>
+    val good = i % 2 == 0
+    val marker = if (good) "wiki cite prose" else "buy now free"
+    (i, s"body b${i % 9} t${i % 5} $marker", good)
+  }.toDF("doc_id", "text", "lbl")
+
+  test("trainCentroid separates the classes it was fit on") {
+    val docs = labeled(80)
+    val m = QualityClassifier.trainCentroid(docs, "text", "lbl", dim = 512)
+    val out = QualityClassifier.classify(docs, "text", m)
+      .select(col("lbl"), col("score_e4")).as[(Boolean, Long)].collect()
+    assert(out.filter(_._1).forall(_._2 > 0L), "good docs must score positive")
+    assert(out.filterNot(_._1).forall(_._2 < 0L), "bad docs must score negative")
+  }
+
+  test("trainCentroid is a pure function of the labeled set — partitioning-invariant") {
+    val docs = labeled(60)
+    val a = QualityClassifier.trainCentroid(docs.repartition(7), "text", "lbl", dim = 128)
+    val b = QualityClassifier.trainCentroid(docs.repartition(3), "text", "lbl", dim = 128)
+    assert(a.weights.toSeq == b.weights.toSeq && a.bias == b.bias)
+  }
+
+  test("a trained model round-trips sparsely and serves the same scores") {
+    val dir = java.nio.file.Files.createTempDirectory("qc_trained").toString
+    val docs = labeled(40)
+    val m = QualityClassifier.trainCentroid(docs, "text", "lbl", dim = 256)
+    QualityClassifier.writeModel(spark, m, s"$dir/model")
+    val rt = QualityClassifier.readModel(spark, s"$dir/model")
+    assert(rt.dim == 256 && rt.weights.toSeq == m.weights.toSeq)
+    val a = QualityClassifier.classify(docs, "text", m).orderBy("doc_id").collect()
+    val b = QualityClassifier.classify(docs, "text", rt).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("trainCentroid refuses a single-class corpus") {
+    val docs = (0L until 10L).map(i => (i, s"t$i", true)).toDF("doc_id", "text", "lbl")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.trainCentroid(docs, "text", "lbl", dim = 64)
+    }
+    assert(e.getMessage.contains("BOTH classes"))
+  }
 }
