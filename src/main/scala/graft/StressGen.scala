@@ -224,6 +224,25 @@ object StressGen {
         println(s"GRAFT_STRESS   adversarial docs: $n, dropped: $dropped, allDropped=${n == dropped}")
       }
     }
+    time("q99 domain-cap auto degrade at adversarial n/cap (exact == sketch)") {
+      // cap=20 over the 10x corpus pushes the lossless sketch capacity to
+      // n/20; maxCapacity=1024 is deliberately far below that, forcing
+      // capPerDomainAuto onto the fully-distributed exact path (round-12
+      // advice: the auto capacity must have a memory envelope). The row
+      // pins the degrade lossless: both paths keep the identical doc set.
+      val hosts = docs.select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 3 === 0, F.lit("hub"))
+          .otherwise(F.concat(F.lit("site"), (F.col("doc_id") % 40).cast("string")))
+          .as("host"))
+      def sig(df: org.apache.spark.sql.DataFrame) = df
+        .agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64(F.col("host"), F.col("doc_id"))))
+        .head()
+      val ex = sig(ops.UrlOps.capPerDomainAuto(
+        hosts, "host", "doc_id", cap = 20, salt = "soak", maxCapacity = 1024))
+      val sk = sig(ops.UrlOps.capPerDomainAuto(
+        hosts, "host", "doc_id", cap = 20, salt = "soak"))
+      println(s"GRAFT_STRESS   kept=${ex.get(0)} equal=${ex == sk}")
+    }
     // ---- round-5 family: multimodal codecs at 10× — a mixed PNG/WAV/GIF
     // corpus (one kind per doc_id mod 3) with a deterministic corrupt
     // fraction (every 17th blob truncated to a quarter), exercising encode,

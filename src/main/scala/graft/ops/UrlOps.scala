@@ -66,8 +66,11 @@ object UrlOps {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val spark = df.sparkSession
     import spark.implicits._
-    // 1. fixed-memory candidate sketch (map-side combine; one summary row)
-    val candidates = df.select(col(hostCol).cast("string").as[String])
+    // 1. fixed-memory candidate sketch (map-side combine; one summary row).
+    // Null hosts can't be capped — they ride the tail branch untouched
+    // (same policy as [[capPerDomainExact]], pinned by UrlOpsSpec).
+    val candidates = df.filter(col(hostCol).isNotNull)
+      .select(col(hostCol).cast("string").as[String])
       .select(new HeavyHitters.MisraGries(capacity).toColumn)
       .head().items.map(_.item)
     if (candidates.isEmpty) return df
@@ -77,25 +80,74 @@ object UrlOps {
       .filter(col("__n") > cap)
       .select(col(hostCol).cast("string")).as[String].collect().toSeq
     if (heavy.isEmpty) return df
-    // 3. carve the heavy hosts; the tail never enters the exchange
-    val isHeavy = col(hostCol).isInCollection(heavy)
+    // 3. carve the heavy hosts; the tail (incl. null hosts) never enters
+    // the exchange
+    val isHeavy = coalesce(col(hostCol).isInCollection(heavy), lit(false))
     Sampling.takePerStratum(df.filter(isHeavy), idCol, hostCol, cap, salt)
       .unionByName(df.filter(!isHeavy))
   }
 
+  /** Largest sketch the auto variant will hold driver-side: 2²² counters
+    * (≈ tens of MB of host strings). Past it the lossless-capacity
+    * derivation stops being a sane memory envelope — and long before
+    * Int.MaxValue it would silently wrap the capacity (round-12 advice).
+    */
+  val MaxAutoSketchCapacity: Int = 1 << 22
+
   /** [[capPerDomain]] with the sketch capacity derived from one count:
     * capacity = max(16, ⌈n/cap⌉) makes the containment guarantee
     * unconditional (n/(capacity+1) < cap for every distribution).
+    *
+    * Memory envelope: the derived capacity is the sketch's driver-side
+    * counter count, so it is bounded at `maxCapacity` — when ⌈n/cap⌉
+    * exceeds it (10¹¹ docs at cap=1000 would ask for 10⁸ counters), the
+    * call DEGRADES to [[capPerDomainExact]], which keeps the guarantee
+    * with zero driver memory at the price of one more shuffle. The result
+    * is identical either way; only the plan changes.
     */
   def capPerDomainAuto(
       df: DataFrame,
       hostCol: String,
       idCol: String,
       cap: Int,
-      salt: String = ""): DataFrame = {
+      salt: String = "",
+      maxCapacity: Int = MaxAutoSketchCapacity): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(maxCapacity >= 16, s"maxCapacity must be >= 16, got $maxCapacity")
     val n = df.count()
-    val capacity = math.max(16L, (n + cap - 1) / cap).toInt
-    capPerDomain(df, hostCol, idCol, cap, capacity, salt)
+    val capacity = math.max(16L, (n + cap - 1) / cap)
+    if (capacity <= maxCapacity) capPerDomain(df, hostCol, idCol, cap, capacity.toInt, salt)
+    else capPerDomainExact(df, hostCol, idCol, cap, salt)
+  }
+
+  /** The fully-distributed exact cap — no sketch, no driver-side
+    * candidate set at all: per-host counts from one hash aggregation
+    * (map-side combine reduces each partition to its distinct hosts),
+    * heavy flags joined back on the host key (broadcast when few hosts
+    * are heavy, an ordinary equi-join otherwise — no hint, the optimizer
+    * picks by size), then the same q96 carve on the heavy branch while
+    * the tail unions through without entering the window. This is the
+    * scale path when ⌈n/cap⌉ outgrows any sane sketch: at 10¹¹ docs with
+    * cap=1000 there can be 10⁸ over-cap hosts — a set NO driver should
+    * hold, which is exactly why this variant never collects one.
+    */
+  def capPerDomainExact(
+      df: DataFrame,
+      hostCol: String,
+      idCol: String,
+      cap: Int,
+      salt: String = ""): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val heavy = df.groupBy(hostCol).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col(hostCol), lit(1).as("__graft_heavy"))
+    // an equi-join on the key Seq moves the key column first — restore
+    // the caller's column order so the cap is schema-transparent
+    val flagged = df.join(heavy, Seq(hostCol), "left")
+    Sampling.takePerStratum(
+        flagged.filter(col("__graft_heavy").isNotNull), idCol, hostCol, cap, salt)
+      .unionByName(flagged.filter(col("__graft_heavy").isNull))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Per-domain doc counts with the capped-kept count beside them — the

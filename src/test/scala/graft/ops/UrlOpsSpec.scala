@@ -79,4 +79,38 @@ class UrlOpsSpec extends SparkSpec {
       .select("host").as[String].collect().toSet
     assert(st == Set("big", "mid"))
   }
+
+  test("capPerDomainExact equals the sketch path doc for doc — zero driver state") {
+    val viaSketch = UrlOps.capPerDomain(corpus, "host", "doc_id", 8, 12, "s1")
+      .orderBy("host", "doc_id").as[(Long, String)].collect().toSeq
+    val viaExact = UrlOps.capPerDomainExact(corpus, "host", "doc_id", 8, "s1")
+      .orderBy("host", "doc_id").as[(Long, String)].collect().toSeq
+    assert(viaExact == viaSketch)
+  }
+
+  test("an over-budget auto capacity degrades to the exact path with the identical result") {
+    // maxCapacity 16 < ceil(90/2) = 45: the lossless sketch would need
+    // more counters than the envelope allows, so auto must route to the
+    // distributed exact path — and the kept set must not change
+    val viaAuto = UrlOps.capPerDomainAuto(
+        corpus, "host", "doc_id", cap = 2, salt = "x", maxCapacity = 16)
+      .orderBy("host", "doc_id").as[(Long, String)].collect().toSeq
+    val reference = UrlOps.capPerDomainAuto(corpus, "host", "doc_id", cap = 2, salt = "x")
+      .orderBy("host", "doc_id").as[(Long, String)].collect().toSeq
+    assert(viaAuto == reference)
+    assert(viaAuto.count(_._2 == "big") == 2 && viaAuto.count(_._2 == "mid") == 2)
+  }
+
+  test("null hosts ride the tail branch untouched on both paths") {
+    val withNulls = corpus.unionByName(
+      Seq((900L, null: String), (901L, null: String)).toDF("doc_id", "host"))
+    val viaSketch = UrlOps.capPerDomain(withNulls, "host", "doc_id", 8, 12, "s1")
+    val viaExact = UrlOps.capPerDomainExact(withNulls, "host", "doc_id", 8, "s1")
+    for (out <- Seq(viaSketch, viaExact)) {
+      val nulls = out.filter(col("host").isNull)
+        .select("doc_id").as[Long].collect().toSet
+      assert(nulls == Set(900L, 901L), "uncappable rows must pass through")
+    }
+    assert(viaSketch.count() == viaExact.count())
+  }
 }
