@@ -329,9 +329,33 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$fixture/expected")
       Bpe.naiveIdsTable(docs, "text", "doc_id", merges, vocab)
         .write.mode("overwrite").parquet(s"$fixture/expected_ids")
+      // the q111 byte-fallback tier: the same trained tokenizer with the
+      // 256 byte tokens appended, and the textbook encoder's expected-ids
+      // table over the EXOTIC-injected corpus (fallback semantics only
+      // show on symbols outside the training alphabet)
+      val vocabBytes = Bpe.buildVocabWithBytes(dict, merges)
+      Bpe.writeVocab(s, vocabBytes, s"$fixture/vocab_bytes")
+      Bpe.naiveIdsTable(exoticInjected(docs), "text", "doc_id", merges,
+          vocabBytes, byteFallback = true)
+        .write.mode("overwrite").parquet(s"$fixture/expected_ids_bytes")
       stampFixture(fixture, stamp)
     }
     fixture
+  }
+
+  /** Exotic-script suffixes for the q111 byte-fallback gate, appended to
+    * the (ASCII-clean) corpus text deterministically by doc_id: Greek and
+    * CJK letters (2- and 3-byte UTF-8), an astral-plane emoji (surrogate
+    * pair, 4-byte UTF-8) and an in-alphabet control. ONE definition feeds
+    * the fixture's expected table and the gate query.
+    */
+  private[graft] def exoticInjected(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.withColumn("text", concat(col("text"),
+      when(d % 4 === 0, lit(" δοκιμή"))
+        .when(d % 4 === 1, lit(" 試験"))
+        .when(d % 4 === 2, lit(" 🚀"))
+        .otherwise(lit(" plain"))))
   }
 
   /** Stamped install of the q98 quality-classifier model fixture — the
@@ -2504,6 +2528,30 @@ object SparkEntry {
       QualityClassifier.classify(qcLabeled(Tables.documents(s, dir)), "__ltext", model)
         .select("doc_id", "n_feats", "score_e4", "label")
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: BYTE-FALLBACK id encoding (round-12 verdict #3)
+    // — q105's vocabulary is code-point-level, so symbols outside the
+    // capped training alphabet encode as −1 OOVs; GPT-2-class tokenizers
+    // are byte-level precisely so OOV is impossible. Here the 256 byte
+    // tokens are a fallback TIER appended after the learned vocab (the
+    // SentencePiece byte_fallback design): an unseen symbol emits its
+    // UTF-8 bytes' ids. Exotic-script suffixes (Greek, CJK, astral
+    // emoji) are injected so the fallback actually fires; the oracle
+    // joins the expected table the independent textbook encoder wrote
+    // through the SAME byte vocabulary (q105's differential discipline),
+    // and n_oov — identically zero — is part of the compared values ----
+    "q111_bpe_byte_fallback" -> { (s, dir) =>
+      val fixture = ensureBpeFixture(s, dir)
+      val merges = Bpe.readMerges(s, s"$fixture/merges")
+      val vocab = Bpe.readVocab(s, s"$fixture/vocab_bytes")
+      exoticInjected(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          Bpe.encodeIds(col("text"), merges, vocab, byteFallback = true).as("e"))
+        .select(col("doc_id"),
+          col("e.n_tokens").as("n_tokens"),
+          col("e.n_oov").as("n_oov"),
+          col("e.ids").as("ids"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3641,6 +3689,15 @@ object SparkEntry {
       s"""SELECT d.doc_id, e.n_tokens, e.n_oov, e.ids
          |FROM documents d
          |JOIN read_parquet('${scopedFixture(dir, "bpe")}/expected_ids/*.parquet') e
+         |  ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q111: the byte-fallback expected table from the independent
+    // encoder over the exotic-injected corpus; the compared n_oov column
+    // is identically zero — byte fallback makes OOV impossible
+    "q111_bpe_byte_fallback" ->
+      s"""SELECT d.doc_id, e.n_tokens, e.n_oov, e.ids
+         |FROM documents d
+         |JOIN read_parquet('${scopedFixture(dir, "bpe")}/expected_ids_bytes/*.parquet') e
          |  ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // q106: identical injected wrappers; the extraction chain is

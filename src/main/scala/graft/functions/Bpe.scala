@@ -59,8 +59,9 @@ object Bpe {
 
   /** Scheme version — a stamp ingredient for the persisted merges fixture:
     * any change to the trainer/encoder semantics must rebuild. (v2: the
-    * fixture grew the id vocabulary + expected-ids tables.) */
-  val BpeVersion = 2
+    * fixture grew the id vocabulary + expected-ids tables; v3: the
+    * byte-fallback vocabulary + its expected table.) */
+  val BpeVersion = 3
 
   // ---------------------------------------------------------------- train
 
@@ -183,6 +184,31 @@ object Bpe {
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     base.foreach(seen += _)
     merges.foreach { case (l, r) => seen += (l + r) }
+    seen.toSeq
+  }
+
+  /** Rendering of the 256 byte-fallback tokens (SentencePiece's
+    * `byte_fallback` convention): `<0x00>`..`<0xFF>`. The pre-tokenizer
+    * never produces a piece of this shape as a single symbol, so the
+    * rendered names cannot collide with learned tokens; if one ever did,
+    * first-occurrence-wins id minting keeps the mapping consistent on
+    * both the production and the textbook encoder.
+    */
+  def byteToken(b: Int): String = f"<0x$b%02X>"
+
+  /** [[buildVocab]] plus the 256 byte tokens appended after the learned
+    * vocabulary — the byte-level fallback alphabet that makes OOV
+    * impossible (GPT-2-class tokenizers are byte-level for exactly this
+    * reason; here the bytes are the fallback tier rather than the base
+    * alphabet, which keeps the learned code-point vocabulary and its ids
+    * unchanged).
+    */
+  def buildVocabWithBytes(
+      dictionary: Seq[(String, Long)],
+      merges: Seq[(String, String)]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    buildVocab(dictionary, merges).foreach(seen += _)
+    (0 until 256).foreach(b => seen += byteToken(b))
     seen.toSeq
   }
 
@@ -326,22 +352,32 @@ object Bpe {
     */
   private[graft] def naiveIdsTable(
       docs: DataFrame, textCol: String, idCol: String,
-      merges: Seq[(String, String)], vocab: Seq[String]): DataFrame = {
+      merges: Seq[(String, String)], vocab: Seq[String],
+      byteFallback: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val ranks = merges.zipWithIndex.toMap
-        val ids = vocab.zipWithIndex.toMap
+        val ids = vocab.zipWithIndex.toMap // last-wins is fine: vocab lists are distinct
         val pat = java.util.regex.Pattern.compile(Text.BpeishPattern)
+        // the textbook fallback: an unseen token becomes the id list of
+        // its UTF-8 bytes' rendered fallback tokens — independent
+        // structure from the production encoder's byte table
+        def tokenIds(tok: String): Seq[Int] = ids.get(tok) match {
+          case Some(i) => Seq(i)
+          case None if byteFallback =>
+            tok.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+              .map(b => ids.getOrElse(byteToken(b & 0xff), -1))
+          case None => Seq(-1)
+        }
         it.map { case (id, text) =>
           val m = pat.matcher(if (text == null) "" else text)
           val out = new StringBuilder
           var n = 0L
           var oov = 0L
           while (m.find()) {
-            naiveEncodePiece(m.group(), ranks).foreach { tok =>
-              val tid = ids.getOrElse(tok, -1)
+            naiveEncodePiece(m.group(), ranks).flatMap(tokenIds).foreach { tid =>
               if (tid < 0) oov += 1
               if (n > 0) out.append(' ')
               out.append(tid)
@@ -374,12 +410,16 @@ object Bpe {
   /** `struct(n_tokens, n_oov, ids)` — the production id-encode (q105):
     * tokens mapped through the vocabulary, OOV as −1, ids space-joined
     * (the cross-engine render). One codegen pass, merge table and vocab
-    * as plan constants.
+    * as plan constants. With `byteFallback` (q111) an out-of-vocabulary
+    * token emits its UTF-8 bytes' fallback-token ids instead of −1 —
+    * with a [[buildVocabWithBytes]] vocabulary OOV is then impossible
+    * and `n_oov` stays 0 on any input.
     */
   def encodeIds(
-      text: Column, merges: Seq[(String, String)], vocab: Seq[String]): Column =
+      text: Column, merges: Seq[(String, String)], vocab: Seq[String],
+      byteFallback: Boolean = false): Column =
     ColumnBridge.column(BpeEncodeIds(
-      ColumnBridge.expression(text), merges.toArray, vocab.toArray))
+      ColumnBridge.expression(text), merges.toArray, vocab.toArray, byteFallback))
 }
 
 /** Shared runtime for the two BPE expressions: compiled pre-tokenizer +
@@ -424,9 +464,13 @@ private[graft] class BpeEncoder(merges: Array[(String, String)]) extends Seriali
   }
 }
 
-/** [[BpeEncoder]] + an id vocabulary: the serving-side encode-to-ids. */
+/** [[BpeEncoder]] + an id vocabulary: the serving-side encode-to-ids.
+  * With `byteFallback`, an unseen token decomposes into its UTF-8 bytes'
+  * fallback-token ids (the SentencePiece `byte_fallback` semantics).
+  */
 private[graft] class BpeIdEncoder(
-    merges: Array[(String, String)], vocab: Array[String]) extends Serializable {
+    merges: Array[(String, String)], vocab: Array[String],
+    byteFallback: Boolean = false) extends Serializable {
   @transient private lazy val pattern =
     java.util.regex.Pattern.compile(Text.BpeishPattern)
   @transient private lazy val ranks = {
@@ -441,22 +485,39 @@ private[graft] class BpeIdEncoder(
     while (i < vocab.length) { m.putIfAbsent(vocab(i), Integer.valueOf(i)); i += 1 }
     m
   }
+  // fallback id per byte value; −1 when the vocabulary lacks that byte
+  // token (a fallback encode over a byte-less vocab degrades to OOV)
+  @transient private lazy val byteIds: Array[Int] =
+    Array.tabulate(256) { b =>
+      val tid = ids.get(Bpe.byteToken(b))
+      if (tid == null) -1 else tid.intValue()
+    }
 
-  /** (n_tokens, n_oov, space-joined ids; OOV = −1). */
+  /** (n_tokens, n_oov, space-joined ids; OOV = −1, or its UTF-8 bytes'
+    * fallback ids under `byteFallback`). */
   def stats(text: UTF8String): InternalRow = {
     val m = pattern.matcher(text.toString)
     val out = new java.lang.StringBuilder
     var n = 0L
     var oov = 0L
+    def emit(v: Int): Unit = {
+      if (v < 0) oov += 1
+      if (n > 0) out.append(' ')
+      out.append(v)
+      n += 1
+    }
     while (m.find()) {
       val enc = Bpe.encodePiece(m.group(), ranks)
       var i = 0
       while (i < enc.length) {
         val tid = ids.get(enc(i))
-        val v = if (tid == null) { oov += 1; -1 } else tid.intValue()
-        if (n > 0) out.append(' ')
-        out.append(v)
-        n += 1
+        if (tid != null) emit(tid.intValue())
+        else if (!byteFallback) emit(-1)
+        else {
+          val bytes = enc(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var j = 0
+          while (j < bytes.length) { emit(byteIds(bytes(j) & 0xff)); j += 1 }
+        }
         i += 1
       }
     }
@@ -468,7 +529,8 @@ private[graft] class BpeIdEncoder(
   * ids:string>`: see [[Bpe.encodeIds]].
   */
 case class BpeEncodeIds(
-    child: Expression, merges: Array[(String, String)], vocab: Array[String])
+    child: Expression, merges: Array[(String, String)], vocab: Array[String],
+    byteFallback: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -483,7 +545,7 @@ case class BpeEncodeIds(
     StructField("ids", StringType, nullable = false)))
   override def prettyName: String = "bpe_encode_ids"
 
-  @transient private lazy val encoder = new BpeIdEncoder(merges, vocab)
+  @transient private lazy val encoder = new BpeIdEncoder(merges, vocab, byteFallback)
 
   override protected def nullSafeEval(v: Any): Any =
     encoder.stats(v.asInstanceOf[UTF8String])

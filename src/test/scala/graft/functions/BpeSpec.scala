@@ -203,6 +203,56 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.readVocab(spark, s"$dir/vocab") == vocab)
   }
 
+  test("byte fallback: unseen symbols emit their UTF-8 bytes' ids, never -1") {
+    val docs = Seq(
+      (1L, "ab ab b"),                  // fully in-vocab
+      (2L, "ab θ"),                // Greek theta: 2-byte UTF-8
+      (3L, "ab 🚀")           // astral emoji: 4-byte UTF-8
+    ).toDF("doc_id", "text")
+    val dict = Seq(("ab", 5L), (" ab", 4L), (" b", 3L))
+    val merges = Bpe.trainFromDictionary(dict, 8)
+    val vocab = Bpe.buildVocabWithBytes(dict, merges)
+    // the fallback tier sits after the learned vocab: 256 byte tokens
+    assert(vocab.size == Bpe.buildVocab(dict, merges).size + 256)
+    assert(vocab.contains(Bpe.byteToken(0)) && vocab.contains(Bpe.byteToken(255)))
+    val out = docs
+      .select(col("doc_id"),
+        Bpe.encodeIds(col("text"), merges, vocab, byteFallback = true).as("e"))
+      .select(col("doc_id"), col("e.n_tokens"), col("e.n_oov"), col("e.ids"))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.forall(_._3 == 0L), s"byte fallback must make OOV impossible: ${out.toSeq}")
+    assert(out.forall(!_._4.split(" ").contains("-1")))
+    // theta = 0xCE 0xB8: exactly those two byte-token ids in stream order
+    val thetaIds = Seq(0xce, 0xb8).map(b => vocab.indexOf(Bpe.byteToken(b)).toString)
+    assert(out(1)._4.split(" ").takeRight(2).toSeq == thetaIds)
+    // the emoji expands to its FOUR UTF-8 bytes
+    val emojiIds = "🚀".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => vocab.indexOf(Bpe.byteToken(b & 0xff)).toString).toSeq
+    assert(out(2)._4.split(" ").takeRight(4).toSeq == emojiIds)
+    // in-vocab tokens keep their q105 ids: fallback off == fallback on for doc 1
+    val plain = docs.filter(col("doc_id") === 1L)
+      .select(Bpe.encodeIds(col("text"), merges, vocab).as("e"))
+      .select(col("e.ids")).as[String].head()
+    assert(out(0)._4 == plain)
+    // and the independent textbook encoder agrees row for row
+    val naive = Bpe.naiveIdsTable(docs, "text", "doc_id", merges, vocab, byteFallback = true)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == naive.toSeq)
+  }
+
+  test("byte fallback over a byte-less vocab degrades to counted OOV") {
+    val dict = Seq(("ab", 5L))
+    val merges = Bpe.trainFromDictionary(dict, 4)
+    val vocab = Bpe.buildVocab(dict, merges) // no byte tier
+    val out = Seq((1L, "ab θ")).toDF("doc_id", "text")
+      .select(Bpe.encodeIds(col("text"), merges, vocab, byteFallback = true).as("e"))
+      .select(col("e.n_oov"), col("e.ids")).as[(Long, String)].head()
+    // " θ" falls back as three bytes (0x20 + the two theta bytes), none
+    // resolvable without the byte tier
+    assert(out._1 == 3L && out._2.split(" ").count(_ == "-1") == 3,
+      "each unresolved byte counts as one OOV")
+  }
+
   test("null text yields null struct; whitespace-only text yields zero counts") {
     val docs = Seq((1L, null: String), (2L, "   ")).toDF("doc_id", "text")
     val out = docs.select(col("doc_id"),
