@@ -377,6 +377,45 @@ object SparkEntry {
     fixture
   }
 
+  /** The declared schema of the q112 CSV lake (the [[CsvLake]] contract:
+    * schemas are declared, never inferred). */
+  private[graft] val CsvLakeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.StringType)))
+
+  /** Stamped build of the q112 CSV lake fixture: one line per document,
+    * synthesized from doc_id so DuckDB reads the same file as a DIRECT
+    * oracle (no parquet twin). Three deterministic malformation kinds are
+    * injected — a type-invalid numeric (id%7==3), a short row (id%13==5)
+    * and an extra field (id%13==8) — the exact set both Spark PERMISSIVE
+    * and DuckDB ignore_errors classify as malformed (prototyped; the
+    * agreement IS the gate's subject). Lines are written distributedly
+    * via the text sink, one pass, no driver materialization.
+    */
+  private[graft] def ensureCsvLake(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "csv_lake")
+    val fp = docs.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|csv-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      val d = col("doc_id")
+      val idS = d.cast("string")
+      val nameS = concat(lit("name_"), (d % 50).cast("string"))
+      val metricS = ((d * 7) % 1000).cast("string")
+      val flagS = concat(lit("f"), (d % 2).cast("string"))
+      val line =
+        when(d % 7 === 3, concat_ws(",", idS, nameS, concat(lit("xx"), idS), flagS))
+          .when(d % 13 === 5, concat_ws(",", idS, nameS))
+          .when(d % 13 === 8, concat_ws(",", idS, nameS, metricS, flagS, lit("extra")))
+          .otherwise(concat_ws(",", idS, nameS, metricS, flagS))
+      docs.select(line.as("value")).write.mode("overwrite").text(s"$fixture/csv")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   /** Marker suffixes of the q109 labeled training corpus: every even doc
     * is a "good" example and every odd doc a "bad" one, with a class
     * marker appended so the centroid fit has real signal to separate on
@@ -2552,6 +2591,20 @@ object SparkEntry {
           col("e.n_oov").as("n_oov"),
           col("e.ids").as("ids"))
         .orderBy("doc_id")
+    },
+    // ---- S1 source matrix: CSV lake with a DECLARED schema and routed
+    // malformed rows (round-12 verdict #5 — the one mainstream lake
+    // format the matrix lacked). The gate's subject is the malformed-row
+    // CONTRACT: Spark PERMISSIVE's corrupt-record set must equal DuckDB
+    // ignore_errors' drop set over the same injected type-invalid /
+    // short / extra-field lines, so the well-formed projection below
+    // hash-matches DuckDB reading the same raw files directly (no
+    // parquet twin — the CSV itself is the shared artifact) ----
+    "q112_csv_lake" -> { (s, dir) =>
+      val fixture = ensureCsvLake(s, dir)
+      graft.sources.CsvLake.wellFormed(
+        graft.sources.CsvLake.read(s, s"$fixture/csv", CsvLakeSchema))
+        .orderBy("id")
     }
   )
 
@@ -3691,6 +3744,16 @@ object SparkEntry {
          |JOIN read_parquet('${scopedFixture(dir, "bpe")}/expected_ids/*.parquet') e
          |  ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q112: DuckDB reads the SAME raw CSV part files with the declared
+    // column types; ignore_errors drops exactly the rows Spark PERMISSIVE
+    // marked corrupt (type-invalid, short, extra-field — the prototyped
+    // shared contract), so the two engines see the same well-formed set
+    "q112_csv_lake" ->
+      s"""SELECT id, name, metric, flag
+         |FROM read_csv('${scopedFixture(dir, "csv_lake")}/csv/part-*',
+         |  columns={'id':'BIGINT','name':'VARCHAR','metric':'BIGINT','flag':'VARCHAR'},
+         |  header=false, ignore_errors=true)
+         |ORDER BY id""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible

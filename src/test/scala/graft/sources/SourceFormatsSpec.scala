@@ -32,6 +32,35 @@ class SourceFormatsSpec extends SparkSpec {
     assert(bad.isNullAt(bad.fieldIndex("views"))) // permissive mode nulls the field
   }
 
+  test("S1: CSV lake scan routes malformed rows to quarantine, never drops them silently") {
+    val dir = Files.createTempDirectory("csvlake").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("metric", LongType), StructField("flag", StringType)))
+    Seq(
+      "1,alpha,10,f1",
+      "2,beta,xx,f0",      // type-invalid metric
+      "3,gamma",           // short row
+      "4,delta,40,f0,ex",  // extra field
+      "5,eps,50,f1"
+    ).toDF("value").repartition(2).write.text(s"$dir/csv")
+    val raw = CsvLake.read(spark, s"$dir/csv", schema)
+    val good = CsvLake.wellFormed(raw)
+    assert(good.columns.toSeq == Seq("id", "name", "metric", "flag"))
+    assert(good.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 5L))
+    // all three malformation kinds land in quarantine WITH their raw lines
+    val bad = CsvLake.quarantined(raw)
+      .select(col(CsvLake.CorruptCol)).as[String].collect().toSet
+    assert(bad == Set("2,beta,xx,f0", "3,gamma", "4,delta,40,f0,ex"))
+    // accept + audit partition the file: nothing silently dropped
+    assert(good.count() + bad.size == 5L)
+    // the reserved corrupt column cannot be shadowed by the declared schema
+    intercept[IllegalArgumentException] {
+      CsvLake.read(spark, s"$dir/csv",
+        StructType(schema.fields :+ StructField(CsvLake.CorruptCol, StringType)))
+    }
+  }
+
   test("S9/W9: streaming archiver lands date-partitioned parquet via trigger") {
     val dir = Files.createTempDirectory("arch").toString
     implicit val ctx = spark.sqlContext
