@@ -2605,6 +2605,33 @@ object SparkEntry {
       graft.sources.CsvLake.wellFormed(
         graft.sources.CsvLake.read(s, s"$fixture/csv", CsvLakeSchema))
         .orderBy("id")
+    },
+    // ---- multi-dimensional agg matrix, final flavor (round-12 verdict
+    // #9): GROUPING SETS with a mixed set list — the (flag, status)
+    // rollup chain PLUS an independent (shipmode) set and the grand
+    // total, i.e. neither a cube (q33) nor a pure rollup, so the Expand
+    // planning is exercised on an irregular lattice. grouping() flags
+    // disambiguate set membership in the output (and are themselves
+    // gated). SQL text matches what a reference user would write; the
+    // cents arithmetic is the SAME generated string on both engines ----
+    "q114_grouping_sets" -> { (s, dir) =>
+      val s2 = s.newSession()
+      Tables.lineitem(s2, dir)
+        .withColumn("l_shipmonth", date_format(col("l_shipdate"), "yyyy-MM"))
+        .createOrReplaceTempView("li")
+      s2.sql(
+        s"""SELECT COALESCE(l_returnflag, 'ALL') AS f,
+           |  COALESCE(l_linestatus, 'ALL') AS st,
+           |  COALESCE(l_shipmonth, 'ALL') AS sm,
+           |  CAST(grouping(l_returnflag) AS BIGINT) AS gf,
+           |  CAST(grouping(l_linestatus) AS BIGINT) AS gst,
+           |  CAST(grouping(l_shipmonth) AS BIGINT) AS gsm,
+           |  COUNT(*) AS cnt,
+           |  SUM(${ExactAgg.Sql.cents("l_quantity")}) AS sum_qty_c
+           |FROM li
+           |GROUP BY GROUPING SETS (
+           |  (l_returnflag, l_linestatus), (l_returnflag), (l_shipmonth), ())
+           |ORDER BY gf, gst, gsm, f, st, sm""".stripMargin)
     }
   )
 
@@ -3754,6 +3781,24 @@ object SparkEntry {
          |  columns={'id':'BIGINT','name':'VARCHAR','metric':'BIGINT','flag':'VARCHAR'},
          |  header=false, ignore_errors=true)
          |ORDER BY id""".stripMargin,
+    // q114: the identical GROUPING SETS statement (mixed-lattice set
+    // list), grouping() flags and all; the cents string is generated by
+    // the same module on both sides
+    "q114_grouping_sets" ->
+      s"""WITH li AS (
+         |  SELECT *, strftime(l_shipdate, '%Y-%m') AS l_shipmonth FROM lineitem)
+         |SELECT COALESCE(l_returnflag, 'ALL') AS f,
+         |  COALESCE(l_linestatus, 'ALL') AS st,
+         |  COALESCE(l_shipmonth, 'ALL') AS sm,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS gf,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS gst,
+         |  CAST(grouping(l_shipmonth) AS BIGINT) AS gsm,
+         |  COUNT(*) AS cnt,
+         |  CAST(SUM(${ExactAgg.Sql.cents("l_quantity")}) AS BIGINT) AS sum_qty_c
+         |FROM li
+         |GROUP BY GROUPING SETS (
+         |  (l_returnflag, l_linestatus), (l_returnflag), (l_shipmonth), ())
+         |ORDER BY gf, gst, gsm, f, st, sm""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible
