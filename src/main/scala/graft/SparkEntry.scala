@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
@@ -338,6 +338,66 @@ object SparkEntry {
       Bpe.naiveIdsTable(exoticInjected(docs), "text", "doc_id", merges,
           vocabBytes, byteFallback = true)
         .write.mode("overwrite").parquet(s"$fixture/expected_ids_bytes")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
+  /** The q106/q113 HTML wrapper: markup injected deterministically around
+    * the corpus text — a full page with script+style payloads (d%3==0),
+    * inline tags with entities (d%3==1), and a no-markup control. ONE
+    * definition feeds the q106 extraction gate, the q113 WARC bodies and
+    * (via [[htmlWrappedSql]]) both oracles.
+    */
+  private[graft] def htmlWrapped(d: Column, text: Column): Column =
+    when(d % 3 === 0, concat(
+        lit("<html><head><script type=\"a\">var x = 1 < 2;</script>" +
+          "<style>.c { }</style></head><body><p>"),
+        text, lit("</p></body></html>")))
+      .when(d % 3 === 1, concat(
+        lit("<div class=\"x\">Tom &amp; co say &quot;hi&quot;: </div>"),
+        text, lit(" &lt;tail&gt;&nbsp;end")))
+      .otherwise(text)
+
+  /** The DuckDB mirror of [[htmlWrapped]] over (doc_id, text). Single-line
+    * on purpose: a leading "||" would lose a pipe to an enclosing
+    * template's stripMargin. */
+  private[graft] val htmlWrappedSql: String =
+    "CASE WHEN doc_id % 3 = 0 THEN " +
+      "'<html><head><script type=\"a\">var x = 1 < 2;</script><style>.c { }</style></head><body><p>' " +
+      "|| text || '</p></body></html>' " +
+      "WHEN doc_id % 3 = 1 THEN " +
+      "'<div class=\"x\">Tom &amp; co say &quot;hi&quot;: </div>' " +
+      "|| text || ' &lt;tail&gt;&nbsp;end' " +
+      "ELSE text END"
+
+  /** Stamped build of the q113 WARC fixture: eight containers written by
+    * the distributed sharded writer ([[graft.sources.Warc.writeSharded]]),
+    * one response record per document with the q106 HTML wrapper as its
+    * body, record id / target URI / Content-Length all pure formulas of
+    * doc_id — so DuckDB predicts every parsed column from the base table
+    * (the q37/q58 encode-side-formula discipline). Every 31st doc
+    * (d%31==7) declares a WRONG Content-Length, so the parser's
+    * quarantine+resync path runs inside the gate corpus and those docs
+    * must be absent from the good output.
+    */
+  private[graft] def ensureWarcFixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "warc_lake")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|warc-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      val d = col("doc_id")
+      val rows = docs.select(
+        pmod(d, lit(8)).as("shard"),
+        d.as("sort_key"),
+        concat(lit("urn:graft:"), d.cast("string")).as("record_id"),
+        concat(lit("https://site"), (d % 40).cast("string"),
+          lit(".example.com/p/"), d.cast("string")).as("target_uri"),
+        htmlWrapped(d, col("text")).as("body"),
+        when(d % 31 === 7, lit(-5)).otherwise(lit(0)).as("len_delta"))
+      graft.sources.Warc.writeSharded(s, rows, s"$fixture/warc", shards = 8)
       stampFixture(fixture, stamp)
     }
     fixture
@@ -2490,19 +2550,9 @@ object SparkEntry {
     // collapse whitespace) is the SAME constant sequence in the Spark
     // column and the generated oracle SQL (q68/q76 contract) ----
     "q106_html_extract" -> { (s, dir) =>
-      val d = col("doc_id")
-      val wrapped =
-        when(d % 3 === 0, concat(
-            lit("<html><head><script type=\"a\">var x = 1 < 2;</script>" +
-              "<style>.c { }</style></head><body><p>"),
-            col("text"), lit("</p></body></html>")))
-          .when(d % 3 === 1, concat(
-            lit("<div class=\"x\">Tom &amp; co say &quot;hi&quot;: </div>"),
-            col("text"), lit(" &lt;tail&gt;&nbsp;end")))
-          .otherwise(col("text"))
       Tables.documents(s, dir)
-        .select(d,
-          graft.functions.Html.extractText(wrapped).as("clean_text"))
+        .select(col("doc_id"),
+          graft.functions.Html.extractText(htmlWrapped(col("doc_id"), col("text"))).as("clean_text"))
         .withColumn("n_chars", length(col("clean_text")).cast("long"))
         .orderBy("doc_id")
     },
@@ -2605,6 +2655,28 @@ object SparkEntry {
       graft.sources.CsvLake.wellFormed(
         graft.sources.CsvLake.read(s, s"$fixture/csv", CsvLakeSchema))
         .orderBy("id")
+    },
+    // ---- S1 source matrix: WARC container read (round-12 verdict #8) —
+    // the crawl→text chain's missing front: binary record-boundary
+    // parsing (offset scan, header parse, Content-Length body slice,
+    // trailer check) with quarantine+resync for malformed records, then
+    // the q106 HTML extraction over the parsed bodies — raw crawl
+    // container to clean training text in one plan, no shuffle before
+    // the presentation sort. Every output column is a PARSE result the
+    // oracle predicts by the encode-side formula (the q37/q58
+    // discipline); the %31==7 docs carry a wrong declared length and
+    // must be quarantined out of this result ----
+    "q113_warc_extract" -> { (s, dir) =>
+      val fixture = ensureWarcFixture(s, dir)
+      val rows = graft.sources.Warc.records(
+        graft.sources.Warc.read(s, s"$fixture/warc"))
+      rows.select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("content_length"),
+          graft.functions.Html.extractText(col("body")).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
     },
     // ---- multi-dimensional agg matrix, final flavor (round-12 verdict
     // #9): GROUPING SETS with a mixed set list — the (flag, status)
@@ -3781,6 +3853,22 @@ object SparkEntry {
          |  columns={'id':'BIGINT','name':'VARCHAR','metric':'BIGINT','flag':'VARCHAR'},
          |  header=false, ignore_errors=true)
          |ORDER BY id""".stripMargin,
+    // q113: every parsed column re-derived from the encode-side formulas
+    // (uri, Content-Length = byte length of the wrapped body, extraction
+    // chain over the same wrapper); the wrong-length docs (%31==7) are
+    // the quarantine battery and must be absent here
+    "q113_warc_extract" -> {
+      val wrapped = htmlWrappedSql
+      s"""SELECT doc_id,
+         |  'https://site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/p/'
+         |    || CAST(doc_id AS VARCHAR) AS target_uri,
+         |  CAST(octet_length(encode(($wrapped))) AS BIGINT) AS content_length,
+         |  ${graft.functions.Html.extractTextSql(s"($wrapped)")} AS clean_text,
+         |  CAST(length(${graft.functions.Html.extractTextSql(s"($wrapped)")}) AS BIGINT) AS n_chars
+         |FROM documents
+         |WHERE doc_id % 31 <> 7
+         |ORDER BY doc_id""".stripMargin
+    },
     // q114: the identical GROUPING SETS statement (mixed-lattice set
     // list), grouping() flags and all; the cents string is generated by
     // the same module on both sides
@@ -3812,16 +3900,7 @@ object SparkEntry {
     // GENERATED from Html's constants (Html.extractTextSql), so the two
     // engines run the same replace sequence
     "q106_html_extract" -> {
-      // single-line: a leading "||" would lose a pipe to the enclosing
-      // template's stripMargin
-      val wrapped =
-        "CASE WHEN doc_id % 3 = 0 THEN " +
-          "'<html><head><script type=\"a\">var x = 1 < 2;</script><style>.c { }</style></head><body><p>' " +
-          "|| text || '</p></body></html>' " +
-          "WHEN doc_id % 3 = 1 THEN " +
-          "'<div class=\"x\">Tom &amp; co say &quot;hi&quot;: </div>' " +
-          "|| text || ' &lt;tail&gt;&nbsp;end' " +
-          "ELSE text END"
+      val wrapped = htmlWrappedSql
       s"""SELECT doc_id,
          |  ${graft.functions.Html.extractTextSql(s"($wrapped)")} AS clean_text,
          |  CAST(length(${graft.functions.Html.extractTextSql(s"($wrapped)")}) AS BIGINT) AS n_chars

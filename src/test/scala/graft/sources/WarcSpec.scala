@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(id: Long, body: String, delta: Int = 0): Array[Byte] =
+    Warc.recordBytes(s"urn:graft:$id", s"https://h/p/$id", "text/html",
+      body.getBytes(UTF_8), delta)
+
+  test("sharded write + read round-trips records in sort order, one container per shard") {
+    val dir = Files.createTempDirectory("warc").toString
+    val rows = (0L until 20L).map(i =>
+      (i % 4, i, s"urn:graft:$i", s"https://h/p/$i", s"body of $i", 0))
+      .toDF("shard", "sort_key", "record_id", "target_uri", "body", "len_delta")
+    Warc.writeSharded(spark, rows, s"$dir/warc", shards = 4)
+    assert(new java.io.File(s"$dir/warc").listFiles().count(_.getName.endsWith(".warc")) == 4)
+    val out = Warc.records(Warc.read(spark, s"$dir/warc"))
+    assert(out.count() == 20L)
+    val got = out.select("record_id", "target_uri", "content_type", "content_length", "body")
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(got == (0L until 20L).map(i =>
+      (s"urn:graft:$i", s"https://h/p/$i", "text/html", s"body of $i".length.toLong,
+        s"body of $i")).toSet)
+    // offsets are monotone within each container (the scan is sequential)
+    val offs = Warc.read(spark, s"$dir/warc")
+      .select("warc_file", "offset").as[(String, Long)].collect()
+      .groupBy(_._1).values
+    assert(offs.forall(f => f.map(_._2).sorted.toSeq == f.map(_._2).toSeq || f.sortBy(_._2).toSeq == f.toSeq))
+  }
+
+  test("content-length counts UTF-8 BYTES, not characters") {
+    val body = "café 試"
+    val rows = Warc.parseFile("f", rec(1L, body))
+    assert(rows.size == 1 && rows.head.error == null)
+    assert(rows.head.content_length == body.getBytes(UTF_8).length.toLong)
+    assert(rows.head.body == body)
+  }
+
+  test("malformation battery: each kind quarantines with its offset and the parser resyncs") {
+    val good = rec(1L, "good one")
+    val after = rec(2L, "recovered")
+    def parse(bytes: Array[Byte]) = Warc.parseFile("f", bytes)
+    // garbage prefix -> bad magic at 0, then both records recovered
+    val garbage = "HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8) ++ good ++ after
+    val p1 = parse(garbage)
+    assert(p1.count(_.error != null) == 1 && p1.head.error == "bad magic" && p1.head.offset == 0L)
+    assert(p1.count(_.error == null) == 2)
+    // wrong declared length -> trailer mismatch, next record recovered
+    val p2 = parse(rec(1L, "mislabeled body", delta = -5) ++ after)
+    assert(p2.map(_.error).toSeq == Seq("trailer mismatch", null))
+    assert(p2.last.record_id == "urn:graft:2")
+    // missing Content-Length
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nx\r\n\r\n").getBytes(UTF_8)
+    assert(parse(noLen ++ after).map(_.error).toSeq ==
+      Seq("missing or non-numeric Content-Length", null))
+    // declared length runs past the container -> truncated body
+    val p4 = parse(rec(1L, "tail", delta = 10000))
+    assert(p4.map(_.error).toSeq == Seq("truncated body"))
+    // unterminated header at EOF
+    val p5 = parse("WARC/1.0\r\nWARC-Type: resp".getBytes(UTF_8))
+    assert(p5.map(_.error).toSeq == Seq("unterminated header"))
+    // empty container -> nothing, not an error
+    assert(parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("a corrupt record costs itself, not its container: distributed quarantine routing") {
+    val dir = Files.createTempDirectory("warc_q").toString
+    val rows = (0L until 12L).map(i =>
+      (i % 2, i, s"urn:graft:$i", s"https://h/p/$i", s"payload $i",
+        if (i % 5 == 3) -3 else 0))
+      .toDF("shard", "sort_key", "record_id", "target_uri", "body", "len_delta")
+    Warc.writeSharded(spark, rows, s"$dir/warc", shards = 2)
+    val all = Warc.read(spark, s"$dir/warc")
+    val bad = Warc.quarantined(all)
+    assert(bad.count() == 2L) // ids 3 and 8
+    assert(bad.select("error").distinct().as[String].collect().toSeq ==
+      Seq("trailer mismatch"))
+    val goodIds = Warc.records(all)
+      .select(regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+      .as[Long].collect().toSet
+    assert(goodIds == (0L until 12L).filter(i => i % 5 != 3).toSet)
+  }
+}
