@@ -3945,8 +3945,8 @@ object SparkEntry {
          |  FROM bk GROUP BY bucket),
          |tot AS (SELECT SUM(g) AS gt, SUM(b) AS bt FROM cnt),
          |w AS (SELECT bucket,
-         |    ${ExactAgg.Sql.divHalfUp(s"g * $scale", "gt")}
-         |      - ${ExactAgg.Sql.divHalfUp(s"b * $scale", "bt")} AS wt
+         |    CAST(${ExactAgg.Sql.divHalfUp(s"g * $scale", "gt")}
+         |      - ${ExactAgg.Sql.divHalfUp(s"b * $scale", "bt")} AS BIGINT) AS wt
          |  FROM cnt, tot),
          |scored AS (
          |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
