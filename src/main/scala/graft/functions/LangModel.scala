@@ -87,11 +87,20 @@ object LangModel {
       padShortDocs: Boolean = false): DataFrame = {
     require(order >= 2, s"LM order must be >= 2, got $order")
     val t = Text.tokens(col(textCol))
-    val idx = when(size(t) >= order, sequence(lit(order), size(t)))
-      .otherwise(array().cast("array<int>"))
-    val pairs = transform(idx, i => struct(
-      array_join(slice(t, i - (order - 1), lit(order - 1)), " ").as("w1"),
-      element_at(t, i).as("w2")))
+    // `order` shifted copies of the token array, sliced ONCE per document
+    // and zipped — each element k of the zip holds tokens[i+k] for
+    // transition i. A per-element slice+join (transform over an index
+    // range) planned 6× slower at sf0.1: array slicing inside the lambda
+    // re-allocates per TOKEN, this form only per document.
+    val m = greatest(size(t) - (order - 1), lit(0))
+    val zipped = arrays_zip(
+      (0 until order).map(k => slice(t, lit(k + 1), m).as(s"c$k")): _*)
+    val pairs = transform(zipped, s => {
+      val ctx =
+        if (order == 2) s.getField("c0")
+        else concat_ws(" ", (0 until order - 1).map(k => s.getField(s"c$k")): _*)
+      struct(ctx.as("w1"), s.getField(s"c${order - 1}").as("w2"))
+    })
     val nullPad = array(struct(
       lit(null).cast("string").as("w1"), lit(null).cast("string").as("w2")))
     val src = if (padShortDocs)
