@@ -386,18 +386,29 @@ object SparkEntry {
     val fixture = scopedFixture(dir, "warc_lake")
     val fp = docs.agg(
       count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
-    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|warc-v1"
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|warc-v2"
     if (!fixtureReady(fixture, stamp)) {
+      // container files are written individually (no directory-overwrite
+      // sink), so a re-stamp must clear stale containers itself
+      val fs = graft.functions.IndexProtocol.fileSystem(s, fixture)
+      fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
       val d = col("doc_id")
-      val rows = docs.select(
-        pmod(d, lit(8)).as("shard"),
+      def rows(shard: Column) = docs.select(
+        shard.as("shard"),
         d.as("sort_key"),
         concat(lit("urn:graft:"), d.cast("string")).as("record_id"),
         concat(lit("https://site"), (d % 40).cast("string"),
           lit(".example.com/p/"), d.cast("string")).as("target_uri"),
         htmlWrapped(d, col("text")).as("body"),
         when(d % 31 === 7, lit(-5)).otherwise(lit(0)).as("len_delta"))
-      graft.sources.Warc.writeSharded(s, rows, s"$fixture/warc", shards = 8)
+      // half the corpus in plain containers, half in per-record-gzip
+      // ones (the Common Crawl transport) — ONE read consumes both
+      graft.sources.Warc.writeSharded(s,
+        rows(pmod(d, lit(8))).filter(col("shard") < 4),
+        s"$fixture/warc", shards = 4)
+      graft.sources.Warc.writeSharded(s,
+        rows(pmod(d, lit(8)) - 4).filter(col("shard") >= 0),
+        s"$fixture/warc", shards = 4, gzip = true)
       stampFixture(fixture, stamp)
     }
     fixture
@@ -2662,7 +2673,9 @@ object SparkEntry {
     // trailer check) with quarantine+resync for malformed records, then
     // the q106 HTML extraction over the parsed bodies — raw crawl
     // container to clean training text in one plan, no shuffle before
-    // the presentation sort. Every output column is a PARSE result the
+    // the presentation sort. Half the fixture containers are plain WARC
+    // and half per-record-gzip .warc.gz (the Common Crawl transport),
+    // consumed by ONE read. Every output column is a PARSE result the
     // oracle predicts by the encode-side formula (the q37/q58
     // discipline); the %31==7 docs carry a wrong declared length and
     // must be quarantined out of this result ----

@@ -74,15 +74,49 @@ object Warc {
     override def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
+  /** One gzip member per record — the Common Crawl `.warc.gz` layout
+    * (members are individually decompressible, which is what lets a
+    * reader split a crawl file without decompressing from byte 0).
+    */
+  private def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** Concatenated-member gunzip: GZIPInputStream consumes members until
+    * the stream ends; a corrupt member surfaces as an IOException AFTER
+    * the sound prefix decoded, so the caller keeps every record before
+    * the corruption and quarantines the rest (returned reason).
+    */
+  private[graft] def gunzipMembers(bytes: Array[Byte]): (Array[Byte], String) = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      (out.toByteArray, null)
+    } catch {
+      case e: java.io.IOException =>
+        (out.toByteArray, s"corrupt gzip member: ${e.getMessage}")
+    }
+  }
+
   /** Distributed container writer: rows
     * (shard, sort_key, record_id, target_uri, body, len_delta) land as
-    * `part-<shard>.warc`, one writer task per container, records in
-    * sort_key order within it. Bodies are strings (the HTML/WET case);
-    * Content-Length counts their UTF-8 bytes. Container size is the
-    * CALLER's contract (the WARC ~1 GiB convention): a shard's records
-    * are sorted in the writer task's memory.
+    * `part-<shard>.warc` (or `.warc.gz` with one gzip member per record
+    * under `gzip = true` — the Common Crawl transport), one writer task
+    * per container, records in sort_key order within it. Bodies are
+    * strings (the HTML/WET case); Content-Length counts their UTF-8
+    * bytes. Container size is the CALLER's contract (the WARC ~1 GiB
+    * convention): a shard's records are sorted in the writer task's
+    * memory.
     */
-  def writeSharded(spark: SparkSession, rows: DataFrame, path: String, shards: Int): Unit = {
+  def writeSharded(
+      spark: SparkSession, rows: DataFrame, path: String, shards: Int,
+      gzip: Boolean = false): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     import spark.implicits._
     val fsConf = new org.apache.hadoop.conf.Configuration(
@@ -107,11 +141,13 @@ object Warc {
           java.util.Arrays.sort(recs, Ordering.by[(Int, Long, String, String, String, Int), Long](_._2))
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confMap.foreach { case (k, v) => conf.set(k, v) }
-          val target = new Path(path, f"part-${recs.head._1}%05d.warc")
+          val ext = if (gzip) "warc.gz" else "warc"
+          val target = new Path(path, f"part-${recs.head._1}%05d.$ext")
           val fs = target.getFileSystem(conf)
           val out = fs.create(target, true)
           try recs.foreach { case (_, _, rid, uri, body, delta) =>
-            out.write(recordBytes(rid, uri, "text/html", body.getBytes(UTF_8), delta))
+            val rec = recordBytes(rid, uri, "text/html", body.getBytes(UTF_8), delta)
+            out.write(if (gzip) gzipMember(rec) else rec)
           } finally out.close()
         }
       }
@@ -185,16 +221,28 @@ object Warc {
     out.result()
   }
 
-  /** Read every `*.warc` container under `path`: one binaryFile row per
-    * container, records + quarantine rows flat-mapped out inside the
-    * owning partition. Split with [[records]]/[[quarantined]].
+  /** Read every `*.warc` / `*.warc.gz` container under `path`: one
+    * binaryFile row per container (gzip members decompressed in the
+    * owning task — a corrupt member quarantines the file's TAIL, keeping
+    * every record before it), records + quarantine rows flat-mapped out
+    * inside the owning partition. Offsets are within the DECOMPRESSED
+    * stream for gz containers. Split with [[records]]/[[quarantined]].
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$path/*.warc")
+    spark.read.format("binaryFile").load(s"$path/*.warc*")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (p, b) => parseFile(p.substring(p.lastIndexOf('/') + 1), b) }
+      .flatMap { case (p, raw) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        if (!name.endsWith(".gz")) parseFile(name, raw)
+        else {
+          val (bytes, err) = gunzipMembers(raw)
+          val rows = parseFile(name, bytes)
+          if (err == null) rows
+          else rows :+ Row(name, bytes.length.toLong, null, null, null, -1L, null, err)
+        }
+      }
       .toDF()
   }
 

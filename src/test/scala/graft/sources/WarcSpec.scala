@@ -69,6 +69,48 @@ class WarcSpec extends SparkSpec {
     assert(parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("gzip containers: one member per record, one read consumes plain and gz alike") {
+    val dir = Files.createTempDirectory("warc_gz").toString
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong % 2, i.toLong, s"urn:graft:$i", s"https://h/p/$i", s"payload $i", 0))
+      .toDF("shard", "sort_key", "record_id", "target_uri", "body", "len_delta")
+    Warc.writeSharded(spark, rows(0 until 8), s"$dir/warc", shards = 2)
+    Warc.writeSharded(spark, rows(8 until 16), s"$dir/warc", shards = 2, gzip = true)
+    val names = new java.io.File(s"$dir/warc").listFiles().map(_.getName).sorted.toSeq
+    assert(names.count(_.endsWith(".warc")) == 2 && names.count(_.endsWith(".warc.gz")) == 2)
+    // per-record members: each record starts its own gzip magic
+    val gzBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/warc", names.filter(_.endsWith(".gz")).head).toPath)
+    val magics = gzBytes.sliding(2).count(w => (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b)
+    assert(magics == 4, s"expected one gzip member per record, saw $magics")
+    // one read, both transports, all 16 records
+    val out = Warc.records(Warc.read(spark, s"$dir/warc"))
+    assert(out.count() == 16L)
+    assert(out.select("record_id").as[String].collect().toSet ==
+      (0 until 16).map(i => s"urn:graft:$i").toSet)
+  }
+
+  test("a corrupt gzip member quarantines the container's TAIL, keeping the sound prefix") {
+    val dir = Files.createTempDirectory("warc_gzbad").toString
+    val good = (0 until 3).map(i => rec(i, s"payload $i"))
+    val gz = good.map { r =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(r); g.close()
+      bos.toByteArray
+    }
+    // corrupt the THIRD member's deflate payload
+    val bad = gz(2).clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x5a).toByte
+    java.nio.file.Files.write(
+      new java.io.File(dir, "c.warc.gz").toPath, (gz(0) ++ gz(1) ++ bad))
+    val out = Warc.read(spark, dir)
+    val goodIds = Warc.records(out).select("record_id").as[String].collect().toSet
+    assert(goodIds == Set("urn:graft:0", "urn:graft:1"))
+    val q = Warc.quarantined(out).select("error").as[String].collect()
+    assert(q.exists(_.startsWith("corrupt gzip member")), q.toSeq.toString)
+  }
+
   test("a corrupt record costs itself, not its container: distributed quarantine routing") {
     val dir = Files.createTempDirectory("warc_q").toString
     val rows = (0L until 12L).map(i =>
