@@ -618,6 +618,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("quality_feature_sum")) == 1, p.take(1200))
   }
 
+  test("q112: the CSV lake read is one total-parse map stage over a line scan") {
+    // the quarantine contract's plan shape: text scan → from_csv project
+    // → corrupt-null filter; no join, no aggregate, only the final sort
+    val p = plan("q112_csv_lake")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only the final sort exchange:\n${exchanges.mkString("\n")}")
+    assert(p.contains("from_csv"), p.take(1200))
+  }
+
+  test("q113: WARC parse + HTML extraction never shuffle before the presentation sort") {
+    // container rows flatMap to records inside their own partitions; the
+    // extraction is a map over the parsed bodies — the crawl→text chain
+    // is scan-shaped end to end
+    val p = plan("q113_warc_extract")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only the final sort exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q99: the domain cap carves heavy hosts via WindowGroupLimit; the tail joins by union") {
     // the composition's scale claims: the cap window (q96 shape) runs on
     // the heavy-host BRANCH only, every hash exchange is keyed on the
