@@ -618,6 +618,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("quality_feature_sum")) == 1, p.take(1200))
   }
 
+  test("q114: the grouping-sets lattice is ONE Expand + one aggregation exchange") {
+    // Expand multiplies rows by the set count BEFORE the exchange, but
+    // partial aggregation must collapse them map-side: exactly one
+    // Expand, and the only hash exchange carries the grouping keys
+    val p = plan("q114_grouping_sets")
+    assert(p.linesIterator.exists(_.contains(" Expand ")), p.take(800))
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashEx.size == 1, s"expected one aggregation exchange:\n${hashEx.mkString("\n")}")
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
   test("q112: the CSV lake read is one total-parse map stage over a line scan") {
     // the quarantine contract's plan shape: text scan → from_csv project
     // → corrupt-null filter; no join, no aggregate, only the final sort
