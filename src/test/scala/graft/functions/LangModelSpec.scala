@@ -178,6 +178,25 @@ class LangModelSpec extends SparkSpec {
       (4L, 0L, 0L), (5L, 0L, 0L)))
   }
 
+  test("order-5 (the CCNet order): artifact round-trips and scoring ladders resolve") {
+    val dir = Files.createTempDirectory("lm5").toString
+    val ref = (0L until 30L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    LangModel.train(ref, "text", s"$dir/lm", order = 5)
+    assert(LangModel.readModelMeta(spark, s"$dir/lm")._2 == 5)
+    val out = LangModel.scoreDocs(Seq(
+        (1L, "the quick brown fox jumps"),   // trained 5-gram: low lp
+        (2L, "the quick brown fox sleeps"),  // known 4-token context, unseen w
+        (3L, "totally novel words here now"),// unknown context -> global floor
+        (4L, "the quick brown fox")          // shorter than the order -> (0, 0)
+      ).toDF("doc_id", "text"), "text", "doc_id", s"$dir/lm")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(out(0)._2 == 1L && out(1)._2 == 1L && out(2)._2 == 1L)
+    assert(out(0)._3 < out(1)._3, "a trained 5-gram must beat the miss floor")
+    assert(out(3) == ((4L, 0L, 0L)))
+  }
+
   test("order-3 incremental install + append + refresh equals an order-3 full retrain") {
     val dir = Files.createTempDirectory("lm3_inc").toString
     val half1 = (0L until 20L).map(i => (i, s"the quick fox t$i runs the maze"))
