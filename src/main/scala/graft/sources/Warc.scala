@@ -35,10 +35,12 @@ import org.apache.spark.sql.functions._
 object Warc {
 
   /** One parsed row; `error` is NULL for a good record, else the
-    * quarantine reason (record fields null). */
+    * quarantine reason (record fields null). `warc_type` is `response`
+    * for crawl payloads, `conversion` for WET-style derived text. */
   final case class Row(
-      warc_file: String, offset: Long, record_id: String, target_uri: String,
-      content_type: String, content_length: Long, body: String, error: String)
+      warc_file: String, offset: Long, warc_type: String, record_id: String,
+      target_uri: String, content_type: String, content_length: Long,
+      body: String, error: String)
 
   private val Version = "WARC/1.0"
   private val Magic: Array[Byte] = (Version + "\r\n").getBytes(UTF_8)
@@ -46,15 +48,20 @@ object Warc {
 
   // ---------------------------------------------------------------- write
 
-  /** Serialized record bytes. `declaredLengthDelta` skews the declared
-    * Content-Length (test/soak malformation injection; 0 in production).
+  /** Serialized record bytes. `warcType` is `response` for crawl payloads
+    * and `conversion` for derived text (the WET convention — extraction
+    * output is itself a WARC archive, which is what lets the crawl→text
+    * chain round-trip through the same reader). `declaredLengthDelta`
+    * skews the declared Content-Length (test/soak malformation
+    * injection; 0 in production).
     */
   def recordBytes(
       recordId: String, targetUri: String, contentType: String,
-      body: Array[Byte], declaredLengthDelta: Int = 0): Array[Byte] = {
+      body: Array[Byte], declaredLengthDelta: Int = 0,
+      warcType: String = "response"): Array[Byte] = {
     val header =
       s"""$Version\r
-         |WARC-Type: response\r
+         |WARC-Type: $warcType\r
          |WARC-Record-ID: $recordId\r
          |WARC-Target-URI: $targetUri\r
          |Content-Type: $contentType\r
@@ -116,7 +123,8 @@ object Warc {
     */
   def writeSharded(
       spark: SparkSession, rows: DataFrame, path: String, shards: Int,
-      gzip: Boolean = false): Unit = {
+      gzip: Boolean = false, contentType: String = "text/html",
+      warcType: String = "response"): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     import spark.implicits._
     val fsConf = new org.apache.hadoop.conf.Configuration(
@@ -146,7 +154,8 @@ object Warc {
           val fs = target.getFileSystem(conf)
           val out = fs.create(target, true)
           try recs.foreach { case (_, _, rid, uri, body, delta) =>
-            val rec = recordBytes(rid, uri, "text/html", body.getBytes(UTF_8), delta)
+            val rec = recordBytes(rid, uri, contentType, body.getBytes(UTF_8),
+              delta, warcType)
             out.write(if (gzip) gzipMember(rec) else rec)
           } finally out.close()
         }
@@ -173,7 +182,7 @@ object Warc {
   private[graft] def parseFile(name: String, bytes: Array[Byte]): Seq[Row] = {
     val out = Seq.newBuilder[Row]
     def bad(offset: Int, reason: String): Unit =
-      out += Row(name, offset.toLong, null, null, null, -1L, null, reason)
+      out += Row(name, offset.toLong, null, null, null, null, -1L, null, reason)
     var c = 0
     var done = bytes.length == 0
     while (!done) {
@@ -205,6 +214,7 @@ object Warc {
               bad(start, "trailer mismatch"); resync()
             } else {
               out += Row(name, start.toLong,
+                headers.getOrElse("WARC-Type", ""),
                 headers.getOrElse("WARC-Record-ID", ""),
                 headers.getOrElse("WARC-Target-URI", ""),
                 headers.getOrElse("Content-Type", ""),
@@ -240,7 +250,7 @@ object Warc {
           val (bytes, err) = gunzipMembers(raw)
           val rows = parseFile(name, bytes)
           if (err == null) rows
-          else rows :+ Row(name, bytes.length.toLong, null, null, null, -1L, null, err)
+          else rows :+ Row(name, bytes.length.toLong, null, null, null, null, -1L, null, err)
         }
       }
       .toDF()

@@ -111,6 +111,29 @@ class WarcSpec extends SparkSpec {
     assert(q.exists(_.startsWith("corrupt gzip member")), q.toSeq.toString)
   }
 
+  test("WET round trip: extracted text writes as conversion records and reads back") {
+    val dir = Files.createTempDirectory("wet").toString
+    val docs = (0L until 10L)
+      .map(i => (i, s"<p>body &amp; text of $i</p>")).toDF("doc_id", "html")
+    val extracted = docs.select(
+      (col("doc_id") % 2).as("shard"),
+      col("doc_id").as("sort_key"),
+      concat(lit("urn:wet:"), col("doc_id")).as("record_id"),
+      concat(lit("https://h/p/"), col("doc_id")).as("target_uri"),
+      graft.functions.Html.extractText(col("html")).as("body"),
+      lit(0).as("len_delta"))
+    Warc.writeSharded(spark, extracted, s"$dir/wet", shards = 2,
+      gzip = true, contentType = "text/plain", warcType = "conversion")
+    val back = Warc.records(Warc.read(spark, s"$dir/wet"))
+    assert(back.count() == 10L)
+    assert(back.select("warc_type").distinct().as[String].collect().toSeq ==
+      Seq("conversion"))
+    assert(back.select("content_type").distinct().as[String].collect().toSeq ==
+      Seq("text/plain"))
+    val bodies = back.select("record_id", "body").as[(String, String)].collect().toMap
+    assert((0L until 10L).forall(i => bodies(s"urn:wet:$i") == s"body & text of $i"))
+  }
+
   test("a corrupt record costs itself, not its container: distributed quarantine routing") {
     val dir = Files.createTempDirectory("warc_q").toString
     val rows = (0L until 12L).map(i =>
