@@ -515,8 +515,13 @@ object SparkEntry {
     val fixture = scopedFixture(dir, "quality_model_trained")
     val fp = docs.agg(
       count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    // the class markers are trainer inputs: editing either would leave a
+    // stale fixture serving old weights while the oracle re-derives with
+    // the new markers (round-13 advice) — fold them into the identity
+    val markers = Integer.toHexString((QcGoodMark + " " + QcBadMark).hashCode)
     val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|dim=${QualityClassifier.DefaultDim}" +
-      s"|scale=${QualityClassifier.TrainScale}|qc=${QualityClassifier.ModelVersion}|centroid-v1"
+      s"|scale=${QualityClassifier.TrainScale}|qc=${QualityClassifier.ModelVersion}" +
+      s"|marks=$markers|centroid-v1"
     if (!fixtureReady(fixture, stamp)) {
       val model = QualityClassifier.trainCentroid(qcLabeled(docs), "__ltext", "__lbl")
       QualityClassifier.writeModel(s, model, s"$fixture/model")

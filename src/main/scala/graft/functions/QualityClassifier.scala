@@ -147,10 +147,12 @@ object QualityClassifier {
     * reduce map-side to (bucket, g, b) partials, at most `dim` rows reach
     * the driver (the same bounded-by-contract collect as the model
     * install), and the corpus is never touched again. The e6 share
-    * arithmetic bounds the supported labeled-set size at ~9·10¹² features
-    * per class (Long overflow guard below) — labeled quality corpora are
-    * orders of magnitude smaller; the guard makes the ceiling explicit
-    * rather than silent.
+    * arithmetic bounds the supported labeled-set size at ~4.6·10¹²
+    * features per class (Long overflow guard below — divHalfUpL doubles
+    * the e6 product, so the ceiling is Long.MaxValue / TrainScale / 2,
+    * half what the share product alone would allow) — labeled quality
+    * corpora are orders of magnitude smaller; the guard makes the ceiling
+    * explicit rather than silent.
     */
   def trainCentroid(
       docs: DataFrame, textCol: String, labelCol: String,
@@ -171,8 +173,13 @@ object QualityClassifier {
     val bad = counts.valuesIterator.map(_._2).sum
     require(good > 0 && bad > 0,
       s"training needs features in BOTH classes, got good=$good bad=$bad")
-    require(good <= Long.MaxValue / TrainScale && bad <= Long.MaxValue / TrainScale,
-      s"labeled set too large for e6 fixed point: $good/$bad features")
+    // divHalfUpL doubles the e6 product, so the guard must halve the
+    // naive Long.MaxValue / TrainScale ceiling (round-13 advice: the 2x
+    // headroom gap let values in the upper half overflow silently)
+    val maxClassFeatures = Long.MaxValue / TrainScale / 2
+    require(good <= maxClassFeatures && bad <= maxClassFeatures,
+      s"labeled set too large for e6 fixed point: $good/$bad features " +
+        s"(ceiling $maxClassFeatures per class)")
     val weights = Array.tabulate(dim) { j =>
       val (g, b) = counts.getOrElse(j, (0L, 0L))
       divHalfUpL(g * TrainScale, good) - divHalfUpL(b * TrainScale, bad)

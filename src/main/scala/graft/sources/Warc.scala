@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
   * and the parser RESYNCS by scanning for the next record magic, so one
   * corrupt record costs itself, not its container.
   *
-  * Scale shape: one `binaryFile` row per container (a bounded-size file
-  * by convention — the reader's documented contract), records parsed by
-  * byte offset inside the owning partition and emitted via flatMap; no
-  * shuffle anywhere in the read. The sharded writer is the mirror: one
-  * writer task per container file, rows routed by an explicit shard
-  * partitioner, so corpus→container layout is deterministic and
-  * driver-free.
+  * Scale shape (round-13 verdict #2 — STREAMING, not buffered): records
+  * are parsed off an InputStream by [[Warc.RecordStream]], so a task's
+  * peak heap is ONE record (header + declared body), not one container —
+  * a 1 GiB `.warc.gz` that decompresses to 3-5 GiB streams through a
+  * 64 KiB-grown window instead of materializing in the task heap. Gzip
+  * members decompress through the same window. No shuffle anywhere in
+  * the read. The sharded writer is the mirror: rows are sort-shuffled to
+  * their container task (`repartitionAndSortWithinPartitions`, spillable
+  * — no in-task `toArray`+sort) and streamed straight to the output
+  * file, rolling to a fresh container whenever `maxContainerBytes` is
+  * crossed so WET output at corpus scale honors the same bounded-file
+  * convention the reader's task sizing depends on.
   */
 object Warc {
 
@@ -46,6 +51,11 @@ object Warc {
   private val Magic: Array[Byte] = (Version + "\r\n").getBytes(UTF_8)
   private val HeaderEnd: Array[Byte] = "\r\n\r\n".getBytes(UTF_8)
 
+  /** Largest single record the parser will buffer (a body is a String —
+    * the JVM array ceiling is the binding constraint either way). A
+    * record declaring more is quarantined as truncated. */
+  private val MaxRecordBytes: Long = Int.MaxValue.toLong - 16L
+
   // ---------------------------------------------------------------- write
 
   /** Serialized record bytes. `warcType` is `response` for crawl payloads
@@ -59,6 +69,16 @@ object Warc {
       recordId: String, targetUri: String, contentType: String,
       body: Array[Byte], declaredLengthDelta: Int = 0,
       warcType: String = "response"): Array[Byte] = {
+    // header-borne strings are interpolated into the CRLF-delimited
+    // header block — an embedded CR/LF would silently corrupt record
+    // framing (the record parses as malformed or desynchronizes the
+    // container), so reject it at the door (round-13 advice)
+    Seq("WARC-Type" -> warcType, "WARC-Record-ID" -> recordId,
+        "WARC-Target-URI" -> targetUri, "Content-Type" -> contentType)
+      .foreach { case (k, v) =>
+        require(v != null && !v.exists(c => c == '\r' || c == '\n'),
+          s"$k must be non-null and contain no CR/LF, got: $v")
+      }
     val header =
       s"""$Version\r
          |WARC-Type: $warcType\r
@@ -76,9 +96,24 @@ object Warc {
     out
   }
 
+  /** Routes a `((shard, sort_key), record)` pair to its container task —
+    * the partitioner half of the writer's shuffle-sort. */
   private class ShardPartitioner(shards: Int) extends Partitioner {
     override def numPartitions: Int = shards
-    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    override def getPartition(key: Any): Int = {
+      val k = key match {
+        case (s: Int, _) => s
+        case s: Int => s
+        case other => throw new IllegalArgumentException(
+          s"shard key must be Int-led, got ${other.getClass.getName}")
+      }
+      // an out-of-range shard would otherwise crash deep inside the
+      // shuffle as an opaque ArrayIndexOutOfBounds (round-13 advice)
+      require(k >= 0 && k < shards,
+        s"shard key $k outside [0, $shards) — shard values must be " +
+          "pre-computed into the writer's range (e.g. via pmod)")
+      k
+    }
   }
 
   /** One gzip member per record — the Common Crawl `.warc.gz` layout
@@ -92,40 +127,31 @@ object Warc {
     bos.toByteArray
   }
 
-  /** Concatenated-member gunzip: GZIPInputStream consumes members until
-    * the stream ends; a corrupt member surfaces as an IOException AFTER
-    * the sound prefix decoded, so the caller keeps every record before
-    * the corruption and quarantines the rest (returned reason).
-    */
-  private[graft] def gunzipMembers(bytes: Array[Byte]): (Array[Byte], String) = {
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
-    val buf = new Array[Byte](64 * 1024)
-    try {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      (out.toByteArray, null)
-    } catch {
-      case e: java.io.IOException =>
-        (out.toByteArray, s"corrupt gzip member: ${e.getMessage}")
-    }
-  }
-
   /** Distributed container writer: rows
     * (shard, sort_key, record_id, target_uri, body, len_delta) land as
     * `part-<shard>.warc` (or `.warc.gz` with one gzip member per record
     * under `gzip = true` — the Common Crawl transport), one writer task
-    * per container, records in sort_key order within it. Bodies are
-    * strings (the HTML/WET case); Content-Length counts their UTF-8
-    * bytes. Container size is the CALLER's contract (the WARC ~1 GiB
-    * convention): a shard's records are sorted in the writer task's
-    * memory.
+    * per shard, records in sort_key order. Bodies are strings (the
+    * HTML/WET case); Content-Length counts their UTF-8 bytes.
+    *
+    * Scale shape: the sort happens IN THE SHUFFLE
+    * (`repartitionAndSortWithinPartitions` — spillable, no in-task
+    * buffering) and the writer task streams each record straight to the
+    * container file, so task heap is O(one record) regardless of shard
+    * size. Container size is bounded by `maxContainerBytes` (the WARC
+    * ~1 GiB convention): when a shard's output crosses it, the writer
+    * ROLLS to `part-<shard>-<seq>.(warc|warc.gz)` — a record is never
+    * split, so a container may overshoot by at most one record, and a
+    * record larger than the target still lands (alone). The default
+    * (Long.MaxValue) keeps the historical one-file-per-shard naming.
     */
   def writeSharded(
       spark: SparkSession, rows: DataFrame, path: String, shards: Int,
       gzip: Boolean = false, contentType: String = "text/html",
-      warcType: String = "response"): Unit = {
+      warcType: String = "response",
+      maxContainerBytes: Long = Long.MaxValue): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(maxContainerBytes >= 1, s"maxContainerBytes must be >= 1")
     import spark.implicits._
     val fsConf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
@@ -136,121 +162,275 @@ object Warc {
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
+    val roll = maxContainerBytes != Long.MaxValue
     rows
       .select(col("shard").cast("int"), col("sort_key").cast("long"),
         col("record_id"), col("target_uri"), col("body"), col("len_delta").cast("int"))
       .as[(Int, Long, String, String, String, Int)]
-      .rdd.map(r => (r._1, r))
-      .partitionBy(new ShardPartitioner(shards))
-      .values
+      .rdd.map(r => ((r._1, r._2), (r._3, r._4, r._5, r._6)))
+      .repartitionAndSortWithinPartitions(new ShardPartitioner(shards))
       .foreachPartition { it =>
-        val recs = it.toArray
-        if (recs.nonEmpty) {
-          java.util.Arrays.sort(recs, Ordering.by[(Int, Long, String, String, String, Int), Long](_._2))
+        if (it.hasNext) {
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confMap.foreach { case (k, v) => conf.set(k, v) }
           val ext = if (gzip) "warc.gz" else "warc"
-          val target = new Path(path, f"part-${recs.head._1}%05d.$ext")
-          val fs = target.getFileSystem(conf)
-          val out = fs.create(target, true)
-          try recs.foreach { case (_, _, rid, uri, body, delta) =>
+          var fs: org.apache.hadoop.fs.FileSystem = null
+          var out: java.io.OutputStream = null
+          var shard = -1
+          var seq = 0
+          var written = 0L
+          def open(): Unit = {
+            val name =
+              if (roll) f"part-$shard%05d-$seq%04d.$ext"
+              else f"part-$shard%05d.$ext"
+            val target = new Path(path, name)
+            if (fs == null) fs = target.getFileSystem(conf)
+            out = fs.create(target, true)
+            written = 0L
+          }
+          it.foreach { case ((s, _), (rid, uri, body, delta)) =>
+            if (out == null) { shard = s; open() }
             val rec = recordBytes(rid, uri, contentType, body.getBytes(UTF_8),
               delta, warcType)
-            out.write(if (gzip) gzipMember(rec) else rec)
-          } finally out.close()
+            val bytes = if (gzip) gzipMember(rec) else rec
+            if (written > 0L && written + bytes.length > maxContainerBytes) {
+              out.close(); seq += 1; open()
+            }
+            out.write(bytes)
+            written += bytes.length
+          }
+          if (out != null) out.close()
         }
       }
   }
 
   // ---------------------------------------------------------------- parse
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
-    var i = math.max(from, 0)
-    val last = hay.length - needle.length
-    while (i <= last) {
-      var j = 0
-      while (j < needle.length && hay(i + j) == needle(j)) j += 1
-      if (j == needle.length) return i
-      i += 1
-    }
-    -1
-  }
+  /** Streaming record parser: an Iterator[Row] over an InputStream, peak
+    * heap = the current record's bytes (the round-13 verdict #2 fix —
+    * the previous reader materialized the whole container, and for
+    * `.warc.gz` the whole DECOMPRESSED stream, per task).
+    *
+    * The window buffer always begins at the current record-candidate's
+    * start; on a malformation the resync scans from start+1 exactly like
+    * the historical whole-array parser (row-identical by spec), keeping
+    * only a magic-length tail of already-rejected bytes as it slides.
+    * When `quarantineStreamErrors` (the gzip transport), an IOException
+    * mid-stream — a corrupt member — ends the stream instead of failing
+    * the task: every record before the corruption is kept, the buffered
+    * partial tail quarantines by the normal rules, and one final
+    * `corrupt gzip member` row records the event at the decompressed
+    * offset where decoding stopped.
+    */
+  private[graft] final class RecordStream(
+      name: String, in: java.io.InputStream, quarantineStreamErrors: Boolean)
+    extends Iterator[Row] {
 
-  /** Offset-scanning record parser with magic resync — see the
-    * malformation policy above. Pure function of the bytes, exposed for
-    * the spec battery. */
-  private[graft] def parseFile(name: String, bytes: Array[Byte]): Seq[Row] = {
-    val out = Seq.newBuilder[Row]
-    def bad(offset: Int, reason: String): Unit =
-      out += Row(name, offset.toLong, null, null, null, null, -1L, null, reason)
-    var c = 0
-    var done = bytes.length == 0
-    while (!done) {
-      val start = c
-      val resync = () => {
-        val next = indexOf(bytes, Magic, start + 1)
-        if (next < 0) done = true else c = next
+    private var buf = new Array[Byte](64 * 1024)
+    private var len = 0
+    private var base = 0L // stream offset of buf(0)
+    private var eof = false
+    private var streamErr: String = null
+    private var closed = false
+    private var finished = false
+    private var errEmitted = false
+    private var nextRow: Row = null
+
+    private[sources] def closeQuietly(): Unit = if (!closed) {
+      closed = true
+      try in.close() catch { case _: java.io.IOException => () }
+    }
+
+    /** Read more bytes into the window; false at (possibly error-induced)
+      * end of stream. Grows the buffer when full. */
+    private def fillMore(): Boolean = {
+      if (eof) return false
+      if (len == buf.length) {
+        val grown = new Array[Byte](buf.length * 2)
+        System.arraycopy(buf, 0, grown, 0, len)
+        buf = grown
       }
-      if (indexOf(bytes, Magic, start) != start) {
-        bad(start, "bad magic"); resync()
-      } else {
-        val hdrEnd = indexOf(bytes, HeaderEnd, start)
-        if (hdrEnd < 0) { bad(start, "unterminated header"); resync() }
-        else {
-          val headers = new String(bytes, start, hdrEnd - start, UTF_8)
-            .split("\r\n").drop(1) // the version line
-            .flatMap { l =>
-              val i = l.indexOf(':')
-              if (i < 0) None else Some(l.take(i).trim -> l.drop(i + 1).trim)
-            }.toMap
-          val len = headers.get("Content-Length").flatMap(_.toLongOption)
-          if (len.isEmpty || len.get < 0) {
-            bad(start, "missing or non-numeric Content-Length"); resync()
-          } else {
-            val bodyStart = hdrEnd + 4
-            val bodyEnd = bodyStart + len.get
-            if (bodyEnd + 4 > bytes.length) { bad(start, "truncated body"); resync() }
-            else if (indexOf(bytes, HeaderEnd, bodyEnd.toInt) != bodyEnd.toInt) {
-              bad(start, "trailer mismatch"); resync()
-            } else {
-              out += Row(name, start.toLong,
-                headers.getOrElse("WARC-Type", ""),
-                headers.getOrElse("WARC-Record-ID", ""),
-                headers.getOrElse("WARC-Target-URI", ""),
-                headers.getOrElse("Content-Type", ""),
-                len.get,
-                new String(bytes, bodyStart, len.get.toInt, UTF_8),
-                null)
-              c = bodyEnd.toInt + 4
-              if (c >= bytes.length) done = true
-            }
-          }
+      val r =
+        try in.read(buf, len, buf.length - len)
+        catch {
+          case e: java.io.IOException if quarantineStreamErrors =>
+            streamErr = s"corrupt gzip member: ${e.getMessage}"
+            -1
+        }
+      if (r < 0) { eof = true; closeQuietly(); false }
+      else { len += r; true }
+    }
+
+    private def ensure(n: Long): Boolean = {
+      if (n > MaxRecordBytes) return false
+      while (len < n && fillMore()) {}
+      len >= n
+    }
+
+    /** First index of `needle` fully inside the valid window, from
+      * `from`; -1 when absent. */
+    private def findIn(needle: Array[Byte], from: Int): Int = {
+      var i = math.max(from, 0)
+      val last = len - needle.length
+      while (i <= last) {
+        var j = 0
+        while (j < needle.length && buf(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+        i += 1
+      }
+      -1
+    }
+
+    /** Drop `n` consumed bytes off the window head. */
+    private def consume(n: Int): Unit = {
+      if (n > 0) {
+        System.arraycopy(buf, n, buf, 0, len - n)
+        len -= n
+        base += n
+        // shrink a record-ballooned buffer back to steady state
+        if (buf.length > (4 << 20) && len <= (64 * 1024)) {
+          val shrunk = new Array[Byte](64 * 1024)
+          System.arraycopy(buf, 0, shrunk, 0, len)
+          buf = shrunk
         }
       }
     }
-    out.result()
+
+    /** Slide the window to the next record magic at-or-after index
+      * `from` (the historical resync-from-start+1), discarding rejected
+      * bytes as it scans so memory stays bounded. */
+    private def resyncFrom(from: Int): Unit = {
+      var at = from
+      while (true) {
+        val i = findIn(Magic, at)
+        if (i >= 0) { consume(i); return }
+        // no magic fully inside the window: drop all but a tail that
+        // could still be a magic prefix, then read more
+        val keep = math.min(len, Magic.length - 1)
+        consume(len - keep)
+        at = 0
+        if (!fillMore()) { consume(len); return }
+      }
+    }
+
+    private def quarantine(offset: Long, reason: String): Row =
+      Row(name, offset, null, null, null, null, -1L, null, reason)
+
+    /** Parse the record at the window head; null at end of stream. On a
+      * malformation, returns its quarantine row AFTER resyncing. */
+    private def parseNext(): Row = {
+      ensure(Magic.length.toLong)
+      if (len == 0) return null
+      val start = base
+      if (findIn(Magic, 0) != 0) {
+        val r = quarantine(start, "bad magic"); resyncFrom(1); return r
+      }
+      var hdrEnd = findIn(HeaderEnd, 0)
+      var scanFrom = math.max(0, len - (HeaderEnd.length - 1))
+      while (hdrEnd < 0 && fillMore()) {
+        hdrEnd = findIn(HeaderEnd, scanFrom)
+        scanFrom = math.max(0, len - (HeaderEnd.length - 1))
+      }
+      if (hdrEnd < 0) {
+        val r = quarantine(start, "unterminated header"); resyncFrom(1); return r
+      }
+      val headers = new String(buf, 0, hdrEnd, UTF_8)
+        .split("\r\n").drop(1) // the version line
+        .flatMap { l =>
+          val i = l.indexOf(':')
+          if (i < 0) None else Some(l.take(i).trim -> l.drop(i + 1).trim)
+        }.toMap
+      val clen = headers.get("Content-Length").flatMap(_.toLongOption)
+      if (clen.isEmpty || clen.get < 0) {
+        val r = quarantine(start, "missing or non-numeric Content-Length")
+        resyncFrom(1); return r
+      }
+      val bodyStart = hdrEnd + 4
+      val need = bodyStart.toLong + clen.get + 4L
+      if (!ensure(need)) {
+        val r = quarantine(start, "truncated body"); resyncFrom(1); return r
+      }
+      val bodyEnd = (bodyStart.toLong + clen.get).toInt
+      if (findIn(HeaderEnd, bodyEnd) != bodyEnd) {
+        val r = quarantine(start, "trailer mismatch"); resyncFrom(1); return r
+      }
+      val row = Row(name, start,
+        headers.getOrElse("WARC-Type", ""),
+        headers.getOrElse("WARC-Record-ID", ""),
+        headers.getOrElse("WARC-Target-URI", ""),
+        headers.getOrElse("Content-Type", ""),
+        clen.get,
+        new String(buf, bodyStart, clen.get.toInt, UTF_8),
+        null)
+      consume(bodyEnd + 4)
+      row
+    }
+
+    override def hasNext: Boolean = {
+      if (nextRow != null) return true
+      if (finished) return false
+      var r = parseNext()
+      if (r == null) {
+        finished = true
+        closeQuietly()
+        if (streamErr != null && !errEmitted) {
+          // total decompressed bytes = base (everything consumed) + len(=0)
+          errEmitted = true
+          r = quarantine(base + len, streamErr)
+        }
+      }
+      nextRow = r
+      nextRow != null
+    }
+
+    override def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+      val r = nextRow; nextRow = null; r
+    }
   }
 
-  /** Read every `*.warc` / `*.warc.gz` container under `path`: one
-    * binaryFile row per container (gzip members decompressed in the
-    * owning task — a corrupt member quarantines the file's TAIL, keeping
-    * every record before it), records + quarantine rows flat-mapped out
-    * inside the owning partition. Offsets are within the DECOMPRESSED
+  /** Offset-scanning record parse of an in-memory container — the
+    * [[RecordStream]] machinery over a byte array, exposed for the spec
+    * battery (and the single source of truth for framing semantics). */
+  private[graft] def parseFile(name: String, bytes: Array[Byte]): Seq[Row] =
+    new RecordStream(name, new java.io.ByteArrayInputStream(bytes),
+      quarantineStreamErrors = false).toSeq
+
+  /** Read every `*.warc` / `*.warc.gz` container under `path`, STREAMING:
+    * each task opens its container as an InputStream (gzip members
+    * decompress through the same bounded window) and yields records +
+    * quarantine rows as it scans — peak task heap is one record, never
+    * one container. A corrupt gzip member quarantines the file's TAIL,
+    * keeping every record before it. Offsets are within the DECOMPRESSED
     * stream for gz containers. Split with [[records]]/[[quarantined]].
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$path/*.warc*")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, raw) =>
+    val minParts = spark.sparkContext.defaultParallelism
+    spark.sparkContext.binaryFiles(s"$path/*.warc*", minParts)
+      .flatMap { case (p, pds) =>
         val name = p.substring(p.lastIndexOf('/') + 1)
-        if (!name.endsWith(".gz")) parseFile(name, raw)
+        val raw = new java.io.BufferedInputStream(pds.open(), 64 * 1024)
+        def register(rs: RecordStream): RecordStream = {
+          // downstream limits may abandon the iterator mid-container —
+          // the task-completion listener guarantees the stream closes
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => rs.closeQuietly()))
+          rs
+        }
+        if (!name.endsWith(".gz"))
+          register(new RecordStream(name, raw, quarantineStreamErrors = false))
         else {
-          val (bytes, err) = gunzipMembers(raw)
-          val rows = parseFile(name, bytes)
-          if (err == null) rows
-          else rows :+ Row(name, bytes.length.toLong, null, null, null, null, -1L, null, err)
+          // the constructor itself reads the first member header — a
+          // file that is not gzip at all quarantines as one row
+          try register(new RecordStream(name,
+            new java.util.zip.GZIPInputStream(raw), quarantineStreamErrors = true))
+          catch {
+            case e: java.io.IOException =>
+              try raw.close() catch { case _: java.io.IOException => () }
+              Iterator.single(Row(name, 0L, null, null, null, null, -1L, null,
+                s"corrupt gzip member: ${e.getMessage}"))
+          }
         }
       }
       .toDF()

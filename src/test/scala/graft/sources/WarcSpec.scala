@@ -134,6 +134,79 @@ class WarcSpec extends SparkSpec {
     assert((0L until 10L).forall(i => bodies(s"urn:wet:$i") == s"body & text of $i"))
   }
 
+  test("header-borne strings with CR/LF are rejected before they can corrupt framing") {
+    val e = intercept[IllegalArgumentException] {
+      Warc.recordBytes("urn:x\r\nWARC-Type: evil", "https://h/p", "text/html",
+        "b".getBytes(UTF_8))
+    }
+    assert(e.getMessage.contains("no CR/LF"))
+    intercept[IllegalArgumentException] {
+      Warc.recordBytes("urn:x", "https://h/p\ninjected", "text/html",
+        "b".getBytes(UTF_8))
+    }
+  }
+
+  test("an out-of-range shard key fails fast with a descriptive error, not an AIOOBE") {
+    val dir = Files.createTempDirectory("warc_badshard").toString
+    val rows = Seq((7L, 1L, "urn:graft:1", "https://h/p/1", "b", 0))
+      .toDF("shard", "sort_key", "record_id", "target_uri", "body", "len_delta")
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.writeSharded(spark, rows, s"$dir/warc", shards = 2)
+    }
+    assert(e.getMessage.contains("outside [0, 2)") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside [0, 2)")))
+  }
+
+  test("maxContainerBytes rolls output into bounded containers that round-trip") {
+    val dir = Files.createTempDirectory("warc_roll").toString
+    val body = "x" * 400
+    val rows = (0L until 30L).map(i =>
+      (0L, i, s"urn:graft:$i", s"https://h/p/$i", body, 0))
+      .toDF("shard", "sort_key", "record_id", "target_uri", "body", "len_delta")
+    Warc.writeSharded(spark, rows, s"$dir/warc", shards = 1,
+      maxContainerBytes = 2000L)
+    val files = new java.io.File(s"$dir/warc").listFiles()
+      .filter(_.getName.endsWith(".warc")).sortBy(_.getName)
+    assert(files.length > 1, "expected the writer to roll containers")
+    // every container except possibly the last is within one record of
+    // the target (a record is never split)
+    val recBytes = Warc.recordBytes("urn:graft:0", "https://h/p/0",
+      "text/html", body.getBytes(UTF_8)).length
+    files.dropRight(1).foreach { f =>
+      assert(f.length <= 2000L + recBytes, s"${f.getName} = ${f.length}")
+      assert(f.length >= 2000L - recBytes, s"${f.getName} = ${f.length}")
+    }
+    // rolled naming: part-SSSSS-RRRR.warc, sequence order = sort order
+    assert(files.forall(_.getName.matches("part-00000-\\d{4}\\.warc")))
+    val back = Warc.records(Warc.read(spark, s"$dir/warc"))
+    assert(back.count() == 30L)
+    // global sort order is preserved across the roll boundary: within
+    // each container offsets ascend, and file sequence follows sort_key
+    val ids = back
+      .withColumn("seq", regexp_extract(col("warc_file"), "part-00000-(\\d+)", 1).cast("int"))
+      .orderBy("seq", "offset")
+      .select(regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+      .as[Long].collect().toSeq
+    assert(ids == (0L until 30L).toSeq)
+  }
+
+  test("streaming parser window stays bounded: many records parse off a tiny initial buffer") {
+    // one container, 2000 records, each ~1 KiB: the container is ~2 MiB
+    // but the RecordStream window never needs more than one record; this
+    // pins the iterator against off-by-ones at buffer-growth boundaries
+    // (records deliberately sized around the 64 KiB initial window)
+    val bodies = (0 until 2000).map(i => s"payload $i " + ("y" * (i % 1500)))
+    val container = bodies.zipWithIndex.map { case (b, i) =>
+      rec(i.toLong, b)
+    }.reduce(_ ++ _)
+    val rows = Warc.parseFile("big", container)
+    assert(rows.size == 2000 && rows.forall(_.error == null))
+    assert(rows.map(_.body) == bodies)
+    // offsets are exact byte positions
+    assert(rows.head.offset == 0L)
+    assert(rows.sliding(2).forall { case Seq(a, b) => b.offset > a.offset })
+  }
+
   test("a corrupt record costs itself, not its container: distributed quarantine routing") {
     val dir = Files.createTempDirectory("warc_q").toString
     val rows = (0L until 12L).map(i =>
