@@ -487,6 +487,39 @@ object SparkEntry {
     fixture
   }
 
+  /** Stamped build of the q115 snapshot-lake fixture: the full
+    * reader-vs-maintenance timeline of [[graft.sinks.SnapshotLake]] —
+    * gen 0 append (even docs), gen 1 append (the %4==1 quarter; the PIN
+    * POINT), gen 2 compaction (rewrites every file), gen 3 append
+    * (%8==3 — growth the pinned reader must never see), then a vacuum
+    * keeping three generations (g1's manifest survives; g0's FILES
+    * survive through g1's manifest). The gate reads the pinned
+    * generation 1 AFTER all that maintenance: row-identical to the
+    * pre-compaction state — exactly gens 0+1, which DuckDB re-derives
+    * from the base table alone.
+    */
+  private[graft] def ensureSnapshotLake(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "snap_lake")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|snap-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      // generations are file-level state — clear stale ones on re-stamp
+      val fs = graft.functions.IndexProtocol.fileSystem(s, fixture)
+      fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+      val base = docs.select("doc_id", "lang", "source", "n_chars")
+      val root = s"$fixture/tbl"
+      graft.sinks.SnapshotLake.append(base.filter(col("doc_id") % 2 === 0), root)
+      graft.sinks.SnapshotLake.append(base.filter(col("doc_id") % 4 === 1), root)
+      graft.sinks.SnapshotLake.compact(s, root, targetRecordsPerFile = 1000000L)
+      graft.sinks.SnapshotLake.append(base.filter(col("doc_id") % 8 === 3), root)
+      graft.sinks.SnapshotLake.vacuum(s, root, keepGenerations = 3)
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   /** Marker suffixes of the q109 labeled training corpus: every even doc
     * is a "good" example and every odd doc a "bad" one, with a class
     * marker appended so the centroid fit has real signal to separate on
@@ -2722,6 +2755,21 @@ object SparkEntry {
            |GROUP BY GROUPING SETS (
            |  (l_returnflag, l_linestatus), (l_returnflag), (l_shipmonth), ())
            |ORDER BY gf, gst, gsm, f, st, sm""".stripMargin)
+    },
+    // ---- snapshot-isolated lake read (round-13 verdict #1): the reader
+    // pins a MANIFEST — a complete file listing published by one atomic
+    // rename — and reads exactly those immutable files, so concurrent
+    // compaction/append/vacuum can never show it a half-swapped
+    // partition. The fixture runs the whole maintenance timeline (two
+    // appends, the pin, a full compaction that rewrites every file, a
+    // post-pin append, a vacuum); the gate reads the PINNED generation
+    // afterwards and must be row-identical to the pre-compaction state,
+    // which the oracle re-derives from the base table ----
+    "q115_snapshot_read" -> { (s, dir) =>
+      val fixture = ensureSnapshotLake(s, dir)
+      graft.sinks.SnapshotLake.read(s,
+          graft.sinks.SnapshotLake.pin(s, s"$fixture/tbl", generation = 1L))
+        .orderBy("doc_id")
     }
   )
 
@@ -3905,6 +3953,14 @@ object SparkEntry {
          |GROUP BY GROUPING SETS (
          |  (l_returnflag, l_linestatus), (l_returnflag), (l_shipmonth), ())
          |ORDER BY gf, gst, gsm, f, st, sm""".stripMargin,
+    // q115: the pinned snapshot is generations 0+1 — the even docs plus
+    // the %4==1 quarter — regardless of the compaction, append and
+    // vacuum that ran after the pin; pure predicate over the base table
+    "q115_snapshot_read" ->
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+         |ORDER BY doc_id""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible
