@@ -563,6 +563,59 @@ object SparkEntry {
     fixture
   }
 
+  /** Class markers of the q116 multi-class lang-id training corpus: each
+    * doc_id % 3 class gets a distinct function-word suffix (the q109
+    * marker discipline generalized to K classes) so the per-class
+    * centroids have real signal. Interpolated into the generated oracle
+    * SQL — one definition on both sides.
+    */
+  private[graft] val LangIdMarks: Seq[(String, String)] = Seq(
+    "de" -> " der schnelle braune fuchs springt hoch",
+    "en" -> " the quick brown fox jumps high",
+    "fr" -> " le renard brun rapide saute haut")
+
+  /** The labeled corpus the q116 trainer and its scoring pass both read:
+    * class = doc_id % 3 mapped onto the [[LangIdMarks]] order, text =
+    * corpus text + the class marker. */
+  private[graft] def langIdLabeled(docs: DataFrame): DataFrame = {
+    val m = col("doc_id") % 3
+    docs
+      .withColumn("__cls",
+        when(m === 0, LangIdMarks(0)._1)
+          .when(m === 1, LangIdMarks(1)._1)
+          .otherwise(LangIdMarks(2)._1))
+      .withColumn("__ltext", concat(col("text"),
+        when(m === 0, lit(LangIdMarks(0)._2))
+          .when(m === 1, lit(LangIdMarks(1)._2))
+          .otherwise(lit(LangIdMarks(2)._2))))
+  }
+
+  /** Stamped TRAIN of the q116 multi-class lang-id fixture: the
+    * closed-form per-class centroid fit
+    * ([[QualityClassifier.trainCentroidMulti]]) over the labeled corpus,
+    * persisted as one (class, bucket, weight) table and served back
+    * through the argmax path — the q109 train→install→score loop at K
+    * classes. Marker strings are stamp ingredients (round-13 advice).
+    */
+  private[graft] def ensureLangIdModel(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "langid_model")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val markers = Integer.toHexString(
+      LangIdMarks.map { case (c, m) => s"$c=$m" }.mkString("|").hashCode)
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|dim=${QualityClassifier.DefaultDim}" +
+      s"|scale=${QualityClassifier.TrainScale}|qc=${QualityClassifier.ModelVersion}" +
+      s"|marks=$markers|centroid-multi-v1"
+    if (!fixtureReady(fixture, stamp)) {
+      val models = QualityClassifier.trainCentroidMulti(
+        langIdLabeled(docs), "__ltext", "__cls")
+      QualityClassifier.writeMultiModel(s, models, s"$fixture/model")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   /** Stamped train of the q101 bigram-LM fixture ([[LangModel.train]]) —
     * the model is a pure function of the corpus slice, so the stamp is
     * the corpus content hash + the scheme version.
@@ -2770,6 +2823,23 @@ object SparkEntry {
       graft.sinks.SnapshotLake.read(s,
           graft.sinks.SnapshotLake.pin(s, s"$fixture/tbl", generation = 1L))
         .orderBy("doc_id")
+    },
+    // ---- multi-class in-engine lang-id TRAINING (round-13 verdict #3):
+    // the q109 centroid trainer generalized to K classes — one explode +
+    // (class, bucket) hash agg fit, one (class, bucket, weight) artifact,
+    // argmax serve in one codegen map stage with the K weight tables as
+    // plan constants. The oracle re-derives the ENTIRE loop — labels,
+    // markers, buckets, per-class shares, weights, scores, argmax with
+    // the alphabetical tiebreak — from the base table and the shared
+    // integer constants (the q109 discipline at K=3) ----
+    "q116_langid_train" -> { (s, dir) =>
+      val fixture = ensureLangIdModel(s, dir)
+      val models = QualityClassifier.readMultiModel(s, s"$fixture/model")
+      QualityClassifier.classifyMulti(
+          langIdLabeled(Tables.documents(s, dir)), "__ltext", models)
+        .select("doc_id", "n_feats",
+          "score_de_e4", "score_en_e4", "score_fr_e4", "pred")
+        .orderBy("doc_id")
     }
   )
 
@@ -3961,6 +4031,59 @@ object SparkEntry {
          |FROM documents
          |WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
          |ORDER BY doc_id""".stripMargin,
+    // q116: the q109 train->score re-derivation generalized to three
+    // classes — per-class bucket counts, e6 share weights over each
+    // class total, per-document mean scores, argmax with the
+    // alphabetical tiebreak; same feature CTEs, same shared constants
+    "q116_langid_train" -> {
+      val dim = QualityClassifier.DefaultDim
+      val scale = QualityClassifier.TrainScale
+      val Seq((cDe, mDe), (cEn, mEn), (cFr, mFr)) = LangIdMarks
+      val g = "GREATEST(score_de_e4, score_en_e4, score_fr_e4)"
+      s"""WITH lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN '$cDe'
+         |         WHEN doc_id % 3 = 1 THEN '$cEn' ELSE '$cFr' END AS cls,
+         |    text || CASE WHEN doc_id % 3 = 0 THEN '$mDe'
+         |                 WHEN doc_id % 3 = 1 THEN '$mEn'
+         |                 ELSE '$mFr' END AS ltext
+         |  FROM documents),
+         |toks AS (SELECT doc_id, cls, string_split(ltext, ' ') AS t FROM lab),
+         |feats AS (
+         |  SELECT doc_id, cls, unnest(t) AS f FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, cls, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |bk AS (SELECT doc_id, cls,
+         |    ${graft.functions.QualityClassifier.Sql.bucket("f", dim)} AS bucket
+         |  FROM feats),
+         |cnt AS (SELECT bucket,
+         |    SUM(CASE WHEN cls = '$cDe' THEN 1 ELSE 0 END) AS c_de,
+         |    SUM(CASE WHEN cls = '$cEn' THEN 1 ELSE 0 END) AS c_en,
+         |    SUM(CASE WHEN cls = '$cFr' THEN 1 ELSE 0 END) AS c_fr
+         |  FROM bk GROUP BY bucket),
+         |tot AS (SELECT SUM(c_de) AS t_de, SUM(c_en) AS t_en, SUM(c_fr) AS t_fr FROM cnt),
+         |w AS (SELECT bucket,
+         |    CAST(${ExactAgg.Sql.divHalfUp(s"c_de * $scale", "t_de")} AS BIGINT) AS w_de,
+         |    CAST(${ExactAgg.Sql.divHalfUp(s"c_en * $scale", "t_en")} AS BIGINT) AS w_en,
+         |    CAST(${ExactAgg.Sql.divHalfUp(s"c_fr * $scale", "t_fr")} AS BIGINT) AS w_fr
+         |  FROM cnt, tot),
+         |scored AS (
+         |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    SUM(w.w_de) AS ws_de, SUM(w.w_en) AS ws_en, SUM(w.w_fr) AS ws_fr
+         |  FROM bk JOIN w USING (bucket) GROUP BY bk.doc_id),
+         |sc AS (
+         |  SELECT doc_id, n_feats,
+         |    CAST(${ExactAgg.Sql.divHalfUp("ws_de * 10000", "n_feats")} AS BIGINT) AS score_de_e4,
+         |    CAST(${ExactAgg.Sql.divHalfUp("ws_en * 10000", "n_feats")} AS BIGINT) AS score_en_e4,
+         |    CAST(${ExactAgg.Sql.divHalfUp("ws_fr * 10000", "n_feats")} AS BIGINT) AS score_fr_e4
+         |  FROM scored)
+         |SELECT doc_id, n_feats, score_de_e4, score_en_e4, score_fr_e4,
+         |  CASE WHEN score_de_e4 = $g THEN '$cDe'
+         |       WHEN score_en_e4 = $g THEN '$cEn' ELSE '$cFr' END AS pred
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin
+    },
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible

@@ -187,6 +187,114 @@ object QualityClassifier {
     Model(weights, bias = 0L)
   }
 
+  // --------------------------------------------------------- multi-class
+
+  /** Multi-class sibling of [[trainCentroid]] — the real lang-id /
+    * domain-classifier shape (round-13 verdict #3: q24's alphabet
+    * heuristic stood in for what production pipelines do with a TRAINED
+    * fastText-style classifier). One centroid per class over the same
+    * hashed feature space: w_c(j) = halfUp(c_j·10⁶ / C), the bucket's e6
+    * share of its class's feature mass — closed-form, integer end to
+    * end, example-order/partitioning/replay independent like the binary
+    * trainer. Serving is argmax of the per-class mean weight
+    * ([[classifyMulti]]).
+    *
+    * Scale shape (100 TB): ONE explode + (class, bucket) hash
+    * aggregation with map-side combine; at most dim × K rows reach the
+    * driver (the same bounded-by-contract collect), and the corpus is
+    * never touched again. Returns (class, Model) sorted by class name —
+    * the serve-side tiebreak order.
+    */
+  def trainCentroidMulti(
+      docs: DataFrame, textCol: String, labelCol: String,
+      dim: Int = DefaultDim): Seq[(String, Model)] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val counts = docs
+      .select(col(labelCol).cast("string").as("__cls"),
+        explode(featureCol(col(textCol))).as("__f"))
+      .select(col("__cls"),
+        (Dedup.tokenHash64(col("__f")) % dim).cast("int").as("bucket"))
+      .groupBy("__cls", "bucket").agg(count(lit(1)).as("n"))
+      .collect() // bounded by dim * n_classes
+      .map(r => ((r.getAs[String]("__cls"), r.getAs[Int]("bucket")), r.getAs[Long]("n")))
+      .toMap
+    val classes = counts.keysIterator.map(_._1).toSeq.distinct
+    require(classes.nonEmpty && !classes.contains(null),
+      s"training needs non-null class labels, got $classes")
+    val maxClassFeatures = Long.MaxValue / TrainScale / 2
+    classes.sorted.map { c =>
+      val total = (0 until dim).iterator.map(j => counts.getOrElse((c, j), 0L)).sum
+      require(total > 0, s"class $c has no features")
+      require(total <= maxClassFeatures,
+        s"class $c too large for e6 fixed point: $total features " +
+          s"(ceiling $maxClassFeatures)")
+      c -> Model(
+        Array.tabulate(dim)(j =>
+          divHalfUpL(counts.getOrElse((c, j), 0L) * TrainScale, total)),
+        bias = 0L)
+    }
+  }
+
+  /** Persist a multi-class model as ONE (class, bucket, weight) table —
+    * the [[writeModel]] reserved-row scheme per class (dim at bucket −2,
+    * bias at −1, zero weights omitted). */
+  def writeMultiModel(
+      spark: SparkSession, models: Seq[(String, Model)], path: String): Unit = {
+    import spark.implicits._
+    models.flatMap { case (c, m) =>
+      Seq((c, -2, m.dim.toLong), (c, -1, m.bias)) ++
+        m.weights.toSeq.zipWithIndex.collect { case (w, j) if w != 0L => (c, j, w) }
+    }.toDF("class", "bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted multi-class model, classes sorted by name (the
+    * serve-side tiebreak order). Sparse like [[readModel]]. */
+  def readMultiModel(spark: SparkSession, path: String): Seq[(String, Model)] = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => ((r.getAs[String]("class"), r.getAs[Int]("bucket")),
+        r.getAs[Long]("weight"))).toMap
+    val classes = rows.keysIterator.map(_._1).toSeq.distinct.sorted
+    require(classes.nonEmpty, s"multi-class model at $path is empty")
+    classes.map { c =>
+      val mine = rows.collect { case ((`c`, b), w) => (b, w) }.toMap
+      val dim = mine.get(-2).map(_.toInt)
+        .getOrElse(mine.keysIterator.filter(_ >= 0).max + 1)
+      require(dim >= 1, s"class $c at $path has dimension $dim")
+      c -> Model(Array.tabulate(dim)(mine.getOrElse(_, 0L)), mine.getOrElse(-1, 0L))
+    }
+  }
+
+  /** Argmax serve: adds `n_feats`, one `score_<class>_e4` per class
+    * (halfUp((bias_c + Σw_c)·10⁴ / n_feats) — the [[scoreE4]] formula)
+    * and `pred` = the alphabetically-FIRST class attaining the maximum
+    * score (a deterministic tiebreak both engines express identically).
+    * Still one whole-stage-codegen map pass — the K weight tables ride
+    * the plan as reference objects, nothing shuffles.
+    */
+  def classifyMulti(
+      df: DataFrame, textCol: String, models: Seq[(String, Model)]): DataFrame = {
+    require(models.nonEmpty, "classifyMulti needs at least one class")
+    val sorted = models.sortBy(_._1)
+    val withSums = sorted.foldLeft(df) { case (d, (c, m)) =>
+      d.withColumn(s"__q_$c", featureSum(col(textCol), m))
+    }
+    val base = withSums.withColumn("n_feats",
+      col(s"__q_${sorted.head._1}").getField("n_feats"))
+    val scored = sorted.foldLeft(base) { case (d, (c, m)) =>
+      d.withColumn(s"score_${c}_e4",
+        ExactAgg.divHalfUp(
+          (col(s"__q_$c").getField("wsum") + m.bias) * 10000, col("n_feats")))
+    }
+    val best = sorted.map { case (c, _) => col(s"score_${c}_e4") }
+      .reduceLeft((a, b) => greatest(a, b))
+    val pred = sorted.init.foldRight(lit(sorted.last._1): Column) {
+      case ((c, _), acc) => when(col(s"score_${c}_e4") === best, lit(c)).otherwise(acc)
+    }
+    scored.withColumn("pred", pred)
+      .drop(sorted.map { case (c, _) => s"__q_$c" }: _*)
+  }
+
   /** `struct(n_feats, wsum)` per document: feature count and raw integer
     * weight sum (bias NOT folded in — it joins in the score formula below,
     * so the expression stays a pure function of text and table).

@@ -163,4 +163,62 @@ class QualityClassifierSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("BOTH classes"))
   }
+
+  private def langDocs(n: Int) = (0L until n.toLong).map { i =>
+    val (cls, marker) = (i % 3) match {
+      case 0 => ("de", "der schnelle fuchs springt")
+      case 1 => ("en", "the quick fox jumps")
+      case _ => ("fr", "le renard rapide saute")
+    }
+    (i, s"shared filler s${i % 7} $marker", cls)
+  }.toDF("doc_id", "text", "cls")
+
+  test("trainCentroidMulti + classifyMulti recover the class of every marked doc") {
+    val docs = langDocs(90)
+    val models = QualityClassifier.trainCentroidMulti(docs, "text", "cls", dim = 512)
+    assert(models.map(_._1) == Seq("de", "en", "fr"), "classes sorted by name")
+    val out = QualityClassifier.classifyMulti(docs, "text", models)
+      .select(col("cls"), col("pred")).as[(String, String)].collect()
+    assert(out.forall { case (c, p) => c == p },
+      s"misclassified: ${out.filter(x => x._1 != x._2).take(5).toSeq}")
+  }
+
+  test("multi-class model round-trips sparsely through one table and serves identically") {
+    val dir = java.nio.file.Files.createTempDirectory("qc_multi").toString
+    val docs = langDocs(45)
+    val models = QualityClassifier.trainCentroidMulti(docs, "text", "cls", dim = 256)
+    QualityClassifier.writeMultiModel(spark, models, s"$dir/model")
+    val rt = QualityClassifier.readMultiModel(spark, s"$dir/model")
+    assert(rt.map(_._1) == models.map(_._1))
+    rt.zip(models).foreach { case ((_, a), (_, b)) =>
+      assert(a.dim == b.dim && a.weights.toSeq == b.weights.toSeq && a.bias == b.bias)
+    }
+    val x = QualityClassifier.classifyMulti(docs, "text", models).orderBy("doc_id").collect()
+    val y = QualityClassifier.classifyMulti(docs, "text", rt).orderBy("doc_id").collect()
+    assert(x.toSeq == y.toSeq)
+  }
+
+  test("trainCentroidMulti is partitioning-invariant and argmax ties break alphabetically") {
+    val docs = langDocs(60)
+    val a = QualityClassifier.trainCentroidMulti(docs.repartition(7), "text", "cls", dim = 128)
+    val b = QualityClassifier.trainCentroidMulti(docs.repartition(2), "text", "cls", dim = 128)
+    a.zip(b).foreach { case ((ca, ma), (cb, mb)) =>
+      assert(ca == cb && ma.weights.toSeq == mb.weights.toSeq)
+    }
+    // two identical models => identical scores => the alphabetically
+    // first class must win every row
+    val twin = Seq("zz" -> a.head._2, "aa" -> a.head._2)
+    val preds = QualityClassifier.classifyMulti(docs, "text", twin)
+      .select("pred").distinct().as[String].collect().toSeq
+    assert(preds == Seq("aa"), preds.toString)
+  }
+
+  test("trainCentroidMulti refuses null class labels") {
+    val docs = Seq((1L, "a b", "en"), (2L, "c d", null))
+      .toDF("doc_id", "text", "cls")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.trainCentroidMulti(docs, "text", "cls", dim = 64)
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
 }
