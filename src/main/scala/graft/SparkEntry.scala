@@ -2840,6 +2840,22 @@ object SparkEntry {
         .select("doc_id", "n_feats",
           "score_de_e4", "score_en_e4", "score_fr_e4", "pred")
         .orderBy("doc_id")
+    },
+    // ---- deterministic WITH-REPLACEMENT upsampling (round-13 verdict
+    // #4): epoch mixing's missing half — rates above 1.0 epoch ("2.3x
+    // wikipedia") emit floor(rate) unconditional replicas plus a
+    // fractional replica drawn by a per-replica salted key hash, so the
+    // draw is content-stable, replay-identical and monotone in the rate.
+    // One explode + a codegen predicate, no shuffle before the
+    // presentation sort; the oracle re-derives every replica decision
+    // from the shared md5 formula (the q56 basis-point discipline) ----
+    "q117_epoch_upsample" -> { (s, dir) =>
+      Sampling.upsampleByStratum(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          "doc_id", "lang",
+          ratesE4 = Map("en" -> 23000, "de" -> 15000, "fr" -> 10000, "zh" -> 4000),
+          defaultE4 = 7500, salt = "mix-v1")
+        .orderBy("doc_id", "replica")
     }
   )
 
@@ -4084,6 +4100,27 @@ object SparkEntry {
          |FROM sc
          |ORDER BY doc_id""".stripMargin
     },
+    // q117: the replica ladder re-derived — full replicas below
+    // floor(rate/1e4) are unconditional, the fractional replica draws by
+    // the same salted 60-bit md5 hash mod 1e4 ('key#mix-v1#rep<i>')
+    "q117_epoch_upsample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    CASE lang WHEN 'en' THEN 23000 WHEN 'de' THEN 15000
+         |              WHEN 'fr' THEN 10000 WHEN 'zh' THEN 4000
+         |              ELSE 7500 END AS rate
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |rep AS (
+         |  SELECT doc_id, lang, rate,
+         |    unnest(range(0, rate // 10000 + 1)) AS replica
+         |  FROM r)
+         |SELECT doc_id, lang, CAST(replica AS BIGINT) AS replica
+         |FROM rep
+         |WHERE replica < rate // 10000
+         |   OR (CAST(concat('0x', substring(md5(
+         |        CAST(doc_id AS VARCHAR) || '#mix-v1#rep' || CAST(replica AS VARCHAR)
+         |      ), 1, 15)) AS BIGINT) % 10000) < rate % 10000
+         |ORDER BY doc_id, replica""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible

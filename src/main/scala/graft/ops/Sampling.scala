@@ -134,6 +134,58 @@ object Sampling {
     df.filter(hashBucketE4(col(keyCol), salt) < rate)
   }
 
+  /** Deterministic WITH-REPLACEMENT upsampling — epoch mixing's other
+    * half (round-13 verdict #4): real training mixtures run high-quality
+    * sources for MORE than one epoch ("2.3 epochs of wikipedia"), which
+    * [[sampleByStratum]]'s keep/drop rates (≤ 1.0) cannot express. Rates
+    * are basis points and may exceed 10000: every row emits
+    * `floor(rate/10000)` full replicas, plus one more when its
+    * PER-REPLICA salted hash clears the fractional remainder — the hash
+    * input is `key#salt#rep<i>`, so the draw is content-stable (the
+    * q49/q56 discipline: same corpus → same replicas, on any engine,
+    * any partitioning, any replay) and MONOTONE in the rate: raising a
+    * stratum's rate only adds replicas, it never reshuffles the ones
+    * already drawn (full replicas are unconditional; the fractional
+    * replica at index `floor(rate/10000)` keeps a superset of keys as
+    * the remainder grows, and a rate crossing a whole epoch freezes that
+    * replica in unconditionally).
+    *
+    * Output carries a 0-based `replica` column so downstream keys stay
+    * unique — (key, replica) is the row identity an epoch-mixed shard
+    * writer feeds to [[trainingOrder]] (salt the order per epoch and the
+    * replicas decorrelate in the shuffle). NULL keys are DROPPED (the
+    * [[sampleByHash]] policy); a NULL stratum takes `defaultE4`.
+    *
+    * Plan shape: one `explode(sequence(...))` + a per-row codegen'd
+    * predicate — no shuffle, no state, output size `Σ ceil(rate_s)·|s|`
+    * by construction. The classic alternative (union of N copies +
+    * a sampled tail) plans N scans; this is one.
+    */
+  def upsampleByStratum(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      ratesE4: Map[String, Int],
+      defaultE4: Int = 10000,
+      salt: String = ""): DataFrame = {
+    require((ratesE4.values ++ Seq(defaultE4)).forall(r => r >= 0 && r <= 1000000),
+      "rates are basis points in [0, 1000000] (100 epochs — a sanity ceiling)")
+    val rate = ratesE4.toSeq.sortBy(_._1).foldRight(lit(defaultE4): Column) {
+      case ((stratum, r), acc) => when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    val nFull = floor(rate.cast("long") / lit(10000L)).cast("int")
+    val frac = pmod(rate.cast("long"), lit(10000L))
+    val keep = col("replica") < nFull ||
+      pmod(
+        Dedup.tokenHash64(concat(
+          salted(col(keyCol), salt), lit("#rep"), col("replica").cast("string"))),
+        lit(10000L)) < frac
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("replica", explode(sequence(lit(0), nFull)))
+      .filter(keep)
+      .withColumn("replica", col("replica").cast("long"))
+  }
+
   /** Train→eval leakage detector (decontamination): for every val/test
     * document that shares at least one winnowing fingerprint
     * ([[graft.functions.Text.winnowFingerprints]] — i.e. a verbatim run of

@@ -165,4 +165,52 @@ class SamplingSpec extends SparkSpec {
       .orderBy("cell_id", "vec_id").as[(Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("upsampleByStratum: whole epochs are unconditional, fractions hit the expected rate") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "hot" else "cold")).toDF("id", "src")
+    val out = Sampling.upsampleByStratum(docs, "id", "src",
+      Map("hot" -> 23000, "cold" -> 4000), salt = "mix")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // hot: 2000 keys x 2.3 epochs = ~4600; cold: 2000 x 0.4 = ~800
+    assert(bySrc("hot") >= 2000L * 2, "every hot key must emit 2 full replicas")
+    assert(math.abs(bySrc("hot") - 4600L) < 200, bySrc.toString)
+    assert(math.abs(bySrc("cold") - 800L) < 150, bySrc.toString)
+    // replica identity: (key, replica) unique; full replicas present for all
+    assert(out.count() == out.select("id", "replica").distinct().count())
+    val hotFull = out.filter(col("src") === "hot" && col("replica") < 2).count()
+    assert(hotFull == 4000L)
+  }
+
+  test("upsampleByStratum is monotone in the rate and content-stable under repartitioning") {
+    import spark.implicits._
+    val docs = (0L until 1500L).map(i => (i, "s")).toDF("id", "src")
+    def draw(rate: Int, parts: Int) =
+      Sampling.upsampleByStratum(docs.repartition(parts), "id", "src",
+        Map("s" -> rate), salt = "m")
+        .select("id", "replica").as[(Long, Long)].collect().toSet
+    val at13 = draw(13000, 3)
+    val at13b = draw(13000, 11)
+    assert(at13 == at13b, "partitioning must not change the draw")
+    // raising the rate only ADDS replicas
+    val at17 = draw(17000, 5)
+    assert(at13.subsetOf(at17),
+      s"lost replicas on a rate raise: ${at13.diff(at17).take(5)}")
+    // crossing the next whole epoch freezes the fractional replica in
+    val at20 = draw(20000, 4)
+    assert(at17.subsetOf(at20) && at20.size == 1500 * 2)
+  }
+
+  test("upsampleByStratum: rate 0 strata vanish, null keys drop, null strata take the default") {
+    import spark.implicits._
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "gone"), (java.lang.Long.valueOf(2L), "kept"),
+      (null.asInstanceOf[java.lang.Long], "kept"), (java.lang.Long.valueOf(3L), null))
+      .toDF("id", "src")
+    val out = Sampling.upsampleByStratum(docs, "id", "src",
+      Map("gone" -> 0, "kept" -> 10000), defaultE4 = 10000, salt = "z")
+      .select("id", "src").as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "kept"), (3L, null)), out.toString)
+  }
 }
