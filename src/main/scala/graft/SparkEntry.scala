@@ -2856,6 +2856,31 @@ object SparkEntry {
           ratesE4 = Map("en" -> 23000, "de" -> 15000, "fr" -> 10000, "zh" -> 4000),
           defaultE4 = 7500, salt = "mix-v1")
         .orderBy("doc_id", "replica")
+    },
+    // ---- skewed-join hardening (round-13 verdict #6): a deliberately
+    // skewed fact key (30% of docs on one company — the reference-analog
+    // dimension skew) joined through ops.SkewJoin.saltedJoin, which
+    // splits the hot key across 16 tasks STRUCTURALLY (dim replicated
+    // per salt, fact salt drawn from the row id) instead of relying on
+    // AQE's runtime size thresholds. Row-identical to the plain join by
+    // construction — which is exactly what the oracle checks (DuckDB
+    // joins without any salt); SkewJoinSpec pins the salted exchanges
+    // and the 16-way hot-key spread under no-broadcast ----
+    "q118_skew_salted_join" -> { (s, dir) =>
+      val d = col("doc_id")
+      val facts = Tables.documents(s, dir).select(d.as("doc_id"),
+        when(d % 10 < 3, "MEGACORP")
+          .otherwise(concat(lit("co_"), (d % 50).cast("string"))).as("company"),
+        col("n_chars"))
+      val dim = s.range(50).select(
+          concat(lit("co_"), col("id").cast("string")).as("company"),
+          (col("id") % 7).as("region"))
+        .unionByName(s.range(1).select(
+          lit("MEGACORP").as("company"), lit(9L).as("region")))
+      graft.ops.SkewJoin.saltedJoin(facts, dim, "company",
+          saltFrom = col("doc_id"), salts = 16)
+        .select("doc_id", "company", "region", "n_chars")
+        .orderBy("doc_id")
     }
   )
 
@@ -4121,6 +4146,24 @@ object SparkEntry {
          |        CAST(doc_id AS VARCHAR) || '#mix-v1#rep' || CAST(replica AS VARCHAR)
          |      ), 1, 15)) AS BIGINT) % 10000) < rate % 10000
          |ORDER BY doc_id, replica""".stripMargin,
+    // q118: the plain (salt-free) join — salting must be invisible in
+    // the result; dim re-derived from the same formulas
+    "q118_skew_salted_join" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 3 THEN 'MEGACORP'
+         |         ELSE 'co_' || CAST(doc_id % 50 AS VARCHAR) END AS company,
+         |    n_chars
+         |  FROM documents),
+         |d AS (
+         |  SELECT 'co_' || CAST(i AS VARCHAR) AS company,
+         |    CAST(i % 7 AS BIGINT) AS region
+         |  FROM range(0, 50) AS t(i)
+         |  UNION ALL
+         |  SELECT 'MEGACORP', CAST(9 AS BIGINT))
+         |SELECT f.doc_id, f.company, d.region, f.n_chars
+         |FROM f JOIN d USING (company)
+         |ORDER BY doc_id""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible
