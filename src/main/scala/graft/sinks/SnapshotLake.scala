@@ -184,7 +184,8 @@ object SnapshotLake {
     */
   def compact(
       spark: SparkSession, root: String,
-      targetRecordsPerFile: Long = 1000000L): Long = {
+      targetRecordsPerFile: Long = 1000000L,
+      sortWithin: Seq[String] = Nil): Long = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
     val f = fs(spark, root)
     val snap = pin(spark, root)
@@ -195,7 +196,13 @@ object SnapshotLake {
     val gen = snap.generation + 1L
     val data = dataDir(root, gen)
     val stage = new Path(root + "__stage", data.getName)
-    rows.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
+    // sort-on-write => parquet row-group skipping on the sort columns
+    // (RowGroupSkipSpec) — compaction rewrites anyway, ordering is free
+    val shaped =
+      if (sortWithin.isEmpty) rows.repartition(nFiles)
+      else rows.repartition(nFiles)
+        .sortWithinPartitions(sortWithin.map(org.apache.spark.sql.functions.col): _*)
+    shaped.write.mode("overwrite").parquet(stage.toString)
     require(f.rename(stage, data), s"failed to install data dir $data")
     publishManifest(f, root, gen, relativeFiles(f, root, data))
     gen

@@ -48,6 +48,21 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(after == before && pinnedAfter == before)
   }
 
+  test("compact(sortWithin) imposes file-internal order: the row-group-skipping layout") {
+    val root = Files.createTempDirectory("snap_s").toString + "/tbl"
+    // write deliberately unsorted in id
+    SnapshotLake.append(
+      docs(0 until 500).orderBy(expr("t")).coalesce(1), root)
+    SnapshotLake.compact(spark, root, 1000L, sortWithin = Seq("id"))
+    val latest = SnapshotLake.pin(spark, root)
+    assert(latest.files.size == 1)
+    // physical order inside the compacted file is the sort order
+    val physical = spark.read.parquet(s"$root/${latest.files.head}")
+      .select("id").as[Long].collect().toSeq
+    assert(physical == physical.sorted, "file-internal order must follow sortWithin")
+    assert(physical.size == 500)
+  }
+
   test("vacuum retires history outside the retention window, keeps everything inside it") {
     val root = Files.createTempDirectory("snap_v").toString + "/tbl"
     SnapshotLake.append(docs(0 until 10), root) // g0
