@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.BatchAggregates
-import graft.functions.{Bpe, Dedup, ExactAgg, HeavyHitters, LangModel, Pq, QualityClassifier, Similarity, Text}
+import graft.functions.{Bm25, Bpe, Dedup, ExactAgg, HeavyHitters, LangModel, Pq, QualityClassifier, Similarity, Text}
 import graft.ops.{Cleaning, Features, Packing, Sampling, UrlOps}
 import graft.pipeline.{EventsPipeline, IngestPipeline}
 import graft.sources.{Bucketing, Tables}
@@ -561,6 +561,24 @@ object SparkEntry {
       stampFixture(fixture, stamp)
     }
     fixture
+  }
+
+  /** Stamped build of the q119 BM25 inverted index over the documents
+    * corpus ([[Bm25.buildIndex]]). A pure function of (corpus slice,
+    * scheme version) — the oracle joins the persisted terms table for
+    * idf_e6, so the index path is interpolated into the generated SQL.
+    */
+  private[graft] def ensureBm25Index(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "bm25")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|bm=${Bm25.Version}"
+    if (!fixtureReady(fixture, stamp)) {
+      Bm25.buildIndex(docs, "text", "doc_id", s"$fixture/idx")
+      stampFixture(fixture, stamp)
+    }
+    s"$fixture/idx"
   }
 
   /** Class markers of the q116 multi-class lang-id training corpus: each
@@ -2881,6 +2899,20 @@ object SparkEntry {
           saltFrom = col("doc_id"), salts = 16)
         .select("doc_id", "company", "region", "n_chars")
         .orderBy("doc_id")
+    },
+    // ---- BM25 retrieval over the persisted inverted index: pseudo-queries
+    // (each probe doc's top-3 tokens) ranked top-10 by exact int64 BM25 —
+    // k1=6/5, b=3/4 make every tf-norm constant rational, and the one
+    // transcendental (idf) is quantized ONCE at build time into the terms
+    // table, which the oracle JOINS (the q101 shared-artifact discipline:
+    // no float crosses the engine boundary). Serving never scans text:
+    // probes ⋈ postings ⋈ terms ⋈ doc-norms, per-query sum, WindowGroupLimit
+    // top-k ----
+    "q119_bm25_retrieval" -> { (s, dir) =>
+      val idx = ensureBm25Index(s, dir)
+      val probes = Bm25.pseudoQueries(
+        Tables.documents(s, dir), "text", "doc_id", nQueries = 8, termsPerQuery = 3)
+      Bm25.search(s, probes, idx, k = 10).orderBy("query_id", "rank")
     }
   )
 
@@ -4137,11 +4169,11 @@ object SparkEntry {
          |  FROM documents WHERE doc_id IS NOT NULL),
          |rep AS (
          |  SELECT doc_id, lang, rate,
-         |    unnest(range(0, rate // 10000 + 1)) AS replica
+         |    unnest(range(0, CAST(rate // 10000 AS BIGINT) + 1)) AS replica
          |  FROM r)
          |SELECT doc_id, lang, CAST(replica AS BIGINT) AS replica
          |FROM rep
-         |WHERE replica < rate // 10000
+         |WHERE replica < CAST(rate // 10000 AS BIGINT)
          |   OR (CAST(concat('0x', substring(md5(
          |        CAST(doc_id AS VARCHAR) || '#mix-v1#rep' || CAST(replica AS VARCHAR)
          |      ), 1, 15)) AS BIGINT) % 10000) < rate % 10000
@@ -4164,6 +4196,44 @@ object SparkEntry {
          |SELECT f.doc_id, f.company, d.region, f.n_chars
          |FROM f JOIN d USING (company)
          |ORDER BY doc_id""".stripMargin,
+    // q119: the ENTIRE BM25 loop re-derived — tokenization, tf, dl, the
+    // exact-integer length norm k_e6, pseudo-query selection and the
+    // rational tf-normalization (k1=6/5, b=3/4) all from the base table;
+    // ONLY idf_e6 (the transcendental, quantized once at build) joins
+    // from the persisted terms artifact (q101 shared-artifact discipline)
+    "q119_bm25_retrieval" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+         |kd AS (
+         |  SELECT doc_id,
+         |    CAST(${ExactAgg.Sql.divHalfUp("(3 * l + 9 * dl * n) * 1000000", "10 * l")} AS BIGINT) AS k_e6
+         |  FROM dl CROSS JOIN meta),
+         |probes AS (
+         |  SELECT doc_id AS query_id, term FROM (
+         |    SELECT doc_id, term,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+         |    FROM tf WHERE doc_id < 8) t
+         |  WHERE r <= 3),
+         |idf AS (SELECT term, idf_e6
+         |  FROM read_parquet('${scopedFixture(dir, "bm25")}/idx/terms/*.parquet')),
+         |scored AS (
+         |  SELECT p.query_id, tf.doc_id,
+         |    CAST(SUM(CAST(${ExactAgg.Sql.divHalfUp(
+                 "i.idf_e6 * 22 * tf.tf * 100000", "tf.tf * 1000000 + kd.k_e6")} AS BIGINT)) AS BIGINT) AS score_e6
+         |  FROM probes p
+         |  JOIN tf ON tf.term = p.term
+         |  JOIN idf i ON i.term = p.term
+         |  JOIN kd ON kd.doc_id = tf.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS rank,
+         |  doc_id, score_e6
+         |FROM scored QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible

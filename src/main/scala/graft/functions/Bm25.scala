@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval over an inverted index — the workhorse of
+  * training-data curation's retrieval steps (hard-negative mining for
+  * embedding training, retrieval-based decontamination, eval-set
+  * construction), re-expressed as three persisted tables plus one
+  * join-aggregate-topk serving plan.
+  *
+  * Scoring (Robertson/Sparck-Jones BM25, k1 = 1.2, b = 0.75): for query
+  * term t in document d,
+  * {{{
+  *   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *   tfn     = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *   score_d = Σ_t idf(t)·tfn
+  * }}}
+  * k1 = 6/5 and b = 3/4 make every tf-normalization constant an exact
+  * rational: k1+1 = 22/10, k1(1−b) = 3/10, k1·b = 9/10 — so tfn is pure
+  * int64 arithmetic once the per-document length norm is fixed-point:
+  * {{{
+  *   k_e6    = divHalfUp((3L + 9·dl·N)·10⁶, 10L)        // 10⁶(0.3 + 0.9·dl/avgdl)
+  *   contribution_e6 = divHalfUp(idf_e6·22·tf·10⁵, tf·10⁶ + k_e6)
+  * }}}
+  * Fixed-point contract (the [[LangModel]] discipline): floating point
+  * happens ONCE, at index build — `idf_e6 = round(10⁶·ln …)` lands in the
+  * persisted terms table and both the serving plan and the DuckDB oracle
+  * consume the SAME integers; k_e6 is exact integer arithmetic both
+  * engines re-derive identically. Overflow envelope: the score numerator
+  * is idf_e6·22·tf·10⁵ ≤ 2.1e7·22·tf·10⁵ (idf_e6 ≤ ln(10⁹)·10⁶ at a
+  * billion docs), int64-safe to tf ≈ 2·10⁵ occurrences of one term in one
+  * document; k_e6's numerator (3L + 9·dl·N)·10⁶ is the binding constraint
+  * at extreme scale — int64-safe to L·N ≈ 10²¹/9e6 ≈ 10¹⁴ token-docs,
+  * beyond which the norm should be computed per partition of the corpus.
+  *
+  * Index artifact at `path` ([[IndexProtocol]] staged-swap publish):
+  *   - `postings/` (term, doc_id, tf): the inverted index
+  *   - `docs/`     (doc_id, dl, k_e6): per-document length norms
+  *   - `terms/`    (term, df, idf_e6): per-term document frequency + idf
+  *   - `_GRAFT_LAYOUT` (n=<docs>,l=<tokens>,bm=<version>): corpus totals
+  *     travel with the artifact
+  *
+  * Scale shape: the build is two hash aggregations over exploded tokens
+  * (narrow (term, doc_id) rows). Serving joins the probe terms against
+  * postings and terms — both joins are size-chosen (a probe batch is
+  * tiny → broadcast; no hint, per the round-12 8 GB-cap rule), so the
+  * 100 TB postings table is never shuffled: it is scanned once with the
+  * broadcast probe filter, and only the matched (query_id, doc_id, tf)
+  * candidates — not the corpus — reach the doc-norm join and the per-query
+  * aggregation. Top-k ranks via row_number, which prunes map-side
+  * (WindowGroupLimit) before the final narrow exchange. Bucketing
+  * postings by term would additionally turn the probe join into a
+  * pruned-bucket read; nothing here would change.
+  */
+object Bm25 {
+
+  /** Scheme version — a stamp ingredient for persisted index fixtures. */
+  val Version = 1
+
+  private val IdfScale = 1000000L
+
+  /** Build and publish the index artifact for `docs` at `path`.
+    * Tokenization is the engine-wide single-space split ([[Text.tokens]]).
+    */
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("term"))
+    val postings = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val Array(n, l) = {
+      // coalesce: SUM over an empty corpus is null — the require below
+      // must own that case, not a row-access error
+      val r = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      Array(r.getLong(0), r.getLong(1))
+    }
+    require(n > 0 && l > 0, s"BM25 index needs a non-empty corpus, got n=$n l=$l")
+    // k_e6 = 10⁶(0.3 + 0.9·dl/avgdl), exact integer half-up — the oracle
+    // re-derives this from the base table, so no float may enter
+    val docNorms = dl.withColumn("k_e6",
+      ExactAgg.divHalfUp((lit(3L) * l + lit(9L) * col("dl") * n) * IdfScale,
+        lit(10L) * l))
+    // idf_e6: the one transcendental, quantized once at build time
+    // (codegen ln + half-up round, the LangModel reproducibility contract:
+    // identical for every consumer of THIS persisted train)
+    val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_e6",
+        round(log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * IdfScale).cast("long"))
+    IndexProtocol.stagedReplace(spark, path) { stage =>
+      postings.write.parquet(s"$stage/postings")
+      docNorms.write.parquet(s"$stage/docs")
+      terms.write.parquet(s"$stage/terms")
+      IndexProtocol.writeLayoutPayload(spark, stage, s"n=$n,l=$l,bm=$Version")
+    }
+  }
+
+  /** Corpus totals (N docs, L tokens) recorded in a published index's
+    * layout — the build's aggregate state, never recomputed at serve time.
+    */
+  def readMeta(spark: SparkSession, path: String): (Long, Long) = {
+    val payload = IndexProtocol.readLayoutPayload(spark, path)
+    val kv = payload.split(",").map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    require(kv.get("bm").contains(Version.toString),
+      s"BM25 index at $path has layout '$payload' — not scheme v$Version; rebuild it")
+    (kv("n").toLong, kv("l").toLong)
+  }
+
+  /** Deterministic pseudo-queries for gating and evaluation: for each
+    * document with id < `nQueries`, its `termsPerQuery` most frequent
+    * tokens (ties broken by term) — the standard "document as its own
+    * query" retrieval-eval trick, re-derivable exactly in SQL.
+    */
+  def pseudoQueries(
+      docs: DataFrame, textCol: String, idCol: String,
+      nQueries: Int, termsPerQuery: Int): DataFrame = {
+    require(nQueries >= 1 && termsPerQuery >= 1,
+      s"need at least one query and one term, got $nQueries/$termsPerQuery")
+    val tf = docs.filter(col(idCol) < nQueries)
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+    tf.withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("tf").desc, col("term"))))
+      .filter(col("r") <= termsPerQuery)
+      .select("query_id", "term")
+  }
+
+  /** Top-`k` BM25 retrieval of `probes` (query_id, term) against the index
+    * at `path`: (query_id, rank, doc_id, score_e6), rank 1-based by
+    * (score_e6 DESC, doc_id) — fully deterministic. Probe terms absent
+    * from the index contribute nothing; a query matching no document
+    * yields no rows.
+    */
+  def search(spark: SparkSession, probes: DataFrame, path: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val postings = spark.read.parquet(s"$path/postings")
+    val terms = spark.read.parquet(s"$path/terms").select("term", "idf_e6")
+    val docNorms = spark.read.parquet(s"$path/docs").select("doc_id", "k_e6")
+    val contribution = ExactAgg.divHalfUp(
+      col("idf_e6") * 22L * col("tf") * 100000L,
+      col("tf") * IdfScale + col("k_e6"))
+    probes.join(postings, "term")
+      .join(terms, "term")
+      .join(docNorms, "doc_id")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contribution).as("score_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_e6")
+  }
+}

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 index + retrieval: artifact values re-derived exactly (BigInt
+  * half-up arithmetic, StrictMath idf), serving scores cross-checked
+  * against an independent in-test scorer, tiebreaks and edge cases pinned.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = s"/tmp/graft-test-bm25-${java.util.UUID.randomUUID()}"
+
+  // d0..d3: hand-sized corpus; d4 duplicates d2 to force a score tie
+  private val corpus = Seq(
+    (0L, "a b a c"),
+    (1L, "a b b d"),
+    (2L, "c c c c c"),
+    (3L, "a d"),
+    (4L, "c c c c c"))
+
+  private def docs = corpus.toDF("doc_id", "text")
+
+  private lazy val indexPath: String = {
+    val p = s"$root/idx"
+    Bm25.buildIndex(docs, "text", "doc_id", p)
+    p
+  }
+
+  // ---- independent re-derivation (BigInt, half-up — mirrors the scaladoc
+  // formulas, NOT the engine code) ----
+  private val tfMap: Map[(String, Long), Long] = corpus.flatMap { case (id, t) =>
+    t.split(" ").groupBy(identity).map { case (w, g) => (w, id) -> g.length.toLong }
+  }.toMap
+  private val dlMap: Map[Long, Long] = corpus.map { case (id, t) =>
+    id -> t.split(" ").length.toLong
+  }.toMap
+  private val bigN = corpus.size.toLong
+  private val bigL = dlMap.values.sum
+  private val dfMap: Map[String, Long] =
+    tfMap.keys.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+
+  private def divHalfUp(p: BigInt, q: BigInt): BigInt = {
+    val two = BigInt(2)
+    val num = p * two + q
+    val den = q * two
+    // floor division (BigInt / truncates toward zero; inputs here are >= 0)
+    num / den
+  }
+  private def kE6(dl: Long): Long =
+    divHalfUp(BigInt(3 * bigL + 9 * dl * bigN) * 1000000L, BigInt(10 * bigL)).toLong
+  private def idfE6(w: String): Long = {
+    val df = dfMap(w)
+    Math.round(StrictMath.log(1.0 + (bigN - df + 0.5) / (df + 0.5)) * 1e6)
+  }
+  private def contribution(w: String, id: Long): Long = {
+    val tf = tfMap((w, id))
+    divHalfUp(BigInt(idfE6(w)) * 22 * tf * 100000L,
+      BigInt(tf) * 1000000L + kE6(dlMap(id))).toLong
+  }
+  private def expectedScore(terms: Seq[String], id: Long): Long =
+    terms.flatMap(w => tfMap.get((w, id)).map(_ => contribution(w, id))).sum
+
+  test("buildIndex persists exact df, dl, k_e6 and quantized idf") {
+    val terms = spark.read.parquet(s"$indexPath/terms")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(terms.keySet == dfMap.keySet)
+    dfMap.foreach { case (w, df) =>
+      assert(terms(w)._1 == df, s"df($w)")
+      assert(terms(w)._2 == idfE6(w), s"idf_e6($w)")
+    }
+    val dn = spark.read.parquet(s"$indexPath/docs")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    dlMap.foreach { case (id, dl) =>
+      assert(dn(id) == ((dl, kE6(dl))), s"docs($id)")
+    }
+    // one fully hand-pinned anchor so the re-derivation itself is checked:
+    // df(a)=3, N=5 -> idf = ln(1 + 2.5/3.5) = ln(12/7) = 0.538997 -> 538997
+    assert(terms("a")._2 == 538997L)
+    // dl=4: k_e6 = ((3*20 + 9*4*5)*1e6) half-up / (10*20) = 240e6/200 = 1200000
+    assert(dn(0L)._2 == 1200000L)
+    assert(Bm25.readMeta(spark, indexPath) == ((bigN, bigL)))
+  }
+
+  test("search scores match the independent exact scorer and rank deterministically") {
+    val probes = Seq((100L, "a"), (100L, "c")).toDF("query_id", "term")
+    val got = Bm25.search(spark, probes, indexPath, k = 10)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val want = Seq(0L, 1L, 2L, 3L, 4L)
+      .map(id => id -> expectedScore(Seq("a", "c"), id))
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, s), i) => (100L, i + 1, id, s) }
+    assert(got == want)
+    // the engineered tie: d2 and d4 are identical docs, so equal scores —
+    // doc_id ascending must decide, and both must actually be present
+    val tied = got.filter(r => r._3 == 2L || r._3 == 4L)
+    assert(tied.size == 2 && tied.map(_._4).distinct.size == 1,
+      s"expected a two-way tie, got $tied")
+    assert(tied.sortBy(_._2).map(_._3) == Seq(2L, 4L), "ties must break by doc_id")
+  }
+
+  test("k truncates, absent terms contribute nothing, unmatched queries vanish") {
+    val probes = Seq(
+      (1L, "c"), (1L, "zzz_not_indexed"), // zzz must not perturb c's ranking
+      (2L, "qqq_unmatched")               // query 2 matches nothing at all
+    ).toDF("query_id", "term")
+    val got = Bm25.search(spark, probes, indexPath, k = 2)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1).distinct == Seq(1L), "unmatched query must yield no rows")
+    assert(got.size == 2, "k=2 must truncate the c-matching docs to two")
+    assert(got.map(_._3) == Seq(2L, 4L), "top c docs are the all-c twins, id order")
+    got.foreach(r => assert(r._4 == expectedScore(Seq("c"), r._3)))
+  }
+
+  test("pseudoQueries picks per-doc top terms by tf desc then term asc") {
+    val q = Bm25.pseudoQueries(docs, "text", "doc_id", nQueries = 2, termsPerQuery = 2)
+      .orderBy("query_id", "term")
+      .as[(Long, String)].collect().toSeq
+    // d0 "a b a c": tf a=2 > b=c=1, term tiebreak -> (a, b)
+    // d1 "a b b d": tf b=2 > a=d=1, term tiebreak -> (a, b)
+    assert(q == Seq((0L, "a"), (0L, "b"), (1L, "a"), (1L, "b")))
+  }
+
+  test("build refuses an empty corpus; search refuses k < 1; meta guards version") {
+    val e = intercept[IllegalArgumentException] {
+      Bm25.buildIndex(docs.filter(col("doc_id") < 0), "text", "doc_id", s"$root/empty")
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
+    val k = intercept[IllegalArgumentException] {
+      Bm25.search(spark, Seq((1L, "a")).toDF("query_id", "term"), indexPath, k = 0)
+    }
+    assert(k.getMessage.contains("k must be >= 1"))
+    val alien = s"$root/alien"
+    IndexProtocol.fileSystem(spark, alien).mkdirs(new org.apache.hadoop.fs.Path(alien))
+    IndexProtocol.writeLayoutPayload(spark, alien, "n=1,l=1,bm=999")
+    val v = intercept[IllegalArgumentException](Bm25.readMeta(spark, alien))
+    assert(v.getMessage.contains("not scheme"))
+  }
+}
