@@ -32,17 +32,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val censuses = scala.collection.mutable.Map.empty[String, Map[String, Int]]
     SparkEntry.queries.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce propagates up the narrow
       // plan and runs shuffle-free (map-only) queries single-threaded end
       // to end — core-count × slower at larger SFs; repartition keeps the
       // upstream parallel and still lands one file per query (review
       // finding)
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // operator census of the UNEXECUTED plan (before the repartition
+        // wrapper), so the round artifacts record each query's plan shape
+        // at this SF — diffable round-over-round next to the bench numbers
+        censuses(name) = plans.PlanCensus.census(df)
+        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // `_`-prefixed → invisible to the driver's query globs (q79-diag pattern)
+    try Files.writeString(Paths.get(s"$outDir/_plan_census.json"),
+      plans.PlanCensus.toJson(censuses.toMap))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] plan census failed: ${e.getMessage}")
     }
     // q79 diagnostic sidecar (round-9 verdict): fixture stamp + per-cell
     // sizes + raw recall, so any driver-side hash mismatch is attributable
