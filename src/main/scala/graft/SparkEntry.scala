@@ -2913,6 +2913,19 @@ object SparkEntry {
       val probes = Bm25.pseudoQueries(
         Tables.documents(s, dir), "text", "doc_id", nQueries = 8, termsPerQuery = 3)
       Bm25.search(s, probes, idx, k = 10).orderBy("query_id", "rank")
+    },
+    // ---- hard-negative mining: BM25 top-n (lexically close, self
+    // excluded) × embedding cosine against the query doc's own vector
+    // (semantically far at cosine <= 0 on this near-uniform synthetic
+    // corpus) — the negatives source for training retrieval/embedding
+    // models. sim rounds to 4 decimals and the hard flag compares the
+    // ROUNDED value (both the q28 cross-engine contract) ----
+    "q120_hard_negatives" -> { (s, dir) =>
+      val idx = ensureBm25Index(s, dir)
+      val probes = Bm25.pseudoQueries(
+        Tables.documents(s, dir), "text", "doc_id", nQueries = 8, termsPerQuery = 3)
+      Bm25.hardNegatives(s, probes, idx, Tables.embeddings(s, dir), n = 10)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -4233,6 +4246,52 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS rank,
          |  doc_id, score_e6
          |FROM scored QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    // q120: the q119 re-derivation minus self, plus the q28 cosine
+    // contract — rank renumbered over non-self candidates, sim =
+    // ROUND(list_cosine_similarity, 4), hard compares the rounded value
+    "q120_hard_negatives" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+         |kd AS (
+         |  SELECT doc_id,
+         |    CAST(${ExactAgg.Sql.divHalfUp("(3 * l + 9 * dl * n) * 1000000", "10 * l")} AS BIGINT) AS k_e6
+         |  FROM dl CROSS JOIN meta),
+         |probes AS (
+         |  SELECT doc_id AS query_id, term FROM (
+         |    SELECT doc_id, term,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+         |    FROM tf WHERE doc_id < 8) t
+         |  WHERE r <= 3),
+         |idf AS (SELECT term, idf_e6
+         |  FROM read_parquet('${scopedFixture(dir, "bm25")}/idx/terms/*.parquet')),
+         |scored AS (
+         |  SELECT p.query_id, tf.doc_id,
+         |    CAST(SUM(CAST(${ExactAgg.Sql.divHalfUp(
+                 "i.idf_e6 * 22 * tf.tf * 100000", "tf.tf * 1000000 + kd.k_e6")} AS BIGINT)) AS BIGINT) AS score_e6
+         |  FROM probes p
+         |  JOIN tf ON tf.term = p.term
+         |  JOIN idf i ON i.term = p.term
+         |  JOIN kd ON kd.doc_id = tf.doc_id
+         |  WHERE tf.doc_id <> p.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id,
+         |    CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS rank,
+         |    doc_id, score_e6
+         |  FROM scored QUALIFY rank <= 10)
+         |SELECT r.query_id, r.rank, r.doc_id, r.score_e6,
+         |  ROUND(list_cosine_similarity(
+         |    CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 4) AS sim,
+         |  CAST(ROUND(list_cosine_similarity(
+         |    CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 4) <= 0.0 AS BIGINT) AS hard
+         |FROM ranked r
+         |JOIN embeddings qe ON qe.vec_id = r.query_id
+         |JOIN embeddings ce ON ce.vec_id = r.doc_id
          |ORDER BY query_id, rank""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column

@@ -132,6 +132,44 @@ object Bm25 {
       .select("query_id", "term")
   }
 
+  /** Hard-negative mining — the standard negatives source for training
+    * retrieval and embedding models: candidates that are lexically CLOSE
+    * (BM25 top-`n` for the query, self excluded) but semantically FAR
+    * (embedding cosine against the query document's own vector at or
+    * below `hardBelow`; 0.0 — unrelated-or-opposed — by default). Output
+    * (query_id, rank, doc_id, score_e6, sim, hard): rank re-numbered
+    * 1..n after self-exclusion, sim rounded to 4 decimals (the q28
+    * cross-engine contract), hard as an int64 0/1 flag on the ROUNDED
+    * sim so the comparison replays identically in the oracle.
+    *
+    * Scale shape: the candidate set is tiny (nQueries × n rows), so both
+    * embedding fetches join it against the corpus vectors as the small
+    * side — two corpus scans, no corpus shuffle, and the cosine runs on
+    * exactly (candidates + queries) vector pairs, never all-pairs.
+    */
+  def hardNegatives(
+      spark: SparkSession, probes: DataFrame, path: String,
+      embeddings: DataFrame, n: Int, hardBelow: Double = 0.0): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // k = n+1: excluding one document (self) from the top n+1 leaves at
+    // least the true top-n non-self candidates
+    val cand = search(spark, probes, path, n + 1)
+      .filter(col("doc_id") =!= col("query_id"))
+      .drop("rank")
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb, cand("query_id") === emb("vec_id"))
+      .withColumnRenamed("embedding", "query_vec").drop("vec_id")
+      .join(emb, col("doc_id") === emb("vec_id"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))))
+      .filter(col("rank") <= n)
+      .withColumn("sim",
+        round(CosineSimilarity.cosineNative(col("query_vec"), col("embedding")), 4))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"),
+        col("sim"), (col("sim") <= hardBelow).cast("long").as("hard"))
+  }
+
   /** Top-`k` BM25 retrieval of `probes` (query_id, term) against the index
     * at `path`: (query_id, rank, doc_id, score_e6), rank 1-based by
     * (score_e6 DESC, doc_id) — fully deterministic. Probe terms absent

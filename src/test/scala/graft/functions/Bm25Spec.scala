@@ -125,6 +125,30 @@ class Bm25Spec extends SparkSpec {
     assert(q == Seq((0L, "a"), (0L, "b"), (1L, "a"), (1L, "b")))
   }
 
+  test("hardNegatives: self excluded, rank renumbered, hard = rounded sim at/below threshold") {
+    // unit-ish vectors with exact cosines against d0's [1,0]:
+    // d1 -> 0.6, d2 -> -1.0, d3 -> 0.0, d4 -> 1.0
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.6f, 0.8f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val probes = Seq((0L, "a"), (0L, "c")).toDF("query_id", "term")
+    val got = Bm25.hardNegatives(spark, probes, indexPath, emb, n = 3)
+      .as[(Long, Int, Long, Long, Double, Long)].collect().toSeq.sortBy(_._2)
+    val sims = Map(1L -> 0.6, 2L -> -1.0, 3L -> 0.0, 4L -> 1.0)
+    val want = Seq(1L, 2L, 3L, 4L)
+      .map(id => id -> expectedScore(Seq("a", "c"), id))
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }
+      .take(3).zipWithIndex
+      .map { case ((id, s), i) =>
+        (0L, i + 1, id, s, sims(id), if (sims(id) <= 0.0) 1L else 0L) }
+    assert(got == want)
+    assert(!got.exists(_._3 == 0L), "the query document itself is never a negative")
+    assert(got.map(_._2) == (1 to got.size), "ranks renumber contiguously after self-exclusion")
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L),
+      s"fixture should produce both hard and easy candidates, got $got")
+  }
+
   test("build refuses an empty corpus; search refuses k < 1; meta guards version") {
     val e = intercept[IllegalArgumentException] {
       Bm25.buildIndex(docs.filter(col("doc_id") < 0), "text", "doc_id", s"$root/empty")
