@@ -24,31 +24,30 @@ import graft.{SparkEntry, SparkSpec}
   *
   * The census counts operator KINDS only (arguments, partition counts and
   * expression ids excluded — see [[PlanCensus]]), so the golden holds
-  * across session parallelism; the ANSI sweep matches too, modulo one
-  * measured, exactly-pinned delta ([[ansiDeltas]]).
+  * across session parallelism and both SQL modes, modulo one measured
+  * exprId-order instability excluded per-kind ([[unstableKinds]]).
   */
 class PlanCensusSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val goldenPath = Paths.get(sys.props("user.dir"), "PLAN_CENSUS.json")
 
-  /** The golden is generated in the default (permissive) mode; the ANSI
-    * sweep re-plans everything and — measured — differs in exactly one
-    * place: ANSI's cast semantics let Catalyst collapse one no-op cast
-    * Project inside q89's SQL range-join rewrite. The delta is pinned
-    * EXACTLY (not allowlisted loosely), so any other mode-dependent plan
-    * drift still fails the gate in the sweep.
+  /** Measured instability, excluded EXACTLY (one kind on one query, never
+    * a loose allowlist): q89's Project count flips between 3 and 4 across
+    * JVMs in the SAME SQL mode — the optimizer's constraint inference
+    * iterates exprId-hash-ordered sets, and whether one collapsible
+    * Project survives around the range-join rewrite depends on the global
+    * expression-id counter's state, i.e. on what ran earlier in the JVM.
+    * Every other kind on q89 (the load-bearing Generate + single
+    * Exchange + BroadcastHashJoin shape) stays pinned, as does Project
+    * everywhere else. Applied to both sides of the diff and at regen
+    * time, so the golden never records the noisy value.
     */
-  private val ansiDeltas: Map[String, Map[String, Int]] =
-    Map("q89_sql_range_join" -> Map("Project" -> -1))
+  private val unstableKinds: Map[String, Set[String]] =
+    Map("q89_sql_range_join" -> Set("Project"))
 
-  private def expectedFor(q: String, want: Map[String, Int]): Map[String, Int] =
-    if (!graft.GraftSession.ansiSweep) want
-    else ansiDeltas.getOrElse(q, Map.empty).foldLeft(want) {
-      case (acc, (kind, d)) =>
-        val n = acc.getOrElse(kind, 0) + d
-        if (n == 0) acc - kind else acc.updated(kind, n)
-    }
+  private def normalized(q: String, census: Map[String, Int]): Map[String, Int] =
+    census -- unstableKinds.getOrElse(q, Set.empty)
 
   private def readGolden(): Map[String, Map[String, Int]] = {
     val root = new ObjectMapper().readTree(goldenPath.toFile)
@@ -70,13 +69,12 @@ class PlanCensusSpec extends SparkSpec {
   test("every registry query's physical-operator census matches PLAN_CENSUS.json") {
     val got: Map[String, Map[String, Int]] =
       SparkEntry.queries.keys.toSeq.sorted.map { q =>
-        q -> PlanCensus.census(SparkEntry.queries(q)(spark, dir))
+        q -> normalized(q, PlanCensus.census(SparkEntry.queries(q)(spark, dir)))
       }.toMap
 
     if (sys.env.get("GRAFT_REGEN_PLAN_CENSUS").contains("1")) {
       assert(!graft.GraftSession.ansiSweep,
-        "regenerate the golden in the DEFAULT mode — the ANSI sweep's " +
-          "measured deltas are pinned separately in ansiDeltas")
+        "regenerate the golden in the DEFAULT mode (the gated baseline)")
       Files.writeString(goldenPath, PlanCensus.toJson(got))
       info(s"regenerated $goldenPath with ${got.size} queries — review the git diff")
     } else {
@@ -86,13 +84,13 @@ class PlanCensusSpec extends SparkSpec {
       val missing = (got.keySet diff want.keySet).toSeq.sorted
       val stale = (want.keySet diff got.keySet).toSeq.sorted
       val drifted = got.keySet.intersect(want.keySet).toSeq.sorted
-        .filter(q => expectedFor(q, want(q)) != got(q))
+        .filter(q => normalized(q, want(q)) != got(q))
       assert(missing.isEmpty && stale.isEmpty && drifted.isEmpty,
         s"""plan census drift vs PLAN_CENSUS.json —
            |new queries not in golden: ${missing.mkString(", ")}
            |golden queries no longer registered: ${stale.mkString(", ")}
            |shape changes (kind want->got):
-           |${drifted.map(q => diffLine(q, expectedFor(q, want(q)), got(q))).mkString("\n")}
+           |${drifted.map(q => diffLine(q, normalized(q, want(q)), got(q))).mkString("\n")}
            |If deliberate: GRAFT_REGEN_PLAN_CENSUS=1 sbt "testOnly graft.plans.PlanCensusSpec"
            |and review the golden diff.""".stripMargin)
     }
