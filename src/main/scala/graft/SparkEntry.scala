@@ -581,6 +581,30 @@ object SparkEntry {
     s"$fixture/idx"
   }
 
+  /** Stamped build of the q121 unigram-tokenizer fixture: train the
+    * EM/Viterbi model ([[graft.functions.Unigram]]) on the CLEAN corpus
+    * dictionary, persist it, and persist the naive-encoder expected table
+    * over the exotic-injected corpus (the q111 pattern — unknown-cp
+    * semantics only show on symbols outside the training alphabet). The
+    * oracle joins the expected table (q97 differential discipline).
+    */
+  private[graft] def ensureUnigramFixture(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "unigram")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|uni=${graft.functions.Unigram.Version}"
+    if (!fixtureReady(fixture, stamp)) {
+      val dict = graft.functions.Unigram.learnDictionary(docs, "text")
+      val model = graft.functions.Unigram.trainFromDictionary(dict)
+      graft.functions.Unigram.writeModel(s, model, s"$fixture/model")
+      graft.functions.Unigram.naiveTable(exoticInjected(docs), "text", "doc_id", model)
+        .write.mode("overwrite").parquet(s"$fixture/expected")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
   /** Class markers of the q116 multi-class lang-id training corpus: each
     * doc_id % 3 class gets a distinct function-word suffix (the q109
     * marker discipline generalized to K classes) so the per-class
@@ -2926,6 +2950,23 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "doc_id", nQueries = 8, termsPerQuery = 3)
       Bm25.hardNegatives(s, probes, idx, Tables.embeddings(s, dir), n = 10)
         .orderBy("query_id", "rank")
+    },
+    // ---- unigram-LM (SentencePiece-style) tokenization: EM-trained piece
+    // probabilities, Viterbi encode in one codegen map pass with the
+    // quantized (piece, lp_e4) table as a plan constant. Gated over the
+    // exotic-injected corpus so the unknown-cp path (Greek/CJK/astral
+    // suffixes outside the training alphabet) is exercised; differential
+    // vs the independently-structured naive Viterbi's expected table ----
+    "q121_unigram_tokenize" -> { (s, dir) =>
+      val fixture = ensureUnigramFixture(s, dir)
+      val model = graft.functions.Unigram.readModel(s, s"$fixture/model")
+      exoticInjected(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.functions.Unigram.encodeStats(col("text"), model).as("u"))
+        .select(col("doc_id"), col("u.n_tokens").as("n_tokens"),
+          col("u.n_unk").as("n_unk"), col("u.nll_e4").as("nll_e4"),
+          col("u.tokens").as("tokens"))
+        .orderBy("doc_id")
     }
   )
 
@@ -4293,6 +4334,15 @@ object SparkEntry {
          |JOIN embeddings qe ON qe.vec_id = r.query_id
          |JOIN embeddings ce ON ce.vec_id = r.doc_id
          |ORDER BY query_id, rank""".stripMargin,
+    // q121: the q97 differential discipline — the expected table is the
+    // independently-structured naive Viterbi persisted at fixture build;
+    // the base-table join pins coverage (every document, exactly once)
+    "q121_unigram_tokenize" ->
+      s"""SELECT d.doc_id, e.n_tokens, e.n_unk, e.nll_e4, e.tokens
+         |FROM documents d
+         |JOIN read_parquet('${scopedFixture(dir, "unigram")}/expected/*.parquet') e
+         |  ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible

@@ -1,0 +1,471 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM subword tokenization (Kudo 2018, the SentencePiece `unigram`
+  * scheme) — the other production tokenizer family next to BPE ([[Bpe]]):
+  * instead of greedy merges, LEARN per-piece probabilities by EM over the
+  * segmentation lattice and ENCODE by Viterbi (the max-probability
+  * segmentation).
+  *
+  * Scale design (100 TB) — identical to the BPE contract:
+  *   - TRAINING never iterates over the corpus: one explode + hash
+  *     aggregation reduces it to a capped (word, frequency) dictionary,
+  *     and the EM/prune loop runs driver-side over that bounded table
+  *     (≤ maxVocab words × ≤ maxPieceLen lattice edges per position).
+  *   - ENCODING is one codegen map stage: the (piece, lp_e4) table rides
+  *     the plan as a reference object, each document Viterbi-decodes in
+  *     its own partition, zero shuffle.
+  *
+  * Simplifications vs SentencePiece, pinned as contract by `UnigramSpec`:
+  * words are the engine-wide single-space tokens ([[Text.tokens]] — no ▁
+  * space marker), the prune criterion is expected count (not the exact
+  * likelihood-loss ranking), and the EM/prune schedule is FIXED (`emIters`
+  * iterations per round, multi-cp pieces cut to 3/4 per round until
+  * `vocabSize`) so training is a pure function of the dictionary.
+  *
+  * Fixed-point contract (the [[LangModel]] discipline): EM runs in doubles
+  * driver-side (deterministic — fixed iteration order over sorted arrays,
+  * StrictMath transcendentals), then every piece probability quantizes
+  * ONCE to `lp_e4 = round(−10⁴·log₂ p)`; Viterbi and every consumer (the
+  * expected-table build, the serving expression) work in pure int64 over
+  * the SAME persisted integers. Tie contract: at each lattice position the
+  * lowest-cost predecessor wins, ties to the SMALLEST start index (= the
+  * longest final piece); an unknown single code point costs `unk_lp_e4`
+  * (the rarest piece + 4 bits) and counts in `n_unk`; unknown multi-cp
+  * substrings are not lattice edges.
+  *
+  * The correctness gate (q121) is differential, the q97 pattern: the
+  * fixture persists an expected table from [[naiveTable]] — an
+  * independently-structured textbook Viterbi (immutable fold + declarative
+  * minBy vs the production mutable-array loop) — and the oracle joins it,
+  * while the query runs the production [[UnigramEncodeStats]] expression
+  * over the same corpus; any divergence in costs, tie-breaks or unknown
+  * handling hash-fails.
+  *
+  * Model artifact at `path`:
+  *   - `pieces/` (piece, lp_e4): the quantized unigram table
+  *   - `_GRAFT_LAYOUT` (unk=<lp_e4>,uni=<version>): the unknown-cp cost
+  *     travels with the model ([[IndexProtocol]] contract)
+  */
+object Unigram {
+
+  /** Scheme version — a stamp ingredient for persisted model fixtures. */
+  val Version = 1
+
+  /** The capped (word, frequency) dictionary training reduces the corpus
+    * to — single-space tokens, top `maxVocab` by (freq desc, word asc).
+    */
+  def learnDictionary(
+      docs: DataFrame, textCol: String, maxVocab: Int = 50000): Seq[(String, Long)] =
+    docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** A trained model: pieces (lexicographically sorted — the canonical
+    * order every consumer sees) with their quantized costs, plus the
+    * unknown-code-point cost.
+    */
+  final case class Model(pieces: Array[String], lpE4: Array[Long], unkLpE4: Long) {
+    require(pieces.length == lpE4.length, "pieces/lpE4 length mismatch")
+  }
+
+  private def isSingleCp(s: String): Boolean = s.codePointCount(0, s.length) == 1
+
+  /** EM-trained unigram model over a word-frequency dictionary. Seeding:
+    * every single code point (mandatory — they guarantee each training
+    * word segments) plus the top `vocabSize·seedFactor` multi-cp
+    * substrings (length ≤ `maxPieceLen` code points) by
+    * frequency-weighted occurrence count.
+    */
+  def trainFromDictionary(
+      dictionary: Seq[(String, Long)],
+      vocabSize: Int = 512,
+      maxPieceLen: Int = 6,
+      seedFactor: Int = 4,
+      emIters: Int = 2): Model = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 1 && seedFactor >= 1 && emIters >= 1,
+      "maxPieceLen/seedFactor/emIters must all be >= 1")
+    val words = dictionary.iterator
+      .map { case (w, f) => (Bpe.toSymbols(w), f) }
+      .filter(_._1.nonEmpty).toArray
+    require(words.nonEmpty, "unigram training needs a non-empty dictionary")
+
+    // frequency-weighted substring occurrence counts (overlapping included)
+    val occ = new java.util.HashMap[String, java.lang.Long]()
+    words.foreach { case (cps, f) =>
+      var i = 0
+      while (i < cps.length) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < cps.length && j - i < maxPieceLen) {
+          sb.append(cps(j))
+          val s = sb.toString
+          val prev = occ.get(s)
+          occ.put(s, java.lang.Long.valueOf(if (prev == null) f else prev.longValue() + f))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val all = {
+      val b = Array.newBuilder[(String, Long)]
+      occ.forEach((k, v) => b += (k -> v.longValue()))
+      b.result()
+    }
+    val chars = all.iterator.map(_._1).filter(isSingleCp).toArray.sorted
+    val multiSeedTarget =
+      math.max(0L, vocabSize.toLong * seedFactor - chars.length).toInt
+    val multiSeed = all.iterator.filterNot(t => isSingleCp(t._1)).toArray
+      .sortBy { case (p, c) => (-c, p) }
+      .take(multiSeedTarget).map(_._1)
+
+    var pieces: Array[String] = (chars ++ multiSeed).sorted
+    var lp: Array[Double] = {
+      val raw = pieces.map(p => occ.get(p).longValue().toDouble)
+      val logTotal = StrictMath.log(raw.sum)
+      raw.map(c => StrictMath.log(c) - logTotal)
+    }
+
+    /** One forward-backward E-step: expected piece counts over every
+      * word's lattice under the current `lp`, aligned to `pieces`.
+      * Deterministic: words, pieces and lattice edges iterate in fixed
+      * order; every word segments because single cps are always pieces.
+      */
+    def eStep(): Array[Double] = {
+      val idx = new java.util.HashMap[String, Integer](pieces.length * 2)
+      var k = 0
+      while (k < pieces.length) { idx.put(pieces(k), Integer.valueOf(k)); k += 1 }
+      val expected = new Array[Double](pieces.length)
+      val terms = new Array[Double](maxPieceLen)
+      def lse(nTerms: Int): Double = {
+        var m = Double.NegativeInfinity
+        var t = 0
+        while (t < nTerms) { if (terms(t) > m) m = terms(t); t += 1 }
+        if (m == Double.NegativeInfinity) m
+        else {
+          var s = 0.0
+          t = 0
+          while (t < nTerms) { s += StrictMath.exp(terms(t) - m); t += 1 }
+          m + StrictMath.log(s)
+        }
+      }
+      words.foreach { case (cps, f) =>
+        val n = cps.length
+        val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+        val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+        alpha(0) = 0.0
+        beta(n) = 0.0
+        var j = 1
+        while (j <= n) {
+          var nt = 0
+          var i = math.max(0, j - maxPieceLen)
+          while (i < j) {
+            if (alpha(i) != Double.NegativeInfinity) {
+              val pi = idx.get(cps.slice(i, j).mkString)
+              if (pi != null) { terms(nt) = alpha(i) + lp(pi.intValue()); nt += 1 }
+            }
+            i += 1
+          }
+          alpha(j) = lse(nt)
+          j += 1
+        }
+        var i = n - 1
+        while (i >= 0) {
+          var nt = 0
+          var j2 = i + 1
+          while (j2 <= math.min(n, i + maxPieceLen)) {
+            if (beta(j2) != Double.NegativeInfinity) {
+              val pi = idx.get(cps.slice(i, j2).mkString)
+              if (pi != null) { terms(nt) = lp(pi.intValue()) + beta(j2); nt += 1 }
+            }
+            j2 += 1
+          }
+          beta(i) = lse(nt)
+          i -= 1
+        }
+        val z = alpha(n)
+        i = 0
+        while (i < n) {
+          var j3 = i + 1
+          while (j3 <= math.min(n, i + maxPieceLen)) {
+            val pi = idx.get(cps.slice(i, j3).mkString)
+            if (pi != null) {
+              expected(pi.intValue()) +=
+                f * StrictMath.exp(alpha(i) + lp(pi.intValue()) + beta(j3) - z)
+            }
+            j3 += 1
+          }
+          i += 1
+        }
+      }
+      expected
+    }
+
+    def runEm(): Array[Double] = {
+      var it = 0
+      var exp: Array[Double] = null
+      while (it < emIters) {
+        exp = eStep()
+        val logTotal = StrictMath.log(exp.sum)
+        var k = 0
+        while (k < lp.length) { lp(k) = StrictMath.log(exp(k)) - logTotal; k += 1 }
+        it += 1
+      }
+      exp
+    }
+
+    val targetMulti = math.max(0, vocabSize - chars.length)
+    var multiCount = pieces.length - chars.length
+    while (multiCount > targetMulti) {
+      val exp = runEm()
+      val expByName = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+      var k = 0
+      while (k < pieces.length) {
+        expByName.put(pieces(k), java.lang.Double.valueOf(exp(k)))
+        k += 1
+      }
+      val keepMulti = math.max(targetMulti, multiCount * 3 / 4)
+      val keptMulti = pieces.iterator.filterNot(isSingleCp)
+        .map(p => (p, expByName.get(p).doubleValue()))
+        .toArray
+        .sortBy { case (p, e) => (-e, p) }
+        .take(keepMulti).map(_._1)
+      pieces = (chars ++ keptMulti).sorted
+      multiCount = keptMulti.length
+      // survivors' expected counts, renormalized, seed the next round
+      val counts = pieces.map(p => expByName.get(p).doubleValue())
+      val logTotal = StrictMath.log(counts.sum)
+      lp = counts.map(c => StrictMath.log(c) - logTotal)
+    }
+    runEm() // final probability estimate on the settled vocabulary
+
+    val lpE4 = lp.map(v => math.round(-(v / StrictMath.log(2.0)) * 10000.0))
+    Model(pieces, lpE4, unkLpE4 = lpE4.max + 40000L)
+  }
+
+  // ------------------------------------------------------------------- io
+
+  /** Persist a trained model: the piece table as a versioned single-file
+    * parquet plus the unknown cost in the layout sidecar.
+    */
+  def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.pieces.zip(model.lpE4).toSeq.toDF("piece", "lp_e4")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
+    IndexProtocol.writeLayoutPayload(spark, path,
+      s"unk=${model.unkLpE4},uni=$Version")
+  }
+
+  def readModel(spark: SparkSession, path: String): Model = {
+    val payload = IndexProtocol.readLayoutPayload(spark, path)
+    val kv = payload.split(",").map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    require(kv.get("uni").contains(Version.toString),
+      s"unigram model at $path has layout '$payload' — not scheme v$Version; rebuild it")
+    val rows = spark.read.parquet(s"$path/pieces").orderBy("piece")
+      .collect().map(r => (r.getAs[String]("piece"), r.getAs[Long]("lp_e4")))
+    Model(rows.map(_._1), rows.map(_._2), kv("unk").toLong)
+  }
+
+  // ---------------------------------------------------------------- serve
+
+  /** `struct(n_tokens, n_unk, nll_e4, tokens)` per document — the
+    * production Viterbi encode as one codegen map pass, the model as a
+    * plan constant.
+    */
+  def encodeStats(text: Column, model: Model): Column =
+    ColumnBridge.column(UnigramEncodeStats(
+      ColumnBridge.expression(text), model.pieces, model.lpE4, model.unkLpE4))
+
+  // ---------------------------------------------------------------- naive
+
+  /** Textbook Viterbi over one word — the independently-structured
+    * differential reference: immutable prefix cells built by a fold,
+    * candidate selection via declarative minBy on (cost, start), the same
+    * tie contract as the production loop expressed the opposite way.
+    */
+  private[graft] def naiveDecodeWord(
+      word: String, lp: Map[String, Long], unkLpE4: Long, maxLen: Int): List[String] = {
+    val cps = Bpe.toSymbols(word).toVector
+    if (cps.isEmpty) return Nil
+    final case class Cell(cost: Long, path: List[String])
+    val cells = (1 to cps.length).foldLeft(Vector(Cell(0L, Nil))) { (acc, j) =>
+      val candidates = (math.max(0, j - maxLen) until j).flatMap { i =>
+        val piece = cps.slice(i, j).mkString
+        lp.get(piece).map(v => (acc(i).cost + v, i, piece))
+          .orElse(if (j - i == 1) Some((acc(i).cost + unkLpE4, i, piece)) else None)
+      }
+      val (cost, i, piece) = candidates.minBy(t => (t._1, t._2))
+      acc :+ Cell(cost, piece :: acc(i).path)
+    }
+    cells.last.path.reverse
+  }
+
+  /** Distributed expected table for the q121 differential: the naive
+    * encoder's (n_tokens, n_unk, nll_e4, tokens) per document, persisted
+    * at fixture-build time and joined by the DuckDB oracle.
+    */
+  private[graft] def naiveTable(
+      docs: DataFrame, textCol: String, idCol: String, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = model.pieces
+    val lpE4 = model.lpE4
+    val unk = model.unkLpE4
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val lp = pieces.zip(lpE4).toMap
+        val maxLen = pieces.iterator.map(p => p.codePointCount(0, p.length))
+          .foldLeft(1)(math.max)
+        it.map { case (id, text) =>
+          val tokens = (if (text == null) "" else text).split(" ", -1).toList
+            .filter(_.nonEmpty)
+            .flatMap(w => naiveDecodeWord(w, lp, unk, maxLen))
+          val nUnk = tokens.count(t => !lp.contains(t))
+          val nll = tokens.map(t => lp.getOrElse(t, unk)).sum
+          (id, tokens.size.toLong, nUnk.toLong, nll, tokens.mkString(" "))
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_unk", "nll_e4", "tokens")
+  }
+}
+
+/** Shared runtime for [[UnigramEncodeStats]]: the piece table as a hash
+  * map + the Viterbi scratch loop, shipped once per task as a plan
+  * constant (addReferenceObj — the [[BpeEncoder]] transport).
+  */
+private[graft] class UnigramEncoder(
+    pieces: Array[String], lpE4: Array[Long], unkLpE4: Long) extends Serializable {
+  @transient private lazy val lp = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), java.lang.Long.valueOf(lpE4(i))); i += 1 }
+    m
+  }
+  @transient private lazy val maxLen = {
+    var m = 1
+    var i = 0
+    while (i < pieces.length) {
+      val l = pieces(i).codePointCount(0, pieces(i).length)
+      if (l > m) m = l
+      i += 1
+    }
+    m
+  }
+
+  /** Viterbi over one word; returns its pieces in order. Ties break to the
+    * smallest start index (longest final piece): the `<` below is strict
+    * and `i` ascends, so the first minimal predecessor wins.
+    */
+  private def decodeWord(word: String): Array[String] = {
+    val cps = Bpe.toSymbols(word)
+    val n = cps.length
+    if (n == 0) return Array.empty
+    val inf = Long.MaxValue / 4
+    val cost = Array.fill(n + 1)(inf)
+    val from = new Array[Int](n + 1)
+    cost(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxLen)
+      while (i < j) {
+        if (cost(i) < inf) {
+          val piece = cps.slice(i, j).mkString
+          val v = lp.get(piece)
+          if (v != null) {
+            val c = cost(i) + v.longValue()
+            if (c < cost(j)) { cost(j) = c; from(j) = i }
+          } else if (j - i == 1) {
+            val c = cost(i) + unkLpE4
+            if (c < cost(j)) { cost(j) = c; from(j) = i }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    // backtrack (cost(n) < inf always: single cps are always edges)
+    var cuts = List(n)
+    var p = n
+    while (p > 0) { p = from(p); cuts = p :: cuts }
+    val bounds = cuts.toArray
+    Array.tabulate(bounds.length - 1)(k => cps.slice(bounds(k), bounds(k + 1)).mkString)
+  }
+
+  /** (n_tokens, n_unk, nll_e4, space-joined tokens) over the whole text. */
+  def stats(text: UTF8String): InternalRow = {
+    val words = text.toString.split(" ", -1)
+    var n = 0L
+    var unk = 0L
+    var nll = 0L
+    val out = new java.lang.StringBuilder
+    var w = 0
+    while (w < words.length) {
+      if (words(w).nonEmpty) {
+        val toks = decodeWord(words(w))
+        var t = 0
+        while (t < toks.length) {
+          val v = lp.get(toks(t))
+          if (v != null) nll += v.longValue()
+          else { unk += 1; nll += unkLpE4 }
+          if (n > 0) out.append(' ')
+          out.append(toks(t))
+          n += 1
+          t += 1
+        }
+      }
+      w += 1
+    }
+    new GenericInternalRow(Array[Any](n, unk, nll, UTF8String.fromString(out.toString)))
+  }
+}
+
+/** `unigram_encode(string)` → `struct<n_tokens:bigint, n_unk:bigint,
+  * nll_e4:bigint, tokens:string>`: see [[Unigram.encodeStats]].
+  */
+case class UnigramEncodeStats(
+    child: Expression, pieces: Array[String], lpE4: Array[Long], unkLpE4: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_unk", LongType, nullable = false),
+    StructField("nll_e4", LongType, nullable = false),
+    StructField("tokens", StringType, nullable = false)))
+  override def prettyName: String = "unigram_encode"
+
+  @transient private lazy val encoder = new UnigramEncoder(pieces, lpE4, unkLpE4)
+
+  override protected def nullSafeEval(v: Any): Any =
+    encoder.stats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val enc = ctx.addReferenceObj("unigramEncoder", encoder, classOf[UnigramEncoder].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $enc.stats($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

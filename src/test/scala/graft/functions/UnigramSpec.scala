@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unigram tokenizer: trainer determinism and vocabulary contract, exact
+  * Viterbi costs and tie-breaks on a hand model, unknown handling,
+  * production-vs-naive differential on a trained model, artifact IO.
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = s"/tmp/graft-test-unigram-${java.util.UUID.randomUUID()}"
+
+  // ---- hand model: costs chosen so every case is arithmetic by eye ----
+  private def handModel = Unigram.Model(
+    pieces = Array("a", "ab", "b", "c"),
+    lpE4 = Array(10000L, 20000L, 10000L, 30000L),
+    unkLpE4 = 70000L)
+
+  private def encodeOne(text: String, m: Unigram.Model): (Long, Long, Long, String) =
+    Seq(text).toDF("t")
+      .select(Unigram.encodeStats(col("t"), m).as("u"))
+      .select("u.n_tokens", "u.n_unk", "u.nll_e4", "u.tokens")
+      .as[(Long, Long, Long, String)].head()
+
+  test("Viterbi picks the cheapest segmentation and ties prefer the longest piece") {
+    // "ab": [ab]=20000 ties [a b]=20000 -> longest final piece wins
+    assert(encodeOne("ab", handModel) == ((1L, 0L, 20000L, "ab")))
+    // "abc": [ab c]=50000 beats [a b c]=50000 (tie at the c boundary
+    // resolves the prefix the same way) — and the cost is exact
+    assert(encodeOne("abc", handModel) == ((2L, 0L, 50000L, "ab c")))
+    // cheaper multi-token path must beat a pricier short one: make ab
+    // expensive -> [a b]=20000 < [ab]=90000
+    val m2 = handModel.copy(lpE4 = Array(10000L, 90000L, 10000L, 30000L))
+    assert(encodeOne("ab", m2) == ((2L, 0L, 20000L, "a b")))
+  }
+
+  test("unknown single code points cost unk_lp_e4 and count; words split on spaces") {
+    // z is unknown: [a z] with z at 70000; two words accumulate
+    assert(encodeOne("az b", handModel) == ((3L, 1L, 90000L, "a z b")))
+    // astral code point (surrogate pair) as the unknown — cp-level slicing
+    val astral = "a🌍" // a + 🌍
+    assert(encodeOne(astral, handModel) == ((2L, 1L, 80000L, "a 🌍")))
+    assert(encodeOne("", handModel) == ((0L, 0L, 0L, "")))
+  }
+
+  test("trainer: chars always survive, vocab size respected, frequent pieces cheaper") {
+    val dict = Seq(
+      ("abab", 50L), ("ab", 30L), ("ba", 5L), ("cc", 2L), ("abc", 10L))
+    val m = Unigram.trainFromDictionary(dict, vocabSize = 6, maxPieceLen = 3)
+    val byPiece = m.pieces.zip(m.lpE4).toMap
+    // the alphabet is always in the vocabulary
+    assert(Set("a", "b", "c").subsetOf(byPiece.keySet))
+    assert(m.pieces.length <= 6)
+    assert(m.pieces.toSeq == m.pieces.toSeq.sorted, "canonical piece order")
+    // "ab" dominates the corpus -> it must survive pruning and be cheaper
+    // (more probable = lower -log2) than the rare "cc" path pieces
+    assert(byPiece.contains("ab"), s"expected 'ab' to survive, got ${m.pieces.toSeq}")
+    assert(byPiece("ab") < byPiece("c"))
+    assert(m.unkLpE4 == m.lpE4.max + 40000L)
+    // determinism: same dictionary -> identical model
+    val m3 = Unigram.trainFromDictionary(dict, vocabSize = 6, maxPieceLen = 3)
+    assert(m3.pieces.toSeq == m.pieces.toSeq && m3.lpE4.toSeq == m.lpE4.toSeq)
+  }
+
+  test("production encoder equals the naive reference on a trained model") {
+    val docs = Seq(
+      (0L, "abab ab ba"), (1L, "abc cc abab"), (2L, "xyz ab"),
+      (3L, ""), (4L, "a b c ab")).toDF("doc_id", "text")
+    // train WITHOUT doc 2 so x/y/z are genuinely outside the alphabet and
+    // the differential covers the unknown path too
+    val dict = Unigram.learnDictionary(docs.filter(col("doc_id") =!= 2), "text")
+    val m = Unigram.trainFromDictionary(dict, vocabSize = 8, maxPieceLen = 3)
+    val prod = docs
+      .select(col("doc_id"), Unigram.encodeStats(col("text"), m).as("u"))
+      .select(col("doc_id"), col("u.n_tokens"), col("u.n_unk"),
+        col("u.nll_e4"), col("u.tokens"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val naive = Unigram.naiveTable(docs, "text", "doc_id", m)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(prod == naive)
+    // tokens reconstruct each word (segmentation, not rewriting)
+    prod.foreach { case (id, _, _, _, toks) =>
+      val original = docs.filter(col("doc_id") === id)
+        .as[(Long, String)].head()._2.split(" ").filter(_.nonEmpty).mkString
+      assert(toks.split(" ").filter(_.nonEmpty).mkString == original)
+    }
+  }
+
+  test("model IO round-trips and guards the scheme version") {
+    val m = handModel
+    Unigram.writeModel(spark, m, s"$root/m")
+    val r = Unigram.readModel(spark, s"$root/m")
+    assert(r.pieces.toSeq == m.pieces.toSeq)
+    assert(r.lpE4.toSeq == m.lpE4.toSeq)
+    assert(r.unkLpE4 == m.unkLpE4)
+    IndexProtocol.writeLayoutPayload(spark, s"$root/alien", "unk=1,uni=999")
+    val e = intercept[IllegalArgumentException](Unigram.readModel(spark, s"$root/alien"))
+    assert(e.getMessage.contains("not scheme"))
+  }
+
+  test("trainer refuses empty input and nonsense knobs") {
+    val e = intercept[IllegalArgumentException](
+      Unigram.trainFromDictionary(Seq.empty, vocabSize = 4))
+    assert(e.getMessage.contains("non-empty"))
+    val k = intercept[IllegalArgumentException](
+      Unigram.trainFromDictionary(Seq(("ab", 1L)), vocabSize = 0))
+    assert(k.getMessage.contains("vocabSize"))
+  }
+}
