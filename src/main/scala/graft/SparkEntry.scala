@@ -581,6 +581,30 @@ object SparkEntry {
     s"$fixture/idx"
   }
 
+  /** Stamped build of the q122 INCREMENTAL BM25 index: install generation
+    * 0 from the even-doc_id half, append the odd half as generation 1,
+    * refresh — the maintenance loop a live corpus actually runs
+    * ([[Bm25.installIndex]]/[[Bm25.appendDocs]]/[[Bm25.refreshIndex]]).
+    * The union equals the full corpus, so the oracle is q119's
+    * re-derivation pointed at THIS artifact's terms table.
+    */
+  private[graft] def ensureBm25IncIndex(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "bm25_inc")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|bm=${Bm25.Version}|inc"
+    if (!fixtureReady(fixture, stamp)) {
+      Bm25.installIndex(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        s"$fixture/idx")
+      Bm25.appendDocs(docs.filter(col("doc_id") % 2 === 1), s"$fixture/idx",
+        generation = 1L)
+      Bm25.refreshIndex(s, s"$fixture/idx")
+      stampFixture(fixture, stamp)
+    }
+    s"$fixture/idx"
+  }
+
   /** Stamped build of the q121 unigram-tokenizer fixture: train the
     * EM/Viterbi model ([[graft.functions.Unigram]]) on the CLEAN corpus
     * dictionary, persist it, and persist the naive-encoder expected table
@@ -604,6 +628,48 @@ object SparkEntry {
     }
     fixture
   }
+
+  /** Generated DuckDB oracle for the BM25 retrieval gates (q119/q122):
+    * tokenization, tf, dl, the exact-integer length norm, pseudo-query
+    * selection and the rational tf-normalization all re-derived from the
+    * base table; only idf_e6 joins from `termsPath` — the one persisted
+    * transcendental (q101 shared-artifact discipline). Two gates, one
+    * SQL: the q122 variant only swaps in the incremental artifact's
+    * terms table, which is exactly the claim under test.
+    */
+  private def bm25RetrievalOracleSql(termsPath: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+       |kd AS (
+       |  SELECT doc_id,
+       |    CAST(${ExactAgg.Sql.divHalfUp("(3 * l + 9 * dl * n) * 1000000", "10 * l")} AS BIGINT) AS k_e6
+       |  FROM dl CROSS JOIN meta),
+       |probes AS (
+       |  SELECT doc_id AS query_id, term FROM (
+       |    SELECT doc_id, term,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+       |    FROM tf WHERE doc_id < 8) t
+       |  WHERE r <= 3),
+       |idf AS (SELECT term, idf_e6
+       |  FROM read_parquet('$termsPath/*.parquet')),
+       |scored AS (
+       |  SELECT p.query_id, tf.doc_id,
+       |    CAST(SUM(CAST(${ExactAgg.Sql.divHalfUp(
+               "i.idf_e6 * 22 * tf.tf * 100000", "tf.tf * 1000000 + kd.k_e6")} AS BIGINT)) AS BIGINT) AS score_e6
+       |  FROM probes p
+       |  JOIN tf ON tf.term = p.term
+       |  JOIN idf i ON i.term = p.term
+       |  JOIN kd ON kd.doc_id = tf.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id, score_e6
+       |FROM scored QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Class markers of the q116 multi-class lang-id training corpus: each
     * doc_id % 3 class gets a distinct function-word suffix (the q109
@@ -2967,6 +3033,16 @@ object SparkEntry {
           col("u.n_unk").as("n_unk"), col("u.nll_e4").as("nll_e4"),
           col("u.tokens").as("tokens"))
         .orderBy("doc_id")
+    },
+    // ---- BM25 over the INCREMENTAL index: the q119 retrieval served from
+    // an install(gen 0: even docs) + append(gen 1: odd docs) + refresh
+    // artifact — proves the generational fact fold reproduces the one-shot
+    // arithmetic all the way through the DuckDB gate ----
+    "q122_bm25_index_append" -> { (s, dir) =>
+      val idx = ensureBm25IncIndex(s, dir)
+      val probes = Bm25.pseudoQueries(
+        Tables.documents(s, dir), "text", "doc_id", nQueries = 8, termsPerQuery = 3)
+      Bm25.search(s, probes, Bm25.indexRoot(idx), k = 10).orderBy("query_id", "rank")
     }
   )
 
@@ -4256,41 +4332,18 @@ object SparkEntry {
     // ONLY idf_e6 (the transcendental, quantized once at build) joins
     // from the persisted terms artifact (q101 shared-artifact discipline)
     "q119_bm25_retrieval" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-         |meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
-         |kd AS (
-         |  SELECT doc_id,
-         |    CAST(${ExactAgg.Sql.divHalfUp("(3 * l + 9 * dl * n) * 1000000", "10 * l")} AS BIGINT) AS k_e6
-         |  FROM dl CROSS JOIN meta),
-         |probes AS (
-         |  SELECT doc_id AS query_id, term FROM (
-         |    SELECT doc_id, term,
-         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
-         |    FROM tf WHERE doc_id < 8) t
-         |  WHERE r <= 3),
-         |idf AS (SELECT term, idf_e6
-         |  FROM read_parquet('${scopedFixture(dir, "bm25")}/idx/terms/*.parquet')),
-         |scored AS (
-         |  SELECT p.query_id, tf.doc_id,
-         |    CAST(SUM(CAST(${ExactAgg.Sql.divHalfUp(
-                 "i.idf_e6 * 22 * tf.tf * 100000", "tf.tf * 1000000 + kd.k_e6")} AS BIGINT)) AS BIGINT) AS score_e6
-         |  FROM probes p
-         |  JOIN tf ON tf.term = p.term
-         |  JOIN idf i ON i.term = p.term
-         |  JOIN kd ON kd.doc_id = tf.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id,
-         |  CAST(ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS rank,
-         |  doc_id, score_e6
-         |FROM scored QUALIFY rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
-    // q120: the q119 re-derivation minus self, plus the q28 cosine
-    // contract — rank renumbered over non-self candidates, sim =
-    // ROUND(list_cosine_similarity, 4), hard compares the rounded value
+      bm25RetrievalOracleSql(s"${scopedFixture(dir, "bm25")}/idx/terms"),
+    // q122: the IDENTICAL re-derivation pointed at the incremental
+    // install+append+refresh artifact's terms table — the gate value is
+    // that the generational fold served exactly the one-shot arithmetic
+    "q122_bm25_index_append" ->
+      bm25RetrievalOracleSql(
+        s"${scopedFixture(dir, "bm25_inc")}/idx/index/terms"),
+    // q120: the q119 re-derivation minus self, restricted to the embedded
+    // corpus BEFORE the top-10 cut (the judgeability contract — at sf0.1
+    // only 2 of 5 docs carry vectors), plus the q28 cosine contract —
+    // sim = ROUND(list_cosine_similarity, 4), hard compares the rounded
+    // value
     "q120_hard_negatives" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -4324,7 +4377,10 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS rank,
          |    doc_id, score_e6
-         |  FROM scored QUALIFY rank <= 10)
+         |  FROM scored s
+         |  JOIN embeddings qe0 ON qe0.vec_id = s.query_id
+         |  JOIN embeddings ce0 ON ce0.vec_id = s.doc_id
+         |  QUALIFY rank <= 10)
          |SELECT r.query_id, r.rank, r.doc_id, r.score_e6,
          |  ROUND(list_cosine_similarity(
          |    CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 4) AS sim,

@@ -65,13 +65,28 @@ object Bm25 {
     * Tokenization is the engine-wide single-space split ([[Text.tokens]]).
     */
   def buildIndex(docs: DataFrame, textCol: String, idCol: String, path: String): Unit = {
-    val spark = docs.sparkSession
-    val toks = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      explode(Text.tokens(col(textCol))).as("term"))
-    val postings = toks.groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val postings = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    publishServedIndex(docs.sparkSession, postings, path)
+  }
+
+  /** Derive and swap in the served artifact from a postings relation —
+    * the ONE place the BM25 arithmetic lives, shared by [[buildIndex]]
+    * and [[refreshIndex]] so a one-shot build and an
+    * install+appends+refresh can never drift.
+    *
+    *   - dl = Σ tf per doc (exact — postings carry every occurrence)
+    *   - k_e6 = 10⁶(0.3 + 0.9·dl/avgdl), exact integer half-up: the
+    *     oracle re-derives this from the base table, so no float enters
+    *   - idf_e6: the one transcendental, quantized once here (codegen ln
+    *     + half-up round — the LangModel reproducibility contract:
+    *     identical for every consumer of THIS persisted train)
+    */
+  private def publishServedIndex(
+      spark: SparkSession, postings: DataFrame, path: String): Unit = {
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val Array(n, l) = {
       // coalesce: SUM over an empty corpus is null — the require below
       // must own that case, not a row-access error
@@ -79,14 +94,9 @@ object Bm25 {
       Array(r.getLong(0), r.getLong(1))
     }
     require(n > 0 && l > 0, s"BM25 index needs a non-empty corpus, got n=$n l=$l")
-    // k_e6 = 10⁶(0.3 + 0.9·dl/avgdl), exact integer half-up — the oracle
-    // re-derives this from the base table, so no float may enter
     val docNorms = dl.withColumn("k_e6",
       ExactAgg.divHalfUp((lit(3L) * l + lit(9L) * col("dl") * n) * IdfScale,
         lit(10L) * l))
-    // idf_e6: the one transcendental, quantized once at build time
-    // (codegen ln + half-up round, the LangModel reproducibility contract:
-    // identical for every consumer of THIS persisted train)
     val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf_e6",
         round(log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
@@ -132,52 +142,132 @@ object Bm25 {
       .select("query_id", "term")
   }
 
+  // ----------------------------------------------------- incremental index
+
+  private def factsRoot(path: String) = s"$path/facts"
+
+  /** Served-index root under an incremental install — pass to [[search]]. */
+  def indexRoot(path: String): String = s"$path/index"
+
+  /** One batch's posting facts: (term, doc_id, src, tf). Doc lengths are
+    * NOT a separate fact table — dl = Σ tf per doc, recomputed exactly by
+    * [[refreshIndex]], so the fact schema stays minimal and replay-safe.
+    */
+  private def postingFacts(
+      docs: DataFrame, textCol: String, idCol: String, generation: Long): DataFrame =
+    docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), lit(generation).as("src"), col("tf"))
+
+  /** Install an incremental BM25 index from a history corpus (generation
+    * 0) and derive the first served artifact. Append-only corpus
+    * contract (the incremental-ingest discipline): each doc_id arrives in
+    * exactly one generation; a replayed generation is a no-op, and the
+    * refresh's distinct collapses crashed-fold duplicates.
+    */
+  def installIndex(
+      history: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val spark = history.sparkSession
+    val fs = IndexProtocol.fileSystem(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    IndexProtocol.writeLayoutPayload(spark, path, s"bm=$Version")
+    graft.sinks.Sinks.publishDir(
+      postingFacts(history, textCol, idCol, generation = 0L),
+      factsRoot(path), "batch=0")
+    refreshIndex(spark, path)
+  }
+
+  private def checkFactsLayout(spark: SparkSession, path: String): Unit = {
+    val payload = IndexProtocol.readLayoutPayload(spark, path)
+    require(payload == s"bm=$Version",
+      s"BM25 fact index at $path has layout '$payload', this build writes bm=$Version — rebuild")
+  }
+
+  /** Publish one batch's posting facts as an immutable generation.
+    * Returns false for an already-published generation (replay no-op). */
+  def appendDocs(
+      batch: DataFrame, path: String, generation: Long,
+      textCol: String = "text", idCol: String = "doc_id"): Boolean = {
+    checkFactsLayout(batch.sparkSession, path)
+    graft.sinks.Sinks.publishDir(
+      postingFacts(batch, textCol, idCol, generation),
+      factsRoot(path), s"batch=$generation")
+  }
+
+  def indexReadable(spark: SparkSession, path: String): Boolean =
+    IndexProtocol.generationalReadable(spark, path, Seq("facts"))
+
+  /** Fold fact generations ≤ upToGen into one (rows are (term, doc_id,
+    * src, tf) facts — duplicates from a crashed fold collapse through the
+    * refresh's distinct). */
+  def compactFacts(spark: SparkSession, path: String, upToGen: Long): Unit =
+    IndexProtocol.compactGenerational(spark, factsRoot(path), upToGen)
+
+  /** Re-derive the served artifact from the accumulated facts and swap it
+    * in — identical arithmetic to [[buildIndex]] over the union corpus
+    * (same norms, same idf quantization), so install+appends+refresh
+    * equals a full rebuild; the spec pins table-level equality.
+    */
+  def refreshIndex(spark: SparkSession, path: String): Unit = {
+    if (!indexReadable(spark, path)) return
+    checkFactsLayout(spark, path)
+    val postings = spark.read.parquet(factsRoot(path))
+      .select("term", "doc_id", "src", "tf").distinct()
+      .select("term", "doc_id", "tf")
+    publishServedIndex(spark, postings, indexRoot(path))
+  }
+
   /** Hard-negative mining — the standard negatives source for training
     * retrieval and embedding models: candidates that are lexically CLOSE
-    * (BM25 top-`n` for the query, self excluded) but semantically FAR
-    * (embedding cosine against the query document's own vector at or
-    * below `hardBelow`; 0.0 — unrelated-or-opposed — by default). Output
-    * (query_id, rank, doc_id, score_e6, sim, hard): rank re-numbered
-    * 1..n after self-exclusion, sim rounded to 4 decimals (the q28
+    * (BM25 top-`n` for the query among the EMBEDDED corpus, self
+    * excluded) but semantically FAR (embedding cosine against the query
+    * document's own vector at or below `hardBelow`; 0.0 —
+    * unrelated-or-opposed — by default). Output (query_id, rank, doc_id,
+    * score_e6, sim, hard): rank 1..n, sim rounded to 4 decimals (the q28
     * cross-engine contract), hard as an int64 0/1 flag on the ROUNDED
     * sim so the comparison replays identically in the oracle.
     *
-    * Scale shape: the candidate set is tiny (nQueries × n rows), so both
-    * embedding fetches join it against the corpus vectors as the small
-    * side — two corpus scans, no corpus shuffle, and the cosine runs on
-    * exactly (candidates + queries) vector pairs, never all-pairs.
+    * Candidacy contract: a hard negative must be JUDGEABLE — both the
+    * query document and the candidate need a vector — so the restriction
+    * to the embedded corpus (and the self-exclusion) happens BEFORE the
+    * top-n cut, never after it. Cutting first and restricting after
+    * would silently return fewer than n negatives wherever embedding
+    * coverage is partial (the sf0.1 corpus embeds 2 of 5 docs — exactly
+    * the shape a production corpus has while its embedding backfill
+    * runs).
+    *
+    * Scale shape: the scored candidate set is narrow (query_id, doc_id,
+    * score rows, never text or vectors), both embedding joins move only
+    * (candidates + queries) vector pairs, and the top-n ranks via
+    * WindowGroupLimit map-side — no all-pairs cosine, no corpus shuffle.
     */
   def hardNegatives(
       spark: SparkSession, probes: DataFrame, path: String,
       embeddings: DataFrame, n: Int, hardBelow: Double = 0.0): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // k = n+1: excluding one document (self) from the top n+1 leaves at
-    // least the true top-n non-self candidates
-    val cand = search(spark, probes, path, n + 1)
+    val cand = scoredCandidates(spark, probes, path)
       .filter(col("doc_id") =!= col("query_id"))
-      .drop("rank")
     val emb = embeddings.select(col("vec_id"), col("embedding"))
-    cand
+    val judgeable = cand
       .join(emb, cand("query_id") === emb("vec_id"))
       .withColumnRenamed("embedding", "query_vec").drop("vec_id")
       .join(emb, col("doc_id") === emb("vec_id"))
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))))
-      .filter(col("rank") <= n)
+    topK(judgeable, n)
       .withColumn("sim",
         round(CosineSimilarity.cosineNative(col("query_vec"), col("embedding")), 4))
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"),
         col("sim"), (col("sim") <= hardBelow).cast("long").as("hard"))
   }
 
-  /** Top-`k` BM25 retrieval of `probes` (query_id, term) against the index
-    * at `path`: (query_id, rank, doc_id, score_e6), rank 1-based by
-    * (score_e6 DESC, doc_id) — fully deterministic. Probe terms absent
-    * from the index contribute nothing; a query matching no document
-    * yields no rows.
+  /** The unranked score relation (query_id, doc_id, score_e6) — shared by
+    * [[search]] and [[hardNegatives]], whose top-k cuts differ (the mine
+    * restricts to the embedded corpus BEFORE ranking).
     */
-  def search(spark: SparkSession, probes: DataFrame, path: String, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  private def scoredCandidates(
+      spark: SparkSession, probes: DataFrame, path: String): DataFrame = {
     val postings = spark.read.parquet(s"$path/postings")
     val terms = spark.read.parquet(s"$path/terms").select("term", "idf_e6")
     val docNorms = spark.read.parquet(s"$path/docs").select("doc_id", "k_e6")
@@ -189,9 +279,23 @@ object Bm25 {
       .join(docNorms, "doc_id")
       .groupBy("query_id", "doc_id")
       .agg(sum(contribution).as("score_e6"))
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))))
       .filter(col("rank") <= k)
+
+  /** Top-`k` BM25 retrieval of `probes` (query_id, term) against the index
+    * at `path`: (query_id, rank, doc_id, score_e6), rank 1-based by
+    * (score_e6 DESC, doc_id) — fully deterministic. Probe terms absent
+    * from the index contribute nothing; a query matching no document
+    * yields no rows.
+    */
+  def search(spark: SparkSession, probes: DataFrame, path: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    topK(scoredCandidates(spark, probes, path), k)
       .select("query_id", "rank", "doc_id", "score_e6")
   }
 }

@@ -125,17 +125,45 @@ class Bm25Spec extends SparkSpec {
     assert(q == Seq((0L, "a"), (0L, "b"), (1L, "a"), (1L, "b")))
   }
 
-  test("hardNegatives: self excluded, rank renumbered, hard = rounded sim at/below threshold") {
+  test("incremental: install + append + refresh equals the one-shot build on the union") {
+    val inc = s"$root/inc"
+    Bm25.installIndex(docs.filter(col("doc_id") < 2), "text", "doc_id", inc)
+    assert(Bm25.appendDocs(docs.filter(col("doc_id") >= 2), inc, generation = 1L))
+    assert(!Bm25.appendDocs(docs.filter(col("doc_id") >= 2), inc, generation = 1L),
+      "a replayed generation must be a no-op")
+    Bm25.refreshIndex(spark, inc)
+    def tbl(p: String, name: String) =
+      spark.read.parquet(s"$p/$name").collect().map(_.toSeq).toSet
+    Seq("postings", "docs", "terms").foreach { t =>
+      assert(tbl(Bm25.indexRoot(inc), t) == tbl(indexPath, t), s"$t differs")
+    }
+    assert(Bm25.readMeta(spark, Bm25.indexRoot(inc)) == ((bigN, bigL)))
+    // folding generations changes nothing the refresh can observe
+    Bm25.compactFacts(spark, inc, upToGen = 1L)
+    Bm25.refreshIndex(spark, inc)
+    Seq("postings", "docs", "terms").foreach { t =>
+      assert(tbl(Bm25.indexRoot(inc), t) == tbl(indexPath, t), s"$t differs after compact")
+    }
+    // and the serve path agrees end-to-end
+    val probes = Seq((100L, "a"), (100L, "c")).toDF("query_id", "term")
+    def ranked(p: String) = Bm25.search(spark, probes, p, k = 10)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(ranked(Bm25.indexRoot(inc)) == ranked(indexPath))
+  }
+
+  test("hardNegatives: self and unembedded docs excluded BEFORE the top-n cut") {
     // unit-ish vectors with exact cosines against d0's [1,0]:
-    // d1 -> 0.6, d2 -> -1.0, d3 -> 0.0, d4 -> 1.0
+    // d1 -> 0.6, d2 -> -1.0, d4 -> 1.0; d3 has NO vector (the partial
+    // embedding-coverage shape — judgeability must restrict candidacy
+    // before ranking, not truncate results after it)
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.6f, 0.8f)), (2L, Seq(-1.0f, 0.0f)),
-      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      (4L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val probes = Seq((0L, "a"), (0L, "c")).toDF("query_id", "term")
     val got = Bm25.hardNegatives(spark, probes, indexPath, emb, n = 3)
       .as[(Long, Int, Long, Long, Double, Long)].collect().toSeq.sortBy(_._2)
-    val sims = Map(1L -> 0.6, 2L -> -1.0, 3L -> 0.0, 4L -> 1.0)
-    val want = Seq(1L, 2L, 3L, 4L)
+    val sims = Map(1L -> 0.6, 2L -> -1.0, 4L -> 1.0)
+    val want = Seq(1L, 2L, 4L) // the embedded non-self candidates
       .map(id => id -> expectedScore(Seq("a", "c"), id))
       .filter(_._2 > 0)
       .sortBy { case (id, s) => (-s, id) }
@@ -144,7 +172,9 @@ class Bm25Spec extends SparkSpec {
         (0L, i + 1, id, s, sims(id), if (sims(id) <= 0.0) 1L else 0L) }
     assert(got == want)
     assert(!got.exists(_._3 == 0L), "the query document itself is never a negative")
-    assert(got.map(_._2) == (1 to got.size), "ranks renumber contiguously after self-exclusion")
+    assert(!got.exists(_._3 == 3L), "an unembedded doc is never a candidate")
+    assert(got.map(_._2) == (1 to got.size),
+      "ranks stay contiguous: exclusions happen before the cut")
     assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L),
       s"fixture should produce both hard and easy candidates, got $got")
   }
