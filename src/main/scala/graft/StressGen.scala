@@ -879,6 +879,57 @@ object StressGen {
         s"records=${got.get(0)} identical=$identical " +
         s"ok=${identical && decompressed > (128L << 20)}")
     }
+    time("bm25 (10x corpus: build, serve, incremental parity)") {
+      // round-14 family: the inverted index at 50k docs — one-shot build
+      // vs install(evens)+append(odds)+refresh must serve checksum-equal
+      // results (the q122 claim at 10×), and the serve cost is the probe
+      // join, never a corpus re-scan
+      val oneShot = s"$outDir/bm25_idx"
+      val inc = s"$outDir/bm25_inc"
+      fs.delete(new org.apache.hadoop.fs.Path(oneShot), true)
+      fs.delete(new org.apache.hadoop.fs.Path(inc), true)
+      time("  one-shot index build") {
+        functions.Bm25.buildIndex(docs, "text", "doc_id", oneShot)
+      }
+      time("  incremental install+append+refresh (2 generations)") {
+        functions.Bm25.installIndex(
+          docs.filter(F.col("doc_id") % 2 === 0), "text", "doc_id", inc)
+        functions.Bm25.appendDocs(docs.filter(F.col("doc_id") % 2 === 1), inc, 1L)
+        functions.Bm25.refreshIndex(spark, inc)
+      }
+      val probes = functions.Bm25.pseudoQueries(docs, "text", "doc_id", 8, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      probes.count()
+      def serveSig(path: String) = functions.Bm25.search(spark, probes, path, 10)
+        .agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64(
+          F.col("query_id"), F.col("rank"), F.col("doc_id"), F.col("score_e6")))).head()
+      val a = time("  serve 8 probes top-10 (one-shot)") { serveSig(oneShot) }
+      val b = time("  serve 8 probes top-10 (incremental)") {
+        serveSig(functions.Bm25.indexRoot(inc))
+      }
+      probes.unpersist()
+      println(s"GRAFT_STRESS   bm25 serve checksums oneshot=$a incremental=$b " +
+        s"equal=${a == b} ok=${a == b && a.getLong(0) > 0}")
+    }
+    time("unigram (10x corpus: dictionary, EM train, encode)") {
+      // round-14 family: training cost is the ONE dictionary aggregation
+      // plus bounded driver EM — independent of corpus row count beyond
+      // the aggregation — and the encode is a single codegen map stage
+      val dict = time("  dictionary aggregation (capped 50k words)") {
+        functions.Unigram.learnDictionary(docs, "text")
+      }
+      val model = time(s"  EM train (driver, ${dict.size} words)") {
+        functions.Unigram.trainFromDictionary(dict)
+      }
+      val enc = time("  viterbi encode 10x docs (one map stage)") {
+        docs.select(functions.Unigram.encodeStats(F.col("text"), model).as("u"))
+          .agg(F.sum("u.n_tokens"), F.sum("u.n_unk"),
+            F.bit_xor(F.xxhash64(F.col("u.tokens")))).head()
+      }
+      println(s"GRAFT_STRESS   unigram pieces=${model.pieces.length} " +
+        s"tokens=${enc.get(0)} unk=${enc.get(1)} sig=${enc.get(2)} " +
+        s"ok=${enc.getLong(0) > 0}")
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()
