@@ -177,6 +177,26 @@ object IngestPipeline {
       model: graft.functions.QualityClassifier.Model,
       minScoreE4: Long = 0L)
 
+  /** Opt-in lang-id gate ([[graft.functions.QualityClassifier.classifyMulti]],
+    * the q116 family): docs whose argmax class is outside `keep` are
+    * rejected — the language-selection cut every multilingual curation
+    * pipeline runs first. The K per-class models travel in the config
+    * (frozen weights — the [[QualityGateConfig]] replay contract: retrain
+    * on maintenance cadence only, never between a batch's first attempt
+    * and its crash replay); the argmax is one codegen map pass, no
+    * shuffle. Runs BEFORE the heuristic quality filter: it is the
+    * cheapest large cut, and per-language quality thresholds downstream
+    * should only ever see their own language.
+    */
+  final case class LangGateConfig(
+      models: Seq[(String, graft.functions.QualityClassifier.Model)],
+      keep: Set[String]) {
+    require(models.nonEmpty, "lang gate needs at least one class model")
+    require(keep.nonEmpty, "lang gate with an empty keep set rejects everything")
+    require(keep.subsetOf(models.map(_._1).toSet),
+      s"keep classes ${keep -- models.map(_._1).toSet} have no model")
+  }
+
   /** Opt-in CCNet-style perplexity gate ([[graft.functions.LangModel]]):
     * docs whose mean transition log-prob under the installed reference
     * model exceeds `maxPplE4` are rejected (high = unlike the reference
@@ -200,6 +220,7 @@ object IngestPipeline {
   final case class FunnelReport(
       batchId: Long,
       input: Long,
+      afterLang: Long,
       afterQuality: Long,
       afterClassifier: Long,
       afterPerplexity: Long,
@@ -558,6 +579,7 @@ object IngestPipeline {
       semanticDedup: Option[SemanticDedupConfig] = None,
       decontam: Option[DecontamConfig] = None,
       spanScrub: Option[SpanScrubConfig] = None,
+      langGate: Option[LangGateConfig] = None,
       qualityGate: Option[QualityGateConfig] = None,
       perplexityGate: Option[PerplexityGateConfig] = None,
       funnelSink: Option[FunnelReport => Unit] = None): Long = {
@@ -592,7 +614,17 @@ object IngestPipeline {
       case None => batch
     }
 
-    val heuristicClean = qualityFilter(scrubbed, textCol)
+    // LANG-ID gate first among the content gates (opt-in — see
+    // LangGateConfig): one argmax map pass, original columns restored
+    val langClean = langGate match {
+      case Some(cfg) =>
+        graft.functions.QualityClassifier
+          .classifyMulti(scrubbed, textCol, cfg.models)
+          .filter(col("pred").isin(cfg.keep.toSeq: _*))
+          .select(scrubbed.columns.map(col): _*)
+      case None => scrubbed
+    }
+    val heuristicClean = qualityFilter(langClean, textCol)
     val classifierClean = qualityGate match {
       case Some(cfg) =>
         graft.functions.QualityClassifier
@@ -709,6 +741,7 @@ object IngestPipeline {
       sink(FunnelReport(
         batchId = batchId,
         input = batch.count(),
+        afterLang = langClean.count(),
         afterQuality = heuristicClean.count(),
         afterClassifier = classifierClean.count(),
         afterPerplexity = cleaned.count(),
@@ -1049,6 +1082,7 @@ object IngestPipeline {
       decontam: Option[DecontamConfig] = None,
       spanScrub: Option[SpanScrubConfig] = None,
       maintenance: Option[MaintenanceConfig] = None,
+      langGate: Option[LangGateConfig] = None,
       qualityGate: Option[QualityGateConfig] = None,
       perplexityGate: Option[PerplexityGateConfig] = None): StreamingQuery = {
     recoverCompaction(docs.sparkSession, paths)
@@ -1063,7 +1097,8 @@ object IngestPipeline {
         ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
           embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup,
           semanticDedup = semanticDedup, decontam = decontam, spanScrub = spanScrub,
-          qualityGate = qualityGate, perplexityGate = perplexityGate)
+          langGate = langGate, qualityGate = qualityGate,
+          perplexityGate = perplexityGate)
         // maintenance AFTER the commit: the fold reads only the manifest
         // high-water mark, so a crash between commit and fold just defers
         // the fold to a later cycle (or to startup recovery). Cadence on

@@ -894,6 +894,36 @@ class IngestPipelineSpec extends SparkSpec {
       qualityGate = Some(allPos.copy(minScoreE4 = 10000L))) == 1L)
   }
 
+  test("lang-id gate keeps only configured classes and reports in the funnel") {
+    import graft.functions.QualityClassifier
+    // two classes with unmistakable marker vocabularies, trained via the
+    // q116 multi-class centroid fit
+    val train = (0L until 12L).flatMap { i =>
+      Seq((s"sample $i the of and to in", "en"),
+        (s"probe $i der die das und zu", "de"))
+    }.toDF("text", "lbl")
+    val models = QualityClassifier.trainCentroidMulti(train, "text", "lbl")
+    val batch = Seq(
+      (1L, "sample text the of and to in extra"),
+      (2L, "probe text der die das und zu extra")).toDF("doc_id", "text")
+    val p = tmpRoot()
+    var funnel: Option[IngestPipeline.FunnelReport] = None
+    assert(IngestPipeline.ingestBatch(spark, p, batch, 0L,
+      langGate = Some(IngestPipeline.LangGateConfig(models, Set("en"))),
+      funnelSink = Some(r => funnel = Some(r))) == 1L)
+    val f = funnel.get
+    assert(f.input == 2L && f.afterLang == 1L && f.accepted == 1L, f.toString)
+    val landed = spark.read.parquet(p.docLake)
+    assert(landed.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(!landed.columns.exists(c => c.startsWith("score_") || c == "pred"),
+      "gate bookkeeping columns never land in the lake")
+    // misconfigured keep sets fail loudly at construction, not mid-stream
+    intercept[IllegalArgumentException](
+      IngestPipeline.LangGateConfig(models, Set.empty))
+    intercept[IllegalArgumentException](
+      IngestPipeline.LangGateConfig(models, Set("fr")))
+  }
+
   test("funnel report telescopes stage survivor counts") {
     val p = tmpRoot()
     var funnel: Option[IngestPipeline.FunnelReport] = None
