@@ -211,9 +211,11 @@ object Warc {
     * the previous reader materialized the whole container, and for
     * `.warc.gz` the whole DECOMPRESSED stream, per task).
     *
-    * The window buffer always begins at the current record-candidate's
-    * start; on a malformation the resync scans from start+1 exactly like
-    * the historical whole-array parser (row-identical by spec), keeping
+    * The valid window `buf(head..len)` always begins at the current
+    * record-candidate's start; consuming a record just advances `head`
+    * (O(1)), and bytes move only in an amortized half-buffer compaction.
+    * On a malformation the resync scans from start+1 exactly like the
+    * historical whole-array parser (row-identical by spec), keeping
     * only a magic-length tail of already-rejected bytes as it slides.
     * When `quarantineStreamErrors` (the gzip transport), an IOException
     * mid-stream — a corrupt member — ends the stream instead of failing
@@ -227,8 +229,9 @@ object Warc {
     extends Iterator[Row] {
 
     private var buf = new Array[Byte](64 * 1024)
-    private var len = 0
-    private var base = 0L // stream offset of buf(0)
+    private var head = 0 // start of the valid window within buf
+    private var len = 0 // end of the valid window within buf
+    private var base = 0L // stream offset of buf(head)
     private var eof = false
     private var streamErr: String = null
     private var closed = false
@@ -241,14 +244,31 @@ object Warc {
       try in.close() catch { case _: java.io.IOException => () }
     }
 
+    /** Bytes currently in the window. */
+    private def avail: Int = len - head
+
+    /** Slide the window's bytes down to buf(0) — the only place bytes
+      * are ever copied within the buffer. Called when the consumed
+      * prefix passes half the buffer (amortized O(1) copies per byte —
+      * the round-14 fix for the per-record full-window arraycopy) or
+      * when a full buffer still has reclaimable head room. */
+    private def compact(): Unit = if (head > 0) {
+      System.arraycopy(buf, head, buf, 0, len - head)
+      len -= head
+      head = 0
+    }
+
     /** Read more bytes into the window; false at (possibly error-induced)
-      * end of stream. Grows the buffer when full. */
+      * end of stream. Reclaims consumed head room before growing. */
     private def fillMore(): Boolean = {
       if (eof) return false
       if (len == buf.length) {
-        val grown = new Array[Byte](buf.length * 2)
-        System.arraycopy(buf, 0, grown, 0, len)
-        buf = grown
+        if (head > 0) compact()
+        else {
+          val grown = new Array[Byte](buf.length * 2)
+          System.arraycopy(buf, 0, grown, 0, len)
+          buf = grown
+        }
       }
       val r =
         try in.read(buf, len, buf.length - len)
@@ -263,34 +283,40 @@ object Warc {
 
     private def ensure(n: Long): Boolean = {
       if (n > MaxRecordBytes) return false
-      while (len < n && fillMore()) {}
-      len >= n
+      while (avail < n && fillMore()) {}
+      avail >= n
     }
 
-    /** First index of `needle` fully inside the valid window, from
-      * `from`; -1 when absent. */
+    /** First window-relative index of `needle` fully inside the valid
+      * window, at-or-after window-relative `from`; -1 when absent. */
     private def findIn(needle: Array[Byte], from: Int): Int = {
-      var i = math.max(from, 0)
+      var i = head + math.max(from, 0)
       val last = len - needle.length
       while (i <= last) {
         var j = 0
         while (j < needle.length && buf(i + j) == needle(j)) j += 1
-        if (j == needle.length) return i
+        if (j == needle.length) return i - head
         i += 1
       }
       -1
     }
 
-    /** Drop `n` consumed bytes off the window head. */
+    /** Drop `n` consumed bytes off the window head. O(1) per call —
+      * just advances the head offset; bytes move only in the amortized
+      * half-buffer compaction (the round-14 q113 constant-factor fix:
+      * the previous shape arraycopy'd the whole remaining window on
+      * EVERY record, O(window) per record against read-ahead). */
     private def consume(n: Int): Unit = {
       if (n > 0) {
-        System.arraycopy(buf, n, buf, 0, len - n)
-        len -= n
+        head += n
         base += n
+        if (head > buf.length / 2) compact()
         // shrink a record-ballooned buffer back to steady state
-        if (buf.length > (4 << 20) && len <= (64 * 1024)) {
+        if (buf.length > (4 << 20) && avail <= (64 * 1024)) {
           val shrunk = new Array[Byte](64 * 1024)
-          System.arraycopy(buf, 0, shrunk, 0, len)
+          System.arraycopy(buf, head, shrunk, 0, avail)
+          len = avail
+          head = 0
           buf = shrunk
         }
       }
@@ -306,10 +332,12 @@ object Warc {
         if (i >= 0) { consume(i); return }
         // no magic fully inside the window: drop all but a tail that
         // could still be a magic prefix, then read more
-        val keep = math.min(len, Magic.length - 1)
-        consume(len - keep)
+        val keep = math.min(avail, Magic.length - 1)
+        consume(avail - keep)
+        // rejected bytes never re-scan: resume past the kept tail's
+        // already-checked positions once fresh bytes arrive
         at = 0
-        if (!fillMore()) { consume(len); return }
+        if (!fillMore()) { consume(avail); return }
       }
     }
 
@@ -320,21 +348,23 @@ object Warc {
       * malformation, returns its quarantine row AFTER resyncing. */
     private def parseNext(): Row = {
       ensure(Magic.length.toLong)
-      if (len == 0) return null
+      if (avail == 0) return null
       val start = base
       if (findIn(Magic, 0) != 0) {
         val r = quarantine(start, "bad magic"); resyncFrom(1); return r
       }
+      // the header-end scan RESUMES from just before the previous
+      // window end across fillMore refills — never restarts at 0
       var hdrEnd = findIn(HeaderEnd, 0)
-      var scanFrom = math.max(0, len - (HeaderEnd.length - 1))
+      var scanFrom = math.max(0, avail - (HeaderEnd.length - 1))
       while (hdrEnd < 0 && fillMore()) {
         hdrEnd = findIn(HeaderEnd, scanFrom)
-        scanFrom = math.max(0, len - (HeaderEnd.length - 1))
+        scanFrom = math.max(0, avail - (HeaderEnd.length - 1))
       }
       if (hdrEnd < 0) {
         val r = quarantine(start, "unterminated header"); resyncFrom(1); return r
       }
-      val headers = new String(buf, 0, hdrEnd, UTF_8)
+      val headers = new String(buf, head, hdrEnd, UTF_8)
         .split("\r\n").drop(1) // the version line
         .flatMap { l =>
           val i = l.indexOf(':')
@@ -360,7 +390,7 @@ object Warc {
         headers.getOrElse("WARC-Target-URI", ""),
         headers.getOrElse("Content-Type", ""),
         clen.get,
-        new String(buf, bodyStart, clen.get.toInt, UTF_8),
+        new String(buf, head + bodyStart, clen.get.toInt, UTF_8),
         null)
       consume(bodyEnd + 4)
       row
@@ -374,9 +404,9 @@ object Warc {
         finished = true
         closeQuietly()
         if (streamErr != null && !errEmitted) {
-          // total decompressed bytes = base (everything consumed) + len(=0)
+          // total decompressed bytes = base (everything consumed) + avail(=0)
           errEmitted = true
-          r = quarantine(base + len, streamErr)
+          r = quarantine(base + avail, streamErr)
         }
       }
       nextRow = r
