@@ -930,6 +930,51 @@ object StressGen {
         s"tokens=${enc.get(0)} unk=${enc.get(1)} sig=${enc.get(2)} " +
         s"ok=${enc.getLong(0) > 0}")
     }
+    time("langid serve at K=64 (single-pass vs K-pass)") {
+      // round-14 verdict #4 evidence: real lang-id is K≈100+ classes —
+      // the single-pass QualityMultiFeatureSum serve (one tokenize+md5
+      // per feature, K modulo+lookups) must stay near-flat in K where
+      // the historical K-pass shape (one featureSum expression per
+      // class) re-hashes the corpus K times. Same scores by contract —
+      // checksums must match exactly.
+      import functions.QualityClassifier
+      val models = (0 until 64).map { k =>
+        // distinct per-class tables (and a few distinct dims, so the
+        // per-class modulo path is exercised) from the shared formula
+        val dim = 2048 + (k % 5)
+        f"cls$k%02d" -> QualityClassifier.Model(
+          QualityClassifier.synthesizeWeights(dim).map(_ + k), bias = k.toLong)
+      }
+      val sample = docs.filter(F.col("doc_id") % 5 === 0)
+      def sig(d: org.apache.spark.sql.DataFrame) = d.agg(
+        F.count(F.lit(1)),
+        F.bit_xor(F.xxhash64(F.col("pred"), F.col("n_feats"),
+          F.col("score_cls00_e4"), F.col("score_cls63_e4")))).head()
+      val single = time("  single-pass (QualityMultiFeatureSum)") {
+        sig(QualityClassifier.classifyMulti(sample, "text", models))
+      }
+      val kPass = time("  K-pass (one featureSum per class, historical shape)") {
+        val sorted = models.sortBy(_._1)
+        val withSums = sorted.foldLeft(sample) { case (d, (c, m)) =>
+          d.withColumn(s"__q_$c", QualityClassifier.featureSum(F.col("text"), m))
+        }
+        val base = withSums.withColumn("n_feats",
+          F.col(s"__q_${sorted.head._1}").getField("n_feats"))
+        val scored = sorted.foldLeft(base) { case (d, (c, m)) =>
+          d.withColumn(s"score_${c}_e4", functions.ExactAgg.divHalfUp(
+            (F.col(s"__q_$c").getField("wsum") + m.bias) * 10000, F.col("n_feats")))
+        }
+        val best = sorted.map { case (c, _) => F.col(s"score_${c}_e4") }
+          .reduceLeft((a, b) => F.greatest(a, b))
+        val pred = sorted.init.foldRight(F.lit(sorted.last._1): org.apache.spark.sql.Column) {
+          case ((c, _), acc) =>
+            F.when(F.col(s"score_${c}_e4") === best, F.lit(c)).otherwise(acc)
+        }
+        sig(scored.withColumn("pred", pred))
+      }
+      println(s"GRAFT_STRESS   langid K=64 checksums single=$single kpass=$kPass " +
+        s"equal=${single == kPass} ok=${single == kPass && single.getLong(0) > 0}")
+    }
     val rt = Runtime.getRuntime
     println(s"GRAFT_STRESS driver heap used: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)} MiB")
     spark.stop()

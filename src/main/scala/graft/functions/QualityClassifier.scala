@@ -269,31 +269,48 @@ object QualityClassifier {
     * (halfUp((bias_c + Σw_c)·10⁴ / n_feats) — the [[scoreE4]] formula)
     * and `pred` = the alphabetically-FIRST class attaining the maximum
     * score (a deterministic tiebreak both engines express identically).
-    * Still one whole-stage-codegen map pass — the K weight tables ride
-    * the plan as reference objects, nothing shuffles.
+    *
+    * SINGLE-PASS in K (round-14 verdict #4): one
+    * [[QualityMultiFeatureSum]] expression tokenizes and md5-hashes each
+    * document ONCE and scores all K classes inside that one loop — the
+    * 60-bit feature hash is computed once per feature and each class
+    * costs only a modulo + table lookup, so serve cost is near-flat in K
+    * (real lang-id is K≈100+; the previous shape ran K independent
+    * tokenize+hash passes). Still one whole-stage-codegen map pass — the
+    * K weight tables ride the plan as ONE reference object, nothing
+    * shuffles.
     */
   def classifyMulti(
       df: DataFrame, textCol: String, models: Seq[(String, Model)]): DataFrame = {
     require(models.nonEmpty, "classifyMulti needs at least one class")
     val sorted = models.sortBy(_._1)
-    val withSums = sorted.foldLeft(df) { case (d, (c, m)) =>
-      d.withColumn(s"__q_$c", featureSum(col(textCol), m))
-    }
+    val withSums = df.withColumn("__q_multi",
+      multiFeatureSum(col(textCol), sorted.map(_._2)))
     val base = withSums.withColumn("n_feats",
-      col(s"__q_${sorted.head._1}").getField("n_feats"))
-    val scored = sorted.foldLeft(base) { case (d, (c, m)) =>
+      col("__q_multi").getField("n_feats"))
+    val scored = sorted.zipWithIndex.foldLeft(base) { case (d, ((c, m), k)) =>
       d.withColumn(s"score_${c}_e4",
         ExactAgg.divHalfUp(
-          (col(s"__q_$c").getField("wsum") + m.bias) * 10000, col("n_feats")))
+          (element_at(col("__q_multi").getField("wsums"), k + 1) + m.bias) * 10000,
+          col("n_feats")))
     }
     val best = sorted.map { case (c, _) => col(s"score_${c}_e4") }
       .reduceLeft((a, b) => greatest(a, b))
     val pred = sorted.init.foldRight(lit(sorted.last._1): Column) {
       case ((c, _), acc) => when(col(s"score_${c}_e4") === best, lit(c)).otherwise(acc)
     }
-    scored.withColumn("pred", pred)
-      .drop(sorted.map { case (c, _) => s"__q_$c" }: _*)
+    scored.withColumn("pred", pred).drop("__q_multi")
   }
+
+  /** `struct(n_feats, wsums)` per document: feature count plus the raw
+    * integer weight sum of EVERY class from one tokenize+hash pass
+    * (wsums(k) corresponds to models(k); biases NOT folded in — they
+    * join in the score formula, keeping the expression a pure function
+    * of text and tables). */
+  def multiFeatureSum(text: Column, models: Seq[Model]): Column =
+    ColumnBridge.column(
+      QualityMultiFeatureSum(ColumnBridge.expression(text),
+        models.map(_.weights).toArray))
 
   /** `struct(n_feats, wsum)` per document: feature count and raw integer
     * weight sum (bias NOT folded in — it joins in the score formula below,
@@ -381,6 +398,49 @@ case class QualityFeatureSum(child: Expression, weights: Array[Long])
     copy(child = newChild)
 }
 
+/** `quality_multi_feature_sum(string)` →
+  * `struct<n_feats:bigint, wsums:array<bigint>>`: the K-class sibling of
+  * [[QualityFeatureSum]] — ONE tokenize + md5 pass per document, all K
+  * class weight sums accumulated inside that loop (round-14 verdict #4:
+  * the K-pass shape re-hashed the document per class; real lang-id is
+  * K≈100+ where hashing dominates). Per-class dims may differ — the
+  * 60-bit hash is computed once and reduced modulo each class's own
+  * dimension, so the per-class bucket is IDENTICAL to the single-class
+  * scorer's and trained single-class tables install unchanged.
+  */
+case class QualityMultiFeatureSum(child: Expression, weights: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if weights.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      "quality_multi_feature_sum requires at least one class")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quality_multi_feature_sum requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("wsums", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "quality_multi_feature_sum"
+
+  @transient private lazy val scorer = new QualityMultiScorer(weights)
+
+  override protected def nullSafeEval(v: Any): Any =
+    scorer.score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.addReferenceObj("qualityMultiScorer", scorer,
+        classOf[QualityMultiScorer].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $s.score($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-task scorer: md5 digest + weight table reused across rows. Features
   * are the engine-contract single-space tokens (split keeps empty tokens,
   * matching Spark `split` / DuckDB `string_split`) plus adjacent bigrams
@@ -388,20 +448,12 @@ case class QualityFeatureSum(child: Expression, weights: Array[Long])
   * the document text alone.
   */
 private[graft] class QualityScorer(weights: Array[Long]) extends Serializable {
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val h60 = new Md5Hash60
 
   private[graft] def bucket(feat: String): Int = bucketOf(feat)
 
-  private def bucketOf(feat: String): Int = {
-    md.reset()
-    val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 15 hex chars = 7.5 bytes, the Dedup.tokenHash64 60-bit value
-    var v = 0L
-    var j = 0
-    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-    v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
-    (v % weights.length).toInt
-  }
+  private def bucketOf(feat: String): Int =
+    (h60.hash(feat) % weights.length).toInt
 
   def score(text: UTF8String): InternalRow = {
     val toks = text.toString.split(" ", -1)
@@ -414,5 +466,56 @@ private[graft] class QualityScorer(weights: Array[Long]) extends Serializable {
     }
     val nFeats = toks.length.toLong + (toks.length - 1).toLong
     new GenericInternalRow(Array[Any](nFeats, wsum))
+  }
+}
+
+/** The scorer family's shared feature hash: md5 first-15-hex-chars as a
+  * 60-bit long (the [[Dedup.tokenHash64]] contract). One digest instance
+  * per task, reused across rows. */
+private[graft] final class Md5Hash60 extends Serializable {
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  def hash(feat: String): Long = {
+    md.reset()
+    val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes, the Dedup.tokenHash64 60-bit value
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+}
+
+/** K-class per-task scorer: ONE md5 hash per feature, each class then
+  * costs a modulo + table lookup inside the same token loop — near-flat
+  * in K. Bucket arithmetic per class is identical to [[QualityScorer]]'s
+  * (60-bit hash mod that class's dimension).
+  */
+private[graft] class QualityMultiScorer(weights: Array[Array[Long]])
+    extends Serializable {
+  @transient private lazy val h60 = new Md5Hash60
+  private val k = weights.length
+
+  private def addFeature(feat: String, sums: Array[Long]): Unit = {
+    val v = h60.hash(feat)
+    var c = 0
+    while (c < k) {
+      sums(c) += weights(c)((v % weights(c).length).toInt)
+      c += 1
+    }
+  }
+
+  def score(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val sums = new Array[Long](k)
+    var i = 0
+    while (i < toks.length) {
+      addFeature(toks(i), sums)
+      if (i > 0) addFeature(toks(i - 1) + " " + toks(i), sums)
+      i += 1
+    }
+    val nFeats = toks.length.toLong + (toks.length - 1).toLong
+    new GenericInternalRow(Array[Any](nFeats,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sums)))
   }
 }

@@ -615,9 +615,22 @@ object IngestPipeline {
     }
 
     // LANG-ID gate first among the content gates (opt-in — see
-    // LangGateConfig): one argmax map pass, original columns restored
+    // LangGateConfig): one argmax map pass, original columns restored.
+    // The gate's bookkeeping columns are added by NAME (withColumn
+    // replaces same-named batch columns, and the restoring select would
+    // then land gate values in the lake as the user's data — round-14
+    // advice), so a batch that already carries them is rejected loudly.
+    def requireNoGateCollision(gate: String, reserved: Seq[String]): Unit = {
+      val clash = scrubbed.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty,
+        s"$gate gate bookkeeping columns collide with batch columns: " +
+          s"${clash.toSeq.sorted.mkString(", ")} — rename them before ingest")
+    }
     val langClean = langGate match {
       case Some(cfg) =>
+        requireNoGateCollision("lang",
+          Seq("pred", "n_feats") ++
+            cfg.models.map { case (c, _) => s"score_${c}_e4" })
         graft.functions.QualityClassifier
           .classifyMulti(scrubbed, textCol, cfg.models)
           .filter(col("pred").isin(cfg.keep.toSeq: _*))
@@ -627,6 +640,9 @@ object IngestPipeline {
     val heuristicClean = qualityFilter(langClean, textCol)
     val classifierClean = qualityGate match {
       case Some(cfg) =>
+        // same defect class as the lang gate: drop() would delete a
+        // user column shadowed by the gate's scratch names
+        requireNoGateCollision("quality", Seq("n_feats", "score_e4", "label"))
         graft.functions.QualityClassifier
           .classify(heuristicClean, textCol, cfg.model, cfg.minScoreE4)
           .filter(col("label") === "keep")

@@ -922,6 +922,23 @@ class IngestPipelineSpec extends SparkSpec {
       IngestPipeline.LangGateConfig(models, Set.empty))
     intercept[IllegalArgumentException](
       IngestPipeline.LangGateConfig(models, Set("fr")))
+
+    // a batch already carrying a gate bookkeeping column is rejected
+    // loudly — withColumn would silently overwrite it and the restoring
+    // select would land gate values as the user's data (round-14 advice)
+    val collidingLang = Seq((1L, "sample the of and", "x"))
+      .toDF("doc_id", "text", "pred")
+    val eLang = intercept[IllegalArgumentException](
+      IngestPipeline.ingestBatch(spark, tmpRoot(), collidingLang, 0L,
+        langGate = Some(IngestPipeline.LangGateConfig(models, Set("en")))))
+    assert(eLang.getMessage.contains("pred"), eLang.getMessage)
+    val collidingQuality = Seq((1L, "sample the of and", 7L))
+      .toDF("doc_id", "text", "score_e4")
+    val eQ = intercept[IllegalArgumentException](
+      IngestPipeline.ingestBatch(spark, tmpRoot(), collidingQuality, 0L,
+        qualityGate = Some(IngestPipeline.QualityGateConfig(
+          QualityClassifier.Model(Array.fill(16)(1L), 0L), 0L))))
+    assert(eQ.getMessage.contains("score_e4"), eQ.getMessage)
   }
 
   test("funnel report telescopes stage survivor counts") {
