@@ -239,10 +239,13 @@ object Bm25 {
     * the shape a production corpus has while its embedding backfill
     * runs).
     *
-    * Scale shape: the scored candidate set is narrow (query_id, doc_id,
-    * score rows, never text or vectors), both embedding joins move only
-    * (candidates + queries) vector pairs, and the top-n ranks via
-    * WindowGroupLimit map-side — no all-pairs cosine, no corpus shuffle.
+    * Scale shape (NARROW rank — round-14 verdict #3): judgeability needs
+    * vector EXISTENCE, not values, so the embedded-corpus restriction is
+    * two semi-joins on vec_id and the top-n ranks pure
+    * (query_id, doc_id, score_e6) rows — at production dims a vector is
+    * ~4 KiB and must never ride through the Window exchange. Vectors are
+    * fetched only for the ≤ n-per-query winners; no all-pairs cosine, no
+    * corpus shuffle. [[Bm25Spec]] pins the vector-free Window input.
     */
   def hardNegatives(
       spark: SparkSession, probes: DataFrame, path: String,
@@ -250,12 +253,17 @@ object Bm25 {
     require(n >= 1, s"n must be >= 1, got $n")
     val cand = scoredCandidates(spark, probes, path)
       .filter(col("doc_id") =!= col("query_id"))
-    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val qIds = embeddings.select(col("vec_id"))
+    val dIds = embeddings.select(col("vec_id").as("__cand_vid"))
     val judgeable = cand
-      .join(emb, cand("query_id") === emb("vec_id"))
+      .join(qIds, cand("query_id") === qIds("vec_id"), "left_semi")
+      .join(dIds, col("doc_id") === col("__cand_vid"), "left_semi")
+    val winners = topK(judgeable, n)
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    winners
+      .join(emb, winners("query_id") === emb("vec_id"))
       .withColumnRenamed("embedding", "query_vec").drop("vec_id")
       .join(emb, col("doc_id") === emb("vec_id"))
-    topK(judgeable, n)
       .withColumn("sim",
         round(CosineSimilarity.cosineNative(col("query_vec"), col("embedding")), 4))
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"),
@@ -264,7 +272,12 @@ object Bm25 {
 
   /** The unranked score relation (query_id, doc_id, score_e6) — shared by
     * [[search]] and [[hardNegatives]], whose top-k cuts differ (the mine
-    * restricts to the embedded corpus BEFORE ranking).
+    * restricts to the embedded corpus BEFORE ranking). Probes are
+    * set-deduplicated first: standard BM25 treats query terms as a SET,
+    * and a caller passing duplicate (query_id, term) rows would otherwise
+    * count that term's contribution twice (round-14 advice — only
+    * [[pseudoQueries]] happened to guarantee distinctness). The dedup is
+    * an aggregation over the tiny probe batch, never the index.
     */
   private def scoredCandidates(
       spark: SparkSession, probes: DataFrame, path: String): DataFrame = {
@@ -274,7 +287,8 @@ object Bm25 {
     val contribution = ExactAgg.divHalfUp(
       col("idf_e6") * 22L * col("tf") * 100000L,
       col("tf") * IdfScale + col("k_e6"))
-    probes.join(postings, "term")
+    probes.select("query_id", "term").dropDuplicates("query_id", "term")
+      .join(postings, "term")
       .join(terms, "term")
       .join(docNorms, "doc_id")
       .groupBy("query_id", "doc_id")

@@ -179,6 +179,35 @@ class Bm25Spec extends SparkSpec {
       s"fixture should produce both hard and easy candidates, got $got")
   }
 
+  test("hardNegatives ranks narrow rows: no vector column enters the Window") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.6f, 0.8f)), (2L, Seq(-1.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val probes = Seq((0L, "a"), (0L, "c")).toDF("query_id", "term")
+    val plan = Bm25.hardNegatives(spark, probes, indexPath, emb, n = 3)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "top-n must rank through a Window")
+    windows.foreach { w =>
+      val carried = w.child.output.map(_.name)
+        .filter(n => n.contains("embedding") || n.contains("query_vec"))
+      assert(carried.isEmpty,
+        s"vectors must not ride through the rank exchange, found $carried")
+    }
+  }
+
+  test("duplicate probe rows score as a set (BM25 treats query terms as a set)") {
+    val once = Seq((1L, "a"), (1L, "c")).toDF("query_id", "term")
+    val duped = Seq((1L, "a"), (1L, "a"), (1L, "c"), (1L, "a")).toDF("query_id", "term")
+    def ranked(p: org.apache.spark.sql.DataFrame) =
+      Bm25.search(spark, p, indexPath, k = 10)
+        .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(ranked(duped) == ranked(once),
+      "a duplicated term must not double its contribution")
+  }
+
   test("build refuses an empty corpus; search refuses k < 1; meta guards version") {
     val e = intercept[IllegalArgumentException] {
       Bm25.buildIndex(docs.filter(col("doc_id") < 0), "text", "doc_id", s"$root/empty")
