@@ -581,6 +581,22 @@ object SparkEntry {
     s"$fixture/idx"
   }
 
+  /** Catalog-registered TERM-BUCKETED copy of the q119 index's postings
+    * ([[Bucketing.ensureBm25Postings]]) for the q123 bucket-pruned serve.
+    * The layout identity carries the corpus fingerprint (the same
+    * ingredients as the index fixture's stamp), so a corpus change lands
+    * a fresh layout instead of a stale catalog hit.
+    */
+  private[graft] def ensureBm25BucketedPostings(s: SparkSession, dir: String): String = {
+    val idx = ensureBm25Index(s, dir)
+    val fp = Tables.documents(s, dir).agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val identity =
+      s"${sfTag(dir)}_${fp.get(0)}_${java.lang.Long.toHexString(fp.getLong(1))}"
+    Bucketing.ensureBm25Postings(
+      s, s"$idx/postings", s"$fixtureRoot/bucketed", identity)
+  }
+
   /** Stamped build of the q122 INCREMENTAL BM25 index: install generation
     * 0 from the even-doc_id half, append the odd half as generation 1,
     * refresh — the maintenance loop a live corpus actually runs
@@ -797,6 +813,7 @@ object SparkEntry {
     ensureAppendedIvfIndex(s, dir)
     ensureIvfPqIndex(Tables.embeddings(s, dir), dir, scopedFixture(dir, "ivf_pq_index"))
     Bucketing.ensureCustomerOrders(s, dir, s"$fixtureRoot/bucketed")
+    ensureBm25BucketedPostings(s, dir)
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
@@ -3043,6 +3060,21 @@ object SparkEntry {
       val probes = Bm25.pseudoQueries(
         Tables.documents(s, dir), "text", "doc_id", nQueries = 8, termsPerQuery = 3)
       Bm25.search(s, probes, Bm25.indexRoot(idx), k = 10).orderBy("query_id", "rank")
+    },
+    // ---- the q119 serve from a TERM-BUCKETED postings layout (the
+    // q77/q80 catalog machinery): the probe's distinct terms become a
+    // literal IN filter on the bucket column, so the postings scan opens
+    // ONLY the buckets holding probed terms (SelectedBucketsCount in the
+    // plan — at a 100 TB postings table, |probe terms| buckets instead of
+    // listing the lake) and still reaches its join with zero Exchange.
+    // Same exact integers, same oracle as q119 — the layout is the only
+    // variable, which is exactly the claim under test ----
+    "q123_bm25_bucketed_serve" -> { (s, dir) =>
+      val idx = ensureBm25Index(s, dir)
+      val tbl = ensureBm25BucketedPostings(s, dir)
+      val probes = Bm25.pseudoQueries(
+        Tables.documents(s, dir), "text", "doc_id", nQueries = 8, termsPerQuery = 3)
+      Bm25.searchBucketed(s, probes, tbl, idx, k = 10).orderBy("query_id", "rank")
     }
   )
 
@@ -4339,6 +4371,11 @@ object SparkEntry {
     "q122_bm25_index_append" ->
       bm25RetrievalOracleSql(
         s"${scopedFixture(dir, "bm25_inc")}/idx/index/terms"),
+    // q123: layout-only variant of q119 — the bucketed catalog serve must
+    // reproduce the identical ranking and integers, so the oracle IS
+    // q119's re-derivation against the same one-shot artifact
+    "q123_bm25_bucketed_serve" ->
+      bm25RetrievalOracleSql(s"${scopedFixture(dir, "bm25")}/idx/terms"),
     // q120: the q119 re-derivation minus self, restricted to the embedded
     // corpus BEFORE the top-10 cut (the judgeability contract — at sf0.1
     // only 2 of 5 docs carry vectors), plus the q28 cosine contract —

@@ -280,8 +280,15 @@ object Bm25 {
     * an aggregation over the tiny probe batch, never the index.
     */
   private def scoredCandidates(
-      spark: SparkSession, probes: DataFrame, path: String): DataFrame = {
-    val postings = spark.read.parquet(s"$path/postings")
+      spark: SparkSession, probes: DataFrame, path: String): DataFrame =
+    scoredAgainst(spark, probes, spark.read.parquet(s"$path/postings"), path)
+
+  /** The scoring join-aggregate against an EXPLICIT postings relation —
+    * the arithmetic shared by the plain artifact read and the
+    * term-bucketed catalog layout ([[searchBucketed]]). */
+  private def scoredAgainst(
+      spark: SparkSession, probes: DataFrame, postings: DataFrame,
+      path: String): DataFrame = {
     val terms = spark.read.parquet(s"$path/terms").select("term", "idf_e6")
     val docNorms = spark.read.parquet(s"$path/docs").select("doc_id", "k_e6")
     val contribution = ExactAgg.divHalfUp(
@@ -310,6 +317,30 @@ object Bm25 {
   def search(spark: SparkSession, probes: DataFrame, path: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     topK(scoredCandidates(spark, probes, path), k)
+      .select("query_id", "rank", "doc_id", "score_e6")
+  }
+
+  /** [[search]] served from a TERM-BUCKETED postings catalog table (the
+    * q77/q80 layout machinery, `Bucketing.ensureBm25Postings`): the
+    * probe's distinct terms — a driver-side list bounded by the probe
+    * batch contract, the IVF `isin` cell-pruning discipline — become a
+    * literal `IN` filter on the bucket column, so the scan reads ONLY the
+    * buckets holding probed terms (`SelectedBucketsCount` in the plan; at
+    * a 100 TB postings table that is the difference between opening
+    * |probe terms| buckets and listing every file). Bucket metadata rides
+    * the catalog, scores are [[search]]'s exact integers, and the
+    * postings side still reaches its join with zero Exchange.
+    */
+  def searchBucketed(
+      spark: SparkSession, probes: DataFrame, postingsTable: String,
+      path: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probeTerms = probes.select("term").distinct()
+      .collect().map(_.getString(0)).sorted // bounded: one probe batch
+    val postings = spark.table(postingsTable)
+      .filter(col("term").isin(probeTerms.toSeq: _*))
+      .select("term", "doc_id", "tf")
+    topK(scoredAgainst(spark, probes, postings, path), k)
       .select("query_id", "rank", "doc_id", "score_e6")
   }
 }

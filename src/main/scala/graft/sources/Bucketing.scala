@@ -55,4 +55,31 @@ object Bucketing {
         .mode("overwrite").format("parquet").saveAsTable(c)
     (o, c)
   }
+
+  /** Term-bucketed (+term-sorted) copy of a BM25 index's postings table —
+    * the layout that turns a probe serve's postings read into a
+    * bucket-PRUNED scan ([[graft.functions.Bm25.searchBucketed]]): the
+    * probe's literal term filter selects only the buckets holding probed
+    * terms, so a serve opens |probe terms| buckets, not the table.
+    * `identity` must fingerprint the SOURCE corpus (the caller's fixture
+    * stamp ingredients) — it lands in both the catalog name and the file
+    * path, so a corpus change or a buckets change builds a fresh layout
+    * instead of silently serving a stale one (the ensureCustomerOrders
+    * staleness rule, which `tableExists` alone cannot enforce).
+    */
+  def ensureBm25Postings(
+      spark: SparkSession,
+      postingsDir: String,
+      pathRoot: String,
+      identity: String,
+      buckets: Int = 16): String = {
+    val tag = sanitize(identity)
+    val t = s"graft_bm25_postings_${tag}_b$buckets"
+    if (!spark.catalog.tableExists(t))
+      spark.read.parquet(postingsDir).write
+        .bucketBy(buckets, "term").sortBy("term")
+        .option("path", s"$pathRoot/bm25_postings_${tag}_b$buckets")
+        .mode("overwrite").format("parquet").saveAsTable(t)
+    t
+  }
 }

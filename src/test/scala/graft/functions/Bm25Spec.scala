@@ -208,6 +208,34 @@ class Bm25Spec extends SparkSpec {
       "a duplicated term must not double its contribution")
   }
 
+  test("searchBucketed: identical results, bucket-pruned scan, no postings Exchange") {
+    val tbl = graft.sources.Bucketing.ensureBm25Postings(
+      spark, s"$indexPath/postings", s"$root/bucketed", "bm25spec", buckets = 8)
+    try {
+      val probes = Seq((100L, "a"), (100L, "c")).toDF("query_id", "term")
+      val plain = Bm25.search(spark, probes, indexPath, k = 10)
+        .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+      val bucketed = Bm25.searchBucketed(spark, probes, tbl, indexPath, k = 10)
+      assert(bucketed.as[(Long, Int, Long, Long)].collect().toSeq.sorted == plain,
+        "the layout is the only variable — rankings and integers must match")
+      val plan = bucketed.queryExecution.executedPlan.toString
+      // the probe terms' literal IN filter prunes buckets at the scan
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"expected a bucket-pruned scan:\n${plan.take(1200)}")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"two probe terms must not read all ${sel.get.group(2)} buckets")
+      // the postings relation reaches its join unshuffled: every Exchange
+      // in the serve plan sits above the candidate aggregation, none
+      // carries the raw (term, doc_id, tf) posting rows
+      val postingsExchange = "Exchange[^\\n]*\\n[^\\n]*Scan parquet[^\\n]*bm25_postings".r
+      assert(postingsExchange.findFirstIn(plan).isEmpty,
+        s"postings must never shuffle:\n${plan.take(1200)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("build refuses an empty corpus; search refuses k < 1; meta guards version") {
     val e = intercept[IllegalArgumentException] {
       Bm25.buildIndex(docs.filter(col("doc_id") < 0), "text", "doc_id", s"$root/empty")
