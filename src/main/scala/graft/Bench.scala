@@ -244,6 +244,49 @@ object Bench {
         warmCanary.count(s => s > warmCanary.min * 3 && s > quietMax) >= 2
     val canaryElevated = warmCanary.nonEmpty && warmCanary.min > quietMax
     val canaryNoisy = canarySpiky || canaryElevated
+    // ---- host-drift telemetry (round-14 verdict #5): the absolute quiet
+    // ceiling cannot see a UNIFORM host slowdown — a +30% shift inflates
+    // every sample and every query timing while the relative-spike test
+    // reads flat, and round 14 burned a day-scale ambiguity proving a 22%
+    // total drift was the box. The canary runs UNCHANGED code every
+    // round, so its median ratio against the last committed artifact's
+    // median is a pure host-speed signal: emit it and flag |drift| >15%
+    // so round-over-round totals are auto-normalizable. Telemetry only —
+    // no behavior change to the noise gate above.
+    def medianOf(xs: Seq[Double]): Double = {
+      val w = xs.sorted
+      if (w.isEmpty) -1.0 else w(w.size / 2)
+    }
+    val canaryMedian = medianOf(warmCanary.toSeq)
+    // the committed reference is always BENCH_OUT.json (the git-tracked
+    // artifact), read BEFORE this run overwrites it; a partial
+    // (BENCH_ONLY) run compares against the same reference
+    val prevCanaryMedian: Double = try {
+      val ref = Paths.get("BENCH_OUT.json")
+      if (!Files.exists(ref)) -1.0
+      else {
+        val txt = Files.readString(ref)
+        // the canary's quiet floor scales with SF — a median timed at a
+        // different SF is not a host-speed reference, so compare only
+        // same-SF artifacts
+        val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sameSf) -1.0
+        else """"canary_median":([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).filter(_ > 0)
+          .orElse { // pre-field artifacts: derive from the stored series
+            """"canary":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+              .map(_.group(1).split(',').drop(1).toSeq
+                .flatMap(_.trim.toDoubleOption))
+              .filter(_.nonEmpty).map(medianOf)
+          }.getOrElse(-1.0)
+      }
+    } catch { case _: Exception => -1.0 }
+    val canaryVsCommitted =
+      if (canaryMedian > 0 && prevCanaryMedian > 0) canaryMedian / prevCanaryMedian
+      else -1.0
+    val hostDrift = canaryVsCommitted > 0 &&
+      (canaryVsCommitted > 1.15 || canaryVsCommitted < 1.0 / 1.15)
     val canaryAtJson = canaryAt.map(a => Jsons.q(a.toString)).mkString("[", ",", "]")
     val rerunMap = disagree.map { n =>
       Jsons.q(n) + ":" + fmt(thirdPass.getOrElse(n, -1.0))
@@ -253,7 +296,7 @@ object Bench {
     // printed as the bare stdout line (round-1 contract, for any consumer
     // capturing full stdout).
     def renderFull: String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_first":$qsFirst,"canary":$canaryJson,"canary_at":$canaryAtJson,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_quiet_max":${fmt(quietMax)},"reruns":$rerunMap,"failed":$failed,"queries":$qs,"sf":${Jsons.q(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_first":$qsFirst,"canary":$canaryJson,"canary_at":$canaryAtJson,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_quiet_max":${fmt(quietMax)},"canary_median":${fmt(canaryMedian)},"canary_prev_median":${fmt(prevCanaryMedian)},"canary_vs_committed":${fmt(canaryVsCommitted)},"host_drift":$hostDrift,"reruns":$rerunMap,"failed":$failed,"queries":$qs,"sf":${Jsons.q(sfDir)}}"""
     // Compact tail line (round-9 verdict #3): the driver archives only the
     // LAST 2000 chars of stdout, and three rounds of full-map lines never
     // fit — BENCH_r07..r09 all have parsed:null with a tail decapitated
@@ -266,7 +309,7 @@ object Bench {
       val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
         .map { case (k, v, _) => Jsons.q(k) + ":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"rerun_count":${disagree.size},"queries":$top10,"artifact":${Jsons.q(outFile)},"sf":${Jsons.q(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_vs_committed":${fmt(canaryVsCommitted)},"host_drift":$hostDrift,"rerun_count":${disagree.size},"queries":$top10,"artifact":${Jsons.q(outFile)},"sf":${Jsons.q(sfDir)}}"""
     }
     Files.writeString(Paths.get(outFile), renderFull + "\n")
     println(renderFull)
