@@ -581,6 +581,27 @@ object SparkEntry {
     s"$fixture/idx"
   }
 
+  /** Stamped build of the q124 retrieval-decontamination fixture: the q82
+    * eval suites (doc_id % 20 ∈ {7, 8}) indexed as a SHINGLE-grade BM25
+    * artifact ([[Bm25.buildIndex]] with ngram = 2 — bigram terms
+    * discriminate near-verbatim overlap even on the corpus's heavily
+    * shared unigram vocabulary; the grade travels in the index layout).
+    */
+  private[graft] def ensureBm25EvalIndex(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "bm25_eval")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|bm=${Bm25.Version}|g=2|eval78"
+    if (!fixtureReady(fixture, stamp)) {
+      Bm25.buildIndex(
+        docs.filter(col("doc_id") % 20 === 7 || col("doc_id") % 20 === 8),
+        "text", "doc_id", s"$fixture/idx", ngram = 2)
+      stampFixture(fixture, stamp)
+    }
+    s"$fixture/idx"
+  }
+
   /** Catalog-registered TERM-BUCKETED copy of the q119 index's postings
     * ([[Bucketing.ensureBm25Postings]]) for the q123 bucket-pruned serve.
     * The layout identity carries the corpus fingerprint (the same
@@ -814,6 +835,7 @@ object SparkEntry {
     ensureIvfPqIndex(Tables.embeddings(s, dir), dir, scopedFixture(dir, "ivf_pq_index"))
     Bucketing.ensureCustomerOrders(s, dir, s"$fixtureRoot/bucketed")
     ensureBm25BucketedPostings(s, dir)
+    ensureBm25EvalIndex(s, dir)
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
@@ -3075,6 +3097,25 @@ object SparkEntry {
       val probes = Bm25.pseudoQueries(
         Tables.documents(s, dir), "text", "doc_id", nQueries = 8, termsPerQuery = 3)
       Bm25.searchBucketed(s, probes, tbl, idx, k = 10).orderBy("query_id", "rank")
+    },
+    // ---- retrieval-based decontamination: the near-verbatim/paraphrase
+    // layer winnowing (q55/q82) cannot see — every train doc's top-1
+    // shingle-BM25 match against the indexed eval suites, flagged on the
+    // per-shingle normalized score (raw top-1 is length-confounded).
+    // Train side = the clean slices ∪ INJECTED light-edit copies of eval
+    // docs (id + 1e6, 'edited copy ' prefix — the q57 replay-injection
+    // discipline): every injected leak must flag, and the handful of
+    // natural flags are the corpus's engineered near-dup cliques
+    // straddling the eval slice — true contamination, not noise ----
+    "q124_retrieval_decontam" -> { (s, dir) =>
+      val idx = ensureBm25EvalIndex(s, dir)
+      val docs = Tables.documents(s, dir)
+      val clean = docs.filter(col("doc_id") % 20 =!= 7 && col("doc_id") % 20 =!= 8)
+      val leaked = docs.filter(col("doc_id") % 20 === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(lit("edited copy "), col("text")))
+      Bm25.contaminationReport(clean.unionByName(leaked), "text", "doc_id", idx)
+        .orderBy("doc_id")
     }
   )
 
@@ -4376,6 +4417,60 @@ object SparkEntry {
     // q119's re-derivation against the same one-shot artifact
     "q123_bm25_bucketed_serve" ->
       bm25RetrievalOracleSql(s"${scopedFixture(dir, "bm25")}/idx/terms"),
+    // q124: the full shingle-BM25 decontamination sweep re-derived from
+    // the base table — bigram terms, bag-of-shingles query scoring, the
+    // exact-integer length norm and the per-shingle normalization; only
+    // idf_e6 joins from the persisted eval-index artifact (the q119
+    // discipline), and the threshold interpolates the SAME shared
+    // constant the engine flags with
+    "q124_retrieval_decontam" ->
+      s"""WITH evals AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 IN (7, 8)),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 NOT IN (7, 8)
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'edited copy ' || text
+         |  FROM documents WHERE doc_id % 20 = 7),
+         |esp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM evals),
+         |eidx AS (SELECT doc_id, unnest(range(1, len(sp))) AS i, sp FROM esp),
+         |etoks AS (SELECT doc_id, sp[i] || ' ' || sp[i + 1] AS term FROM eidx),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM etoks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM etoks GROUP BY 1),
+         |meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+         |kd AS (
+         |  SELECT doc_id,
+         |    CAST(${ExactAgg.Sql.divHalfUp("(3 * l + 9 * dl * n) * 1000000", "10 * l")} AS BIGINT) AS k_e6
+         |  FROM dl CROSS JOIN meta),
+         |idf AS (SELECT term, idf_e6
+         |  FROM read_parquet('${scopedFixture(dir, "bm25_eval")}/idx/terms/*.parquet')),
+         |tsp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM train),
+         |tidx AS (SELECT doc_id, GREATEST(len(sp) - 1, 0) AS n_sh,
+         |    unnest(range(1, len(sp))) AS i, sp FROM tsp),
+         |probes AS (
+         |  SELECT doc_id AS query_id, CAST(n_sh AS BIGINT) AS n_sh,
+         |    sp[i] || ' ' || sp[i + 1] AS term FROM tidx),
+         |scored AS (
+         |  SELECT p.query_id, p.n_sh, tf.doc_id AS eval_id,
+         |    CAST(SUM(CAST(${ExactAgg.Sql.divHalfUp(
+                 "i.idf_e6 * 22 * tf.tf * 100000", "tf.tf * 1000000 + kd.k_e6")} AS BIGINT)) AS BIGINT) AS score_e6
+         |  FROM probes p
+         |  JOIN tf ON tf.term = p.term
+         |  JOIN idf i ON i.term = p.term
+         |  JOIN kd ON kd.doc_id = tf.doc_id
+         |  GROUP BY 1, 2, 3),
+         |top1 AS (
+         |  SELECT query_id, n_sh, eval_id, score_e6
+         |  FROM scored
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score_e6 DESC, eval_id) = 1),
+         |normed AS (
+         |  SELECT query_id AS doc_id, eval_id, score_e6,
+         |    CAST(${ExactAgg.Sql.divHalfUp("score_e6", "n_sh")} AS BIGINT) AS norm_e6
+         |  FROM top1)
+         |SELECT doc_id, eval_id, score_e6, norm_e6,
+         |  CAST(norm_e6 >= ${Bm25.ContaminationThresholdE6} AS BIGINT) AS contaminated
+         |FROM normed
+         |ORDER BY doc_id""".stripMargin,
     // q120: the q119 re-derivation minus self, restricted to the embedded
     // corpus BEFORE the top-10 cut (the judgeability contract — at sf0.1
     // only 2 of 5 docs carry vectors), plus the q28 cosine contract —

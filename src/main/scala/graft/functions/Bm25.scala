@@ -62,14 +62,20 @@ object Bm25 {
   private val IdfScale = 1000000L
 
   /** Build and publish the index artifact for `docs` at `path`.
-    * Tokenization is the engine-wide single-space split ([[Text.tokens]]).
+    * Tokenization is the engine-wide single-space split ([[Text.tokens]]);
+    * `ngram > 1` indexes word shingles instead of unigrams (the
+    * [[Text.explodeNgrams]] codegen path) — the term grade retrieval-based
+    * decontamination needs, where a single-word vocabulary is too shared
+    * to discriminate (the ngram travels in the layout, so consumers build
+    * matching probes without a side-channel contract).
     */
-  def buildIndex(docs: DataFrame, textCol: String, idCol: String, path: String): Unit = {
-    val postings = docs.select(
-        col(idCol).cast("long").as("doc_id"),
-        explode(Text.tokens(col(textCol))).as("term"))
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String, path: String,
+      ngram: Int = 1): Unit = {
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+    val postings = Text.explodeNgrams(keyed, textCol, ngram, out = "term")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    publishServedIndex(docs.sparkSession, postings, path)
+    publishServedIndex(docs.sparkSession, postings, path, ngram)
   }
 
   /** Derive and swap in the served artifact from a postings relation —
@@ -85,7 +91,8 @@ object Bm25 {
     *     identical for every consumer of THIS persisted train)
     */
   private def publishServedIndex(
-      spark: SparkSession, postings: DataFrame, path: String): Unit = {
+      spark: SparkSession, postings: DataFrame, path: String,
+      ngram: Int = 1): Unit = {
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val Array(n, l) = {
       // coalesce: SUM over an empty corpus is null — the require below
@@ -105,8 +112,16 @@ object Bm25 {
       postings.write.parquet(s"$stage/postings")
       docNorms.write.parquet(s"$stage/docs")
       terms.write.parquet(s"$stage/terms")
-      IndexProtocol.writeLayoutPayload(spark, stage, s"n=$n,l=$l,bm=$Version")
+      IndexProtocol.writeLayoutPayload(spark, stage, s"n=$n,l=$l,bm=$Version,g=$ngram")
     }
+  }
+
+  /** Term grade (word n-gram size) recorded in a published index's
+    * layout; 1 for pre-grade artifacts. */
+  def indexNgram(spark: SparkSession, path: String): Int = {
+    val kv = IndexProtocol.readLayoutPayload(spark, path)
+      .split(",").map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    kv.getOrElse("g", "1").toInt
   }
 
   /** Corpus totals (N docs, L tokens) recorded in a published index's
@@ -285,7 +300,11 @@ object Bm25 {
 
   /** The scoring join-aggregate against an EXPLICIT postings relation —
     * the arithmetic shared by the plain artifact read and the
-    * term-bucketed catalog layout ([[searchBucketed]]). */
+    * term-bucketed catalog layout ([[searchBucketed]]). (The
+    * decontamination sweep scores inline instead: its query-as-a-BAG
+    * semantics and carried shingle count diverge from the probe-set
+    * retrieval contract here.)
+    */
   private def scoredAgainst(
       spark: SparkSession, probes: DataFrame, postings: DataFrame,
       path: String): DataFrame = {
@@ -318,6 +337,86 @@ object Bm25 {
     require(k >= 1, s"k must be >= 1, got $k")
     topK(scoredCandidates(spark, probes, path), k)
       .select("query_id", "rank", "doc_id", "score_e6")
+  }
+
+  /** Default retrieval-decontamination threshold on the LENGTH-NORMALIZED
+    * top-1 score, e6 fixed point: a train doc whose mean per-shingle BM25
+    * contribution against its best-matching eval doc reaches 1.0 is
+    * flagged. The raw top-1 score is length-confounded (a long clean doc
+    * accumulates more incidental-overlap mass than a short verbatim
+    * copy), so the statistic is norm_e6 = halfUp(score_e6 / n_shingles):
+    * a near-verbatim copy matches essentially EVERY one of its shingles
+    * against the source (norm ≈ a full idf·tfn contribution, 2-4 on a
+    * thousands-of-docs suite), while incidental overlap matches a few
+    * shingles out of the whole document (norm ≪ 1). Recalibrate per
+    * corpus the same way: score a known-clean and a known-leaked sample,
+    * split the gap. One shared constant — the q124 gate, the oracle SQL
+    * and the ingest stage
+    * ([[graft.pipeline.IngestPipeline.RetrievalDecontamConfig]]) all
+    * reference it.
+    */
+  val ContaminationThresholdE6: Long = 1000000L
+
+  /** Retrieval-based decontamination (the near-verbatim/paraphrase layer
+    * the winnowing gate cannot see): for every train doc, its top-1 BM25
+    * match against an eval-suite index ([[buildIndex]] over the suites —
+    * built with `ngram = 2`-grade shingle terms, which discriminate even
+    * on heavily shared vocabularies where unigram sets cannot; the grade
+    * travels in the index layout, so probes match by construction).
+    * Winnowing (q55/q82) catches verbatim ≥6-token runs; shingle BM25
+    * catches the heavy lexical overlap that paraphrasing or light editing
+    * leaves behind. Query shingles score as a BAG (the Robertson k3→∞
+    * query-tf form — every occurrence contributes), so no probe dedup
+    * exists anywhere in the sweep. Output (doc_id, eval_id, score_e6,
+    * norm_e6, contaminated): the best-matching eval doc, the exact raw
+    * integer score, its per-shingle normalization and the threshold flag
+    * — the triage report a curator reads before training. Docs sharing no
+    * shingle with any eval doc yield no row (nothing to triage).
+    *
+    * Scale shape: shingles explode through the codegen
+    * [[Text.explodeNgrams]] path, the postings join broadcasts the EVAL
+    * index (an eval suite is thousands of docs, bounded by contract —
+    * never the corpus), so the train side streams through the joins
+    * unshuffled and only matched (query, eval) pairs reach the
+    * aggregation; the top-1 prunes map-side (WindowGroupLimit), and
+    * n_shingles rides the group keys (it is functionally dependent on
+    * query_id) so no join-back to the corpus happens anywhere.
+    */
+  def contaminationReport(
+      train: DataFrame, textCol: String, idCol: String, path: String,
+      thresholdE6: Long = ContaminationThresholdE6): DataFrame = {
+    val spark = train.sparkSession
+    val g = indexNgram(spark, path)
+    val postings = spark.read.parquet(s"$path/postings")
+      .withColumnRenamed("doc_id", "__eval_id")
+    val terms = spark.read.parquet(s"$path/terms").select("term", "idf_e6")
+    val docNorms = spark.read.parquet(s"$path/docs")
+      .select(col("doc_id").as("__eval_id"), col("k_e6"))
+    val keyed = train.select(col(idCol).cast("long").as("query_id"), col(textCol))
+      .withColumn("n_sh",
+        greatest(size(Text.tokens(col(textCol))) - (g - 1), lit(0)).cast("long"))
+    val probes = Text.explodeNgrams(keyed, textCol, g, out = "term")
+      .select("query_id", "n_sh", "term")
+    val contribution = ExactAgg.divHalfUp(
+      col("idf_e6") * 22L * col("tf") * 100000L,
+      col("tf") * IdfScale + col("k_e6"))
+    val scored = probes
+      .join(postings, "term")
+      .join(terms, "term")
+      .join(docNorms, "__eval_id")
+      .groupBy("query_id", "n_sh", "__eval_id")
+      .agg(sum(contribution).as("score_e6"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("__eval_id"))))
+      .filter(col("rank") === 1)
+      .withColumn("norm_e6", ExactAgg.divHalfUp(col("score_e6"), col("n_sh")))
+      .select(
+        col("query_id").as("doc_id"),
+        col("__eval_id").as("eval_id"),
+        col("score_e6"),
+        col("norm_e6"),
+        (col("norm_e6") >= thresholdE6).cast("long").as("contaminated"))
   }
 
   /** [[search]] served from a TERM-BUCKETED postings catalog table (the

@@ -61,6 +61,15 @@ object Unigram {
   /** Scheme version — a stamp ingredient for persisted model fixtures. */
   val Version = 1
 
+  /** Floor applied to EM expected counts before the log renormalization:
+    * a piece whose soft count underflows to exactly 0.0 must cost
+    * log(total) − log(floor) — large but FINITE — not -Inf, which would
+    * quantize to Long.MaxValue and wrap the derived unknown cost negative
+    * (round-14 advice). 1e-12 keeps the implied cost well inside the int64
+    * e4 budget at any realistic corpus total.
+    */
+  private val EmExpectedFloor = 1e-12
+
   /** The capped (word, frequency) dictionary training reduces the corpus
     * to — single-space tokens, top `maxVocab` by (freq desc, word asc).
     */
@@ -222,7 +231,14 @@ object Unigram {
         exp = eStep()
         val logTotal = StrictMath.log(exp.sum)
         var k = 0
-        while (k < lp.length) { lp(k) = StrictMath.log(exp(k)) - logTotal; k += 1 }
+        while (k < lp.length) {
+          // floor: a piece whose expected count underflows to 0.0 (very
+          // rare pieces in long words) would otherwise get lp = -Inf,
+          // quantize to Long.MaxValue and wrap unkLpE4 negative — making
+          // unknown code points the CHEAPEST edge everywhere (r14 advice)
+          lp(k) = StrictMath.log(math.max(exp(k), EmExpectedFloor)) - logTotal
+          k += 1
+        }
         it += 1
       }
       exp
@@ -247,27 +263,41 @@ object Unigram {
       pieces = (chars ++ keptMulti).sorted
       multiCount = keptMulti.length
       // survivors' expected counts, renormalized, seed the next round
+      // (same zero-count floor as runEm's M-step)
       val counts = pieces.map(p => expByName.get(p).doubleValue())
       val logTotal = StrictMath.log(counts.sum)
-      lp = counts.map(c => StrictMath.log(c) - logTotal)
+      lp = counts.map(c => StrictMath.log(math.max(c, EmExpectedFloor)) - logTotal)
     }
     runEm() // final probability estimate on the settled vocabulary
 
     val lpE4 = lp.map(v => math.round(-(v / StrictMath.log(2.0)) * 10000.0))
+    // the floor bounds every cost (≤ ~28 nats under the floor + corpus
+    // log-total) — a non-finite or ballooned value here means the floor
+    // was bypassed and unkLpE4 would overflow; fail the train, never
+    // publish a model whose unknown edge is cheapest (r14 advice)
+    require(lpE4.forall(c => c >= 0L && c < Long.MaxValue / 4),
+      s"piece cost out of range after EM (max=${lpE4.max}) — zero-expected floor bypassed")
     Model(pieces, lpE4, unkLpE4 = lpE4.max + 40000L)
   }
 
   // ------------------------------------------------------------------- io
 
   /** Persist a trained model: the piece table as a versioned single-file
-    * parquet plus the unknown cost in the layout sidecar.
+    * parquet plus the unknown cost in the layout sidecar. Published
+    * through [[IndexProtocol.stagedReplace]] (the BM25 artifact protocol
+    * — r14 advice): pieces and unk cost swap in atomically, so a crash
+    * mid-write over an existing model can never leave NEW pieces paired
+    * with the OLD layout's unk cost (readModel would accept that pair as
+    * a consistent model).
     */
   def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
     import spark.implicits._
-    model.pieces.zip(model.lpE4).toSeq.toDF("piece", "lp_e4")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
-    IndexProtocol.writeLayoutPayload(spark, path,
-      s"unk=${model.unkLpE4},uni=$Version")
+    IndexProtocol.stagedReplace(spark, path) { stage =>
+      model.pieces.zip(model.lpE4).toSeq.toDF("piece", "lp_e4")
+        .coalesce(1).write.parquet(s"$stage/pieces")
+      IndexProtocol.writeLayoutPayload(spark, stage,
+        s"unk=${model.unkLpE4},uni=$Version")
+    }
   }
 
   def readModel(spark: SparkSession, path: String): Model = {

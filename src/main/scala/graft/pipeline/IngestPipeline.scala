@@ -129,6 +129,22 @@ object IngestPipeline {
     */
   final case class DecontamConfig(minSharedFps: Int = 1)
 
+  /** Opt-in RETRIEVAL decontamination stage for [[ingestBatch]] — the
+    * near-verbatim/paraphrase layer the winnowing blocklist cannot see
+    * (q124's operator, [[graft.functions.Bm25.contaminationReport]]):
+    * batch docs whose per-shingle-normalized top-1 BM25 score against the
+    * eval-suite shingle index at `indexPath` reaches `thresholdE6` are
+    * dropped. The index is built offline per benchmark release
+    * ([[graft.functions.Bm25.buildIndex]] with ngram ≥ 2); like the
+    * winnowing blocklist it never grows with the stream, so
+    * replay-invariance is trivial. Runs right after the winnowing gate:
+    * same correctness rationale (eval leakage poisons every downstream
+    * benchmark), one layer deeper.
+    */
+  final case class RetrievalDecontamConfig(
+      indexPath: String,
+      thresholdE6: Long = graft.functions.Bm25.ContaminationThresholdE6)
+
   /** Opt-in incremental HOT-SPAN SCRUB stage for [[ingestBatch]] — the
     * steady-state face of [[Text.hotSpanScrub]] (q84), driven by the
     * persisted span-count index ([[Dedup.writeSpanCountIndex]]): each
@@ -227,6 +243,7 @@ object IngestPipeline {
       afterIntraDedup: Long,
       afterExactIndex: Long,
       afterDecontam: Long,
+      afterRetrievalDecontam: Long,
       afterNearDup: Long,
       accepted: Long)
 
@@ -578,6 +595,7 @@ object IngestPipeline {
       nearDup: Option[NearDupConfig] = None,
       semanticDedup: Option[SemanticDedupConfig] = None,
       decontam: Option[DecontamConfig] = None,
+      retrievalDecontam: Option[RetrievalDecontamConfig] = None,
       spanScrub: Option[SpanScrubConfig] = None,
       langGate: Option[LangGateConfig] = None,
       qualityGate: Option[QualityGateConfig] = None,
@@ -701,6 +719,29 @@ object IngestPipeline {
         afterExact
       case None => afterExact
     }
+    // RETRIEVAL decontamination (opt-in): one layer deeper than the
+    // winnowing blocklist — near-verbatim/paraphrase overlap with the
+    // eval suites' shingle index. Same static-blocklist properties as the
+    // stage above (replay-trivial, fail-open LOUDLY when no index is
+    // installed — the leakage-screening gap must never be silent).
+    val afterRetrieval = retrievalDecontam match {
+      case Some(cfg) if scala.util.Try(
+          graft.functions.Bm25.readMeta(spark, cfg.indexPath)).isSuccess =>
+        val flagged = graft.functions.Bm25
+          .contaminationReport(afterDecontam, textCol, idCol,
+            cfg.indexPath, cfg.thresholdE6)
+          .filter(col("contaminated") === 1L)
+          .select(col("doc_id").as("__contaminated_id"))
+        afterDecontam.join(flagged,
+          afterDecontam(idCol) === col("__contaminated_id"), "left_anti")
+      case Some(cfg) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"retrieval decontamination configured but no readable BM25 index at " +
+            s"${cfg.indexPath} — batch $batchId ingested UNSCREENED; install the " +
+            "eval-suite index with Bm25.buildIndex")
+        afterDecontam
+      case None => afterDecontam
+    }
     // NEAR-dup stage (opt-in): after the exact stage — identical content is
     // already gone, so band probes only ever verify near-misses — and
     // before the lake write, so acceptance is settled when rows land. The
@@ -712,9 +753,9 @@ object IngestPipeline {
       !Dedup.bandIndexReadable(spark, paths.bandIndex)
     val afterBand = nearDup match {
       case Some(cfg) if !bandBootstrap =>
-        Dedup.dedupAgainstBandIndex(spark, paths.bandIndex, afterDecontam, textCol, idCol,
+        Dedup.dedupAgainstBandIndex(spark, paths.bandIndex, afterRetrieval, textCol, idCol,
           cfg.nHashes, cfg.nBands, cfg.minEstJaccard, cfg.seed, cfg.maxBandCollisions)
-      case _ => afterDecontam
+      case _ => afterRetrieval
     }
     // SEMANTIC stage last among the acceptance gates: text stages already
     // own identical/lexically-near content, so the vector probe pays only
@@ -764,6 +805,7 @@ object IngestPipeline {
         afterIntraDedup = intra.count(),
         afterExactIndex = afterExact.count(),
         afterDecontam = afterDecontam.count(),
+        afterRetrievalDecontam = afterRetrieval.count(),
         afterNearDup = afterBand.count(),
         accepted = accepted.count()))
     }
@@ -1096,6 +1138,7 @@ object IngestPipeline {
       nearDup: Option[NearDupConfig] = None,
       semanticDedup: Option[SemanticDedupConfig] = None,
       decontam: Option[DecontamConfig] = None,
+      retrievalDecontam: Option[RetrievalDecontamConfig] = None,
       spanScrub: Option[SpanScrubConfig] = None,
       maintenance: Option[MaintenanceConfig] = None,
       langGate: Option[LangGateConfig] = None,
@@ -1112,7 +1155,8 @@ object IngestPipeline {
           else None
         ingestBatch(batch.sparkSession, paths, batch.drop("embedding"), batchId,
           embedBatch = emb, textCol = textCol, idCol = idCol, nearDup = nearDup,
-          semanticDedup = semanticDedup, decontam = decontam, spanScrub = spanScrub,
+          semanticDedup = semanticDedup, decontam = decontam,
+          retrievalDecontam = retrievalDecontam, spanScrub = spanScrub,
           langGate = langGate, qualityGate = qualityGate,
           perplexityGate = perplexityGate)
         // maintenance AFTER the commit: the fold reads only the manifest

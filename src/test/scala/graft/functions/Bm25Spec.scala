@@ -236,6 +236,37 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("contaminationReport: shingle-grade sweep flags the near-verbatim copy only") {
+    // ten eval docs with distinct bigram structure (a realistic suite
+    // size — a 2-doc suite's ln(2) idf cannot clear any threshold);
+    // train = one light-edit copy of e0 (near-verbatim — must flag), one
+    // doc sharing one incidental bigram (must not flag), one disjoint
+    // doc (no row)
+    val evals = (0L until 10L).map { i =>
+      (i, (0 until 8).map(j => s"w${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val p = s"$root/evalidx"
+    Bm25.buildIndex(evals, "text", "doc_id", p, ngram = 2)
+    assert(Bm25.indexNgram(spark, p) == 2, "term grade travels in the layout")
+    val train = Seq(
+      (10L, "edited " + (0 until 8).map(j => s"w0x$j").mkString(" ")),
+      (11L, "w0x0 w0x1 something else entirely unrelated words here"),
+      (12L, "completely different vocabulary nothing shared at all")).toDF("doc_id", "text")
+    val got = Bm25.contaminationReport(train, "text", "doc_id", p)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(10L, 11L), s"disjoint doc yields no row: $got")
+    val copy = got.head
+    assert(copy._2 == 0L, "the copy's top-1 must be its source")
+    assert(copy._5 == 1L, s"near-verbatim copy must flag, got $copy")
+    assert(got(1)._5 == 0L, s"incidental overlap must not flag, got ${got(1)}")
+    // norm arithmetic pinned: norm_e6 = halfUp(score_e6 / n_shingles)
+    got.foreach { r =>
+      val nSh = (if (r._1 == 10L) 9L else 8L) - 1L
+      val want = (BigInt(r._3) * 2 + nSh) / (nSh * 2)
+      assert(BigInt(r._4) == want, s"norm_e6 mismatch for $r")
+    }
+  }
+
   test("build refuses an empty corpus; search refuses k < 1; meta guards version") {
     val e = intercept[IllegalArgumentException] {
       Bm25.buildIndex(docs.filter(col("doc_id") < 0), "text", "doc_id", s"$root/empty")

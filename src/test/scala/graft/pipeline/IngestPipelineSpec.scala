@@ -511,6 +511,36 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.lastApplied(spark, p) == 2L)
   }
 
+  test("retrieval decontamination stage: near-verbatim eval overlap never lands") {
+    import graft.functions.Bm25
+    val p = tmpRoot()
+    val idx = s"${p.root}/bm25_eval_idx"
+    val cfg = Some(IngestPipeline.RetrievalDecontamConfig(idx))
+    // no index installed yet: the stage skips (loudly) and the batch lands
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L,
+      retrievalDecontam = cfg) == 2L)
+    // install the shingle-grade suite index: ten docs so idf carries
+    val evals = (0L until 10L).map { i =>
+      (900L + i, (0 until 8).map(j => s"ev${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    Bm25.buildIndex(evals, "text", "doc_id", idx, ngram = 2)
+    // 31 is a light edit of suite doc 900 (winnowing-grade runs broken by
+    // the lead token, but nearly every bigram survives); 32 is clean
+    val b1 = Seq(
+      (31L, "edited " + (0 until 8).map(j => s"ev0x$j").mkString(" ")),
+      (32L, "fresh clean content with no suite overlap at all"))
+      .toDF("doc_id", "text")
+    var funnel: Option[IngestPipeline.FunnelReport] = None
+    assert(IngestPipeline.ingestBatch(spark, p, b1, 1L, retrievalDecontam = cfg,
+      funnelSink = Some(r => funnel = Some(r))) == 1L)
+    val f = funnel.get
+    assert(f.afterDecontam == 2L && f.afterRetrievalDecontam == 1L && f.accepted == 1L,
+      f.toString)
+    assert(lakeState(p) == Seq((1L, 0L), (2L, 0L), (32L, 1L)))
+    // committed replay no-ops (the static blocklist is replay-trivial)
+    assert(IngestPipeline.ingestBatch(spark, p, b1, 1L, retrievalDecontam = cfg) == 0L)
+  }
+
   test("streaming entry with near-dup enabled drops near-replays exactly-once") {
     val p = tmpRoot()
     val ckpt = Files.createTempDirectory("graft-ingest-nd-ckpt").toString
