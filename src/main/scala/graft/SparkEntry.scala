@@ -2727,10 +2727,9 @@ object SparkEntry {
     "q102_bpe_packing" -> { (s, dir) =>
       val fixture = ensureBpeFixture(s, dir)
       val merges = Bpe.readMerges(s, s"$fixture/merges")
-      Packing.packByCount(
-        Tables.documents(s, dir).withColumn("__bpe_n",
-          Bpe.encodeStats(col("text"), merges).getField("n_tokens")),
-        "__bpe_n", "doc_id", budget = 1024, shards = 8)
+      Packing.packByTokenizer(
+        Tables.documents(s, dir), "text", "doc_id",
+        graft.functions.Tokenizer.bpe(merges), budget = 1024, shards = 8)
         .orderBy("doc_id")
     },
     // ---- LLM-pipeline: Unicode canonicalization (NFC + zero-width
@@ -3115,6 +3114,20 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text", concat(lit("edited copy "), col("text")))
       Bm25.contaminationReport(clean.unionByName(leaked), "text", "doc_id", idx)
+        .orderBy("doc_id")
+    },
+    // ---- q102's packing under the UNIGRAM tokenizer — the family-
+    // agnostic serialization claim made executable (one Tokenizer
+    // interface, one packer, the model family as the only variable).
+    // Runs over the exotic-injected corpus so the counts exercise the
+    // unknown-codepoint path, and the oracle joins the SAME persisted
+    // expected table q121 differentials against ----
+    "q125_unigram_packing" -> { (s, dir) =>
+      val fixture = ensureUnigramFixture(s, dir)
+      val model = graft.functions.Unigram.readModel(s, s"$fixture/model")
+      Packing.packByTokenizer(
+        exoticInjected(Tables.documents(s, dir)), "text", "doc_id",
+        graft.functions.Tokenizer.unigram(model), budget = 1024, shards = 8)
         .orderBy("doc_id")
     }
   )
@@ -4470,6 +4483,24 @@ object SparkEntry {
          |SELECT doc_id, eval_id, score_e6, norm_e6,
          |  CAST(norm_e6 >= ${Bm25.ContaminationThresholdE6} AS BIGINT) AS contaminated
          |FROM normed
+         |ORDER BY doc_id""".stripMargin,
+    // q125: q102's window arithmetic verbatim, n_tokens joined from the
+    // UNIGRAM expected table (the q121 differential artifact) — the
+    // family-agnostic packing claim gates on the oracle side too
+    "q125_unigram_packing" ->
+      s"""SELECT doc_id, shard, n_tokens,
+         |  CAST(floor(cumb / 1024.0) AS BIGINT) AS pack_first,
+         |  CAST(floor((cumb + n_tokens - 1) / 1024.0) AS BIGINT) AS pack_last,
+         |  CAST(floor((cumb + n_tokens - 1) / 1024.0) AS BIGINT)
+         |    - CAST(floor(cumb / 1024.0) AS BIGINT) + 1 AS n_windows
+         |FROM (
+         |  SELECT d.doc_id, d.doc_id % 8 AS shard, e.n_tokens,
+         |    COALESCE(SUM(e.n_tokens) OVER (
+         |      PARTITION BY d.doc_id % 8 ORDER BY d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM documents d
+         |  JOIN read_parquet('${scopedFixture(dir, "unigram")}/expected/*.parquet') e
+         |    ON d.doc_id = e.doc_id) t
          |ORDER BY doc_id""".stripMargin,
     // q120: the q119 re-derivation minus self, restricted to the embedded
     // corpus BEFORE the top-10 cut (the judgeability contract — at sf0.1

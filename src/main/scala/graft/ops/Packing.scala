@@ -118,4 +118,23 @@ object Packing {
           .cast("long").as("pack_last"))
       .withColumn("n_windows", col("pack_last") - col("pack_first") + 1)
   }
+
+  /** [[packByCount]] driven by a [[graft.functions.Tokenizer]] — the
+    * family-agnostic composition (round-14 verdict stretch #9): packing
+    * needs exactly one statistic, the per-document token count, so the
+    * SAME packer serves the BPE (q102) and unigram (q125) gates with the
+    * tokenizer as the only variable. The count column is computed in the
+    * scan projection (one codegen pass, model as a plan constant); plan
+    * shape is identical to the hand-wired form.
+    */
+  def packByTokenizer(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tokenizer: graft.functions.Tokenizer,
+      budget: Int = 2048,
+      shards: Int = 0): DataFrame =
+    packByCount(
+      docs.withColumn("__tok_n", tokenizer.tokenCount(col(textCol))),
+      "__tok_n", idCol, budget, shards)
 }
