@@ -548,6 +548,31 @@ object IngestPipeline {
   def qualityFilter(df: DataFrame, textCol: String = "text"): DataFrame =
     df.filter(Text.qualityBucket(col(textCol)).startsWith("OK"))
 
+  /** Snapshot-consistent read of the COMMITTED doc lake (round-14 verdict
+    * stretch #8 — the __ver/manifest half of the SnapshotLake
+    * adjudication, see PLANS.md "Snapshot isolation boundaries of the
+    * ingest lake"): the manifest high-water mark is read FIRST — that is
+    * the pin — and the scan keeps only `__ver <= it`. Committed
+    * partitions are immutable (a committed replay no-ops before touching
+    * the lake; an uncommitted crash-replay rewrites byte-identical
+    * content BEFORE the manifest moves), and the one non-atomic window
+    * in the append path — dynamic partition overwrite committing its
+    * files one by one — only ever touches the UNCOMMITTED partition the
+    * pin excludes. So this read is repeatable across any number of
+    * concurrent [[ingestBatch]] cycles, exactly a [[graft.sinks
+    * .SnapshotLake]] pin. The equivalence does NOT extend to a
+    * concurrent [[compactCommitted]]/[[maintain]]: the fold's
+    * post-swap/pre-delete window double-counts folded rows on BOTH sides
+    * of the filter (spec-pinned), so always-on readers racing
+    * maintenance belong on SnapshotLake; this API serves the loop's own
+    * between-maintenance read points.
+    */
+  def readCommitted(
+      spark: SparkSession, paths: IngestPaths, upToBatch: Long = -1L): DataFrame = {
+    val pin = if (upToBatch >= 0) upToBatch else lastApplied(spark, paths)
+    spark.read.parquet(paths.docLake).filter(col("__ver") <= pin)
+  }
+
   /** High-water mark of applied batch ids; -1 when no batch has committed. */
   def lastApplied(spark: SparkSession, paths: IngestPaths): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -257,6 +257,29 @@ class IngestPipelineSpec extends SparkSpec {
     }
   }
 
+  test("readCommitted is snapshot-consistent across concurrent appends (pin = manifest)") {
+    val p = tmpRoot()
+    assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L) == 2L)
+    // pin BEFORE the next batch: the DataFrame captures manifest=0 and
+    // its file listing — the reader's whole contract
+    val pinned = IngestPipeline.readCommitted(spark, p)
+    val r0 = pinned.select("doc_id").as[Long].collect().toSeq.sorted
+    assert(r0 == Seq(1L, 2L))
+    // a batch lands while the pinned reader is live
+    assert(IngestPipeline.ingestBatch(spark, p,
+      Seq((10L, tC), (11L, tD)).toDF("doc_id", "text"), 1L) == 2L)
+    // the pinned read is REPEATABLE: same rows, no torn or half-visible
+    // partition, regardless of the concurrent append
+    assert(pinned.select("doc_id").as[Long].collect().toSeq.sorted == r0)
+    // an explicit historical pin re-reads the old committed prefix even
+    // though newer partitions now exist on disk
+    assert(IngestPipeline.readCommitted(spark, p, upToBatch = 0L)
+      .select("doc_id").as[Long].collect().toSeq.sorted == r0)
+    // and a fresh pin sees exactly the new committed prefix
+    assert(IngestPipeline.readCommitted(spark, p)
+      .select("doc_id").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 10L, 11L))
+  }
+
   test("compaction crash BEFORE the swap recovers to the compacted state") {
     val p = tmpRoot()
     ingestThree(p)
