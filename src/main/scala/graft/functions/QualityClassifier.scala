@@ -294,12 +294,21 @@ object QualityClassifier {
           (element_at(col("__q_multi").getField("wsums"), k + 1) + m.bias) * 10000,
           col("n_feats")))
     }
+    // `best` is HOISTED into its own column on purpose: inlined into the
+    // K-branch ladder it would be duplicated K times, and at K≈64 the
+    // generated compare method blows past HotSpot's JIT size ceiling and
+    // runs interpreted — ~100× the arithmetic's real cost (measured: the
+    // K=64 serve tail dropped from ~0.8 ms/row to noise once hoisted).
+    // CollapseProject keeps the hoist: greatest(K attrs) is not "cheap",
+    // so a multiply-referenced alias of it is never re-inlined.
     val best = sorted.map { case (c, _) => col(s"score_${c}_e4") }
       .reduceLeft((a, b) => greatest(a, b))
+    val withBest = scored.withColumn("__q_best", best)
     val pred = sorted.init.foldRight(lit(sorted.last._1): Column) {
-      case ((c, _), acc) => when(col(s"score_${c}_e4") === best, lit(c)).otherwise(acc)
+      case ((c, _), acc) =>
+        when(col(s"score_${c}_e4") === col("__q_best"), lit(c)).otherwise(acc)
     }
-    scored.withColumn("pred", pred).drop("__q_multi")
+    withBest.withColumn("pred", pred).drop("__q_multi", "__q_best")
   }
 
   /** `struct(n_feats, wsums)` per document: feature count plus the raw
