@@ -853,10 +853,13 @@ object StressGen {
       // not parallelism.
       val warcDir = s"$outDir/warc_big"
       fs.delete(new org.apache.hadoop.fs.Path(warcDir), true)
-      val pad = F.lit(" " + "pad " * 256) // ~1 KiB padding per record
-      // deterministic slice (limit() would pick different rows for the
-      // write job and the checksum job)
-      val rows = docs.filter(F.col("doc_id") % 3 === 0).select(
+      // ~8 KiB padding per record × the full 10x corpus ≈ 0.4 GiB
+      // decompressed through ONE task — the envelope check below needs
+      // the container to actually dwarf both the 64 KiB window and the
+      // 128 MiB yardstick (the old 1/3-slice ~1 KiB sizing quietly
+      // shrank below it and self-reported ok=false)
+      val pad = F.lit(" " + "pad " * 2048)
+      val rows = docs.select(
         F.lit(0L).as("shard"),
         F.col("doc_id").as("sort_key"),
         F.concat(F.lit("urn:stress:"), F.col("doc_id")).as("record_id"),
