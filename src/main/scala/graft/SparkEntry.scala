@@ -604,16 +604,20 @@ object SparkEntry {
 
   /** Catalog-registered TERM-BUCKETED copy of the q119 index's postings
     * ([[Bucketing.ensureBm25Postings]]) for the q123 bucket-pruned serve.
-    * The layout identity carries the corpus fingerprint (the same
-    * ingredients as the index fixture's stamp), so a corpus change lands
-    * a fresh layout instead of a stale catalog hit.
+    * The layout identity is the index fixture's WRITTEN stamp verbatim
+    * (read back from `_GRAFT_STAMP`, hashed into the catalog name) — one
+    * source of truth, so anything that rebuilds the index (corpus change,
+    * `Bm25.Version` bump) lands a fresh layout instead of a stale catalog
+    * hit, and no second full-corpus fingerprint scan runs per serve
+    * (review finding: the identity recomputed the aggregate the stamp
+    * already recorded, and omitted the scheme version).
     */
   private[graft] def ensureBm25BucketedPostings(s: SparkSession, dir: String): String = {
     val idx = ensureBm25Index(s, dir)
-    val fp = Tables.documents(s, dir).agg(
-      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(scopedFixture(dir, "bm25"), "_GRAFT_STAMP"))
     val identity =
-      s"${sfTag(dir)}_${fp.get(0)}_${java.lang.Long.toHexString(fp.getLong(1))}"
+      s"${sfTag(dir)}_${java.lang.Integer.toHexString(stamp.hashCode)}"
     Bucketing.ensureBm25Postings(
       s, s"$idx/postings", s"$fixtureRoot/bucketed", identity)
   }

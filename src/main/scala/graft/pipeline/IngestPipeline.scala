@@ -569,7 +569,16 @@ object IngestPipeline {
     */
   def readCommitted(
       spark: SparkSession, paths: IngestPaths, upToBatch: Long = -1L): DataFrame = {
-    val pin = if (upToBatch >= 0) upToBatch else lastApplied(spark, paths)
+    val applied = lastApplied(spark, paths)
+    // a pin above the manifest would admit the in-flight partition whose
+    // dynamic-overwrite job commit is exactly the non-atomic window this
+    // API exists to exclude (review finding); and an empty lake fails
+    // LOUDLY like SnapshotLake.pin — there is no schema to return empty
+    if (applied < 0) throw new IllegalStateException(
+      s"ingest lake at ${paths.docLake} has no committed batch to pin")
+    require(upToBatch <= applied,
+      s"cannot pin uncommitted batch $upToBatch (manifest high-water mark $applied)")
+    val pin = if (upToBatch >= 0) upToBatch else applied
     spark.read.parquet(paths.docLake).filter(col("__ver") <= pin)
   }
 
@@ -671,8 +680,11 @@ object IngestPipeline {
     }
     val langClean = langGate match {
       case Some(cfg) =>
+        // the reserved set must include the gate's INTERNAL scratch
+        // names too (review finding: a batch column named like a scratch
+        // column is replaced just as silently as a bookkeeping one)
         requireNoGateCollision("lang",
-          Seq("pred", "n_feats") ++
+          Seq("pred", "n_feats", "__q_multi", "__q_best") ++
             cfg.models.map { case (c, _) => s"score_${c}_e4" })
         graft.functions.QualityClassifier
           .classifyMulti(scrubbed, textCol, cfg.models)
@@ -684,8 +696,10 @@ object IngestPipeline {
     val classifierClean = qualityGate match {
       case Some(cfg) =>
         // same defect class as the lang gate: drop() would delete a
-        // user column shadowed by the gate's scratch names
-        requireNoGateCollision("quality", Seq("n_feats", "score_e4", "label"))
+        // user column shadowed by the gate's scratch names — including
+        // classify's internal "__q" (review finding)
+        requireNoGateCollision("quality",
+          Seq("n_feats", "score_e4", "label", "__q"))
         graft.functions.QualityClassifier
           .classify(heuristicClean, textCol, cfg.model, cfg.minScoreE4)
           .filter(col("label") === "keep")

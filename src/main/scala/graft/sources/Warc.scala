@@ -56,6 +56,16 @@ object Warc {
     * record declaring more is quarantined as truncated. */
   private val MaxRecordBytes: Long = Int.MaxValue.toLong - 16L
 
+  /** Largest header block the parser will scan for `\r\n\r\n` before
+    * quarantining the record as unterminated. Body buffering is bounded
+    * by the DECLARED Content-Length (`ensure`), but a corrupt header
+    * region has no declared size — without this cap the header-end scan
+    * would grow the window over the entire remaining stream, breaking
+    * the one-record peak-heap contract on exactly the corrupt inputs the
+    * quarantine machinery exists for (round-15 review finding). Real
+    * WARC headers are a few hundred bytes; 1 MiB is generous. */
+  private val MaxHeaderBytes: Int = 1 << 20
+
   // ---------------------------------------------------------------- write
 
   /** Serialized record bytes. `warcType` is `response` for crawl payloads
@@ -354,14 +364,16 @@ object Warc {
         val r = quarantine(start, "bad magic"); resyncFrom(1); return r
       }
       // the header-end scan RESUMES from just before the previous
-      // window end across fillMore refills — never restarts at 0
+      // window end across fillMore refills — never restarts at 0, and
+      // never fills past MaxHeaderBytes (headers carry no declared
+      // length, so the cap is what bounds buffering on corrupt input)
       var hdrEnd = findIn(HeaderEnd, 0)
       var scanFrom = math.max(0, avail - (HeaderEnd.length - 1))
-      while (hdrEnd < 0 && fillMore()) {
+      while (hdrEnd < 0 && avail < MaxHeaderBytes && fillMore()) {
         hdrEnd = findIn(HeaderEnd, scanFrom)
         scanFrom = math.max(0, avail - (HeaderEnd.length - 1))
       }
-      if (hdrEnd < 0) {
+      if (hdrEnd < 0 || hdrEnd > MaxHeaderBytes) {
         val r = quarantine(start, "unterminated header"); resyncFrom(1); return r
       }
       val headers = new String(buf, head, hdrEnd, UTF_8)

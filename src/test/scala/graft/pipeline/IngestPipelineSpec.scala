@@ -278,6 +278,15 @@ class IngestPipelineSpec extends SparkSpec {
     // and a fresh pin sees exactly the new committed prefix
     assert(IngestPipeline.readCommitted(spark, p)
       .select("doc_id").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 10L, 11L))
+    // pinning ABOVE the manifest would admit the in-flight partition's
+    // non-atomic commit window — rejected loudly (review finding)
+    val over = intercept[IllegalArgumentException](
+      IngestPipeline.readCommitted(spark, p, upToBatch = 99L))
+    assert(over.getMessage.contains("high-water mark"), over.getMessage)
+    // an empty lake fails loudly like SnapshotLake.pin — no schema to
+    // return empty
+    intercept[IllegalStateException](
+      IngestPipeline.readCommitted(spark, tmpRoot()))
   }
 
   test("compaction crash BEFORE the swap recovers to the compacted state") {
@@ -992,6 +1001,15 @@ class IngestPipelineSpec extends SparkSpec {
         qualityGate = Some(IngestPipeline.QualityGateConfig(
           QualityClassifier.Model(Array.fill(16)(1L), 0L), 0L))))
     assert(eQ.getMessage.contains("score_e4"), eQ.getMessage)
+    // the gates' INTERNAL scratch names are reserved too — classify's
+    // "__q" would be silently replaced then dropped (review finding)
+    val collidingScratch = Seq((1L, "sample the of and", "mine"))
+      .toDF("doc_id", "text", "__q")
+    val eS = intercept[IllegalArgumentException](
+      IngestPipeline.ingestBatch(spark, tmpRoot(), collidingScratch, 0L,
+        qualityGate = Some(IngestPipeline.QualityGateConfig(
+          QualityClassifier.Model(Array.fill(16)(1L), 0L), 0L))))
+    assert(eS.getMessage.contains("__q"), eS.getMessage)
   }
 
   test("funnel report telescopes stage survivor counts") {

@@ -207,6 +207,26 @@ class WarcSpec extends SparkSpec {
     assert(rows.sliding(2).forall { case Seq(a, b) => b.offset > a.offset })
   }
 
+  test("a corrupt header region quarantines at the 1 MiB cap instead of buffering the stream") {
+    // magic + 2 MiB of header-less garbage (no \r\n\r\n anywhere), then a
+    // valid record: without the MaxHeaderBytes cap the header-end scan
+    // would grow the window over the whole remaining stream (the exact
+    // one-record peak-heap contract this class exists for); with it, the
+    // garbage record quarantines as unterminated and the resync still
+    // finds the valid record behind it
+    val garbage = Array.fill[Byte](2 << 20)('x'.toByte)
+    val good = rec(7L, "survivor body")
+    val container =
+      ("WARC/1.0\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ++ garbage ++ good)
+    val rows = Warc.parseFile("hdr", container)
+    assert(rows.map(_.error).count(_ == "unterminated header") >= 1,
+      s"expected an unterminated-header quarantine, got ${rows.map(_.error)}")
+    val ok = rows.filter(_.error == null)
+    assert(ok.size == 1 && ok.head.body == "survivor body",
+      "the valid record behind the corrupt region must still parse")
+  }
+
   test("a corrupt record costs itself, not its container: distributed quarantine routing") {
     val dir = Files.createTempDirectory("warc_q").toString
     val rows = (0L until 12L).map(i =>
