@@ -582,11 +582,17 @@ object IngestPipeline {
     spark.read.parquet(paths.docLake).filter(col("__ver") <= pin)
   }
 
-  /** High-water mark of applied batch ids; -1 when no batch has committed. */
+  /** High-water mark of applied batch ids; -1 when no batch has committed.
+    * Heals a crashed [[recordApplied]] publish first: the previous record
+    * is parked at `__old` across the swap (never deleted), so the rename
+    * window can delay the record by one batch — the in-flight batch just
+    * replays, byte-identical — but can never lose it.
+    */
   def lastApplied(spark: SparkSession, paths: IngestPaths): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(paths.manifest), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(paths.manifest)
+    recoverManifest(fs, p)
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
@@ -595,16 +601,41 @@ object IngestPipeline {
     }
   }
 
+  /** Restore the commit record when a [[recordApplied]] crash left it
+    * parked at `__old` (between the publish's two renames). Restoring the
+    * PARKED value — not adopting the staged `__tmp` — is always safe: the
+    * batch whose publish crashed replays from its commit gate and rewrites
+    * byte-identical content before republishing. No-op when the live
+    * manifest exists (then any surviving `__old`/`__tmp` are stale debris
+    * of a COMPLETED publish, cleared by the next one).
+    */
+  private def recoverManifest(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(p.toString + "__old")
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+  }
+
+  /** Publish the manifest through a park-based swap (the staged-generation
+    * discipline every other artifact in the loop already follows): the
+    * previous record moves aside to `__old` instead of being deleted, so
+    * there is NO window in which the lake's only commit record ceases to
+    * exist — a crash at any point leaves it live, parked, or already
+    * replaced, and [[recoverManifest]] heals the parked state.
+    */
   private def recordApplied(spark: SparkSession, paths: IngestPaths, batchId: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(paths.manifest), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(paths.manifest)
     val tmp = new org.apache.hadoop.fs.Path(paths.manifest + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(paths.manifest + "__old")
+    recoverManifest(fs, p)
     val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
+    fs.delete(old, false) // stale park of a completed publish, if any
+    if (fs.exists(p)) fs.rename(p, old)
     fs.rename(tmp, p)
+    fs.delete(old, false)
   }
 
   /** One ingest transaction. Returns the number of accepted (landed) docs;

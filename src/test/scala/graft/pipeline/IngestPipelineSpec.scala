@@ -90,6 +90,41 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.lastApplied(spark, p) == 2L)
   }
 
+  test("a publish crash between the manifest's two renames never loses the commit record") {
+    val p = tmpRoot()
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L)
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L)
+    IngestPipeline.ingestBatch(spark, p, batch2, 2L)
+    // Reconstruct the exact crash state of batch 2's publish halting between
+    // rename(manifest, __old) and rename(__tmp, manifest): the live record is
+    // GONE, the previous record (1) is parked at __old, the staged new value
+    // (2) still sits at __tmp. Pre-fix (delete+rename), this state had NO
+    // record at all: lastApplied -1, readCommitted throwing on a healthy
+    // lake, compactCommitted refusing to run.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p.manifest), spark.sparkContext.hadoopConfiguration)
+    def put(path: String, v: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(p.manifest), false)
+    put(p.manifest + "__old", "1")
+    put(p.manifest + "__tmp", "2")
+    // recovery restores the parked record — the lake never reads as empty
+    assert(IngestPipeline.lastApplied(spark, p) == 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p.manifest + "__old")),
+      "recovery must consume the park, not leave it to shadow a later crash")
+    // the two consumers the pre-fix state broke now work against the pin
+    assert(IngestPipeline.readCommitted(spark, p).count() == 4L,
+      "readCommitted must pin the recovered high-water mark (batches 0-1)")
+    IngestPipeline.compactCommitted(spark, p, 1L) // must not refuse
+    // the interrupted batch replays as a no-op and republishes its record
+    assert(IngestPipeline.ingestBatch(spark, p, batch2, 2L) == 0L)
+    assert(IngestPipeline.lastApplied(spark, p) == 2L)
+    assert(lakeState(p) == expectedCompacted,
+      "content must survive recovery + fold + replay")
+  }
+
   test("crash before the fp append replays the lake write idempotently") {
     val p = tmpRoot()
     IngestPipeline.ingestBatch(spark, p, batch0, 0L)
