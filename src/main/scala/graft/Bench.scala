@@ -41,6 +41,34 @@ import org.apache.spark.sql.SparkSession
   *     stdout in `[info]` noise that broke the driver's parse in round 1.
   */
 object Bench {
+
+  private[graft] def medianOf(xs: Seq[Double]): Double = {
+    val w = xs.sorted
+    if (w.isEmpty) -1.0 else w(w.size / 2)
+  }
+
+  /** Extract the host-drift reference (the canary median) from a committed
+    * BENCH artifact's text; -1 when absent, unparseable, or timed at a
+    * different SF (the canary's quiet floor scales with SF, so a
+    * cross-SF median is not a host-speed reference). Extracted so
+    * `BenchDriftParseSpec` can pin these regexes to the exact renderFull
+    * format — a silent format drift here would disable the drift flag
+    * with no visible failure (r15 advice).
+    */
+  private[graft] def parseDriftReference(txt: String, sfDir: String): Double = {
+    val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == sfDir)
+    if (!sameSf) -1.0
+    else """"canary_median":([0-9.]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble).filter(_ > 0)
+      .orElse { // pre-field artifacts: derive from the stored series
+        """"canary":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(',').drop(1).toSeq
+            .flatMap(_.trim.toDoubleOption))
+          .filter(_.nonEmpty).map(medianOf)
+      }.getOrElse(-1.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -253,34 +281,15 @@ object Bench {
     // median is a pure host-speed signal: emit it and flag |drift| >15%
     // so round-over-round totals are auto-normalizable. Telemetry only —
     // no behavior change to the noise gate above.
-    def medianOf(xs: Seq[Double]): Double = {
-      val w = xs.sorted
-      if (w.isEmpty) -1.0 else w(w.size / 2)
-    }
     val canaryMedian = medianOf(warmCanary.toSeq)
     // the committed reference is always BENCH_OUT.json (the git-tracked
     // artifact), read BEFORE this run overwrites it; a partial
-    // (BENCH_ONLY) run compares against the same reference
+    // (BENCH_ONLY) run compares against the same reference. Parsing is
+    // pinned to renderFull's format by BenchDriftParseSpec.
     val prevCanaryMedian: Double = try {
       val ref = Paths.get("BENCH_OUT.json")
       if (!Files.exists(ref)) -1.0
-      else {
-        val txt = Files.readString(ref)
-        // the canary's quiet floor scales with SF — a median timed at a
-        // different SF is not a host-speed reference, so compare only
-        // same-SF artifacts
-        val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
-        if (!sameSf) -1.0
-        else """"canary_median":([0-9.]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble).filter(_ > 0)
-          .orElse { // pre-field artifacts: derive from the stored series
-            """"canary":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-              .map(_.group(1).split(',').drop(1).toSeq
-                .flatMap(_.trim.toDoubleOption))
-              .filter(_.nonEmpty).map(medianOf)
-          }.getOrElse(-1.0)
-      }
+      else parseDriftReference(Files.readString(ref), sfDir)
     } catch { case _: Exception => -1.0 }
     val canaryVsCommitted =
       if (canaryMedian > 0 && prevCanaryMedian > 0) canaryMedian / prevCanaryMedian

@@ -2114,6 +2114,9 @@ object SparkEntry {
       val kept = exact
         .join(nearDupReps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .filter(col("rep").isNull || col("rep") === col("doc_id"))
+      // NOT orderedOnce: the final agg's exchange sits directly below the
+      // presentation sort, so the sampling pass re-reads 3 aggregated rows
+      // from shuffle output — measured no-op (PLANS.md r16)
       kept
         .withColumn("split", ops.Sampling.splitLabel(col("doc_id")))
         .groupBy("split")
@@ -2568,8 +2571,15 @@ object SparkEntry {
         .filter(col("cnt") * (capacity + 1) > n)
         .join(broadcast(summaryDf), Seq("tok"), "left_anti")
         .count()
-      val boundViolations = broadcast(summaryDf)
-        .join(exact, Seq("tok"), "left")
+      // bounds check: a broadcast hint on the PRESERVED side of a left
+      // outer join is unbuildable and silently dropped (HintErrorLogger),
+      // shuffling the corpus-wide counts. Instead semi-filter exact by the
+      // capacity-bounded summary (broadcast-right, legal — the counts
+      // stream map-side-pruned), then outer-join two summary-sized frames.
+      val exactForSummary = exact
+        .join(broadcast(summaryDf.select("tok")), Seq("tok"), "left_semi")
+      val boundViolations = summaryDf
+        .join(broadcast(exactForSummary), Seq("tok"), "left")
         .filter(col("cnt").isNull || col("est") > col("cnt") ||
           (col("cnt") - col("est")) * (capacity + 1) > n)
         .count()
@@ -2593,19 +2603,23 @@ object SparkEntry {
         .groupByKey(_._1).mapValues(_._2)
         .agg(new HeavyHitters.MisraGries(capacity).toColumn)
         .collect()
-      val sumDf = broadcast(summaries
+      val sumDf = summaries
         .flatMap { case (lang, sm) => sm.items.map(i => (lang, i.item, i.est)) }
-        .toSeq.toDF("lang", "tok", "est"))
+        .toSeq.toDF("lang", "tok", "est")
       val exact = toksL.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
       val perLang = exact.groupBy("lang")
         .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_distinct"))
       val missing = exact
         .join(perLang.select(col("lang"), col("n_tokens").as("__n")), Seq("lang"))
         .filter(col("cnt") * (capacity + 1) > col("__n"))
-        .join(sumDf, Seq("lang", "tok"), "left_anti")
+        .join(broadcast(sumDf), Seq("lang", "tok"), "left_anti")
         .groupBy("lang").agg(count(lit(1)).as("__miss"))
+      // same preserved-side-hint fix as q94: semi-filter the corpus-wide
+      // counts by the (n_langs × capacity) summary before the outer join
+      val exactForSum = exact
+        .join(broadcast(sumDf.select("lang", "tok")), Seq("lang", "tok"), "left_semi")
       val violations = sumDf
-        .join(exact, Seq("lang", "tok"), "left")
+        .join(broadcast(exactForSum), Seq("lang", "tok"), "left")
         .join(perLang.select(col("lang"), col("n_tokens").as("__n")), Seq("lang"))
         .filter(col("cnt").isNull || col("est") > col("cnt") ||
           (col("cnt") - col("est")) * (capacity + 1) > col("__n"))
@@ -2924,13 +2938,14 @@ object SparkEntry {
       val fixture = ensureWarcFixture(s, dir)
       val rows = graft.sources.Warc.records(
         graft.sources.Warc.read(s, s"$fixture/warc"))
-      rows.select(
-          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
-            .cast("long").as("doc_id"),
-          col("target_uri"), col("content_length"),
-          graft.functions.Html.extractText(col("body")).as("clean_text"))
-        .withColumn("n_chars", length(col("clean_text")).cast("long"))
-        .orderBy("doc_id")
+      orderedOnce(
+        rows.select(
+            regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            col("target_uri"), col("content_length"),
+            graft.functions.Html.extractText(col("body")).as("clean_text"))
+          .withColumn("n_chars", length(col("clean_text")).cast("long")),
+        "doc_id")
     },
     // ---- multi-dimensional agg matrix, final flavor (round-12 verdict
     // #9): GROUPING SETS with a mixed set list — the (flag, status)
@@ -3117,6 +3132,10 @@ object SparkEntry {
       val leaked = docs.filter(col("doc_id") % 20 === 7)
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text", concat(lit("edited copy "), col("text")))
+      // NOT orderedOnce: measured (PLANS.md r16), the presentation sort
+      // adds ~nothing here — the last shuffle sits right below the top-1
+      // window, so the RangePartitioner's sampling pass re-reads shuffle
+      // output, not the shingle explode. The cost IS the report pipeline.
       Bm25.contaminationReport(clean.unionByName(leaked), "text", "doc_id", idx)
         .orderBy("doc_id")
     },
@@ -3135,6 +3154,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }
   )
+
+  /** Evaluate a finished gate result ONCE before its presentation sort.
+    * `orderBy`'s RangePartitioner samples its child to pick split points,
+    * which re-executes the child a second time — but only down to the
+    * nearest shuffle boundary, because shuffle output is reused, not
+    * recomputed. So this matters exactly when the sort's child contains
+    * NO exchange (q113: container read → parse → project, re-scanned in
+    * full by the sampling pass — measured 1.30 s plain vs 0.83 s
+    * persisted at sf0.1), and is a measured no-op when an exchange sits
+    * directly below the sort (q124, q53 — see PLANS.md r16). Persisting
+    * the finished result is what a user materializing results would do:
+    * the sampling pass populates the cache, the sort reads it, and the
+    * harnesses clear the cache between queries.
+    */
+  private def orderedOnce(df: DataFrame, cols: String*): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy(cols.map(col): _*)
 
   /** PQ model shape for the q90/q91 gates: 16 subspaces × 16 codes over
     * the 64-dim embeddings = 16 bytes/vector (16× vs float32) — chosen by

@@ -49,6 +49,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same hygiene as Bench: queries that persist a finished result
+      // before the presentation sort (orderedOnce) must not hold blocks
+      // across the dump's 125 queries
+      spark.catalog.clearCache()
     }
     // `_`-prefixed → invisible to the driver's query globs (q79-diag pattern)
     try Files.writeString(Paths.get(s"$outDir/_plan_census.json"),

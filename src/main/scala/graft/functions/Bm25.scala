@@ -39,8 +39,8 @@ import org.apache.spark.sql.functions._
   *   - `postings/` (term, doc_id, tf): the inverted index
   *   - `docs/`     (doc_id, dl, k_e6): per-document length norms
   *   - `terms/`    (term, df, idf_e6): per-term document frequency + idf
-  *   - `_GRAFT_LAYOUT` (n=<docs>,l=<tokens>,bm=<version>): corpus totals
-  *     travel with the artifact
+  *   - `_GRAFT_LAYOUT` (n=<docs>,l=<tokens>,bm=<version>,g=<ngram>):
+  *     corpus totals + shingle grade travel with the artifact
   *
   * Scale shape: the build is two hash aggregations over exploded tokens
   * (narrow (term, doc_id) rows). Serving joins the probe terms against
@@ -400,12 +400,25 @@ object Bm25 {
     val contribution = ExactAgg.divHalfUp(
       col("idf_e6") * 22L * col("tf") * 100000L,
       col("tf") * IdfScale + col("k_e6"))
+    // The per-posting contribution is QUERY-INDEPENDENT — query shingles
+    // score as a bag, every occurrence adds the same amount — so it is
+    // computed ONCE over the bounded eval index (|postings| rows, not
+    // |matches|) and broadcast as a single (term, eval, contrib) table.
+    // The corpus-side stream then pays one broadcast join and a bare sum
+    // instead of three joins plus fixed-point arithmetic per match
+    // (measured: the sf0.1 join stage drops ~2× — PLANS.md r16; identical
+    // arithmetic on the same (idf_e6, tf, k_e6) triples, values unchanged).
+    // Inverted from [[scoredAgainst]] deliberately: there the PROBES are
+    // the small side and pre-scoring the whole index would be a scan of it.
+    val contribTable = broadcast(
+      postings
+        .join(terms, "term")
+        .join(docNorms, "__eval_id")
+        .select(col("term"), col("__eval_id"), contribution.as("contrib_e6")))
     val scored = probes
-      .join(postings, "term")
-      .join(terms, "term")
-      .join(docNorms, "__eval_id")
+      .join(contribTable, "term")
       .groupBy("query_id", "n_sh", "__eval_id")
-      .agg(sum(contribution).as("score_e6"))
+      .agg(sum(col("contrib_e6")).as("score_e6"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("__eval_id"))))
@@ -430,12 +443,24 @@ object Bm25 {
     * the catalog, scores are [[search]]'s exact integers, and the
     * postings side still reaches its join with zero Exchange.
     */
+  /** Hard ceiling on [[searchBucketed]]'s driver-collected distinct probe
+    * terms. A probe batch is tens of queries × a handful of terms; a
+    * caller feeding a corpus-sized relation would otherwise OOM the driver
+    * or build a pathological IN list — the contract must fail loudly, not
+    * degrade (r15 advice).
+    */
+  val MaxProbeTerms = 32768
+
   def searchBucketed(
       spark: SparkSession, probes: DataFrame, postingsTable: String,
       path: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val probeTerms = probes.select("term").distinct()
-      .collect().map(_.getString(0)).sorted // bounded: one probe batch
+    val capped = probes.select("term").distinct().limit(MaxProbeTerms + 1)
+      .collect().map(_.getString(0))
+    require(capped.length <= MaxProbeTerms,
+      s"searchBucketed probe batch exceeds $MaxProbeTerms distinct terms — " +
+        "this serve path is for probe batches, not corpus-scale relations")
+    val probeTerms = capped.sorted
     val postings = spark.table(postingsTable)
       .filter(col("term").isin(probeTerms.toSeq: _*))
       .select("term", "doc_id", "tf")

@@ -461,9 +461,15 @@ object Pq {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    qIdx.select("query_id")
-      .join(served.join(exhaustive, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits")),
+    // an UNHINTED id frame for the preserved side: qIdx carries adcKit's
+    // broadcast hint, which on the left of a left outer join is
+    // unbuildable — silently dropped with a HintErrorLogger WARN. The
+    // per-query hit counts (≤ |queries| rows) are the legal build side.
+    import spark.implicits._
+    qIds.toSeq.toDF("query_id")
+      .join(broadcast(
+        served.join(exhaustive, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))),
         Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
   }

@@ -140,10 +140,19 @@ object IngestPipeline {
     * replay-invariance is trivial. Runs right after the winnowing gate:
     * same correctness rationale (eval leakage poisons every downstream
     * benchmark), one layer deeper.
+    *
+    * `strict` (default): an unreadable index at `indexPath` FAILS the
+    * batch. Unlike the winnowing gate (whose index lives at the loop's
+    * own well-known [[IngestPaths.evalIndex]]), this config carries a
+    * user-supplied path — a permanent typo would otherwise ingest every
+    * batch unscreened forever behind a WARN nobody reads (r15 advice).
+    * `strict = false` opts back into warn-and-continue for the
+    * bootstrap-before-install window.
     */
   final case class RetrievalDecontamConfig(
       indexPath: String,
-      thresholdE6: Long = graft.functions.Bm25.ContaminationThresholdE6)
+      thresholdE6: Long = graft.functions.Bm25.ContaminationThresholdE6,
+      strict: Boolean = true)
 
   /** Opt-in incremental HOT-SPAN SCRUB stage for [[ingestBatch]] — the
     * steady-state face of [[Text.hotSpanScrub]] (q84), driven by the
@@ -805,10 +814,14 @@ object IngestPipeline {
         afterDecontam.join(flagged,
           afterDecontam(idCol) === col("__contaminated_id"), "left_anti")
       case Some(cfg) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"retrieval decontamination configured but no readable BM25 index at " +
-            s"${cfg.indexPath} — batch $batchId ingested UNSCREENED; install the " +
-            "eval-suite index with Bm25.buildIndex")
+        val msg = s"retrieval decontamination configured but no readable BM25 index at " +
+          s"${cfg.indexPath} — batch $batchId would ingest UNSCREENED; install the " +
+          "eval-suite index with Bm25.buildIndex"
+        // strict by default: this path is user-supplied (unlike the
+        // winnowing gate's well-known evalIndex), so a permanent typo must
+        // fail the batch, not WARN forever (r15 advice)
+        if (cfg.strict) throw new IllegalStateException(msg)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
         afterDecontam
       case None => afterDecontam
     }

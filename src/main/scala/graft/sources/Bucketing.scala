@@ -26,6 +26,20 @@ object Bucketing {
 
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** A catalog hit alone is not freshness: the session catalog can outlive
+    * the backing files (a fixture-root wipe between calls), and a serve
+    * against the surviving entry reads an empty/broken table instead of
+    * rebuilding (r15 advice). Trust the entry only when the table's
+    * location still holds readable parquet, the [[graft.functions
+    * .IndexProtocol]] detection discipline.
+    */
+  private def freshTable(spark: SparkSession, table: String, path: String): Boolean =
+    spark.catalog.tableExists(table) && {
+      val fs = graft.functions.IndexProtocol.fileSystem(spark, path)
+      graft.functions.IndexProtocol.hasTopLevelParquet(
+        fs, new org.apache.hadoop.fs.Path(path))
+    }
+
   /** Bucketed+sorted copies of customer and orders on their join key.
     * Table names and file paths carry the source dir tag AND the bucket
     * count, so an SF switch or a buckets-parameter change lands in fresh
@@ -43,12 +57,12 @@ object Bucketing {
     val tag = sanitize(dir)
     val o = s"graft_orders_bkt_${tag}_b$buckets"
     val c = s"graft_customer_bkt_${tag}_b$buckets"
-    if (!spark.catalog.tableExists(o))
+    if (!freshTable(spark, o, s"$pathRoot/orders_${tag}_b$buckets"))
       Tables.orders(spark, dir).write
         .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
         .option("path", s"$pathRoot/orders_${tag}_b$buckets")
         .mode("overwrite").format("parquet").saveAsTable(o)
-    if (!spark.catalog.tableExists(c))
+    if (!freshTable(spark, c, s"$pathRoot/customer_${tag}_b$buckets"))
       Tables.customer(spark, dir).write
         .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
         .option("path", s"$pathRoot/customer_${tag}_b$buckets")
@@ -75,7 +89,7 @@ object Bucketing {
       buckets: Int = 16): String = {
     val tag = sanitize(identity)
     val t = s"graft_bm25_postings_${tag}_b$buckets"
-    if (!spark.catalog.tableExists(t))
+    if (!freshTable(spark, t, s"$pathRoot/bm25_postings_${tag}_b$buckets"))
       spark.read.parquet(postingsDir).write
         .bucketBy(buckets, "term").sortBy("term")
         .option("path", s"$pathRoot/bm25_postings_${tag}_b$buckets")

@@ -583,9 +583,15 @@ class IngestPipelineSpec extends SparkSpec {
     val p = tmpRoot()
     val idx = s"${p.root}/bm25_eval_idx"
     val cfg = Some(IngestPipeline.RetrievalDecontamConfig(idx))
-    // no index installed yet: the stage skips (loudly) and the batch lands
+    // no index installed yet: strict (the default) FAILS the batch — a
+    // mistyped user-supplied path must never ingest unscreened forever
+    intercept[IllegalStateException] {
+      IngestPipeline.ingestBatch(spark, p, batch0, 0L, retrievalDecontam = cfg)
+    }
+    // the explicit opt-out skips the stage (loudly) and the batch lands —
+    // the bootstrap-before-install window
     assert(IngestPipeline.ingestBatch(spark, p, batch0, 0L,
-      retrievalDecontam = cfg) == 2L)
+      retrievalDecontam = cfg.map(_.copy(strict = false))) == 2L)
     // install the shingle-grade suite index: ten docs so idf carries
     val evals = (0L until 10L).map { i =>
       (900L + i, (0 until 8).map(j => s"ev${i}x$j").mkString(" "))
