@@ -665,6 +665,8 @@ object SparkEntry {
       graft.functions.Unigram.writeModel(s, model, s"$fixture/model")
       graft.functions.Unigram.naiveTable(exoticInjected(docs), "text", "doc_id", model)
         .write.mode("overwrite").parquet(s"$fixture/expected")
+      graft.functions.Unigram.naiveIdTable(exoticInjected(docs), "text", "doc_id", model)
+        .write.mode("overwrite").parquet(s"$fixture/expected_ids")
       stampFixture(fixture, stamp)
     }
     fixture
@@ -3152,6 +3154,27 @@ object SparkEntry {
         exoticInjected(Tables.documents(s, dir)), "text", "doc_id",
         graft.functions.Tokenizer.unigram(model), budget = 1024, shards = 8)
         .orderBy("doc_id")
+    },
+    // ---- q105's token-ID serving surface under the UNIGRAM family,
+    // through the unified Tokenizer trait (round-15 verdict #4): piece id
+    // = index in the model's canonical lexicographic piece order (the id
+    // vocabulary IS the model — no second artifact), OOV = the reserved
+    // |pieces| id, recorded as oov=unkid in the model layout. Runs over
+    // the exotic-injected corpus so unknown code points exercise the OOV
+    // path; the oracle joins the expected-ids table the independently-
+    // structured naive encoder (fold/minBy Viterbi + Map lookup vs the
+    // production array loop + binary search) persisted at fixture build ----
+    "q126_unigram_token_ids" -> { (s, dir) =>
+      val fixture = ensureUnigramFixture(s, dir)
+      val model = graft.functions.Unigram.readModel(s, s"$fixture/model")
+      exoticInjected(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.functions.Tokenizer.unigram(model).encodeIds(col("text")).as("e"))
+        .select(col("doc_id"),
+          col("e.n_tokens").as("n_tokens"),
+          col("e.n_oov").as("n_oov"),
+          col("e.ids").as("ids"))
+        .orderBy("doc_id")
     }
   )
 
@@ -4600,6 +4623,17 @@ object SparkEntry {
       s"""SELECT d.doc_id, e.n_tokens, e.n_unk, e.nll_e4, e.tokens
          |FROM documents d
          |JOIN read_parquet('${scopedFixture(dir, "unigram")}/expected/*.parquet') e
+         |  ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q126: the q105 differential extended to the unigram family — the
+    // expected-ids table is the independently-structured naive encoder
+    // (fold/minBy Viterbi + Map id lookup) through the model's canonical
+    // piece order, persisted at fixture build; base-table join pins
+    // coverage
+    "q126_unigram_token_ids" ->
+      s"""SELECT d.doc_id, e.n_tokens, e.n_oov, e.ids
+         |FROM documents d
+         |JOIN read_parquet('${scopedFixture(dir, "unigram")}/expected_ids/*.parquet') e
          |  ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // q111: the byte-fallback expected table from the independent

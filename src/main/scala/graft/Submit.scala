@@ -131,6 +131,36 @@ object Submit {
         maintenance = maintenance,
         qualityGate = qualityGate, perplexityGate = perplexityGate)
       ()
+    },
+    // Serving read — the r15 isolation adjudication's two read points,
+    // behind the one key that picks correctly (PLANS.md "Snapshot
+    // isolation boundaries of the ingest lake"): `mode=committed` pins an
+    // INGEST lake's manifest high-water mark (repeatable across concurrent
+    // appends; valid BETWEEN maintenance runs — the loop's own read
+    // points), `mode=snapshot` pins a SnapshotLake manifest generation
+    // (the always-on reader that may race compaction/vacuum). The pinned
+    // read lands at `out=` as parquet; the pin is printed so a serving
+    // job's provenance is one log line.
+    "serve" -> { (spark, opt) =>
+      val out = req(opt, "out")
+      val (df, pin) = req(opt, "mode") match {
+        case "committed" =>
+          val paths = IngestPipeline.IngestPaths(req(opt, "root"))
+          val upTo = opt.get("upTo").map(_.toLong).getOrElse(-1L)
+          val d = IngestPipeline.readCommitted(spark, paths, upTo)
+          (d, s"batch=${if (upTo >= 0) upTo else IngestPipeline.lastApplied(spark, paths)}")
+        case "snapshot" =>
+          val snap = sinks.SnapshotLake.pin(
+            spark, req(opt, "root"),
+            opt.get("generation").map(_.toLong).getOrElse(-1L))
+          (sinks.SnapshotLake.read(spark, snap), s"generation=${snap.generation}")
+        case other => sys.error(
+          s"unknown serve mode '$other' (committed|snapshot) — committed pins an " +
+            "ingest lake's manifest between maintenance points; snapshot serves " +
+            "always-on readers racing maintenance")
+      }
+      df.write.mode("overwrite").parquet(out)
+      println(s"[graft.Submit] serve: mode=${opt("mode")} $pin out=$out")
     })
 
   private def req(opt: Map[String, String], key: String): String =
@@ -149,7 +179,8 @@ object Submit {
     "stream" -> Set("source", "in", "brokers", "topic", "out", "checkpoint"),
     "ingest" -> Set("in", "root", "checkpoint", "neardup", "decontam",
       "maintainEvery", "ivfHealth", "pqHealth", "spanscrub",
-      "qualitygate", "minScore", "perplexity"))
+      "qualitygate", "minScore", "perplexity"),
+    "serve" -> Set("mode", "root", "out", "upTo", "generation"))
 
   /** Strict boolean option: absent → false; anything but a case-insensitive
     * true/false fails loudly (a silent `Neardup=True → false` is the same

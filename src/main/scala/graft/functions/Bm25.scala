@@ -432,6 +432,46 @@ object Bm25 {
         (col("norm_e6") >= thresholdE6).cast("long").as("contaminated"))
   }
 
+  /** Per-corpus recalibration of [[ContaminationThresholdE6]] as an
+    * operator (the recipe documented on the constant, made executable):
+    * score a known-CLEAN and a known-LEAKED sample against the same eval
+    * index, and emit the one-row separation report a curator reads before
+    * adopting a threshold — population sizes, how many of each actually
+    * scored (a doc sharing no shingle with any eval doc yields no top-1
+    * row: maximally clean on the clean side, NOT actually a leak on the
+    * leaked side — both visible as scored < n), the populations' extreme
+    * normalized scores, and the suggested threshold = the half-up midpoint
+    * of the gap. `separated = 1` iff every leaked doc scored AND the
+    * populations do not overlap (clean max < leaked min) — the suggestion
+    * is only meaningful then; an overlapping report means the shingle
+    * grade or the samples need work, and the flag says so instead of
+    * letting a plausible-looking number ship.
+    *
+    * Scale shape: two [[contaminationReport]] sweeps (the train sides
+    * stream against the broadcast eval index) reduced to one aggregate
+    * row each — the report is O(1) driver state.
+    */
+  def calibrateContaminationThreshold(
+      clean: DataFrame, leaked: DataFrame, textCol: String, idCol: String,
+      path: String): DataFrame = {
+    val cleanN = clean.count()
+    val leakedN = leaked.count()
+    val c = contaminationReport(clean, textCol, idCol, path)
+      .agg(count(lit(1)).as("clean_scored"), max(col("norm_e6")).as("clean_max_e6"))
+    val l = contaminationReport(leaked, textCol, idCol, path)
+      .agg(count(lit(1)).as("leaked_scored"), min(col("norm_e6")).as("leaked_min_e6"))
+    c.crossJoin(l)
+      .select(
+        lit(cleanN).as("clean_n"), col("clean_scored"), col("clean_max_e6"),
+        lit(leakedN).as("leaked_n"), col("leaked_scored"), col("leaked_min_e6"),
+        (col("leaked_scored") === leakedN &&
+          coalesce(col("clean_max_e6") < col("leaked_min_e6"), lit(false)))
+          .cast("long").as("separated"),
+        ExactAgg.divHalfUp(
+          coalesce(col("clean_max_e6"), lit(0L)) + coalesce(col("leaked_min_e6"), lit(0L)),
+          lit(2L)).as("suggested_e6"))
+  }
+
   /** [[search]] served from a TERM-BUCKETED postings catalog table (the
     * q77/q80 layout machinery, `Bucketing.ensureBm25Postings`): the
     * probe's distinct terms — a driver-side list bounded by the probe

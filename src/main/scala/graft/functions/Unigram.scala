@@ -53,13 +53,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Model artifact at `path`:
   *   - `pieces/` (piece, lp_e4): the quantized unigram table
-  *   - `_GRAFT_LAYOUT` (unk=<lp_e4>,uni=<version>): the unknown-cp cost
-  *     travels with the model ([[IndexProtocol]] contract)
+  *   - `_GRAFT_LAYOUT` (unk=<lp_e4>,uni=<version>,oov=unkid): the
+  *     unknown-cp cost and the OOV id story travel with the model
+  *     ([[IndexProtocol]] contract)
+  *
+  * Token IDS (q126, the training-shard serialization surface): a piece's
+  * id is its index in the canonical lexicographic piece order — the order
+  * [[readModel]] materializes, so the id vocabulary needs no second
+  * artifact. The OOV story is `unkid`: an unknown single code point emits
+  * the reserved id `|pieces|` (one past the last piece) and counts in
+  * `n_oov` — recorded in the layout so a consumer can never misread which
+  * convention a persisted model uses (byte fallback would be a different
+  * `oov=` value and a different scheme version).
   */
 object Unigram {
 
-  /** Scheme version — a stamp ingredient for persisted model fixtures. */
-  val Version = 1
+  /** Scheme version — a stamp ingredient for persisted model fixtures.
+    * v2: the layout records the OOV id story (`oov=unkid`). */
+  val Version = 2
 
   /** Floor applied to EM expected counts before the log renormalization:
     * a piece whose soft count underflows to exactly 0.0 must cost
@@ -89,6 +100,10 @@ object Unigram {
     */
   final case class Model(pieces: Array[String], lpE4: Array[Long], unkLpE4: Long) {
     require(pieces.length == lpE4.length, "pieces/lpE4 length mismatch")
+
+    /** The reserved OOV id — one past the last piece id (`oov=unkid`
+      * layout story): ids 0..|pieces|-1 are the canonical-order pieces. */
+    def unkId: Int = pieces.length
   }
 
   private def isSingleCp(s: String): Boolean = s.codePointCount(0, s.length) == 1
@@ -296,7 +311,7 @@ object Unigram {
       model.pieces.zip(model.lpE4).toSeq.toDF("piece", "lp_e4")
         .coalesce(1).write.parquet(s"$stage/pieces")
       IndexProtocol.writeLayoutPayload(spark, stage,
-        s"unk=${model.unkLpE4},uni=$Version")
+        s"unk=${model.unkLpE4},uni=$Version,oov=unkid")
     }
   }
 
@@ -307,6 +322,9 @@ object Unigram {
     }.toMap
     require(kv.get("uni").contains(Version.toString),
       s"unigram model at $path has layout '$payload' — not scheme v$Version; rebuild it")
+    require(kv.get("oov").contains("unkid"),
+      s"unigram model at $path declares OOV story '${kv.getOrElse("oov", "<absent>")}' — " +
+        "this build serves only oov=unkid (unknown cp → reserved id |pieces|)")
     val rows = spark.read.parquet(s"$path/pieces").orderBy("piece")
       .collect().map(r => (r.getAs[String]("piece"), r.getAs[Long]("lp_e4")))
     Model(rows.map(_._1), rows.map(_._2), kv("unk").toLong)
@@ -320,6 +338,17 @@ object Unigram {
     */
   def encodeStats(text: Column, model: Model): Column =
     ColumnBridge.column(UnigramEncodeStats(
+      ColumnBridge.expression(text), model.pieces, model.lpE4, model.unkLpE4))
+
+  /** `struct(n_tokens, n_oov, ids)` — the production id-encode (q126),
+    * mirroring [[Bpe.encodeIds]]'s serialization shape: the Viterbi
+    * segmentation's pieces mapped to their canonical-order ids, OOV
+    * (unknown single code points) as the reserved `|pieces|` id counted
+    * in `n_oov`, ids space-joined (the cross-engine render). One codegen
+    * pass, the model as a plan constant.
+    */
+  def encodeIds(text: Column, model: Model): Column =
+    ColumnBridge.column(UnigramEncodeIds(
       ColumnBridge.expression(text), model.pieces, model.lpE4, model.unkLpE4))
 
   // ---------------------------------------------------------------- naive
@@ -372,6 +401,39 @@ object Unigram {
         }
       }
       .toDF(idCol, "n_tokens", "n_unk", "nll_e4", "tokens")
+  }
+
+  /** Distributed expected-IDS table for the q126 differential (the q105
+    * discipline extended to the unigram family): [[naiveDecodeWord]]'s
+    * segmentation mapped through an immutable `Map[piece → id]` built from
+    * the canonical order by `zipWithIndex` — structurally independent of
+    * the production encoder's binary search over the sorted array — with
+    * OOV as the reserved `|pieces|` id. Persisted at fixture-build time
+    * and joined by the DuckDB oracle.
+    */
+  private[graft] def naiveIdTable(
+      docs: DataFrame, textCol: String, idCol: String, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = model.pieces
+    val lpE4 = model.lpE4
+    val unk = model.unkLpE4
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val lp = pieces.zip(lpE4).toMap
+        val pieceId = pieces.zipWithIndex.toMap
+        val unkId = pieces.length
+        val maxLen = pieces.iterator.map(p => p.codePointCount(0, p.length))
+          .foldLeft(1)(math.max)
+        it.map { case (id, text) =>
+          val tokens = (if (text == null) "" else text).split(" ", -1).toList
+            .filter(_.nonEmpty)
+            .flatMap(w => naiveDecodeWord(w, lp, unk, maxLen))
+          val ids = tokens.map(t => pieceId.getOrElse(t, unkId))
+          (id, tokens.size.toLong, ids.count(_ == unkId).toLong, ids.mkString(" "))
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_oov", "ids")
   }
 }
 
@@ -437,6 +499,36 @@ private[graft] class UnigramEncoder(
     Array.tabulate(bounds.length - 1)(k => cps.slice(bounds(k), bounds(k + 1)).mkString)
   }
 
+  /** (n_tokens, n_oov, space-joined ids) over the whole text — the id
+    * render of the SAME segmentation [[stats]] emits: piece id = index in
+    * the canonical sorted piece array (binary search — the array IS the
+    * vocabulary), unknown single cp = the reserved id `pieces.length`.
+    */
+  def ids(text: UTF8String): InternalRow = {
+    val words = text.toString.split(" ", -1)
+    var n = 0L
+    var oov = 0L
+    val out = new java.lang.StringBuilder
+    var w = 0
+    while (w < words.length) {
+      if (words(w).nonEmpty) {
+        val toks = decodeWord(words(w))
+        var t = 0
+        while (t < toks.length) {
+          val id = java.util.Arrays.binarySearch(
+            pieces.asInstanceOf[Array[AnyRef]], toks(t))
+          if (n > 0) out.append(' ')
+          if (id >= 0) out.append(id)
+          else { oov += 1; out.append(pieces.length) }
+          n += 1
+          t += 1
+        }
+      }
+      w += 1
+    }
+    new GenericInternalRow(Array[Any](n, oov, UTF8String.fromString(out.toString)))
+  }
+
   /** (n_tokens, n_unk, nll_e4, space-joined tokens) over the whole text. */
   def stats(text: UTF8String): InternalRow = {
     val words = text.toString.split(" ", -1)
@@ -494,6 +586,42 @@ case class UnigramEncodeStats(
     nullSafeCodeGen(ctx, ev, c => {
       val enc = ctx.addReferenceObj("unigramEncoder", encoder, classOf[UnigramEncoder].getName)
       s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $enc.stats($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `unigram_encode_ids(string)` → `struct<n_tokens:bigint, n_oov:bigint,
+  * ids:string>`: see [[Unigram.encodeIds]]. Same shared-encoder codegen
+  * transport as [[UnigramEncodeStats]] — the segmentation loop stays
+  * compiled Scala, the expression participates in whole-stage codegen.
+  */
+case class UnigramEncodeIds(
+    child: Expression, pieces: Array[String], lpE4: Array[Long], unkLpE4: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode_ids requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false),
+    StructField("ids", StringType, nullable = false)))
+  override def prettyName: String = "unigram_encode_ids"
+
+  @transient private lazy val encoder = new UnigramEncoder(pieces, lpE4, unkLpE4)
+
+  override protected def nullSafeEval(v: Any): Any =
+    encoder.ids(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val enc = ctx.addReferenceObj("unigramEncoder", encoder, classOf[UnigramEncoder].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $enc.ids($c);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

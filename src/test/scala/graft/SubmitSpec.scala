@@ -41,7 +41,51 @@ class SubmitSpec extends SparkSpec {
   }
 
   test("the job registry exposes the reference's deployable jobs") {
-    assert(Submit.jobs.keySet == Set("batch", "stream", "ingest"))
+    assert(Submit.jobs.keySet == Set("batch", "stream", "ingest", "serve"))
+  }
+
+  test("serve mode=committed pins a live ingest loop's manifest through the public entry") {
+    val root = Files.createTempDirectory("graft-submit-serve").toString
+    val p = graft.pipeline.IngestPipeline.IngestPaths(s"$root/lake")
+    val b0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val b1 = Seq((11L, "the rain in spain stays mainly on the plain")).toDF("doc_id", "text")
+    assert(graft.pipeline.IngestPipeline.ingestBatch(spark, p, b0, 0L) == 2L)
+    // serve pins batch 0, the loop keeps moving, the served output must not
+    Submit.jobs("serve")(spark, Map(
+      "mode" -> "committed", "root" -> p.root, "out" -> s"$root/out0"))
+    assert(graft.pipeline.IngestPipeline.ingestBatch(spark, p, b1, 1L) == 1L)
+    assert(spark.read.parquet(s"$root/out0").count() == 2L,
+      "the pinned read captured the manifest BEFORE batch 1 committed")
+    // an explicit earlier pin via upTo; the default pin sees both batches
+    Submit.jobs("serve")(spark, Map(
+      "mode" -> "committed", "root" -> p.root, "out" -> s"$root/out1", "upTo" -> "0"))
+    assert(spark.read.parquet(s"$root/out1").count() == 2L)
+    Submit.jobs("serve")(spark, Map(
+      "mode" -> "committed", "root" -> p.root, "out" -> s"$root/out2"))
+    assert(spark.read.parquet(s"$root/out2").count() == 3L)
+  }
+
+  test("serve mode=snapshot pins a SnapshotLake generation; bad modes fail loudly") {
+    val root = Files.createTempDirectory("graft-submit-snap").toString
+    val lake = s"$root/snap"
+    graft.sinks.SnapshotLake.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), lake)
+    graft.sinks.SnapshotLake.append(Seq((3L, "c")).toDF("id", "v"), lake)
+    // default = current generation (both appends)
+    Submit.jobs("serve")(spark, Map(
+      "mode" -> "snapshot", "root" -> lake, "out" -> s"$root/cur"))
+    assert(spark.read.parquet(s"$root/cur").count() == 3L)
+    // an explicit pinned generation serves the first append only
+    val gens = graft.sinks.SnapshotLake.generations(spark, lake)
+    Submit.jobs("serve")(spark, Map(
+      "mode" -> "snapshot", "root" -> lake, "out" -> s"$root/g0",
+      "generation" -> gens.head.toString))
+    assert(spark.read.parquet(s"$root/g0").count() == 2L)
+    val e = intercept[RuntimeException](Submit.jobs("serve")(spark, Map(
+      "mode" -> "nope", "root" -> lake, "out" -> s"$root/x")))
+    assert(e.getMessage.contains("committed|snapshot"))
   }
 
   test("the batch job dispatches BatchPipeline end to end") {

@@ -267,6 +267,44 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("calibrateContaminationThreshold lands the suggestion between the measured populations") {
+    // engineered corpus, the q124 construction: a ten-doc suite, clean =
+    // incidental-overlap + disjoint docs, leaked = light-edit copies
+    val evals = (0L until 10L).map { i =>
+      (i, (0 until 8).map(j => s"c${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val p = s"$root/calidx"
+    Bm25.buildIndex(evals, "text", "doc_id", p, ngram = 2)
+    val clean = Seq(
+      (100L, "c0x0 c0x1 something else entirely unrelated words here"),
+      (101L, "c3x2 c3x3 also mostly novel content in this document"),
+      (102L, "completely different vocabulary nothing shared at all")).toDF("doc_id", "text")
+    val leaked = Seq(
+      (200L, "edited " + (0 until 8).map(j => s"c0x$j").mkString(" ")),
+      (201L, "copy " + (0 until 8).map(j => s"c5x$j").mkString(" "))).toDF("doc_id", "text")
+    val r = Bm25.calibrateContaminationThreshold(clean, leaked, "text", "doc_id", p)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (cleanN, cleanScored, cleanMax, leakedN, leakedScored, leakedMin, sep, sug) = r
+    assert(cleanN == 3L && leakedN == 2L)
+    assert(cleanScored == 2L, "the disjoint clean doc yields no row and must not distort the max")
+    assert(leakedScored == 2L, "every engineered leak must score")
+    assert(sep == 1L, s"populations must separate, got $r")
+    assert(cleanMax < sug && sug < leakedMin,
+      s"auto-threshold must land inside the gap: $cleanMax < $sug < $leakedMin")
+    // the shipped default sits inside this corpus's gap too — the recipe
+    // that chose it is now executable
+    assert(cleanMax < Bm25.ContaminationThresholdE6 &&
+      Bm25.ContaminationThresholdE6 < leakedMin)
+    // an unscored "leak" (no shingle overlap = not actually a leak) must
+    // kill the separation flag, not silently shrink the population
+    val notALeak = Seq((300L, "zero overlap with any suite document at all")).toDF("doc_id", "text")
+    val r2 = Bm25.calibrateContaminationThreshold(clean, leaked.unionByName(notALeak),
+      "text", "doc_id", p)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r2._4 == 3L && r2._5 == 2L && r2._7 == 0L,
+      s"an unscored leak must flip separated to 0, got $r2")
+  }
+
   test("build refuses an empty corpus; search refuses k < 1; meta guards version") {
     val e = intercept[IllegalArgumentException] {
       Bm25.buildIndex(docs.filter(col("doc_id") < 0), "text", "doc_id", s"$root/empty")

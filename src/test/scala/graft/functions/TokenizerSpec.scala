@@ -33,6 +33,35 @@ class TokenizerSpec extends SparkSpec {
     assert(Tokenizer.unigram(uni).family == "unigram")
   }
 
+  test("both families id-encode through the trait exactly as through the direct call") {
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 4)
+    val dict = docs.collect().toSeq
+      .flatMap(_.getString(1).split(" ")).groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    val vocab = Bpe.buildVocab(dict, merges)
+    val uni = Unigram.trainFromDictionary(Seq(("aa", 5L), ("bb", 3L), ("cc", 2L)))
+    val viaTrait = docs.select(
+      col("doc_id"),
+      Tokenizer.bpe(merges, vocab).encodeIds(col("text")).as("b"),
+      Tokenizer.unigram(uni).encodeIds(col("text")).as("u"))
+    val direct = docs.select(
+      col("doc_id"),
+      Bpe.encodeIds(col("text"), merges, vocab).as("b"),
+      Unigram.encodeIds(col("text"), uni).as("u"))
+    assert(viaTrait.collect().toSeq.sortBy(_.getLong(0)).map(_.toString) ==
+      direct.collect().toSeq.sortBy(_.getLong(0)).map(_.toString))
+    // both render the same struct shape — the packer/shard-writer contract
+    assert(viaTrait.select("b.n_tokens", "b.n_oov", "b.ids").columns.toSeq ==
+      viaTrait.select("u.n_tokens", "u.n_oov", "u.ids").columns.toSeq)
+  }
+
+  test("a count-only BPE tokenizer refuses to mint ids without the persisted vocabulary") {
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 4)
+    val e = intercept[IllegalArgumentException](
+      Tokenizer.bpe(merges).encodeIds(col("text")))
+    assert(e.getMessage.contains("vocabulary"))
+  }
+
   test("packByTokenizer windows are identical to the hand-wired packByCount") {
     val uni = Unigram.trainFromDictionary(Seq(("aa", 5L), ("bb", 3L), ("cc", 2L)))
     val tok = Tokenizer.unigram(uni)

@@ -89,6 +89,47 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("id-encode: canonical-order ids, reserved OOV id, exact by eye on the hand model") {
+    // handModel pieces sorted: a=0, ab=1, b=2, c=3; unkId = 4
+    def idsOne(text: String): (Long, Long, String) =
+      Seq(text).toDF("t")
+        .select(Unigram.encodeIds(col("t"), handModel).as("e"))
+        .select("e.n_tokens", "e.n_oov", "e.ids")
+        .as[(Long, Long, String)].head()
+    assert(handModel.unkId == 4)
+    assert(idsOne("ab") == ((1L, 0L, "1")))          // [ab] -> id 1
+    assert(idsOne("abc") == ((2L, 0L, "1 3")))       // [ab c]
+    assert(idsOne("az b") == ((3L, 1L, "0 4 2")))    // z -> reserved OOV id
+    assert(idsOne("a🌍") == ((2L, 1L, "0 4")))       // astral unknown cp
+    assert(idsOne("") == ((0L, 0L, "")))
+  }
+
+  test("production id-encode equals the naive id reference on a trained model") {
+    val docs = Seq(
+      (0L, "abab ab ba"), (1L, "abc cc abab"), (2L, "xyz ab"),
+      (3L, ""), (4L, "a b c ab")).toDF("doc_id", "text")
+    val dict = Unigram.learnDictionary(docs.filter(col("doc_id") =!= 2), "text")
+    val m = Unigram.trainFromDictionary(dict, vocabSize = 8, maxPieceLen = 3)
+    val prod = docs
+      .select(col("doc_id"), Unigram.encodeIds(col("text"), m).as("e"))
+      .select(col("doc_id"), col("e.n_tokens"), col("e.n_oov"), col("e.ids"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val naive = Unigram.naiveIdTable(docs, "text", "doc_id", m)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(prod == naive)
+    // ids and tokens describe the SAME segmentation: id sequence length
+    // matches the stats surface's token count on every doc
+    val counts = docs
+      .select(col("doc_id"), Unigram.encodeStats(col("text"), m).as("u"))
+      .select(col("doc_id"), col("u.n_tokens")).as[(Long, Long)]
+      .collect().toMap
+    prod.foreach { case (id, n, _, ids) =>
+      assert(ids.split(" ").count(_.nonEmpty).toLong == n && n == counts(id))
+    }
+    // the unknown path is exercised (doc 2 carries out-of-alphabet cps)
+    assert(prod.find(_._1 == 2L).get._3 > 0L)
+  }
+
   test("model IO round-trips and guards the scheme version") {
     val m = handModel
     Unigram.writeModel(spark, m, s"$root/m")
@@ -99,6 +140,12 @@ class UnigramSpec extends SparkSpec {
     IndexProtocol.writeLayoutPayload(spark, s"$root/alien", "unk=1,uni=999")
     val e = intercept[IllegalArgumentException](Unigram.readModel(spark, s"$root/alien"))
     assert(e.getMessage.contains("not scheme"))
+    // a current-version model whose layout declares a different (or no)
+    // OOV id story must be refused, not silently served as oov=unkid
+    IndexProtocol.writeLayoutPayload(spark, s"$root/noov",
+      s"unk=1,uni=${Unigram.Version}")
+    val o = intercept[IllegalArgumentException](Unigram.readModel(spark, s"$root/noov"))
+    assert(o.getMessage.contains("OOV story"))
   }
 
   test("trainer refuses empty input and nonsense knobs") {
