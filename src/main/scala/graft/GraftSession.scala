@@ -73,6 +73,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the JVM-wide generated-class cache defaults to 100 entries — far
+      // under this engine's query surface. Measured (PLANS.md r16): at 126
+      // registry queries the LRU thrashes, every suite pass re-janinos
+      // classes the previous pass compiled, and the cost grows with every
+      // query added (q90 crept 2.9→4.0 s over three rounds with its code
+      // and plan untouched; at 2000 entries it returns to 2.1 s and the
+      // whole suite drops ~15%). Static conf: takes effect at the JVM's
+      // first session — exactly what a large-surface production deployment
+      // sets in spark-defaults.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // NOT set here: spark.sql.legacy.parquet.nanosAsLong. It would
       // silently change how EVERY parquet read in the session handles
       // TIMESTAMP(NANOS) columns (longs instead of a loud failure) —
