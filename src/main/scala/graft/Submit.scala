@@ -122,12 +122,23 @@ object Submit {
       val perplexityGate = opt.get("perplexity").map { max =>
         IngestPipeline.PerplexityGateConfig(paths.lmModel, max.toLong)
       }
+      // retrieval decontamination deploys by its index path (the config's
+      // one required field); threshold and the strict/fail-open choice are
+      // optional and default to the config's (strict — a mistyped path
+      // must fail batches, not WARN forever)
+      val retrievalDecontam = opt.get("retrievalIndex").map { idx =>
+        val base = IngestPipeline.RetrievalDecontamConfig(
+          idx, strict = !boolOpt(opt, "retrievalFailOpen"))
+        opt.get("retrievalThreshold").map(_.toLong)
+          .fold(base)(t => base.copy(thresholdE6 = t))
+      }
       val docs = spark.readStream
         .schema("doc_id LONG, text STRING")
         .parquet(req(opt, "in"))
       IngestPipeline.start(
         docs, paths, req(opt, "checkpoint"),
-        nearDup = nearDup, decontam = decontam, spanScrub = spanScrub,
+        nearDup = nearDup, decontam = decontam,
+        retrievalDecontam = retrievalDecontam, spanScrub = spanScrub,
         maintenance = maintenance,
         qualityGate = qualityGate, perplexityGate = perplexityGate)
       ()
@@ -179,7 +190,8 @@ object Submit {
     "stream" -> Set("source", "in", "brokers", "topic", "out", "checkpoint"),
     "ingest" -> Set("in", "root", "checkpoint", "neardup", "decontam",
       "maintainEvery", "ivfHealth", "pqHealth", "spanscrub",
-      "qualitygate", "minScore", "perplexity"),
+      "qualitygate", "minScore", "perplexity",
+      "retrievalIndex", "retrievalThreshold", "retrievalFailOpen"),
     "serve" -> Set("mode", "root", "out", "upTo", "generation"))
 
   /** Strict boolean option: absent → false; anything but a case-insensitive

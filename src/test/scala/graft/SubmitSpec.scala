@@ -135,6 +135,32 @@ class SubmitSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("the retrieval-decontamination stage is deployable by its index path") {
+    // the stage's deploy keys exist (a stage an operator cannot switch on
+    // through the public entry is not deployed)
+    assert(Set("retrievalIndex", "retrievalThreshold", "retrievalFailOpen")
+      .subsetOf(Submit.jobKeys("ingest")))
+    // end to end through the public entry against a REAL index: the
+    // streaming loop drops the near-verbatim eval copy, lands the clean doc
+    val root = Files.createTempDirectory("graft-submit-rd").toString
+    val evals = (0L until 10L).map { i =>
+      (900L + i, (0 until 8).map(j => s"ev${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    graft.functions.Bm25.buildIndex(evals, "text", "doc_id", s"$root/idx", ngram = 2)
+    Seq(
+      (31L, "edited " + (0 until 8).map(j => s"ev0x$j").mkString(" ")),
+      (32L, "fresh clean content with no suite overlap at all"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/in")
+    Submit.jobs("ingest")(spark, Map(
+      "in" -> s"$root/in", "root" -> s"$root/lake", "checkpoint" -> s"$root/ckpt",
+      "retrievalIndex" -> s"$root/idx"))
+    spark.streams.active.foreach { q => q.processAllAvailable(); q.stop() }
+    assert(spark.read.parquet(s"$root/lake/doc_lake")
+      .select("doc_id").as[Long].collect().toSeq == Seq(32L),
+      "the near-verbatim eval copy must be screened out by the deployed stage")
+  }
+
   test("boolean options are strict: neardup=1 fails loudly instead of meaning false") {
     // case-insensitive true/false accepted; anything else is an error, not
     // a silent "stage off"
