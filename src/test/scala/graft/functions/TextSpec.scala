@@ -195,17 +195,24 @@ class TextSpec extends SparkSpec {
     // disk-persisted relation per call for the context lifetime)
     val docs = (1L to 12L).map(i => (i, s"shared prefix words here unique$i"))
       .toDF("doc_id", "t")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // track RDD IDS, not global counts: the ContextCleaner may unpersist
+    // an earlier suite's dropped cache entries at any moment, so a
+    // count-based before/after comparison is racy (observed flake:
+    // "3 was not greater than 3" when a stale entry was cleaned inside
+    // the scope). The managed scope's OWN ids are the claim under test.
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    var scoped: Set[Int] = Set.empty
     val rows = Text.boilerplateStatsManaged(docs, "t", "doc_id",
       n = 3, dfThreshold = 10L) { out =>
       val r = out.count()
       // inside the scope the shared intermediate IS cached (both the
       // vocabulary aggregate and the scoring join read it)
-      assert(spark.sparkContext.getPersistentRDDs.size > before)
+      scoped = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      assert(scoped.nonEmpty, "the managed scope must cache its intermediate")
       r
     }
     assert(rows == 12L)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet intersect scoped).isEmpty,
       "managed scope must not leak its cached intermediate")
   }
 
