@@ -621,7 +621,11 @@ object IngestPipeline {
   private def recoverManifest(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(p.toString + "__old")
-    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+    // Hadoop rename reports failure as `false`, not an exception — a
+    // silent false here would leave the record parked and the caller
+    // reading -1 on a healthy lake, the exact state this heals
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"manifest recovery rename failed: $old -> $p")
   }
 
   /** Publish the manifest through a park-based swap (the staged-generation
@@ -642,8 +646,12 @@ object IngestPipeline {
     try out.write(batchId.toString.getBytes("UTF-8"))
     finally out.close()
     fs.delete(old, false) // stale park of a completed publish, if any
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(tmp, p)
+    // renames fail as `false` on Hadoop filesystems — each one unchecked
+    // would let recordApplied return "committed" with the record parked
+    // or still staged
+    if (fs.exists(p))
+      require(fs.rename(p, old), s"manifest park rename failed: $p -> $old")
+    require(fs.rename(tmp, p), s"manifest publish rename failed: $tmp -> $p")
     fs.delete(old, false)
   }
 

@@ -20,6 +20,9 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     // static conf: must be set when the FIRST session/context is built
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    // mirror the engine's generated-class cache sizing (GraftSession) so
+    // the suite runs the same static config the harnesses run
+    .config("spark.sql.codegen.cache.maxEntries", "2000")
     .getOrCreate()
 }
 

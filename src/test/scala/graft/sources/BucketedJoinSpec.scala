@@ -65,4 +65,26 @@ class BucketedJoinSpec extends SparkSpec {
       }
     }
   }
+
+  test("a surviving catalog entry with wiped backing files rebuilds instead of serving emptiness") {
+    // the r15 advice scenario: the session catalog outlives a fixture-root
+    // wipe; tableExists alone would then serve a data-less table to every
+    // later consumer in the session
+    val dir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-bucket-wipe").toString
+    val (o1, _) = Bucketing.ensureCustomerOrders(spark, dir, root, buckets = 4)
+    try {
+      assert(spark.table(o1).count() > 0)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // the wipe
+      val (o2, _) = Bucketing.ensureCustomerOrders(spark, dir, root, buckets = 4)
+      assert(o2 == o1, "same layout identity, same catalog name")
+      assert(spark.table(o2).count() > 0,
+        "the catalog hit must be re-validated against the backing files")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt__root_testdata_sf0_001_b4")
+      spark.sql(s"DROP TABLE IF EXISTS graft_customer_bkt__root_testdata_sf0_001_b4")
+    }
+  }
 }
