@@ -236,6 +236,22 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("searchBucketed refuses a corpus-scale probe relation instead of collecting it") {
+    // the serve path's driver collect is bounded by contract; a violation
+    // must fail loudly BEFORE materializing the full term set (r15 advice)
+    val tbl = graft.sources.Bucketing.ensureBm25Postings(
+      spark, s"$indexPath/postings", s"$root/bucketed_cap", "bm25speccap", buckets = 8)
+    try {
+      val oversized = spark.range(Bm25.MaxProbeTerms + 1L)
+        .selectExpr("id AS query_id", "CONCAT('t', id) AS term")
+      val e = intercept[IllegalArgumentException](
+        Bm25.searchBucketed(spark, oversized, tbl, indexPath, k = 10))
+      assert(e.getMessage.contains("probe batch"), e.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("contaminationReport: shingle-grade sweep flags the near-verbatim copy only") {
     // ten eval docs with distinct bigram structure (a realistic suite
     // size — a 2-doc suite's ln(2) idf cannot clear any threshold);
