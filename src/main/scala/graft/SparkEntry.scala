@@ -680,6 +680,62 @@ object SparkEntry {
     * SQL: the q122 variant only swaps in the incremental artifact's
     * terms table, which is exactly the claim under test.
     */
+  /** Generated DuckDB derivation shared by the q124 decontamination and
+    * q127 calibration oracles: the full shingle-BM25 sweep — bigram
+    * terms from the eval slices, bag-of-shingles query scoring over the
+    * caller-supplied CLEAN population (`cleanSql`, always unioned with
+    * the q124 light-edit injection), the exact-integer length norm and
+    * the per-shingle normalization — through the `normed` CTE
+    * (doc_id, eval_id, score_e6, norm_e6). Only idf_e6 joins from the
+    * persisted eval-index artifact (the q119 discipline). One source of
+    * truth: the two consumers append different tails but can never
+    * disagree on the arithmetic.
+    */
+  private def shingleBm25NormedSql(dir: String, cleanSql: String): String =
+    s"""WITH evals AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 20 IN (7, 8)),
+       |train AS (
+       |  $cleanSql
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'edited copy ' || text
+       |  FROM documents WHERE doc_id % 20 = 7),
+       |esp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM evals),
+       |eidx AS (SELECT doc_id, unnest(range(1, len(sp))) AS i, sp FROM esp),
+       |etoks AS (SELECT doc_id, sp[i] || ' ' || sp[i + 1] AS term FROM eidx),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM etoks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM etoks GROUP BY 1),
+       |meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+       |kd AS (
+       |  SELECT doc_id,
+       |    CAST(${ExactAgg.Sql.divHalfUp("(3 * l + 9 * dl * n) * 1000000", "10 * l")} AS BIGINT) AS k_e6
+       |  FROM dl CROSS JOIN meta),
+       |idf AS (SELECT term, idf_e6
+       |  FROM read_parquet('${scopedFixture(dir, "bm25_eval")}/idx/terms/*.parquet')),
+       |tsp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM train),
+       |tidx AS (SELECT doc_id, GREATEST(len(sp) - 1, 0) AS n_sh,
+       |    unnest(range(1, len(sp))) AS i, sp FROM tsp),
+       |probes AS (
+       |  SELECT doc_id AS query_id, CAST(n_sh AS BIGINT) AS n_sh,
+       |    sp[i] || ' ' || sp[i + 1] AS term FROM tidx),
+       |scored AS (
+       |  SELECT p.query_id, p.n_sh, tf.doc_id AS eval_id,
+       |    CAST(SUM(CAST(${ExactAgg.Sql.divHalfUp(
+             "i.idf_e6 * 22 * tf.tf * 100000", "tf.tf * 1000000 + kd.k_e6")} AS BIGINT)) AS BIGINT) AS score_e6
+       |  FROM probes p
+       |  JOIN tf ON tf.term = p.term
+       |  JOIN idf i ON i.term = p.term
+       |  JOIN kd ON kd.doc_id = tf.doc_id
+       |  GROUP BY 1, 2, 3),
+       |top1 AS (
+       |  SELECT query_id, n_sh, eval_id, score_e6
+       |  FROM scored
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score_e6 DESC, eval_id) = 1),
+       |normed AS (
+       |  SELECT query_id AS doc_id, eval_id, score_e6,
+       |    CAST(${ExactAgg.Sql.divHalfUp("score_e6", "n_sh")} AS BIGINT) AS norm_e6
+       |  FROM top1)""".stripMargin
+
   private def bm25RetrievalOracleSql(termsPath: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -3175,6 +3231,23 @@ object SparkEntry {
           col("e.n_oov").as("n_oov"),
           col("e.ids").as("ids"))
         .orderBy("doc_id")
+    },
+    // ---- the q124 threshold-recalibration recipe as a GATED operator
+    // (r15 stretch #8 made first-class): score a known-clean SAMPLE (the
+    // %20==1 slice — the recipe calibrates on samples, not the corpus)
+    // and a known-leaked sample (the q124 injection) against the same
+    // eval index, emit the one-row separation report. Every column is
+    // exact integer arithmetic the oracle re-derives through the q124
+    // CTE chain plus two population aggregates; `separated`/`suggested`
+    // are corpus facts the differential pins, not assertions ----
+    "q127_decontam_calibration" -> { (s, dir) =>
+      val idx = ensureBm25EvalIndex(s, dir)
+      val docs = Tables.documents(s, dir)
+      val clean = docs.filter(col("doc_id") % 20 === 1)
+      val leaked = docs.filter(col("doc_id") % 20 === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(lit("edited copy "), col("text")))
+      Bm25.calibrateContaminationThreshold(clean, leaked, "text", "doc_id", idx)
     }
   )
 
@@ -4500,53 +4573,44 @@ object SparkEntry {
     // discipline), and the threshold interpolates the SAME shared
     // constant the engine flags with
     "q124_retrieval_decontam" ->
-      s"""WITH evals AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 IN (7, 8)),
-         |train AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 NOT IN (7, 8)
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, 'edited copy ' || text
-         |  FROM documents WHERE doc_id % 20 = 7),
-         |esp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM evals),
-         |eidx AS (SELECT doc_id, unnest(range(1, len(sp))) AS i, sp FROM esp),
-         |etoks AS (SELECT doc_id, sp[i] || ' ' || sp[i + 1] AS term FROM eidx),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM etoks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM etoks GROUP BY 1),
-         |meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
-         |kd AS (
-         |  SELECT doc_id,
-         |    CAST(${ExactAgg.Sql.divHalfUp("(3 * l + 9 * dl * n) * 1000000", "10 * l")} AS BIGINT) AS k_e6
-         |  FROM dl CROSS JOIN meta),
-         |idf AS (SELECT term, idf_e6
-         |  FROM read_parquet('${scopedFixture(dir, "bm25_eval")}/idx/terms/*.parquet')),
-         |tsp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM train),
-         |tidx AS (SELECT doc_id, GREATEST(len(sp) - 1, 0) AS n_sh,
-         |    unnest(range(1, len(sp))) AS i, sp FROM tsp),
-         |probes AS (
-         |  SELECT doc_id AS query_id, CAST(n_sh AS BIGINT) AS n_sh,
-         |    sp[i] || ' ' || sp[i + 1] AS term FROM tidx),
-         |scored AS (
-         |  SELECT p.query_id, p.n_sh, tf.doc_id AS eval_id,
-         |    CAST(SUM(CAST(${ExactAgg.Sql.divHalfUp(
-                 "i.idf_e6 * 22 * tf.tf * 100000", "tf.tf * 1000000 + kd.k_e6")} AS BIGINT)) AS BIGINT) AS score_e6
-         |  FROM probes p
-         |  JOIN tf ON tf.term = p.term
-         |  JOIN idf i ON i.term = p.term
-         |  JOIN kd ON kd.doc_id = tf.doc_id
-         |  GROUP BY 1, 2, 3),
-         |top1 AS (
-         |  SELECT query_id, n_sh, eval_id, score_e6
-         |  FROM scored
-         |  QUALIFY ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY score_e6 DESC, eval_id) = 1),
-         |normed AS (
-         |  SELECT query_id AS doc_id, eval_id, score_e6,
-         |    CAST(${ExactAgg.Sql.divHalfUp("score_e6", "n_sh")} AS BIGINT) AS norm_e6
-         |  FROM top1)
+      s"""${shingleBm25NormedSql(dir,
+             "SELECT doc_id, text FROM documents WHERE doc_id % 20 NOT IN (7, 8)")}
          |SELECT doc_id, eval_id, score_e6, norm_e6,
          |  CAST(norm_e6 >= ${Bm25.ContaminationThresholdE6} AS BIGINT) AS contaminated
          |FROM normed
          |ORDER BY doc_id""".stripMargin,
+    // q127: the calibration report's aggregates over the SAME normed
+    // relation (one generated derivation, the two oracles cannot drift) —
+    // clean sample = the %20==1 slice, leaked sample = the q124
+    // injection; populations split by the injection's id offset.
+    // calibrateContaminationThreshold sweeps the two samples SEPARATELY,
+    // the oracle sweeps their union — per-doc top-1 scores are
+    // independent of the sweep's co-population, which is itself part of
+    // the claim under test
+    "q127_decontam_calibration" ->
+      s"""${shingleBm25NormedSql(dir,
+             "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 1")}
+         |, cstat AS (
+         |  SELECT COUNT(*) AS scored, MAX(norm_e6) AS mx
+         |  FROM normed WHERE doc_id < 1000000),
+         |lstat AS (
+         |  SELECT COUNT(*) AS scored, MIN(norm_e6) AS mn
+         |  FROM normed WHERE doc_id >= 1000000),
+         |pop AS (SELECT
+         |  (SELECT COUNT(*) FROM train WHERE doc_id < 1000000) AS clean_n,
+         |  (SELECT COUNT(*) FROM train WHERE doc_id >= 1000000) AS leaked_n)
+         |SELECT
+         |  CAST(pop.clean_n AS BIGINT) AS clean_n,
+         |  CAST(c.scored AS BIGINT) AS clean_scored,
+         |  c.mx AS clean_max_e6,
+         |  CAST(pop.leaked_n AS BIGINT) AS leaked_n,
+         |  CAST(l.scored AS BIGINT) AS leaked_scored,
+         |  l.mn AS leaked_min_e6,
+         |  CAST(l.scored = pop.leaked_n
+         |    AND COALESCE(c.mx < l.mn, false) AS BIGINT) AS separated,
+         |  CAST(${ExactAgg.Sql.divHalfUp(
+               "COALESCE(c.mx, 0) + COALESCE(l.mn, 0)", "2")} AS BIGINT) AS suggested_e6
+         |FROM cstat c CROSS JOIN lstat l CROSS JOIN pop""".stripMargin,
     // q125: q102's window arithmetic verbatim, n_tokens joined from the
     // UNIGRAM expected table (the q121 differential artifact) — the
     // family-agnostic packing claim gates on the oracle side too
