@@ -158,8 +158,14 @@ object Submit {
         case "committed" =>
           val paths = IngestPipeline.IngestPaths(req(opt, "root"))
           val upTo = opt.get("upTo").map(_.toLong).getOrElse(-1L)
-          val d = IngestPipeline.readCommitted(spark, paths, upTo)
-          (d, s"batch=${if (upTo >= 0) upTo else IngestPipeline.lastApplied(spark, paths)}")
+          // resolve the pin ONCE and serve exactly it — resolving again
+          // for the log line could print a later pin than the one served
+          // when a batch commits between the two reads (the concurrent-
+          // append scenario this mode exists for)
+          val pin =
+            if (upTo >= 0) upTo else IngestPipeline.lastApplied(spark, paths)
+          val d = IngestPipeline.readCommitted(spark, paths, pin)
+          (d, s"batch=$pin")
         case "snapshot" =>
           val snap = sinks.SnapshotLake.pin(
             spark, req(opt, "root"),

@@ -58,9 +58,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ([[IndexProtocol]] contract)
   *
   * Token IDS (q126, the training-shard serialization surface): a piece's
-  * id is its index in the canonical lexicographic piece order — the order
-  * [[readModel]] materializes, so the id vocabulary needs no second
-  * artifact. The OOV story is `unkid`: an unknown single code point emits
+  * id is its index in the canonical piece order — code-point (= UTF-8
+  * binary) collation, pinned by [[CanonicalOrder]] across training,
+  * [[readModel]] and the encoder's binary search — so the id vocabulary
+  * needs no second artifact. The OOV story is `unkid`: an unknown single code point emits
   * the reserved id `|pieces|` (one past the last piece) and counts in
   * `n_oov` — recorded in the layout so a consumer can never misread which
   * convention a persisted model uses (byte fallback would be a different
@@ -94,12 +95,45 @@ object Unigram {
       .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
-  /** A trained model: pieces (lexicographically sorted — the canonical
-    * order every consumer sees) with their quantized costs, plus the
-    * unknown-code-point cost.
+  /** The ONE collation of the canonical piece order: code-point order,
+    * which is exactly UTF-8 binary order (what Spark's UTF8String
+    * comparison uses). Java's `String.compareTo` sorts by UTF-16 code
+    * UNIT instead, which disagrees for supplementary-plane pieces vs
+    * pieces in U+E000..U+FFFF — training under one collation and reading
+    * the persisted model back under the other would assign the same model
+    * different ids before vs after persistence, and a binary search under
+    * the wrong collation can miss real pieces and silently emit the
+    * reserved OOV id (r16 advice). Training, [[readModel]], the
+    * [[Model]] invariant, and the encoder's binary search all use THIS
+    * comparator.
+    */
+  private[graft] object CanonicalOrder
+      extends Ordering[String] with java.util.Comparator[String] {
+    override def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
+  /** A trained model: pieces sorted under [[CanonicalOrder]] (the
+    * canonical order every consumer sees) with their quantized costs,
+    * plus the unknown-code-point cost.
     */
   final case class Model(pieces: Array[String], lpE4: Array[Long], unkLpE4: Long) {
     require(pieces.length == lpE4.length, "pieces/lpE4 length mismatch")
+    require(
+      pieces.length < 2 ||
+        (1 until pieces.length).forall(i =>
+          CanonicalOrder.compare(pieces(i - 1), pieces(i)) < 0),
+      "pieces must be strictly sorted under the canonical (code-point) collation")
 
     /** The reserved OOV id — one past the last piece id (`oov=unkid`
       * layout story): ids 0..|pieces|-1 are the canonical-order pieces. */
@@ -150,14 +184,15 @@ object Unigram {
       occ.forEach((k, v) => b += (k -> v.longValue()))
       b.result()
     }
-    val chars = all.iterator.map(_._1).filter(isSingleCp).toArray.sorted
+    val chars =
+      all.iterator.map(_._1).filter(isSingleCp).toArray.sorted(CanonicalOrder)
     val multiSeedTarget =
       math.max(0L, vocabSize.toLong * seedFactor - chars.length).toInt
     val multiSeed = all.iterator.filterNot(t => isSingleCp(t._1)).toArray
       .sortBy { case (p, c) => (-c, p) }
       .take(multiSeedTarget).map(_._1)
 
-    var pieces: Array[String] = (chars ++ multiSeed).sorted
+    var pieces: Array[String] = (chars ++ multiSeed).sorted(CanonicalOrder)
     var lp: Array[Double] = {
       val raw = pieces.map(p => occ.get(p).longValue().toDouble)
       val logTotal = StrictMath.log(raw.sum)
@@ -275,7 +310,7 @@ object Unigram {
         .toArray
         .sortBy { case (p, e) => (-e, p) }
         .take(keepMulti).map(_._1)
-      pieces = (chars ++ keptMulti).sorted
+      pieces = (chars ++ keptMulti).sorted(CanonicalOrder)
       multiCount = keptMulti.length
       // survivors' expected counts, renormalized, seed the next round
       // (same zero-count floor as runEm's M-step)
@@ -325,8 +360,12 @@ object Unigram {
     require(kv.get("oov").contains("unkid"),
       s"unigram model at $path declares OOV story '${kv.getOrElse("oov", "<absent>")}' — " +
         "this build serves only oov=unkid (unknown cp → reserved id |pieces|)")
-    val rows = spark.read.parquet(s"$path/pieces").orderBy("piece")
+    // canonical order re-established DRIVER-SIDE under the one pinned
+    // collation — not via Spark orderBy, so the id assignment cannot
+    // drift with the session's collation semantics
+    val rows = spark.read.parquet(s"$path/pieces")
       .collect().map(r => (r.getAs[String]("piece"), r.getAs[Long]("lp_e4")))
+      .sortBy(_._1)(CanonicalOrder)
     Model(rows.map(_._1), rows.map(_._2), kv("unk").toLong)
   }
 
@@ -516,7 +555,7 @@ private[graft] class UnigramEncoder(
         var t = 0
         while (t < toks.length) {
           val id = java.util.Arrays.binarySearch(
-            pieces.asInstanceOf[Array[AnyRef]], toks(t))
+            pieces, toks(t), Unigram.CanonicalOrder)
           if (n > 0) out.append(' ')
           if (id >= 0) out.append(id)
           else { oov += 1; out.append(pieces.length) }

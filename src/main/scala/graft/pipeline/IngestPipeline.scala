@@ -592,22 +592,33 @@ object IngestPipeline {
   }
 
   /** High-water mark of applied batch ids; -1 when no batch has committed.
-    * Heals a crashed [[recordApplied]] publish first: the previous record
-    * is parked at `__old` across the swap (never deleted), so the rename
-    * window can delay the record by one batch — the in-flight batch just
-    * replays, byte-identical — but can never lose it.
+    *
+    * STRICTLY READ-ONLY: concurrent readers (the `serve` job, snapshot
+    * pins, compaction preflights) must never mutate the manifest — a
+    * reader renaming `__old` back during the writer's park→publish window
+    * would break the single-writer swap (and fail the writer's publish
+    * rename on filesystems where rename-to-existing returns false). When
+    * the live record is absent mid-swap, the PARKED value at `__old` is
+    * read in place — that is the pre-publish high-water mark, so the
+    * record can be delayed by one batch (the in-flight batch just
+    * replays, byte-identical) but can never be lost. The rename-based
+    * heal lives only on the writer path ([[recordApplied]]).
     */
   def lastApplied(spark: SparkSession, paths: IngestPaths): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(paths.manifest), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(paths.manifest)
-    recoverManifest(fs, p)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
+    val old = new org.apache.hadoop.fs.Path(paths.manifest + "__old")
+    def read(path: org.apache.hadoop.fs.Path): Option[Long] =
+      try {
+        val in = fs.open(path)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    // Final re-read of the live path covers the only doubly-absent race:
+    // the writer published (tmp -> p) and cleared the park between our
+    // two reads — by then the NEW record is live.
+    read(p).orElse(read(old)).orElse(read(p)).getOrElse(-1L)
   }
 
   /** Restore the commit record when a [[recordApplied]] crash left it

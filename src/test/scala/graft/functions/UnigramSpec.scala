@@ -148,6 +148,46 @@ class UnigramSpec extends SparkSpec {
     assert(o.getMessage.contains("OOV story"))
   }
 
+  test("canonical collation is code-point order: ids stable across persistence " +
+      "for supplementary-plane vocabularies") {
+    // U+1F600 (😀, supplementary: UTF-16 surrogates 0xD83D 0xDE00) vs
+    // U+E000 (private use): compareTo (UTF-16 code-unit order) says
+    // 😀 < U+E000, code-point/UTF-8 order says U+E000 < 😀. A model mixing
+    // them exposes any collation split between train / read / search.
+    val astral = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(astral.compareTo(pua) < 0, "fixture must straddle the collation split")
+    assert(Unigram.CanonicalOrder.compare(pua, astral) < 0)
+
+    val dict = Seq((s"$pua$astral", 5L), (s"a$astral", 3L), ("ab", 2L))
+    val m = Unigram.trainFromDictionary(dict, vocabSize = 8, maxPieceLen = 2)
+    assert(m.pieces.contains(astral) && m.pieces.contains(pua))
+    Unigram.writeModel(spark, m, s"$root/cp")
+    val r = Unigram.readModel(spark, s"$root/cp")
+    // same pieces in the SAME order -> same ids before and after persistence
+    assert(r.pieces.toSeq == m.pieces.toSeq)
+
+    // the encoder's binary search under the pinned comparator finds every
+    // real piece — no silent OOV for pieces the collation split would
+    // have mis-placed relative to the search order
+    def idsOne(text: String, model: Unigram.Model): (Long, Long, String) =
+      Seq(text).toDF("t")
+        .select(Unigram.encodeIds(col("t"), model).as("e"))
+        .select("e.n_tokens", "e.n_oov", "e.ids")
+        .as[(Long, Long, String)].head()
+    val text = s"$pua$astral a$astral"
+    val before = idsOne(text, m)
+    assert(before._2 == 0L, s"no piece may fall to OOV: $before")
+    assert(idsOne(text, r) == before,
+      "persisted model must serve identical ids")
+
+    // a hand-built model sorted under the WRONG collation is refused at
+    // construction — the invariant is load-bearing, not advisory
+    val e = intercept[IllegalArgumentException](
+      Unigram.Model(Array(astral, pua), Array(1L, 1L), 10L))
+    assert(e.getMessage.contains("canonical"))
+  }
+
   test("trainer refuses empty input and nonsense knobs") {
     val e = intercept[IllegalArgumentException](
       Unigram.trainFromDictionary(Seq.empty, vocabSize = 4))

@@ -110,17 +110,24 @@ class IngestPipelineSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(p.manifest), false)
     put(p.manifest + "__old", "1")
     put(p.manifest + "__tmp", "2")
-    // recovery restores the parked record — the lake never reads as empty
+    // readers see the PARKED record in place — the lake never reads as
+    // empty, and the read path performs no rename (a reader renaming
+    // __old back mid-swap would break the writer's single-writer publish)
     assert(IngestPipeline.lastApplied(spark, p) == 1L)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(p.manifest + "__old")),
-      "recovery must consume the park, not leave it to shadow a later crash")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p.manifest + "__old")),
+      "the read path must be heal-free: the park is consumed only by the writer")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p.manifest)),
+      "the read path must not republish the manifest")
     // the two consumers the pre-fix state broke now work against the pin
     assert(IngestPipeline.readCommitted(spark, p).count() == 4L,
       "readCommitted must pin the recovered high-water mark (batches 0-1)")
     IngestPipeline.compactCommitted(spark, p, 1L) // must not refuse
-    // the interrupted batch replays as a no-op and republishes its record
+    // the interrupted batch replays as a no-op and republishes its record;
+    // the WRITER path heals the parked state and consumes the park
     assert(IngestPipeline.ingestBatch(spark, p, batch2, 2L) == 0L)
     assert(IngestPipeline.lastApplied(spark, p) == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p.manifest + "__old")),
+      "the writer must consume the park, not leave it to shadow a later crash")
     assert(lakeState(p) == expectedCompacted,
       "content must survive recovery + fold + replay")
   }
