@@ -385,18 +385,37 @@ object Bm25 {
   def contaminationReport(
       train: DataFrame, textCol: String, idCol: String, path: String,
       thresholdE6: Long = ContaminationThresholdE6): DataFrame = {
-    val spark = train.sparkSession
+    val keyed = train.select(col(idCol).cast("long").as("query_id"), col(textCol))
+    normedTop1(keyed, textCol, path, extraKeys = Nil)
+      .select(
+        col("query_id").as("doc_id"),
+        col("__eval_id").as("eval_id"),
+        col("score_e6"),
+        col("norm_e6"),
+        (col("norm_e6") >= thresholdE6).cast("long").as("contaminated"))
+  }
+
+  /** The decontamination sweep's core: per (`extraKeys`, query) top-1
+    * normalized shingle-BM25 score against the eval index. `extraKeys`
+    * ride the group/window keys so one sweep can score several
+    * populations at once ([[calibrateContaminationThreshold]]) without
+    * their query ids colliding.
+    */
+  private def normedTop1(
+      keyed: DataFrame, textCol: String, path: String,
+      extraKeys: Seq[String]): DataFrame = {
+    val spark = keyed.sparkSession
     val g = indexNgram(spark, path)
     val postings = spark.read.parquet(s"$path/postings")
       .withColumnRenamed("doc_id", "__eval_id")
     val terms = spark.read.parquet(s"$path/terms").select("term", "idf_e6")
     val docNorms = spark.read.parquet(s"$path/docs")
       .select(col("doc_id").as("__eval_id"), col("k_e6"))
-    val keyed = train.select(col(idCol).cast("long").as("query_id"), col(textCol))
+    val withN = keyed
       .withColumn("n_sh",
         greatest(size(Text.tokens(col(textCol))) - (g - 1), lit(0)).cast("long"))
-    val probes = Text.explodeNgrams(keyed, textCol, g, out = "term")
-      .select("query_id", "n_sh", "term")
+    val probes = Text.explodeNgrams(withN, textCol, g, out = "term")
+      .select((extraKeys ++ Seq("query_id", "n_sh", "term")).map(col): _*)
     val contribution = ExactAgg.divHalfUp(
       col("idf_e6") * 22L * col("tf") * 100000L,
       col("tf") * IdfScale + col("k_e6"))
@@ -417,19 +436,14 @@ object Bm25 {
         .select(col("term"), col("__eval_id"), contribution.as("contrib_e6")))
     val scored = probes
       .join(contribTable, "term")
-      .groupBy("query_id", "n_sh", "__eval_id")
+      .groupBy((extraKeys ++ Seq("query_id", "n_sh", "__eval_id")).map(col): _*)
       .agg(sum(col("contrib_e6")).as("score_e6"))
     scored
       .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("__eval_id"))))
+        Window.partitionBy((extraKeys :+ "query_id").map(col): _*)
+          .orderBy(col("score_e6").desc, col("__eval_id"))))
       .filter(col("rank") === 1)
       .withColumn("norm_e6", ExactAgg.divHalfUp(col("score_e6"), col("n_sh")))
-      .select(
-        col("query_id").as("doc_id"),
-        col("__eval_id").as("eval_id"),
-        col("score_e6"),
-        col("norm_e6"),
-        (col("norm_e6") >= thresholdE6).cast("long").as("contaminated"))
   }
 
   /** Per-corpus recalibration of [[ContaminationThresholdE6]] as an
@@ -447,20 +461,28 @@ object Bm25 {
     * grade or the samples need work, and the flag says so instead of
     * letting a plausible-looking number ship.
     *
-    * Scale shape: two [[contaminationReport]] sweeps (the train sides
-    * stream against the broadcast eval index) reduced to one aggregate
-    * row each — the report is O(1) driver state.
+    * Scale shape: ONE unioned sweep — both samples stream against the
+    * broadcast eval index together, tagged by population, with the tag on
+    * the group/window keys so colliding doc ids between the samples
+    * cannot cross-rank (r16 verdict: the original two-sweep form paid the
+    * eval-index join twice plus two extra count actions). Two actions
+    * total: the population-size count and the one-row report.
     */
   def calibrateContaminationThreshold(
       clean: DataFrame, leaked: DataFrame, textCol: String, idCol: String,
       path: String): DataFrame = {
-    val cleanN = clean.count()
-    val leakedN = leaked.count()
-    val c = contaminationReport(clean, textCol, idCol, path)
-      .agg(count(lit(1)).as("clean_scored"), max(col("norm_e6")).as("clean_max_e6"))
-    val l = contaminationReport(leaked, textCol, idCol, path)
-      .agg(count(lit(1)).as("leaked_scored"), min(col("norm_e6")).as("leaked_min_e6"))
-    c.crossJoin(l)
+    val tag = (df: DataFrame, pop: Int) => df.select(
+      lit(pop).as("__pop"), col(idCol).cast("long").as("query_id"), col(textCol))
+    val tagged = tag(clean, 0).unionByName(tag(leaked, 1))
+    val ns = tagged.groupBy("__pop").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (cleanN, leakedN) = (ns.getOrElse(0, 0L), ns.getOrElse(1, 0L))
+    normedTop1(tagged, textCol, path, extraKeys = Seq("__pop"))
+      .agg(
+        count(when(col("__pop") === 0, lit(1))).as("clean_scored"),
+        max(when(col("__pop") === 0, col("norm_e6"))).as("clean_max_e6"),
+        count(when(col("__pop") === 1, lit(1))).as("leaked_scored"),
+        min(when(col("__pop") === 1, col("norm_e6"))).as("leaked_min_e6"))
       .select(
         lit(cleanN).as("clean_n"), col("clean_scored"), col("clean_max_e6"),
         lit(leakedN).as("leaked_n"), col("leaked_scored"), col("leaked_min_e6"),
