@@ -658,7 +658,7 @@ object SparkEntry {
     val fixture = scopedFixture(dir, "unigram")
     val fp = docs.agg(
       count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
-    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|uni=${graft.functions.Unigram.Version}"
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|uni=${graft.functions.Unigram.Version}|b"
     if (!fixtureReady(fixture, stamp)) {
       val dict = graft.functions.Unigram.learnDictionary(docs, "text")
       val model = graft.functions.Unigram.trainFromDictionary(dict)
@@ -667,6 +667,15 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$fixture/expected")
       graft.functions.Unigram.naiveIdTable(exoticInjected(docs), "text", "doc_id", model)
         .write.mode("overwrite").parquet(s"$fixture/expected_ids")
+      // the SAME trained pieces under the oov=bytes story (q128): the
+      // byte-tier serialization round-trips through its own persisted
+      // artifact, and the expected table comes from the independent
+      // encoder under the same story
+      val byteModel = model.copy(byteFallback = true)
+      graft.functions.Unigram.writeModel(s, byteModel, s"$fixture/model_bytes")
+      graft.functions.Unigram
+        .naiveIdTable(exoticInjected(docs), "text", "doc_id", byteModel)
+        .write.mode("overwrite").parquet(s"$fixture/expected_ids_bytes")
       stampFixture(fixture, stamp)
     }
     fixture
@@ -3248,6 +3257,29 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text", concat(lit("edited copy "), col("text")))
       Bm25.calibrateContaminationThreshold(clean, leaked, "text", "doc_id", idx)
+    },
+    // ---- q111's OOV-impossible serialization claim extended to the
+    // UNIGRAM family (r16 verdict gap: byte-fallback was one-family
+    // only): the q126 model's pieces under the oov=bytes story — an
+    // unknown code point decomposes into its UTF-8 bytes through the
+    // reserved tier |pieces|..|pieces|+255 (SentencePiece byte_fallback),
+    // so every exotic-injected doc serializes without information loss;
+    // n_oov reports the byte-tier fallback mass. The story round-trips
+    // through its own persisted model artifact (oov=bytes in the layout
+    // — a consumer can never decode shards under the wrong convention),
+    // and the oracle joins the independent naive encoder's expected
+    // table under the same story ----
+    "q128_unigram_byte_ids" -> { (s, dir) =>
+      val fixture = ensureUnigramFixture(s, dir)
+      val model = graft.functions.Unigram.readModel(s, s"$fixture/model_bytes")
+      exoticInjected(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.functions.Tokenizer.unigram(model).encodeIds(col("text")).as("e"))
+        .select(col("doc_id"),
+          col("e.n_tokens").as("n_tokens"),
+          col("e.n_oov").as("n_oov"),
+          col("e.ids").as("ids"))
+        .orderBy("doc_id")
     }
   )
 
@@ -4698,6 +4730,16 @@ object SparkEntry {
       s"""SELECT d.doc_id, e.n_tokens, e.n_oov, e.ids
          |FROM documents d
          |JOIN read_parquet('${scopedFixture(dir, "unigram")}/expected_ids/*.parquet') e
+         |  ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q128: the byte-fallback story's expected table from the same
+    // independent naive encoder (q111's discipline under the unigram
+    // family); n_oov here is the byte-tier fallback mass, nonzero
+    // exactly on the exotic-injected docs
+    "q128_unigram_byte_ids" ->
+      s"""SELECT d.doc_id, e.n_tokens, e.n_oov, e.ids
+         |FROM documents d
+         |JOIN read_parquet('${scopedFixture(dir, "unigram")}/expected_ids_bytes/*.parquet') e
          |  ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // q111: the byte-fallback expected table from the independent

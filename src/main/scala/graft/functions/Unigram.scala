@@ -53,7 +53,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Model artifact at `path`:
   *   - `pieces/` (piece, lp_e4): the quantized unigram table
-  *   - `_GRAFT_LAYOUT` (unk=<lp_e4>,uni=<version>,oov=unkid): the
+  *   - `_GRAFT_LAYOUT` (unk=<lp_e4>,uni=<version>,oov=unkid|bytes): the
   *     unknown-cp cost and the OOV id story travel with the model
   *     ([[IndexProtocol]] contract)
   *
@@ -61,11 +61,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * id is its index in the canonical piece order — code-point (= UTF-8
   * binary) collation, pinned by [[CanonicalOrder]] across training,
   * [[readModel]] and the encoder's binary search — so the id vocabulary
-  * needs no second artifact. The OOV story is `unkid`: an unknown single code point emits
+  * needs no second artifact. Two OOV stories, recorded as `oov=` in the
+  * layout so a consumer can never misread which convention a persisted
+  * model uses: `unkid` (default) — an unknown single code point emits
   * the reserved id `|pieces|` (one past the last piece) and counts in
-  * `n_oov` — recorded in the layout so a consumer can never misread which
-  * convention a persisted model uses (byte fallback would be a different
-  * `oov=` value and a different scheme version).
+  * `n_oov`; `bytes` ([[Model.byteFallback]], q128) — an unknown code
+  * point decomposes into its UTF-8 bytes through the reserved byte tier
+  * `|pieces|+0..|pieces|+255` (SentencePiece's `byte_fallback`), making
+  * the serialization OOV-impossible, with `n_oov` reporting the emitted
+  * byte-tier id count (the fallback mass a curator monitors — unlike
+  * BPE's q111, where the byte tokens are REAL vocabulary entries that
+  * never read as OOV, the unigram byte tier is reserved-id space).
   */
 object Unigram {
 
@@ -125,9 +131,16 @@ object Unigram {
 
   /** A trained model: pieces sorted under [[CanonicalOrder]] (the
     * canonical order every consumer sees) with their quantized costs,
-    * plus the unknown-code-point cost.
+    * plus the unknown-code-point cost. `byteFallback` selects the id
+    * serialization's OOV story (persisted as `oov=` in the layout):
+    * false = `unkid` (unknown cp → the one reserved id `|pieces|`), true
+    * = `bytes` (unknown cp → its UTF-8 bytes through the reserved byte
+    * tier `|pieces|..|pieces|+255` — SentencePiece's `byte_fallback`
+    * convention, which makes the serialization OOV-impossible).
     */
-  final case class Model(pieces: Array[String], lpE4: Array[Long], unkLpE4: Long) {
+  final case class Model(
+      pieces: Array[String], lpE4: Array[Long], unkLpE4: Long,
+      byteFallback: Boolean = false) {
     require(pieces.length == lpE4.length, "pieces/lpE4 length mismatch")
     require(
       pieces.length < 2 ||
@@ -138,6 +151,9 @@ object Unigram {
     /** The reserved OOV id — one past the last piece id (`oov=unkid`
       * layout story): ids 0..|pieces|-1 are the canonical-order pieces. */
     def unkId: Int = pieces.length
+
+    /** Reserved byte-tier id of byte `b` (`oov=bytes` story). */
+    def byteId(b: Int): Int = pieces.length + b
   }
 
   private def isSingleCp(s: String): Boolean = s.codePointCount(0, s.length) == 1
@@ -345,8 +361,9 @@ object Unigram {
     IndexProtocol.stagedReplace(spark, path) { stage =>
       model.pieces.zip(model.lpE4).toSeq.toDF("piece", "lp_e4")
         .coalesce(1).write.parquet(s"$stage/pieces")
+      val oov = if (model.byteFallback) "bytes" else "unkid"
       IndexProtocol.writeLayoutPayload(spark, stage,
-        s"unk=${model.unkLpE4},uni=$Version,oov=unkid")
+        s"unk=${model.unkLpE4},uni=$Version,oov=$oov")
     }
   }
 
@@ -357,16 +374,19 @@ object Unigram {
     }.toMap
     require(kv.get("uni").contains(Version.toString),
       s"unigram model at $path has layout '$payload' — not scheme v$Version; rebuild it")
-    require(kv.get("oov").contains("unkid"),
-      s"unigram model at $path declares OOV story '${kv.getOrElse("oov", "<absent>")}' — " +
-        "this build serves only oov=unkid (unknown cp → reserved id |pieces|)")
+    val story = kv.getOrElse("oov", "<absent>")
+    require(story == "unkid" || story == "bytes",
+      s"unigram model at $path declares OOV story '$story' — this build serves " +
+        "oov=unkid (unknown cp → reserved id |pieces|) and oov=bytes (unknown " +
+        "cp → UTF-8 bytes through the reserved tier |pieces|..|pieces|+255)")
     // canonical order re-established DRIVER-SIDE under the one pinned
     // collation — not via Spark orderBy, so the id assignment cannot
     // drift with the session's collation semantics
     val rows = spark.read.parquet(s"$path/pieces")
       .collect().map(r => (r.getAs[String]("piece"), r.getAs[Long]("lp_e4")))
       .sortBy(_._1)(CanonicalOrder)
-    Model(rows.map(_._1), rows.map(_._2), kv("unk").toLong)
+    Model(rows.map(_._1), rows.map(_._2), kv("unk").toLong,
+      byteFallback = story == "bytes")
   }
 
   // ---------------------------------------------------------------- serve
@@ -388,7 +408,8 @@ object Unigram {
     */
   def encodeIds(text: Column, model: Model): Column =
     ColumnBridge.column(UnigramEncodeIds(
-      ColumnBridge.expression(text), model.pieces, model.lpE4, model.unkLpE4))
+      ColumnBridge.expression(text), model.pieces, model.lpE4, model.unkLpE4,
+      model.byteFallback))
 
   // ---------------------------------------------------------------- naive
 
@@ -457,6 +478,7 @@ object Unigram {
     val pieces = model.pieces
     val lpE4 = model.lpE4
     val unk = model.unkLpE4
+    val bytes = model.byteFallback
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val lp = pieces.zip(lpE4).toMap
@@ -468,8 +490,19 @@ object Unigram {
           val tokens = (if (text == null) "" else text).split(" ", -1).toList
             .filter(_.nonEmpty)
             .flatMap(w => naiveDecodeWord(w, lp, unk, maxLen))
-          val ids = tokens.map(t => pieceId.getOrElse(t, unkId))
-          (id, tokens.size.toLong, ids.count(_ == unkId).toLong, ids.mkString(" "))
+          // (id, isFallback) stream — the unkid story emits the one
+          // reserved id; the bytes story decomposes through the tier
+          val ids = tokens.flatMap { t =>
+            pieceId.get(t) match {
+              case Some(i) => List((i, false))
+              case None if bytes => t
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8).toList
+                .map(b => (unkId + (b & 0xff), true))
+              case None => List((unkId, true))
+            }
+          }
+          (id, ids.size.toLong, ids.count(_._2).toLong,
+            ids.map(_._1).mkString(" "))
         }
       }
       .toDF(idCol, "n_tokens", "n_oov", "ids")
@@ -481,7 +514,8 @@ object Unigram {
   * constant (addReferenceObj — the [[BpeEncoder]] transport).
   */
 private[graft] class UnigramEncoder(
-    pieces: Array[String], lpE4: Array[Long], unkLpE4: Long) extends Serializable {
+    pieces: Array[String], lpE4: Array[Long], unkLpE4: Long,
+    byteFallback: Boolean = false) extends Serializable {
   @transient private lazy val lp = {
     val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
     var i = 0
@@ -540,14 +574,23 @@ private[graft] class UnigramEncoder(
 
   /** (n_tokens, n_oov, space-joined ids) over the whole text — the id
     * render of the SAME segmentation [[stats]] emits: piece id = index in
-    * the canonical sorted piece array (binary search — the array IS the
-    * vocabulary), unknown single cp = the reserved id `pieces.length`.
+    * the canonical sorted piece array (binary search under the SAME
+    * pinned collation — the array IS the vocabulary). An unknown single
+    * cp emits the reserved id `pieces.length` (`oov=unkid`), or — under
+    * `byteFallback` (`oov=bytes`) — one id per UTF-8 byte through the
+    * reserved tier `pieces.length + b`, each counted in BOTH n_tokens
+    * (serialization length) and n_oov (fallback mass).
     */
   def ids(text: UTF8String): InternalRow = {
     val words = text.toString.split(" ", -1)
     var n = 0L
     var oov = 0L
     val out = new java.lang.StringBuilder
+    def emit(id: Int): Unit = {
+      if (n > 0) out.append(' ')
+      out.append(id)
+      n += 1
+    }
     var w = 0
     while (w < words.length) {
       if (words(w).nonEmpty) {
@@ -556,10 +599,17 @@ private[graft] class UnigramEncoder(
         while (t < toks.length) {
           val id = java.util.Arrays.binarySearch(
             pieces, toks(t), Unigram.CanonicalOrder)
-          if (n > 0) out.append(' ')
-          if (id >= 0) out.append(id)
-          else { oov += 1; out.append(pieces.length) }
-          n += 1
+          if (id >= 0) emit(id)
+          else if (!byteFallback) { oov += 1; emit(pieces.length) }
+          else {
+            val bytes = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var j = 0
+            while (j < bytes.length) {
+              oov += 1
+              emit(pieces.length + (bytes(j) & 0xff))
+              j += 1
+            }
+          }
           t += 1
         }
       }
@@ -637,7 +687,8 @@ case class UnigramEncodeStats(
   * compiled Scala, the expression participates in whole-stage codegen.
   */
 case class UnigramEncodeIds(
-    child: Expression, pieces: Array[String], lpE4: Array[Long], unkLpE4: Long)
+    child: Expression, pieces: Array[String], lpE4: Array[Long], unkLpE4: Long,
+    byteFallback: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -652,7 +703,7 @@ case class UnigramEncodeIds(
     StructField("ids", StringType, nullable = false)))
   override def prettyName: String = "unigram_encode_ids"
 
-  @transient private lazy val encoder = new UnigramEncoder(pieces, lpE4, unkLpE4)
+  @transient private lazy val encoder = new UnigramEncoder(pieces, lpE4, unkLpE4, byteFallback)
 
   override protected def nullSafeEval(v: Any): Any =
     encoder.ids(v.asInstanceOf[UTF8String])

@@ -148,6 +148,40 @@ class UnigramSpec extends SparkSpec {
     assert(o.getMessage.contains("OOV story"))
   }
 
+  test("byte-fallback story: unknown cps decompose into UTF-8 byte-tier ids, " +
+      "exact by eye, story round-trips through the artifact") {
+    val bm = handModel.copy(byteFallback = true)
+    def idsOne(text: String, m: Unigram.Model): (Long, Long, String) =
+      Seq(text).toDF("t")
+        .select(Unigram.encodeIds(col("t"), m).as("e"))
+        .select("e.n_tokens", "e.n_oov", "e.ids")
+        .as[(Long, Long, String)].head()
+    // known pieces unchanged: a=0, ab=1, b=2, c=3; byte tier starts at 4
+    assert(idsOne("abc", bm) == ((2L, 0L, "1 3")))
+    // z (U+007A, one byte 0x7A=122) -> id 4+122=126; counted in BOTH
+    // n_tokens (serialization length) and n_oov (fallback mass)
+    assert(idsOne("az b", bm) == ((3L, 1L, "0 126 2")))
+    // astral 🌍 U+1F30D -> UTF-8 F0 9F 8C 8D -> 4+{240,159,140,141}
+    assert(idsOne("a🌍", bm) == ((5L, 4L, "0 244 163 144 145")))
+    // the story is part of the artifact: a consumer can never decode
+    // byte-tier shards under the unkid convention
+    Unigram.writeModel(spark, bm, s"$root/bytes")
+    val r = Unigram.readModel(spark, s"$root/bytes")
+    assert(r.byteFallback)
+    assert(idsOne("a🌍 z", r) == idsOne("a🌍 z", bm))
+    val plain = Unigram.readModel(spark, s"$root/m") // written by the IO test
+    assert(!plain.byteFallback)
+    // production equals the independent naive encoder under the story
+    val docs = Seq((0L, "abc 🌍ab"), (1L, "az zz"), (2L, "")).toDF("doc_id", "text")
+    val prod = docs
+      .select(col("doc_id"), Unigram.encodeIds(col("text"), bm).as("e"))
+      .select(col("doc_id"), col("e.n_tokens"), col("e.n_oov"), col("e.ids"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val naive = Unigram.naiveIdTable(docs, "text", "doc_id", bm)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(prod == naive)
+  }
+
   test("canonical collation is code-point order: ids stable across persistence " +
       "for supplementary-plane vocabularies") {
     // U+1F600 (😀, supplementary: UTF-16 surrogates 0xD83D 0xDE00) vs
