@@ -700,6 +700,55 @@ object SparkEntry {
     * truth: the two consumers append different tails but can never
     * disagree on the arithmetic.
     */
+  /** Generated DuckDB re-derivation of the q129 Gopher repetition
+    * signals: per n (the ranges and gate ceilings interpolate
+    * [[graft.functions.Repetition]]'s constants — one source of truth),
+    * n-gram window counts over the single-space tokens, the per-doc
+    * top / duplicated occupancy and the shared e6 half-up division.
+    * Docs with fewer than two n-gram windows fall out of the per-n CTE
+    * and COALESCE to the 0 the engine also scores.
+    */
+  private def repetitionSignalsSql: String = {
+    import graft.functions.Repetition
+    val pairs = Repetition.TopNs.map(n => (n, s"top${n}_e6", true)) ++
+      Repetition.DupNs.map(n => (n, s"dup${n}_e6", false))
+    def gram(n: Int): String =
+      (0 until n).map(k => s"sp[i + $k]").mkString(" || ' ' || ")
+    val ctes = pairs.map { case (n, _, isTop) =>
+      val agg =
+        if (isTop) "MAX(c)"
+        else "CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)"
+      s"""cnt$n AS (
+         |  SELECT doc_id, term, COUNT(*) AS c FROM (
+         |    SELECT doc_id, ${gram(n)} AS term FROM (
+         |      SELECT doc_id, unnest(range(1, len(sp) - $n + 2)) AS i, sp
+         |      FROM base WHERE len(sp) - $n + 1 >= 2))
+         |  GROUP BY 1, 2),
+         |sig$n AS (
+         |  SELECT c.doc_id,
+         |    CAST(${ExactAgg.Sql.divHalfUp(s"$agg * 1000000", s"b.nt - $n + 1")} AS BIGINT) AS v
+         |  FROM cnt$n c JOIN base b USING (doc_id)
+         |  GROUP BY c.doc_id, b.nt)""".stripMargin
+    }
+    val selects = pairs.map { case (n, f, _) => s"COALESCE(s$n.v, 0) AS $f" }
+    val gateConds = pairs.zip(Repetition.GateMaxE6).map {
+      case ((n, _, _), m) => s"COALESCE(s$n.v, 0) <= $m"
+    }
+    val joins = pairs
+      .map { case (n, _, _) => s"LEFT JOIN sig$n s$n ON s$n.doc_id = b.doc_id" }
+      .mkString("\n")
+    s"""WITH spt AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       |base AS (SELECT doc_id, sp, len(sp) AS nt FROM spt),
+       |${ctes.mkString(",\n")}
+       |SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens,
+       |  ${selects.mkString(",\n  ")},
+       |  CAST(CASE WHEN ${gateConds.mkString(" AND ")} THEN 1 ELSE 0 END AS BIGINT)
+       |    AS gopher_ok
+       |FROM base b
+       |$joins
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   private def shingleBm25NormedSql(dir: String, cleanSql: String): String =
     s"""WITH evals AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 IN (7, 8)),
@@ -3280,6 +3329,26 @@ object SparkEntry {
           col("e.n_oov").as("n_oov"),
           col("e.ids").as("ids"))
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: the Gopher repetition-filter family (top 2-4-gram
+    // fraction + duplicated 5-10-gram fraction, occurrence-weighted exact
+    // e6 — graft.functions.Repetition) as ONE codegen map pass per doc:
+    // no explode, no shuffle — repetition is a function of one document,
+    // so at 100 TB it must not pay the (doc, ngram) exchange that
+    // cross-document statistics legitimately do. gopher_ok applies the
+    // paper's published ceilings (one shared constant with the oracle) ----
+    "q129_repetition_signals" -> { (s, dir) =>
+      import graft.functions.Repetition
+      val fields = Repetition.SignalFields
+      val gate = fields.zip(Repetition.GateMaxE6)
+        .map { case (f, m) => col(s"r.$f") <= m }
+        .reduce(_ && _)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Repetition.signals(col("text")).as("r"))
+        .select(col("doc_id") +: col("r.n_tokens").as("n_tokens") +:
+          fields.map(f => col(s"r.$f").as(f)) :+
+          gate.cast("long").as("gopher_ok"): _*)
+        .orderBy("doc_id")
     }
   )
 
@@ -4742,6 +4811,7 @@ object SparkEntry {
          |JOIN read_parquet('${scopedFixture(dir, "unigram")}/expected_ids_bytes/*.parquet') e
          |  ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q129_repetition_signals" -> repetitionSignalsSql,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible

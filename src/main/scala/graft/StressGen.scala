@@ -905,14 +905,16 @@ object StressGen {
         val own = stream.filter(F.pmod(F.col("doc_id"), F.lit(nB)) === i)
         // leak plants: light edits of eval docs (rotating slice per batch)
         // — near-verbatim bigram overlap, the exact layer winnowing
-        // misses. Sources pre-pass the unconditional quality heuristics
-        // so the plants reach (and test) the RETRIEVAL stage, not quality.
-        val leaks = pipeline.IngestPipeline.qualityFilter(evalSuite)
-          .filter(F.pmod(F.col("doc_id"), F.lit(nB)) === i)
-          .orderBy("doc_id").limit(nPlant)
-          .select((F.col("doc_id") + L0 + i * 1000L).as("doc_id"),
-            F.concat(F.lit(s"le$i edit "), F.col("text"),
-              F.lit(s" tail$i")).as("text"))
+        // misses. The EDITED text pre-passes the unconditional quality
+        // heuristics (the edit itself can flip a marginal doc's bucket),
+        // so every counted plant reaches — and tests — the RETRIEVAL
+        // stage, and the per-batch funnel drop is exactly attributable.
+        val leaks = pipeline.IngestPipeline.qualityFilter(
+          evalSuite.filter(F.pmod(F.col("doc_id"), F.lit(nB)) === i)
+            .orderBy("doc_id").limit(nPlant)
+            .select((F.col("doc_id") + L0 + i * 1000L).as("doc_id"),
+              F.concat(F.lit(s"le$i edit "), F.col("text"),
+                F.lit(s" tail$i")).as("text")))
         // clean plants: per-row unique tokens, no bigram shared with eval
         val cleanP = spark.range(nPlant).select(
           (F.col("id") + C0 + i * 1000L).as("doc_id"),
