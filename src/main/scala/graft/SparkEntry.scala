@@ -700,6 +700,46 @@ object SparkEntry {
     * truth: the two consumers append different tails but can never
     * disagree on the arithmetic.
     */
+  /** Generated DuckDB re-derivation of the q130 KMV cardinality report:
+    * the same md5-60bit hash idiom the minhash oracles use, the k-minima
+    * via a per-group rank, and the exact two-step int64 estimator
+    * ([[graft.functions.Kmv]]'s contract — k interpolates [[KmvK]], one
+    * source of truth). A FULL value oracle on a sketch: every column
+    * including the estimate and its relative error is re-computed.
+    */
+  private def kmvCardinalitySql: String = {
+    val k = KmvK
+    val est = s"CASE WHEN m.n_min < $k THEN m.n_min " +
+      s"ELSE ${k - 1} * ${ExactAgg.Sql.floorDiv("1152921504606846976", "GREATEST(m.kth, 1)")} END"
+    s"""WITH h AS (
+       |  SELECT lang, text,
+       |    CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |d AS (SELECT lang, h FROM h GROUP BY 1, 2),
+       |r AS (SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d),
+       |mins AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_min, MAX(h) AS kth
+       |  FROM r WHERE rn <= $k GROUP BY 1),
+       |ex AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_exact
+       |  FROM documents GROUP BY 1),
+       |rep AS (
+       |  SELECT e.lang, e.n_rows, e.distinct_exact,
+       |    m.n_min AS sketch_n_min,
+       |    CASE WHEN m.n_min < $k THEN 0 ELSE m.kth END AS sketch_kth,
+       |    CAST($est AS BIGINT) AS distinct_est
+       |  FROM ex e JOIN mins m ON e.lang = m.lang)
+       |SELECT lang, n_rows, distinct_exact, sketch_n_min, sketch_kth,
+       |  distinct_est,
+       |  CAST(${ExactAgg.Sql.divHalfUp(
+                 "ABS(distinct_est - distinct_exact) * 1000000",
+                 "GREATEST(distinct_exact, 1)")} AS BIGINT) AS rel_err_e6
+       |FROM rep
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Generated DuckDB re-derivation of the q129 Gopher repetition
     * signals: per n (the ranges and gate ceilings interpolate
     * [[graft.functions.Repetition]]'s constants — one source of truth),
@@ -3349,8 +3389,27 @@ object SparkEntry {
           fields.map(f => col(s"r.$f").as(f)) :+
           gate.cast("long").as("gopher_ok"): _*)
         .orderBy("doc_id")
+    },
+    // ---- LLM-pipeline: KMV distinct-count sketch (bottom-k theta family,
+    // graft.functions.Kmv) as the corpus cardinality monitor — mergeable
+    // bounded state through the partial-aggregate machinery instead of a
+    // full distinct shuffle. Built on the engine's shared md5-60bit hash,
+    // so unlike HLL++ the oracle re-derives the k-minima, the estimator
+    // and the relative error BIT-IDENTICALLY from the base table: a full
+    // value gate on a sketch (k=32 saturates on every lang at gate SFs —
+    // the estimator path, not the exact fallback, is what's gated) ----
+    "q130_kmv_cardinality" -> { (s, dir) =>
+      graft.functions.Kmv
+        .distinctReport(Tables.documents(s, dir), "lang", "text", k = KmvK)
+        .orderBy("lang")
     }
   )
+
+  /** q130 sketch size: small enough that every lang group saturates at
+    * sf0.001 (the estimator path is the gated one), large enough for
+    * ~18% theoretical standard error — a monitor, not a count.
+    */
+  private val KmvK = 32
 
   /** Evaluate a finished gate result ONCE before its presentation sort.
     * `orderBy`'s RangePartitioner samples its child to pick split points,
@@ -4812,6 +4871,7 @@ object SparkEntry {
          |  ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "q129_repetition_signals" -> repetitionSignalsSql,
+    "q130_kmv_cardinality" -> kmvCardinalitySql,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible

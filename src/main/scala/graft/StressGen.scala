@@ -898,19 +898,24 @@ object StressGen {
       val cfg = pipeline.IngestPipeline.RetrievalDecontamConfig(idx, thresholdE6 = thr)
       val L0 = 900000000L; val C0 = 1000000000L
       val nB = 6; val nPlant = 16
+      val evalRanked = evalSuite.withColumn("__rk",
+        F.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
       var funnels = List.empty[pipeline.IngestPipeline.FunnelReport]
       val leakCounts = scala.collection.mutable.ArrayBuffer[Long]()
       val secs = scala.collection.mutable.ArrayBuffer[Double]()
       for (i <- 0 until nB) {
         val own = stream.filter(F.pmod(F.col("doc_id"), F.lit(nB)) === i)
-        // leak plants: light edits of eval docs (rotating slice per batch)
-        // — near-verbatim bigram overlap, the exact layer winnowing
-        // misses. The EDITED text pre-passes the unconditional quality
-        // heuristics (the edit itself can flip a marginal doc's bucket),
-        // so every counted plant reaches — and tests — the RETRIEVAL
-        // stage, and the per-batch funnel drop is exactly attributable.
+        // leak plants: light edits of eval docs (rotating slice per batch,
+        // by DENSE RANK — eval doc ids are 50k+21, whose residues mod 6
+        // cycle {3,5,1}, so an id-modulus slice leaves even batches with
+        // zero plants) — near-verbatim bigram overlap, the exact layer
+        // winnowing misses. The EDITED text pre-passes the unconditional
+        // quality heuristics (the edit itself can flip a marginal doc's
+        // bucket), so every counted plant reaches — and tests — the
+        // RETRIEVAL stage, and the per-batch funnel drop is attributable.
         val leaks = pipeline.IngestPipeline.qualityFilter(
-          evalSuite.filter(F.pmod(F.col("doc_id"), F.lit(nB)) === i)
+          evalRanked.filter(F.pmod(F.col("__rk"), F.lit(nB)) === i)
             .orderBy("doc_id").limit(nPlant)
             .select((F.col("doc_id") + L0 + i * 1000L).as("doc_id"),
               F.concat(F.lit(s"le$i edit "), F.col("text"),

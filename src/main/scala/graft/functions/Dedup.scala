@@ -30,6 +30,13 @@ object Dedup {
   def tokenHash64(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
+  /** JVM-side twin of [[tokenHash64]] (driver/test-side derivations —
+    * e.g. hand-computing a [[Kmv]] k-th minimum).
+    */
+  def tokenHash64Jvm(tok: String): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(tok).substring(0, 15), 16)
+
   /** The (aᵢ, bᵢ) coefficients of MinHash permutation i, derived from the
     * seed with a splitmix-style mixer. Exposed so the DuckDB oracle SQL can
     * be generated with the identical constants.
