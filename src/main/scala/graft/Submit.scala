@@ -140,8 +140,19 @@ object Submit {
         nearDup = nearDup, decontam = decontam,
         retrievalDecontam = retrievalDecontam, spanScrub = spanScrub,
         maintenance = maintenance,
-        qualityGate = qualityGate, perplexityGate = perplexityGate)
+        qualityGate = qualityGate, perplexityGate = perplexityGate,
+        cardSketch = opt.get("cardK").map(k =>
+          IngestPipeline.CardSketchConfig(k.toInt)))
       ()
+    },
+    // The feed-cardinality monitor's read surface: one log line a curator
+    // or a dashboard scrapes — distinct texts the feed has ever offered
+    // (sketch estimate) to compare against the deduped lake's row count.
+    "feedcard" -> { (spark, opt) =>
+      val paths = IngestPipeline.IngestPaths(req(opt, "root"))
+      val s = IngestPipeline.feedCardinality(spark, paths)
+      println(s"[graft.Submit] feedcard: estimate=${s.estimate} " +
+        s"n_min=${s.n_min} kth=${s.kth} root=${opt("root")}")
     },
     // Serving read — the r15 isolation adjudication's two read points,
     // behind the one key that picks correctly (PLANS.md "Snapshot
@@ -197,8 +208,9 @@ object Submit {
     "ingest" -> Set("in", "root", "checkpoint", "neardup", "decontam",
       "maintainEvery", "ivfHealth", "pqHealth", "spanscrub",
       "qualitygate", "minScore", "perplexity",
-      "retrievalIndex", "retrievalThreshold", "retrievalFailOpen"),
-    "serve" -> Set("mode", "root", "out", "upTo", "generation"))
+      "retrievalIndex", "retrievalThreshold", "retrievalFailOpen", "cardK"),
+    "serve" -> Set("mode", "root", "out", "upTo", "generation"),
+    "feedcard" -> Set("root"))
 
   /** Strict boolean option: absent → false; anything but a case-insensitive
     * true/false fails loudly (a silent `Neardup=True → false` is the same

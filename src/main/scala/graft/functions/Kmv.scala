@@ -46,58 +46,83 @@ object Kmv {
     */
   final case class KmvSummary(n_min: Long, kth: Long, estimate: Long)
 
+  /** The estimator over a retained min-set — shared by the aggregator's
+    * finish and artifact readers ([[graft.pipeline.IngestPipeline]]'s
+    * feed monitor), so a persisted sketch and a live one can never
+    * disagree on the arithmetic.
+    */
+  def summarize(mins: Seq[Long], k: Int): KmvSummary = {
+    val n = mins.length.toLong
+    if (n < k) KmvSummary(n, 0L, n)
+    else {
+      val kth = math.max(mins.last, 1L)
+      KmvSummary(n, mins.last, (k - 1).toLong * Math.floorDiv(1L << 60, kth))
+    }
+  }
+
+  /** Driver-side merge of sorted distinct min-sets (both ≤ k), the same
+    * union-and-trim the aggregator's merge performs.
+    */
+  def mergeMins(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
   /** The typed aggregator over pre-hashed values:
     * `df.groupBy(g).agg(new Kmv.Sketch(k).toColumn)` on a
     * [[Dedup.tokenHash64]] column.
     */
-  class Sketch(k: Int) extends Aggregator[Long, KmvBuf, KmvSummary] {
-    require(k >= 2, s"k must be >= 2, got $k")
-
-    override def zero: KmvBuf = KmvBuf(Vector.empty)
-
-    override def reduce(b: KmvBuf, h: Long): KmvBuf = {
-      val m = b.mins
-      if (m.length == k && h >= m.last) b
+  /** One hash into a sorted distinct min-set, trimmed to k. */
+  private def insert(b: KmvBuf, h: Long, k: Int): KmvBuf = {
+    val m = b.mins
+    if (m.length == k && h >= m.last) b
+    else {
+      val i = insertionPoint(m, h)
+      if (i < 0) b // already present
       else {
-        val i = insertionPoint(m, h)
-        if (i < 0) b // already present
-        else {
-          val grown = (m.take(i) :+ h) ++ m.drop(i)
-          KmvBuf(if (grown.length > k) grown.take(k) else grown)
-        }
+        val grown = (m.take(i) :+ h) ++ m.drop(i)
+        KmvBuf(if (grown.length > k) grown.take(k) else grown)
       }
     }
+  }
 
+  /** Index where `h` belongs in the sorted seq; −1 if already there. */
+  private def insertionPoint(m: Seq[Long], h: Long): Int = {
+    var lo = 0
+    var hi = m.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val v = m(mid)
+      if (v == h) return -1
+      else if (v < h) lo = mid + 1
+      else hi = mid
+    }
+    lo
+  }
+
+  sealed abstract class KmvAggregator[OUT: Encoder](k: Int)
+      extends Aggregator[Long, KmvBuf, OUT] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    override def zero: KmvBuf = KmvBuf(Vector.empty)
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = insert(b, h, k)
     override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
       if (a.mins.isEmpty) b
       else if (b.mins.isEmpty) a
-      else b.mins.foldLeft(a)(reduce)
-
-    override def finish(b: KmvBuf): KmvSummary = {
-      val n = b.mins.length.toLong
-      if (n < k) KmvSummary(n, 0L, n)
-      else {
-        val kth = math.max(b.mins.last, 1L)
-        KmvSummary(n, b.mins.last, (k - 1).toLong * Math.floorDiv(1L << 60, kth))
-      }
-    }
-
-    /** Index where `h` belongs in the sorted seq; −1 if already there. */
-    private def insertionPoint(m: Seq[Long], h: Long): Int = {
-      var lo = 0
-      var hi = m.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        val v = m(mid)
-        if (v == h) return -1
-        else if (v < h) lo = mid + 1
-        else hi = mid
-      }
-      lo
-    }
-
+      else b.mins.foldLeft(a)((acc, h) => insert(acc, h, k))
     override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
-    override def outputEncoder: Encoder[KmvSummary] = Encoders.product[KmvSummary]
+    override def outputEncoder: Encoder[OUT] = implicitly[Encoder[OUT]]
+  }
+
+  class Sketch(k: Int)
+      extends KmvAggregator[KmvSummary](k)(Encoders.product[KmvSummary]) {
+    override def finish(b: KmvBuf): KmvSummary = summarize(b.mins, k)
+  }
+
+  /** The min-SET face of the aggregator — for folds that persist the
+    * retained minima themselves (the ingest feed monitor): same reduce/
+    * merge, finish returns the buffer.
+    */
+  class MinSet(k: Int)
+      extends KmvAggregator[KmvBuf](k)(Encoders.product[KmvBuf]) {
+    override def finish(b: KmvBuf): KmvBuf = b
   }
 
   /** Per-group distinct-cardinality monitor over `valueCol`: the sketch

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.functions.{Dedup, PersistedIndex, Pq, Similarity, Text}
+import graft.functions.{Dedup, IndexProtocol, Kmv, PersistedIndex, Pq, Similarity, Text}
 import graft.ops.Cleaning
 import graft.sinks.Sinks
 
@@ -69,6 +69,7 @@ object IngestPipeline {
     // eval index: QualityClassifier.writeModel / LangModel.train)
     val qualityModel: String = s"$root/quality_model"
     val lmModel: String = s"$root/lm_model"
+    val cardSketch: String = s"$root/card_sketch"
     val manifest: String = s"$root/_ingest_applied"
   }
 
@@ -235,6 +236,21 @@ object IngestPipeline {
   final case class PerplexityGateConfig(
       modelPath: String,
       maxPplE4: Long)
+
+  /** Opt-in FEED-cardinality monitor for [[ingestBatch]]: a persisted
+    * [[graft.functions.Kmv]] sketch of the distinct texts the feed has
+    * EVER offered (pre-gate, post-nothing — the raw batch), next to which
+    * the exact-deduped lake's row count measures feed redundancy without
+    * ever rescanning history. O(k) state: each batch folds its own
+    * k-minima into the persisted set driver-side and republishes through
+    * [[graft.functions.IndexProtocol.stagedReplace]]. Crash/replay-proof
+    * by algebra rather than protocol: the merge is a set union of minima,
+    * so re-applying a batch's hashes is a no-op — the one index-like
+    * artifact here that needs no generation machinery. `k` is part of the
+    * artifact's identity ([[ingestBatch]] refuses a mismatched sketch:
+    * minima retained under a smaller k cannot be widened honestly).
+    */
+  final case class CardSketchConfig(k: Int = 256)
 
   /** Per-stage survivor counts of one ingest transaction — the curation
     * funnel every production pipeline logs ("200k in, 180k past quality,
@@ -591,6 +607,72 @@ object IngestPipeline {
     spark.read.parquet(paths.docLake).filter(col("__ver") <= pin)
   }
 
+  /** Fold one batch's k-minima over the raw feed text into the persisted
+    * sketch (see [[CardSketchConfig]]): one bounded aggregate ships ≤ k
+    * hashes to the driver, the union with the persisted set is O(k), and
+    * the artifact republishes through the staged swap (whose writer-side
+    * recovery heals a parked crash). A k recorded in the artifact
+    * different from the config's fails loudly — minima retained under one
+    * k are not a valid sketch under another.
+    */
+  private def foldCardSketch(
+      spark: SparkSession, paths: IngestPaths, batch: DataFrame,
+      textCol: String, cfg: CardSketchConfig): Unit = {
+    import spark.implicits._
+    val batchMins = batch
+      .select(Dedup.tokenHash64(col(textCol)).as("h")).as[Long]
+      .select(new Kmv.MinSet(cfg.k).toColumn)
+      .head().mins
+    val existing = readCardMins(spark, paths)
+    existing.foreach { case (k, _) =>
+      require(k == cfg.k,
+        s"feed sketch at ${paths.cardSketch} was built with k=$k but the batch is " +
+          s"configured with k=${cfg.k} — delete the sketch to restart monitoring " +
+          "under a new k")
+    }
+    val merged = Kmv.mergeMins(existing.map(_._2).getOrElse(Nil), batchMins, cfg.k)
+    IndexProtocol.stagedReplace(spark, paths.cardSketch) { stage =>
+      merged.toDF("h").coalesce(1).write.parquet(s"$stage/mins")
+      IndexProtocol.writeLayoutPayload(spark, stage, s"kmv=1,k=${cfg.k}")
+    }
+  }
+
+  /** (k, sorted minima) of the persisted feed sketch; None when no sketch
+    * exists. HEAL-FREE like [[lastApplied]]: mid-swap the parked `__old`
+    * artifact is read in place — renames belong to the writer only.
+    */
+  private def readCardMins(
+      spark: SparkSession, paths: IngestPaths): Option[(Int, Seq[Long])] = {
+    import spark.implicits._
+    val fs = IndexProtocol.fileSystem(spark, paths.cardSketch)
+    val live = paths.cardSketch
+    val parked = paths.cardSketch + graft.sinks.Sinks.OldSuffix
+    val at = Seq(live, parked, live) // re-check live: writer may finish mid-read
+      .find(p => fs.exists(IndexProtocol.layoutPath(p)))
+    at.map { p =>
+      val payload = IndexProtocol.readLayoutPayload(spark, p)
+      val kv = payload.split(",").map(_.split("=", 2)).collect {
+        case Array(a, b) => a -> b
+      }.toMap
+      require(kv.get("kmv").contains("1"),
+        s"feed sketch at $p has layout '$payload' — not a kmv=1 artifact")
+      val mins = spark.read.parquet(s"$p/mins").orderBy("h").as[Long].collect().toSeq
+      (kv("k").toInt, mins)
+    }
+  }
+
+  /** The feed's distinct-text cardinality summary from the persisted
+    * sketch ([[CardSketchConfig]]); loud on a missing sketch — a monitor
+    * that silently reports 0 on a mistyped root is the q124 strict-path
+    * lesson again.
+    */
+  def feedCardinality(
+      spark: SparkSession, paths: IngestPaths): graft.functions.Kmv.KmvSummary = {
+    val (k, mins) = readCardMins(spark, paths).getOrElse(throw new IllegalStateException(
+      s"no feed sketch at ${paths.cardSketch} — run ingest with CardSketchConfig"))
+    Kmv.summarize(mins, k)
+  }
+
   /** High-water mark of applied batch ids; -1 when no batch has committed.
     *
     * STRICTLY READ-ONLY: concurrent readers (the `serve` job, snapshot
@@ -693,8 +775,16 @@ object IngestPipeline {
       langGate: Option[LangGateConfig] = None,
       qualityGate: Option[QualityGateConfig] = None,
       perplexityGate: Option[PerplexityGateConfig] = None,
+      cardSketch: Option[CardSketchConfig] = None,
       funnelSink: Option[FunnelReport => Unit] = None): Long = {
     if (batchId <= lastApplied(spark, paths)) return 0L
+
+    // FEED-cardinality monitor (opt-in, observational): fold this batch's
+    // k-minima over the RAW feed text into the persisted sketch. Runs
+    // before any gate on purpose (it measures what the feed OFFERS, the
+    // lake measures what survived) and before the commit point so a crash
+    // replay re-folds — harmlessly, the minima union is idempotent.
+    cardSketch.foreach(cfg => foldCardSketch(spark, paths, batch, textCol, cfg))
 
     // HOT-SPAN SCRUB first (opt-in, rewrite-not-gate — see SpanScrubConfig):
     // quality and every dedup fingerprint must see the text that will land.
@@ -1245,7 +1335,8 @@ object IngestPipeline {
       maintenance: Option[MaintenanceConfig] = None,
       langGate: Option[LangGateConfig] = None,
       qualityGate: Option[QualityGateConfig] = None,
-      perplexityGate: Option[PerplexityGateConfig] = None): StreamingQuery = {
+      perplexityGate: Option[PerplexityGateConfig] = None,
+      cardSketch: Option[CardSketchConfig] = None): StreamingQuery = {
     recoverCompaction(docs.sparkSession, paths)
     val hasEmbedding = docs.columns.contains("embedding")
     docs.writeStream
@@ -1260,7 +1351,7 @@ object IngestPipeline {
           semanticDedup = semanticDedup, decontam = decontam,
           retrievalDecontam = retrievalDecontam, spanScrub = spanScrub,
           langGate = langGate, qualityGate = qualityGate,
-          perplexityGate = perplexityGate)
+          perplexityGate = perplexityGate, cardSketch = cardSketch)
         // maintenance AFTER the commit: the fold reads only the manifest
         // high-water mark, so a crash between commit and fold just defers
         // the fold to a later cycle (or to startup recovery). Cadence on

@@ -41,7 +41,8 @@ class SubmitSpec extends SparkSpec {
   }
 
   test("the job registry exposes the reference's deployable jobs") {
-    assert(Submit.jobs.keySet == Set("batch", "stream", "ingest", "serve"))
+    assert(Submit.jobs.keySet ==
+      Set("batch", "stream", "ingest", "serve", "feedcard"))
   }
 
   test("serve mode=committed pins a live ingest loop's manifest through the public entry") {
@@ -159,6 +160,23 @@ class SubmitSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/lake/doc_lake")
       .select("doc_id").as[Long].collect().toSeq == Seq(32L),
       "the near-verbatim eval copy must be screened out by the deployed stage")
+  }
+
+  test("the feed-cardinality monitor deploys through the public entry") {
+    assert(Submit.jobKeys("ingest").contains("cardK"))
+    val root = Files.createTempDirectory("graft-submit-card").toString
+    (1L to 6L).map(i => (i, s"card doc $i with tokens ${i % 3} here"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/in")
+    Submit.jobs("ingest")(spark, Map(
+      "in" -> s"$root/in", "root" -> s"$root/lake",
+      "checkpoint" -> s"$root/ckpt", "cardK" -> "4"))
+    spark.streams.active.foreach { q => q.processAllAvailable(); q.stop() }
+    // 6 distinct feed texts under k=4 -> saturated estimator path
+    val s = graft.pipeline.IngestPipeline.feedCardinality(
+      spark, graft.pipeline.IngestPipeline.IngestPaths(s"$root/lake"))
+    assert(s.n_min == 4L && s.kth > 0L)
+    Submit.jobs("feedcard")(spark, Map("root" -> s"$root/lake")) // prints, no throw
   }
 
   test("boolean options are strict: neardup=1 fails loudly instead of meaning false") {

@@ -1107,4 +1107,42 @@ class IngestPipelineSpec extends SparkSpec {
       == 1L)
     assert(spark.read.parquet(p.docLake).select("doc_id").head().getLong(0) == 1L)
   }
+
+  test("feed-cardinality sketch: loop equals full-rescan, duplicate feeds are " +
+      "no-ops, k is part of the artifact identity") {
+    import graft.functions.Kmv
+    val p = tmpRoot()
+    val cfg = IngestPipeline.CardSketchConfig(k = 8)
+    // no sketch yet: the read surface is loud, not a silent zero
+    val miss = intercept[IllegalStateException](
+      IngestPipeline.feedCardinality(spark, p))
+    assert(miss.getMessage.contains("no feed sketch"))
+    IngestPipeline.ingestBatch(spark, p, batch0, 0L, cardSketch = Some(cfg))
+    IngestPipeline.ingestBatch(spark, p, batch1, 1L, cardSketch = Some(cfg))
+    IngestPipeline.ingestBatch(spark, p, batch2, 2L, cardSketch = Some(cfg))
+    // the sketch saw the FEED (quality rejects and duplicates included):
+    // distinct offered texts = tA,tB,"hi",tC,tD,tE,"ok" = 7 < k -> exact
+    val s = IngestPipeline.feedCardinality(spark, p)
+    assert(s == Kmv.KmvSummary(7L, 0L, 7L))
+    // equals the one-shot sketch over the concatenated feed
+    val direct = batch0.unionByName(batch1).unionByName(batch2)
+      .select(Dedup.tokenHash64(col("text")).as("h")).as[Long]
+      .select(new Kmv.Sketch(8).toColumn).head()
+    assert(s == direct)
+    // a batch re-offering ONLY known texts moves nothing (union of minima)
+    IngestPipeline.ingestBatch(spark, p,
+      Seq((31L, tA), (32L, tE)).toDF("doc_id", "text"), 3L,
+      cardSketch = Some(cfg))
+    assert(IngestPipeline.feedCardinality(spark, p) == s)
+    // a committed-batch replay skips the fold entirely (returns 0 rows)
+    assert(IngestPipeline.ingestBatch(spark, p, batch1, 1L,
+      cardSketch = Some(cfg)) == 0L)
+    assert(IngestPipeline.feedCardinality(spark, p) == s)
+    // a different k against the same artifact is refused, not widened
+    val e = intercept[IllegalArgumentException](
+      IngestPipeline.ingestBatch(spark, p,
+        Seq((41L, tD)).toDF("doc_id", "text"), 4L,
+        cardSketch = Some(IngestPipeline.CardSketchConfig(k = 16))))
+    assert(e.getMessage.contains("k=8"))
+  }
 }
