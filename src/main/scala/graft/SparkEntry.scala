@@ -700,6 +700,40 @@ object SparkEntry {
     * truth: the two consumers append different tails but can never
     * disagree on the arithmetic.
     */
+  /** Stamped build of the q131 DSIR fixture: train the importance-weight
+    * model (target = the %10==3 corpus slice, raw = the rest —
+    * "make the raw corpus look like the target domain") and persist it
+    * through the quality-classifier artifact format plus the quantized
+    * Gumbel inverse-CDF table, so the oracle joins the SAME persisted
+    * integers the selection plan carries as constants ([[graft.functions
+    * .LangModel]]'s quantize-once discipline).
+    */
+  private[graft] def ensureDsirFixture(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val fixture = scopedFixture(dir, "dsir")
+    val fp = docs.agg(
+      count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val stamp = s"$dir|${fp.get(0)}|${fp.get(1)}|dsir=1"
+    if (!fixtureReady(fixture, stamp)) {
+      val target = docs.filter(col("doc_id") % 10 === 3)
+      val raw = docs.filter(col("doc_id") % 10 =!= 3)
+      val model = graft.functions.Dsir.trainImportance(target, raw, "text")
+      graft.functions.QualityClassifier.writeModel(s, model, s"$fixture/model")
+      graft.functions.Dsir.gumbelTableE4().zipWithIndex
+        .map { case (g, i) => (i.toLong, g) }.toSeq.toDF("i", "g_e4")
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixture/gumbel")
+      stampFixture(fixture, stamp)
+    }
+    fixture
+  }
+
+  /** q131 selection size and noise salt — shared between the query and
+    * its generated oracle.
+    */
+  private val DsirN = 200
+  private val DsirSalt = "dsir-v1"
+
   /** Generated DuckDB re-derivation of the q130 KMV cardinality report:
     * the same md5-60bit hash idiom the minhash oracles use, the k-minima
     * via a per-group rank, and the exact two-step int64 estimator
@@ -3402,6 +3436,23 @@ object SparkEntry {
       graft.functions.Kmv
         .distinctReport(Tables.documents(s, dir), "lang", "text", k = KmvK)
         .orderBy("lang")
+    },
+    // ---- LLM-pipeline: DSIR importance resampling (Xie et al. 2023,
+    // graft.functions.Dsir) — select raw-corpus docs whose hashed n-gram
+    // distribution looks like the target slice. Importance weights
+    // quantize once at fixture build (persisted via the quality-model
+    // artifact), Gumbel-top-n noise comes from a persisted quantized
+    // inverse-CDF table indexed by the salted key hash, and selection is
+    // a threshold predicate against the distributed n-th rank — never a
+    // partitionless window. Oracle re-derives every integer from the two
+    // persisted tables and ranks with the same (key desc, id) order ----
+    "q131_dsir_resample" -> { (s, dir) =>
+      val fixture = ensureDsirFixture(s, dir)
+      val model = graft.functions.QualityClassifier.readModel(s, s"$fixture/model")
+      graft.functions.Dsir.importanceResample(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 3),
+        "text", "doc_id", model, n = DsirN, salt = DsirSalt)
+        .orderBy("doc_id")
     }
   )
 
@@ -4872,6 +4923,45 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
     "q129_repetition_signals" -> repetitionSignalsSql,
     "q130_kmv_cardinality" -> kmvCardinalitySql,
+    // q131: the q98 hashed-feature machinery against the persisted DSIR
+    // weight table, the persisted Gumbel table joined by the q99 salted-
+    // hash idiom, and the same (key desc, id) rank — selected = rn <= n,
+    // which the Spark side's threshold predicate reproduces exactly
+    "q131_dsir_resample" ->
+      s"""WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM raw),
+         |feats AS (
+         |  SELECT doc_id, unnest(t) AS f FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |w AS (SELECT bucket, weight
+         |  FROM read_parquet('${scopedFixture(dir, "dsir")}/model/*.parquet')
+         |  WHERE bucket >= 0),
+         |scored AS (
+         |  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(COALESCE(w.weight, 0)) AS BIGINT) AS logw_e4
+         |  FROM (SELECT doc_id,
+         |      ${graft.functions.QualityClassifier.Sql.bucket("f",
+                   graft.functions.QualityClassifier.DefaultDim)} AS b
+         |    FROM feats) fb
+         |  LEFT JOIN w ON fb.b = w.bucket
+         |  GROUP BY fb.doc_id),
+         |noised AS (
+         |  SELECT s.doc_id, s.n_feats, s.logw_e4, g.g_e4 AS gumbel_e4,
+         |    s.logw_e4 + g.g_e4 AS key_e4
+         |  FROM scored s
+         |  JOIN read_parquet('${scopedFixture(dir, "dsir")}/gumbel/*.parquet') g
+         |    ON g.i = CAST(concat('0x', substring(
+         |        md5(concat(CAST(s.doc_id AS VARCHAR), '#$DsirSalt')), 1, 15))
+         |      AS BIGINT) % ${graft.functions.Dsir.GumbelResolution}),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY key_e4 DESC, doc_id) AS rn
+         |  FROM noised)
+         |SELECT doc_id, n_feats, logw_e4, gumbel_e4, key_e4,
+         |  CAST(CASE WHEN rn <= $DsirN THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM ranked
+         |ORDER BY doc_id""".stripMargin,
     // q111: the byte-fallback expected table from the independent
     // encoder over the exotic-injected corpus; the compared n_oov column
     // is identically zero — byte fallback makes OOV impossible

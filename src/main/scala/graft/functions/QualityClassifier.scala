@@ -122,7 +122,7 @@ object QualityClassifier {
     * [[QualityScorer.score]]'s iteration re-expressed declaratively so
     * training and inference consume the same feature space.
     */
-  private def featureCol(text: Column): Column = {
+  private[functions] def featureCol(text: Column): Column = {
     val t = Text.tokens(text)
     val bi = transform(
       when(size(t) >= 2, sequence(lit(1), size(t) - 1))

@@ -30,7 +30,7 @@ class RegistryContractSpec extends AnyFunSuite {
         "q122_bm25_index_append", "q123_bm25_bucketed_serve",
         "q124_retrieval_decontam", "q125_unigram_packing",
         "q126_unigram_token_ids", "q127_decontam_calibration",
-        "q128_unigram_byte_ids",
+        "q128_unigram_byte_ids", "q131_dsir_resample",
         "q47_json_raw_lake", "q79_ivf_index_health", "q97_bpe_tokenize"),
       s"unexpected sf-dependent oracles: $differing")
     differing.foreach { k =>
