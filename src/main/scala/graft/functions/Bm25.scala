@@ -44,10 +44,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the build is two hash aggregations over exploded tokens
   * (narrow (term, doc_id) rows). Serving joins the probe terms against
-  * postings and terms — both joins are size-chosen (a probe batch is
-  * tiny → broadcast; no hint, per the round-12 8 GB-cap rule), so the
-  * 100 TB postings table is never shuffled: it is scanned once with the
-  * broadcast probe filter, and only the matched (query_id, doc_id, tf)
+  * postings and terms. The probe side is PINNED as the broadcast build
+  * side (r17): it is bounded by contract ([[MaxProbeTerms]]), so the
+  * round-12 8 GB-cap rule against hinting UNBOUNDED relations does not
+  * apply — and leaving the choice to size estimates let a testdata
+  * regeneration flip the planner into broadcasting the POSTINGS under
+  * streamed probes, a shape that cannot exist at corpus scale. The
+  * terms/docs dimension joins stay size-chosen (they grow with the
+  * index). So the 100 TB postings table is never shuffled: it is scanned
+  * once with the broadcast probe filter, and only the matched
+  * (query_id, doc_id, tf)
   * candidates — not the corpus — reach the doc-norm join and the per-query
   * aggregation. Top-k ranks via row_number, which prunes map-side
   * (WindowGroupLimit) before the final narrow exchange. Bucketing
@@ -313,7 +319,14 @@ object Bm25 {
     val contribution = ExactAgg.divHalfUp(
       col("idf_e6") * 22L * col("tf") * 100000L,
       col("tf") * IdfScale + col("k_e6"))
-    probes.select("query_id", "term").dropDuplicates("query_id", "term")
+    // The probe batch is the bounded side BY CONTRACT (MaxProbeTerms caps
+    // it; postings are corpus-scale), so pin it as the broadcast build side
+    // instead of leaving the choice to size ESTIMATES: at tiny SFs the
+    // estimate tie flipped with a testdata regeneration and the planner
+    // broadcast the POSTINGS under the streamed probes — a shape that only
+    // exists while the index fits in a broadcast, i.e. never at corpus
+    // scale (guide §3.1: pick the strategy deliberately).
+    broadcast(probes.select("query_id", "term").dropDuplicates("query_id", "term"))
       .join(postings, "term")
       .join(terms, "term")
       .join(docNorms, "doc_id")
