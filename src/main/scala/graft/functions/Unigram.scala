@@ -516,10 +516,18 @@ object Unigram {
 private[graft] class UnigramEncoder(
     pieces: Array[String], lpE4: Array[Long], unkLpE4: Long,
     byteFallback: Boolean = false) extends Serializable {
-  @transient private lazy val lp = {
+  // One map carries BOTH per-piece facts, packed (lp << 32 | id): the r16
+  // shape looked every final token up TWICE — once in the lp map inside
+  // the lattice, then again by binary search to mint its id. lp_e4 is
+  // −10⁴·log₂ p ≤ ~10⁶ and ids are array indexes, so the pack is exact.
+  @transient private lazy val table = {
     val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
     var i = 0
-    while (i < pieces.length) { m.put(pieces(i), java.lang.Long.valueOf(lpE4(i))); i += 1 }
+    while (i < pieces.length) {
+      require(lpE4(i) >= 0 && lpE4(i) < (1L << 31), s"lp_e4 out of pack range: ${lpE4(i)}")
+      m.put(pieces(i), java.lang.Long.valueOf((lpE4(i) << 32) | i.toLong))
+      i += 1
+    }
     m
   }
   @transient private lazy val maxLen = {
@@ -532,15 +540,48 @@ private[graft] class UnigramEncoder(
     }
     m
   }
+  // Per-word Viterbi memo (word → cut offsets): corpus word frequencies
+  // are Zipfian, so most lattice runs in a partition repeat earlier words
+  // verbatim. Thread-local (an expression instance may be evaluated from
+  // more than one thread in interpreted/driver paths), bounded — cleared
+  // when full, so per-task state stays a few MB regardless of corpus size.
+  @transient private lazy val memo =
+    new ThreadLocal[java.util.HashMap[String, Array[Int]]] {
+      override def initialValue() = new java.util.HashMap[String, Array[Int]]()
+    }
+  private val MemoMax = 1 << 15
 
-  /** Viterbi over one word; returns its pieces in order. Ties break to the
-    * smallest start index (longest final piece): the `<` below is strict
-    * and `i` ascends, so the first minimal predecessor wins.
+  /** UTF-16 offsets of the word's code-point boundaries:
+    * offs(0)=0 … offs(codePointCount)=word.length.
     */
-  private def decodeWord(word: String): Array[String] = {
-    val cps = Bpe.toSymbols(word)
-    val n = cps.length
-    if (n == 0) return Array.empty
+  private def cpOffsets(word: String): Array[Int] = {
+    val offs = new Array[Int](word.codePointCount(0, word.length) + 1)
+    var i = 0
+    var k = 0
+    while (i < word.length) {
+      offs(k) = i
+      i += Character.charCount(word.codePointAt(i))
+      k += 1
+    }
+    offs(k) = word.length
+    offs
+  }
+
+  /** Viterbi over one word; returns the segmentation as UTF-16 cut
+    * offsets (bounds(0)=0 … bounds(last)=word.length — piece k is
+    * word.substring(bounds(k), bounds(k+1))). Ties break to the smallest
+    * start index (longest final piece): the `<` below is strict and `i`
+    * ascends, so the first minimal predecessor wins — bit-identical to
+    * the r16 per-piece-string formulation, but each lattice cell costs
+    * one substring instead of a code-point array slice + re-join, and
+    * repeated words hit the memo instead of the lattice.
+    */
+  private def decodeCuts(word: String): Array[Int] = {
+    val m = memo.get()
+    val hit = m.get(word)
+    if (hit != null) return hit
+    val offs = cpOffsets(word)
+    val n = offs.length - 1
     val inf = Long.MaxValue / 4
     val cost = Array.fill(n + 1)(inf)
     val from = new Array[Int](n + 1)
@@ -550,10 +591,10 @@ private[graft] class UnigramEncoder(
       var i = math.max(0, j - maxLen)
       while (i < j) {
         if (cost(i) < inf) {
-          val piece = cps.slice(i, j).mkString
-          val v = lp.get(piece)
+          val piece = word.substring(offs(i), offs(j))
+          val v = table.get(piece)
           if (v != null) {
-            val c = cost(i) + v.longValue()
+            val c = cost(i) + (v.longValue() >>> 32)
             if (c < cost(j)) { cost(j) = c; from(j) = i }
           } else if (j - i == 1) {
             val c = cost(i) + unkLpE4
@@ -569,16 +610,20 @@ private[graft] class UnigramEncoder(
     var p = n
     while (p > 0) { p = from(p); cuts = p :: cuts }
     val bounds = cuts.toArray
-    Array.tabulate(bounds.length - 1)(k => cps.slice(bounds(k), bounds(k + 1)).mkString)
+    var k = 0
+    while (k < bounds.length) { bounds(k) = offs(bounds(k)); k += 1 }
+    if (m.size >= MemoMax) m.clear()
+    m.put(word, bounds)
+    bounds
   }
 
   /** (n_tokens, n_oov, space-joined ids) over the whole text — the id
     * render of the SAME segmentation [[stats]] emits: piece id = index in
-    * the canonical sorted piece array (binary search under the SAME
-    * pinned collation — the array IS the vocabulary). An unknown single
-    * cp emits the reserved id `pieces.length` (`oov=unkid`), or — under
-    * `byteFallback` (`oov=bytes`) — one id per UTF-8 byte through the
-    * reserved tier `pieces.length + b`, each counted in BOTH n_tokens
+    * the canonical sorted piece array (carried in [[table]] under the
+    * SAME pinned collation — the array IS the vocabulary). An unknown
+    * single cp emits the reserved id `pieces.length` (`oov=unkid`), or —
+    * under `byteFallback` (`oov=bytes`) — one id per UTF-8 byte through
+    * the reserved tier `pieces.length + b`, each counted in BOTH n_tokens
     * (serialization length) and n_oov (fallback mass).
     */
   def ids(text: UTF8String): InternalRow = {
@@ -594,15 +639,15 @@ private[graft] class UnigramEncoder(
     var w = 0
     while (w < words.length) {
       if (words(w).nonEmpty) {
-        val toks = decodeWord(words(w))
+        val bounds = decodeCuts(words(w))
         var t = 0
-        while (t < toks.length) {
-          val id = java.util.Arrays.binarySearch(
-            pieces, toks(t), Unigram.CanonicalOrder)
-          if (id >= 0) emit(id)
+        while (t < bounds.length - 1) {
+          val piece = words(w).substring(bounds(t), bounds(t + 1))
+          val v = table.get(piece)
+          if (v != null) emit((v.longValue() & 0xffffffffL).toInt)
           else if (!byteFallback) { oov += 1; emit(pieces.length) }
           else {
-            val bytes = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             var j = 0
             while (j < bytes.length) {
               oov += 1
@@ -628,14 +673,15 @@ private[graft] class UnigramEncoder(
     var w = 0
     while (w < words.length) {
       if (words(w).nonEmpty) {
-        val toks = decodeWord(words(w))
+        val bounds = decodeCuts(words(w))
         var t = 0
-        while (t < toks.length) {
-          val v = lp.get(toks(t))
-          if (v != null) nll += v.longValue()
+        while (t < bounds.length - 1) {
+          val piece = words(w).substring(bounds(t), bounds(t + 1))
+          val v = table.get(piece)
+          if (v != null) nll += (v.longValue() >>> 32)
           else { unk += 1; nll += unkLpE4 }
           if (n > 0) out.append(' ')
-          out.append(toks(t))
+          out.append(piece)
           n += 1
           t += 1
         }
