@@ -393,17 +393,32 @@ object Dedup {
           .select(col("u2").as("u"), col("v2").as("v"))
           .distinct()
           .transform(df => pin(df, false))
-        // exact set equality via full-outer mismatch count — the ONE action
-        // of the round; it also materializes `next`'s checkpoint.
-        // coalesce: SUM over ZERO rows is null (all self-loop or empty
-        // edge sets), and getLong on it NPEs instead of converging
-        val mismatch = next.withColumn("ln", lit(1))
-          .join(edges.withColumn("rn", lit(1)), Seq("u", "v"), "full_outer")
-          .agg(coalesce(sum(when(col("ln").isNull || col("rn").isNull, 1L).otherwise(0L)), lit(0L)).as("d"))
-          .first().getLong(0)
+        // Convergence: the loop's fixed points are exactly the unions of
+        // min-rooted stars (Kiveris et al.), and star-ness is testable on
+        // the round's OUTPUT directly — every source u appears exactly
+        // once (next is distinct, so count == countDistinct(u)) and no
+        // target v is also a source (else v chains two stars). The r16
+        // formulation instead compared next against the PREVIOUS round's
+        // edges (exact full-outer mismatch), which only observes the fixed
+        // point one full star round AFTER producing it — a pure
+        // confirmation round, ~4 shuffles of the whole edge set (r17
+        // measurement: q48/q53/q51/q81 all converge one round earlier,
+        // sf0.1 rounds 3 → 2). Still an exact set test, not a hash gamble:
+        // the degree aggregate is the round's ONE unconditional action
+        // (it also materializes `next`'s checkpoint), and the
+        // source∩target emptiness probe — a take(1) on the pinned rows —
+        // runs only on rounds whose degree test already passed.
+        val deg = next
+          .agg(count(lit(1)).as("n"), countDistinct(col("u")).as("nu"))
+          .first()
+        val starSet = deg.getLong(0) == deg.getLong(1) && {
+          next.select(col("v"))
+            .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+            .isEmpty
+        }
         edges = next.select("u", "v")
         rounds += 1
-        converged = mismatch == 0
+        converged = starSet
       }
       val labels = edges.select(col("u").as("id"), col("v").as("rep"))
         .unionByName(edges.select(col("v").as("id"), col("v").as("rep")).distinct())
