@@ -90,7 +90,18 @@ object Similarity {
     * corpus per query (the IVF speedup), then a per-query top-k via
     * WindowGroupLimit.
     */
-  private[functions] def litVec(v: Array[Float]): Column = array(v.map(lit(_)): _*)
+  /** A model vector as ONE ArrayType literal, not `array(lit, lit, …)`:
+    * primitive literals are inlined into the generated SOURCE TEXT, so a
+    * k×dims centroid ladder bakes hundreds of floats into the code and
+    * every retrained model (every Lloyd iteration, every query, every
+    * bench pass) produces DIFFERENT source — a guaranteed janino
+    * recompile. An ArrayData literal rides the codegen references array
+    * (`ctx.addReferenceObj`), so the source is value-independent and the
+    * whole ANN/k-means family compiles once per SHAPE, not once per
+    * model (r17: the kmeans/IVF/int8 queries were recompiling 3-6 stages
+    * per run). Values are bit-identical — same floats, same expression.
+    */
+  private[functions] def litVec(v: Array[Float]): Column = lit(v)
 
   /** Zero-shuffle nearest-centroid assignment: an argmax ladder of
     * codegen'd cosine scores via `greatest` over (csim, −cell_id) structs —
@@ -768,7 +779,10 @@ object Similarity {
     def coeff(bit: Int, d: Int): Double =
       lshCoeffMantissa(bit, d, seed).toDouble / (1L << 52).toDouble - 1.0
     val bits = (0 until nBits).map { b =>
-      val plane = array((0 until dims).map(d => lit(coeff(b, d))): _*)
+      // ONE ArrayType literal per plane (see [[litVec]]): the coefficients
+      // are seed-stable, but inlining nBits×dims doubles into the source
+      // made the first compile of every consumer slow and cache-hungry.
+      val plane = lit((0 until dims).map(d => coeff(b, d)).toArray)
       // native codegen'd projection: nBits dots per corpus row through the
       // interpreted zip_with/aggregate lambdas was a corpus-scale HOF pass
       when(DotProduct.dotNative(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
