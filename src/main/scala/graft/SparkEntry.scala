@@ -1651,7 +1651,7 @@ object SparkEntry {
           // match the range-valid quad EMBEDDED in v1.2.3.4 (the
           // documented no-lookaround residual) — n_ips = 1 for these rows
           .otherwise(lit(" version v1.2.3.4 build 999.999.999.999")))
-      Tables.documents(s, dir)
+      Tables.documentsHeavy(s, dir)
         .select(col("doc_id"), injected.as("__t"))
         .select(
           col("doc_id"),
@@ -1856,7 +1856,7 @@ object SparkEntry {
     // formula exactly what a correct decoder must read back ----
     "q37_media_features" -> { (s, dir) =>
       val media = multimodal.Multimodal.synthesizeImages(
-        Tables.documents(s, dir), "doc_id")
+        Tables.documentsHeavy(s, dir), "doc_id")
       multimodal.Multimodal.extractFeatures(media)
         .toDF()
         .select("media_id", "kind", "width", "height", "duration_ms")
@@ -1892,7 +1892,7 @@ object SparkEntry {
     // fraction in exact basis points. Shuffles carry 60-bit gram hashes,
     // never gram text ----
     "q59_boilerplate_filter" -> { (s, dir) =>
-      Text.boilerplateStats(Tables.documents(s, dir), "text", "doc_id",
+      Text.boilerplateStats(Tables.documentsHeavy(s, dir), "text", "doc_id",
           n = 3, dfThreshold = 10L, maxRatioE4 = 5000L)
         .orderBy("doc_id")
     },
@@ -2258,7 +2258,7 @@ object SparkEntry {
     },
     // ---- LLM-pipeline: URL/email scrub pass ----
     "q41_text_scrub" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.documentsHeavy(s, dir)
         .withColumn("dirty",
           concat(col("text"), lit(" http://ex.com/"), col("doc_id"), lit(" u"), col("doc_id"), lit("@mail.com tail")))
         .select(
@@ -2281,7 +2281,7 @@ object SparkEntry {
     // ---- LLM-pipeline: collapse near-dup candidates into duplicate
     // clusters (connected components via iterative min-label propagation) ----
     "q48_dup_clusters" -> { (s, dir) =>
-      val pairs = Dedup.minhashCandidates(Tables.documents(s, dir))
+      val pairs = Dedup.minhashCandidates(Tables.documentsHeavy(s, dir))
       Dedup.duplicateClustersLogN(pairs)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id")
@@ -2343,7 +2343,7 @@ object SparkEntry {
     // split assignment → per-split corpus stats. Every stage is the
     // already-oracled operator; the oracle composes their SQL ----
     "q53_curation_pipeline" -> { (s, dir) =>
-      val base = Tables.documents(s, dir)
+      val base = Tables.documentsHeavy(s, dir)
         .select(col("doc_id"), Text.scrub(col("text")).as("stext"))
       val quality = base.filter(
         Text.qualityBucket(col("stext")).isin("OK_FLUENT", "OK_TERSE"))
@@ -2397,7 +2397,7 @@ object SparkEntry {
     // train split, with collision counts. The report a curator acts on
     // before training ----
     "q55_decontamination" -> { (s, dir) =>
-      ops.Sampling.contaminationReport(Tables.documents(s, dir), "text", "doc_id")
+      ops.Sampling.contaminationReport(Tables.documentsHeavy(s, dir), "text", "doc_id")
         .orderBy("doc_id")
     },
     // ---- LLM-pipeline: deterministic weighted corpus mixing — per-lang
@@ -2905,7 +2905,7 @@ object SparkEntry {
     "q97_bpe_tokenize" -> { (s, dir) =>
       val fixture = ensureBpeFixture(s, dir)
       val merges = Bpe.readMerges(s, s"$fixture/merges")
-      Tables.documents(s, dir)
+      Tables.documentsHeavy(s, dir)
         .select(col("doc_id"), Bpe.encodeStats(col("text"), merges).as("b"))
         .select(col("doc_id"),
           col("b.n_pieces").as("n_pieces"),
@@ -2974,7 +2974,7 @@ object SparkEntry {
     // the engine boundary ----
     "q101_lm_perplexity" -> { (s, dir) =>
       val fixture = ensureLmFixture(s, dir)
-      LangModel.scoreDocs(Tables.documents(s, dir), "text", "doc_id", s"$fixture/model")
+      LangModel.scoreDocs(Tables.documentsHeavy(s, dir), "text", "doc_id", s"$fixture/model")
         .withColumn("band",
           when(col("n_transitions") === 0, "empty")
             .when(col("ppl_e4") < 80000L, "fluent")
@@ -3098,7 +3098,7 @@ object SparkEntry {
     // refreshed artifact (q101's shared-artifact family) ----
     "q108_lm_incremental" -> { (s, dir) =>
       val fixture = ensureLmIncFixture(s, dir)
-      LangModel.scoreDocs(Tables.documents(s, dir), "text", "doc_id",
+      LangModel.scoreDocs(Tables.documentsHeavy(s, dir), "text", "doc_id",
           LangModel.modelRoot(s"$fixture/inc"))
         .orderBy("doc_id")
     },
@@ -3111,7 +3111,7 @@ object SparkEntry {
     // agg, no corpus join-back (PlanAuditSpec) ----
     "q110_lm_trigram" -> { (s, dir) =>
       val fixture = ensureLm3Fixture(s, dir)
-      LangModel.scoreDocs(Tables.documents(s, dir), "text", "doc_id",
+      LangModel.scoreDocs(Tables.documentsHeavy(s, dir), "text", "doc_id",
           s"$fixture/model")
         .orderBy("doc_id")
     },
@@ -3147,7 +3147,7 @@ object SparkEntry {
       val fixture = ensureBpeFixture(s, dir)
       val merges = Bpe.readMerges(s, s"$fixture/merges")
       val vocab = Bpe.readVocab(s, s"$fixture/vocab_bytes")
-      exoticInjected(Tables.documents(s, dir))
+      exoticInjected(Tables.documentsHeavy(s, dir))
         .select(col("doc_id"),
           Bpe.encodeIds(col("text"), merges, vocab, byteFallback = true).as("e"))
         .select(col("doc_id"),
@@ -3375,7 +3375,7 @@ object SparkEntry {
     // straddling the eval slice — true contamination, not noise ----
     "q124_retrieval_decontam" -> { (s, dir) =>
       val idx = ensureBm25EvalIndex(s, dir)
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsHeavy(s, dir)
       val clean = docs.filter(col("doc_id") % 20 =!= 7 && col("doc_id") % 20 =!= 8)
       val leaked = docs.filter(col("doc_id") % 20 === 7)
         .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -3475,7 +3475,7 @@ object SparkEntry {
       val gate = fields.zip(Repetition.GateMaxE6)
         .map { case (f, m) => col(s"r.$f") <= m }
         .reduce(_ && _)
-      Tables.documents(s, dir)
+      Tables.documentsHeavy(s, dir)
         .select(col("doc_id"), Repetition.signals(col("text")).as("r"))
         .select(col("doc_id") +: col("r.n_tokens").as("n_tokens") +:
           fields.map(f => col(s"r.$f").as(f)) :+

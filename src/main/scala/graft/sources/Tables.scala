@@ -21,8 +21,55 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, dir)
+      // embeddings consumers are uniformly per-row-heavy (cosine ladders,
+      // quantization, k-means stats), so the table fans out at the loader;
+      // documents consumers are NOT uniform — the fan-out is opt-in there
+      // ([[documentsHeavy]]), because the r17 A/B showed the exchange tax
+      // exceeds the map win on the cheap consumers (exact-dedup
+      // fingerprints, pure-sampling hashes)
+      case n @ "embeddings" =>
+        fanOutIfTiny(spark, spark.read.parquet(s"$dir/$n.parquet"), s"$dir/$n.parquet")
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
+
+  /** [[documents]] behind the scale-adaptive fan-out — for consumers whose
+    * per-row work dominates (media codecs, model encode/scoring, multi-
+    * regex scrub, signature banks). Measured per query before adoption
+    * (OPTIMIZATION_r17.md): the winners keep it, the cheap consumers keep
+    * the plain pipelined scan.
+    */
+  def documentsHeavy(spark: SparkSession, dir: String): DataFrame =
+    fanOutIfTiny(spark, documents(spark, dir), s"$dir/documents.parquet")
+
+  /** Scale-adaptive fan-out for per-row-heavy sources (guide §2.5: an
+    * unsplittable input that resolves to fewer tasks than the machine has
+    * cores should be repartitioned right after the read). A parquet file
+    * under `spark.sql.files.maxPartitionBytes` with a single row group is
+    * exactly that: ONE scan task, so every expression pipelined into the
+    * scan stage — tokenization, model encode, minhash signatures, media
+    * codecs — runs on one core regardless of `local[n]`. When the source
+    * bytes resolve to fewer than half the default parallelism in splits,
+    * insert a round-robin repartition (the shuffled payload is by
+    * construction at most a couple of split sizes — tiny); otherwise
+    * return the scan untouched, so AT ANY REAL CORPUS SIZE this is a
+    * no-op and no exchange is added to the plan. Sizing is read from the
+    * local filesystem and fails toward "no fan-out" (object-store paths
+    * simply never fan out — their scans split upstream).
+    */
+  private def fanOutIfTiny(
+      spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (target <= 2) return df
+    val bytes = try {
+      val p = new java.io.File(path)
+      if (p.isFile) p.length
+      else Option(p.listFiles).map(_.filter(_.isFile).map(_.length).sum)
+        .getOrElse(Long.MaxValue)
+    } catch { case _: Exception => Long.MaxValue }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (splits * 2 >= target) df else df.repartition(target)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
