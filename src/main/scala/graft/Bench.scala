@@ -321,6 +321,29 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"canary_noisy":$canaryNoisy,"canary_elevated":$canaryElevated,"canary_vs_committed":${fmt(canaryVsCommitted)},"host_drift":$hostDrift,"rerun_count":${disagree.size},"queries":$top10,"artifact":${Jsons.q(outFile)},"sf":${Jsons.q(sfDir)}}"""
     }
     Files.writeString(Paths.get(outFile), renderFull + "\n")
+    // Durability sidecar (r16 verdict #6): the full per-query record lives
+    // only in the mutable artifact above, and the r16 round lost a full
+    // breakdown to a single-file overwrite. Append every run's full render
+    // to a timestamped file under target/bench_history/ (untracked),
+    // keeping the newest 20 so the directory stays bounded. Best-effort:
+    // a failure here must never fail the bench.
+    try {
+      val hist = Paths.get("target", "bench_history")
+      Files.createDirectories(hist)
+      Files.writeString(
+        hist.resolve(s"bench_${System.currentTimeMillis}.json"), renderFull + "\n")
+      val old = Files.list(hist)
+      try {
+        import scala.jdk.CollectionConverters._
+        old.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("bench_"))
+          .sortBy(_.getFileName.toString)
+          .dropRight(20)
+          .foreach(Files.deleteIfExists(_))
+      } finally old.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
     println(renderFull)
     println("GRAFT_BENCH " + renderCompact)
     spark.stop()
