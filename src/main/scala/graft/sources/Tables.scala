@@ -56,7 +56,7 @@ object Tables {
     * local filesystem and fails toward "no fan-out" (object-store paths
     * simply never fan out — their scans split upstream).
     */
-  private def fanOutIfTiny(
+  private[graft] def fanOutIfTiny(
       spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     if (target <= 2) return df
