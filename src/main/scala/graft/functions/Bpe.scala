@@ -437,6 +437,26 @@ private[graft] class BpeEncoder(merges: Array[(String, String)]) extends Seriali
     m
   }
 
+  // Per-piece merge-loop memo, the same Zipfian-repetition lever as the
+  // unigram encoder's word-lattice memo (r17): encodePiece is a pure
+  // function of (piece, ranks), and a corpus partition re-encodes the
+  // same frequent pieces constantly. Thread-local and bounded (cleared
+  // when full), so per-task state stays small regardless of corpus size.
+  @transient private lazy val pieceMemo =
+    new ThreadLocal[java.util.HashMap[String, Array[String]]] {
+      override def initialValue() = new java.util.HashMap[String, Array[String]]()
+    }
+  private def encodeMemo(piece: String): Array[String] = {
+    val m = pieceMemo.get()
+    val hit = m.get(piece)
+    if (hit != null) return hit
+    val enc = Bpe.encodePiece(piece, ranks)
+    if (m.size >= (1 << 15)) m.clear()
+    m.put(piece, enc)
+    enc
+  }
+
+
   /** (n_pieces, n_tokens, detok) in one pass. */
   def stats(text: UTF8String): InternalRow = {
     val m = pattern.matcher(text.toString)
@@ -446,7 +466,7 @@ private[graft] class BpeEncoder(merges: Array[(String, String)]) extends Seriali
     while (m.find()) {
       val piece = m.group()
       pieces += 1
-      tokens += Bpe.encodePiece(piece, ranks).length
+      tokens += encodeMemo(piece).length
       detok.append(piece) // in-piece merges concatenate; cross-check column
     }
     new GenericInternalRow(Array[Any](pieces, tokens, UTF8String.fromString(detok.toString)))
@@ -456,7 +476,7 @@ private[graft] class BpeEncoder(merges: Array[(String, String)]) extends Seriali
     val m = pattern.matcher(text.toString)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     while (m.find()) {
-      val enc = Bpe.encodePiece(m.group(), ranks)
+      val enc = encodeMemo(m.group())
       var i = 0
       while (i < enc.length) { out += UTF8String.fromString(enc(i)); i += 1 }
     }
@@ -479,6 +499,26 @@ private[graft] class BpeIdEncoder(
     while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
     m
   }
+
+  // Per-piece merge-loop memo, the same Zipfian-repetition lever as the
+  // unigram encoder's word-lattice memo (r17): encodePiece is a pure
+  // function of (piece, ranks), and a corpus partition re-encodes the
+  // same frequent pieces constantly. Thread-local and bounded (cleared
+  // when full), so per-task state stays small regardless of corpus size.
+  @transient private lazy val pieceMemo =
+    new ThreadLocal[java.util.HashMap[String, Array[String]]] {
+      override def initialValue() = new java.util.HashMap[String, Array[String]]()
+    }
+  private def encodeMemo(piece: String): Array[String] = {
+    val m = pieceMemo.get()
+    val hit = m.get(piece)
+    if (hit != null) return hit
+    val enc = Bpe.encodePiece(piece, ranks)
+    if (m.size >= (1 << 15)) m.clear()
+    m.put(piece, enc)
+    enc
+  }
+
   @transient private lazy val ids = {
     val m = new java.util.HashMap[String, Integer](vocab.length * 2)
     var i = 0
@@ -507,7 +547,7 @@ private[graft] class BpeIdEncoder(
       n += 1
     }
     while (m.find()) {
-      val enc = Bpe.encodePiece(m.group(), ranks)
+      val enc = encodeMemo(m.group())
       var i = 0
       while (i < enc.length) {
         val tid = ids.get(enc(i))
