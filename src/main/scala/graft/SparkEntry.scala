@@ -2692,7 +2692,10 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 10)
       val init = Pq.initCodebooks(emb, dims = 64, m = PqM, k = PqK)
       val model = Pq.train(emb, init, iters = PqIters)
-      val distortionOk = Pq.distortion(emb, model) <= Pq.distortion(emb, init) + 1e-9
+      val distortionOk = {
+        val (dm, di) = Pq.distortionPair(emb, model, init)
+        dm <= di + 1e-9
+      }
       // persisted like q64: the approx result feeds both the recall join
       // and the shape flags
       val approx = Pq.pqTopK(emb, queries, model, k = k, refine = 10 * k).persist()

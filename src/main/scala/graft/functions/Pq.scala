@@ -176,6 +176,23 @@ object Pq {
     row.getDouble(0)
   }
 
+  /** Two models' distortions in ONE corpus pass — the trained-vs-init
+    * comparison every training gate makes, which as two [[distortion]]
+    * calls paid two full corpus aggregations for one boolean (r17). The
+    * per-model values are the identical `avg` aggregates, just computed
+    * side by side.
+    */
+  def distortionPair(
+      corpus: DataFrame, a: PqModel, b: PqModel,
+      embCol: String = "embedding"): (Double, Double) = {
+    val row = corpus.agg(
+      avg(sqErrorNative(col(embCol), a)).as("da"),
+      avg(sqErrorNative(col(embCol), b)).as("db")).head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      "distortion over an empty corpus (or all-null embeddings) is undefined")
+    (row.getDouble(0), row.getDouble(1))
+  }
+
   /** ADC top-k over PQ codes, with optional exact re-rank.
     *
     * Plan shape (the production serving shape): encode the corpus ONCE

@@ -184,6 +184,19 @@ class PqSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty"), ex.getMessage)
   }
 
+  test("distortionPair equals the two single-model distortions (one pass, same values)") {
+    val df = clustered(120, nClusters = 6, seed = 43)
+    val init = Pq.initCodebooks(df, Dims, M, K)
+    val trained = Pq.train(df, init, iters = 1)
+    val (dt, di) = Pq.distortionPair(df, trained, init)
+    assert(dt == Pq.distortion(df, trained), "trained distortion drifted in the fused pass")
+    assert(di == Pq.distortion(df, init), "init distortion drifted in the fused pass")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.distortionPair(df.filter(col("vec_id") < 0), trained, init)
+    }
+    assert(ex.getMessage.contains("empty"), ex.getMessage)
+  }
+
   test("interpreted eval agrees with codegen (the driver-side eval path)") {
     val df = clustered(30, seed = 23)
     val model = Pq.train(df, Pq.initCodebooks(df, Dims, M, K), iters = 1)
