@@ -152,14 +152,24 @@ object Dedup {
     * (rowsPerBand = 0) would give EVERY document the identical band keys,
     * degenerating the band self-join to a full cross product and index
     * probes to all-of-history collisions.
+    *
+    * The key is the RAW 16-byte digest (`unhex(md5(...))`), not md5's
+    * 32-char hex rendering (r17 verdict #1): band keys exist only to be
+    * exploded, shuffled/broadcast and equi-joined — the dominant shuffle
+    * payload of the near-dup family at corpus scale — and `unhex` is a
+    * bijection of the hex string (equality on bytes ⟺ equality on hex),
+    * so the candidate set is PROVABLY identical while the per-key payload
+    * halves (16 B binary vs 32-char UTF8String). Guide §2.3 (narrower
+    * types). The oracles still derive band keys as hex md5 and join on
+    * equality, which the bijection preserves verbatim.
     */
   private def bandKeyCols(nHashes: Int, nBands: Int): Seq[Column] = {
     require(nBands > 0 && nHashes % nBands == 0,
       s"nBands ($nBands) must be positive and divide nHashes ($nHashes)")
     val rowsPerBand = nHashes / nBands
     (0 until nBands).map { b =>
-      md5(concat_ws("_",
-        lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
+      unhex(md5(concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)))
     }
   }
 
@@ -938,7 +948,7 @@ object Dedup {
   // Layout (two generational subtables, each published as immutable
   // batch=<gen> dirs via the same atomic-rename protocol as the fp index):
   //   <path>/sigs/batch=<g>/         (doc_id, sig: array<long>) ~8·nHashes B/doc
-  //   <path>/bands/batch=<g>/bp=<n>/ (band: md5 hex, doc_id)    nBands rows/doc
+  //   <path>/bands/batch=<g>/bp=<n>/ (band: 16-byte raw md5, doc_id) nBands rows/doc
   // `bp` = hash(band) mod the index's recorded `_GRAFT_LAYOUT` modulus
   // (scale-derived at build; see the prefix-layout note above the fp
   // index): the probe filters on it with the batch's own prefix set, so
@@ -954,7 +964,7 @@ object Dedup {
     * (nHashes, nBands, seed) are part of the index identity and must be
     * stamped alongside by callers, like the IVF index's (k, iters).
     */
-  val BandIndexVersion = "minhash-band-v3"
+  val BandIndexVersion = "minhash-band-v4"
 
   /** (sigs, bands) projections for one document set — the rows both the
     * index build and the append publish. Band keys are EXACTLY
