@@ -376,9 +376,46 @@ object Dedup {
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")), false))
     withIterationPartitions(edges) {
-      if (localFirst) edges = pin(localContract(edges), false)
+      // The exact star-set fixed-point test (Kiveris et al.): the edge set
+      // is a union of min-rooted stars iff every source u appears exactly
+      // once (count == countDistinct(u)) AND no target is also a source
+      // (else that target chains two stars). Shared by the in-loop
+      // convergence check and the post-contraction pre-check below; the
+      // degree aggregate is the one unconditional action (it materializes
+      // the relation's lazy checkpoint), the semi-join probe runs only when
+      // the degree test already passed.
+      def isStarSet(e: DataFrame): Boolean = {
+        val deg = e.agg(count(lit(1)).as("n"), countDistinct(col("u")).as("nu")).first()
+        deg.getLong(0) == deg.getLong(1) && {
+          e.select(col("v"))
+            .join(e.select(col("u").as("v")), Seq("v"), "left_semi")
+            .isEmpty
+        }
+      }
+      var preConverged = false
+      if (localFirst) {
+        // Two contraction passes (r18): pass 1 co-locates by source (the
+        // r17 pre-round), pass 2 re-keys the CONTRACTED edge set — by then
+        // orders of magnitude smaller than the input — by BOTH endpoints,
+        // so roots that pass 1 left chained across partitions (node x
+        // emitted toward different partition-local roots, root-of-root
+        // links) merge wherever they co-locate. Connectivity is preserved
+        // exactly by both passes (union-find merges only existing paths),
+        // and if the result already IS a star set the star rounds are
+        // skipped outright — min-root union keeps v < u on every edge, so
+        // a star's root is necessarily its component's minimum and the
+        // labels are identical to what the loop would output (r17 verdict
+        // #2; sf0.1 A/B: q48's edge set contracts 815k → 12.9k → 3.1k rows
+        // and passes the star test, replacing 2 full star rounds — ~6
+        // edge-set exchanges plus per-round actions — with one pass over
+        // the 12.9k-row contracted set and the same exact test the loop
+        // runs anyway).
+        edges = pin(localContract(edges, symmetrize = false), false)
+        edges = pin(localContract(edges, symmetrize = true), false)
+        preConverged = isStarSet(edges)
+      }
       var rounds = 0
-      var converged = false
+      var converged = preConverged
       while (!converged) {
         // large-star: symmetrize, take per-center min over neighbors ∪ self,
         // re-attach the larger neighbors. Output stays (big, small) oriented
@@ -417,27 +454,15 @@ object Dedup {
           .transform(df => pin(df, false))
         // Convergence: the loop's fixed points are exactly the unions of
         // min-rooted stars (Kiveris et al.), and star-ness is testable on
-        // the round's OUTPUT directly — every source u appears exactly
-        // once (next is distinct, so count == countDistinct(u)) and no
-        // target v is also a source (else v chains two stars). The r16
+        // the round's OUTPUT directly via [[isStarSet]] (next is distinct,
+        // so the count==countDistinct(u) form applies). The r16
         // formulation instead compared next against the PREVIOUS round's
         // edges (exact full-outer mismatch), which only observes the fixed
         // point one full star round AFTER producing it — a pure
         // confirmation round, ~4 shuffles of the whole edge set (r17
         // measurement: q48/q53/q51/q81 all converge one round earlier,
-        // sf0.1 rounds 3 → 2). Still an exact set test, not a hash gamble:
-        // the degree aggregate is the round's ONE unconditional action
-        // (it also materializes `next`'s checkpoint), and the
-        // source∩target emptiness probe — a take(1) on the pinned rows —
-        // runs only on rounds whose degree test already passed.
-        val deg = next
-          .agg(count(lit(1)).as("n"), countDistinct(col("u")).as("nu"))
-          .first()
-        val starSet = deg.getLong(0) == deg.getLong(1) && {
-          next.select(col("v"))
-            .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
-            .isEmpty
-        }
+        // sf0.1 rounds 3 → 2).
+        val starSet = isStarSet(next)
         edges = next.select("u", "v")
         rounds += 1
         converged = starSet
@@ -472,11 +497,35 @@ object Dedup {
     * justify it: union-find's path compression is genuinely imperative
     * per-partition state no Catalyst expression expresses, and the
     * alternative IS the extra star rounds this step removes.
+    *
+    * `symmetrize` (r18, the pre-convergence second pass): route every edge
+    * to BOTH endpoints' partitions (emit (u,v) and (v,u) before the by-key
+    * shuffle) so each node's OWNER partition sees its full incidence list —
+    * chains pass 1 left across partition boundaries (a node emitted toward
+    * two different partition-local roots, root-of-root links) then merge
+    * wherever any partition co-locates them. Every partition still emits
+    * star edges for every node it saw (emitting only "owned" nodes would
+    * DROP connectivity: a node that is its own local min in its owner
+    * partition emits nothing there, and its cross-partition link would
+    * vanish with it), so the same undirected edge can surface from two
+    * partitions — the output is `distinct()`-ed, which the pre-converged
+    * path also requires (labels are built one row per edge). Partitions
+    * that disagree on a node's root leave two (u, ·) rows; that simply
+    * fails the caller's star-set test and the loop finishes the job —
+    * never wrong, only less pre-converged. The symmetrized pass runs on
+    * the ALREADY-CONTRACTED edge set (orders of magnitude below the
+    * input), so the 2x row fan-out and the distinct are priced on the
+    * contracted relation, not the corpus.
     */
-  private def localContract(edges: DataFrame): DataFrame = {
+  private def localContract(edges: DataFrame, symmetrize: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("u"), col("v")).as[(Long, Long)]
+    val oriented = edges.select(col("u"), col("v"))
+    val keyed =
+      if (symmetrize)
+        oriented.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      else oriented
+    val contracted = keyed.as[(Long, Long)]
       .repartition(col("u"))
       .mapPartitions { it =>
         val parent = new scala.collection.mutable.LongMap[Long]()
@@ -501,6 +550,7 @@ object Dedup {
           .filter { case (k, r) => k != r }
       }
       .toDF("u", "v")
+    if (symmetrize) contracted.distinct() else contracted
   }
 
   /** Lineage-pinning strategy for the iterative CC loops, picked by
