@@ -326,7 +326,25 @@ object Bm25 {
     // broadcast the POSTINGS under the streamed probes — a shape that only
     // exists while the index fits in a broadcast, i.e. never at corpus
     // scale (guide §3.1: pick the strategy deliberately).
-    broadcast(probes.select("query_id", "term").dropDuplicates("query_id", "term"))
+    //
+    // The contract is ENFORCED here, not assumed (r17 advice: searchBucketed
+    // checks its cap but the plain search/hardNegatives path reached this
+    // broadcast unchecked — a corpus-sized probe relation would OOM the
+    // driver where the planner previously fell back to a shuffle). The
+    // deduped pairs are collected under a `limit(cap+1)` — driver memory is
+    // bounded by the cap even when a violating caller feeds a corpus — and
+    // the collected rows become the broadcast's LocalRelation build side
+    // directly, so the check costs no extra pass: the explicit collect
+    // replaces the one BroadcastExchange would have run over the same
+    // subtree (the [[graft.functions.Dedup]] probe-localization pattern).
+    val deduped = probes.select("query_id", "term").dropDuplicates("query_id", "term")
+    val probeRows = deduped.limit(MaxProbePairs + 1).collect()
+    require(probeRows.length <= MaxProbePairs,
+      s"BM25 probe batch exceeds $MaxProbePairs distinct (query_id, term) rows — " +
+        "this serve path is for bounded probe batches, not corpus-scale relations")
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), deduped.schema)
+    broadcast(local)
       .join(postings, "term")
       .join(terms, "term")
       .join(docNorms, "doc_id")
@@ -525,6 +543,16 @@ object Bm25 {
     * degrade (r15 advice).
     */
   val MaxProbeTerms = 32768
+
+  /** Hard ceiling on the scoring join's broadcast probe relation — distinct
+    * (query_id, term) rows (r18; the pair-level twin of [[MaxProbeTerms]],
+    * enforced in `scoredAgainst` so EVERY serve path — plain [[search]],
+    * [[hardNegatives]], [[searchBucketed]] — fails loudly on a
+    * contract-violating probe instead of OOMing the driver). 2^20 rows of
+    * (long, short string) is a few tens of MB — far above any real probe
+    * batch, far below broadcast limits.
+    */
+  val MaxProbePairs = 1 << 20
 
   def searchBucketed(
       spark: SparkSession, probes: DataFrame, postingsTable: String,
