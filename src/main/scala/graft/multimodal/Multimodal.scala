@@ -36,12 +36,41 @@ object Multimodal {
   // fills and deletes a temp FILE — for a 10k-blob partition that is 20k+
   // hidden file-system round trips per pass, dwarfing the actual pixel
   // work on small media (r17 measurement: q37 4.58 → 1.43 s, q38
-  // 0.46 → 0.27 s with the memory-backed cache). JVM-global, set when
-  // this object first loads on
-  // a task thread (every codec below is reached through this object), so
-  // separate executor JVMs on a real cluster get it too. Byte output is
-  // identical — the cache only buffers stream contents.
-  javax.imageio.ImageIO.setUseCache(false)
+  // 0.46 → 0.27 s with the memory-backed cache). r17 flipped the
+  // JVM-GLOBAL `ImageIO.setUseCache(false)`; r18 scopes the choice to
+  // graft's own codec boundaries instead (r17 advice): every read/write
+  // below wraps its byte stream in an explicit MemoryCacheImage
+  // Input/OutputStream, so graft's blobs never touch the disk cache while
+  // a co-resident library decoding gigapixel media in the same JVM keeps
+  // whatever default it chose. Byte output is identical — the cache only
+  // buffers stream contents; the explicit streams also always implement
+  // close() as a pure memory release (no fd, no temp file to leak).
+  private def memIn(bytes: Array[Byte]): javax.imageio.stream.MemoryCacheImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** Decode via an explicit memory-cached stream; closes the stream, keeps
+    * ImageIO.read's null-on-unrecognized / throw-on-truncated contract.
+    */
+  private[multimodal] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = memIn(bytes)
+    // ImageIO.read(ImageInputStream) closes the stream ITSELF on a non-null
+    // decode (documented, unlike its InputStream overload) — the defensive
+    // close covers the null/throw paths and must swallow the
+    // "already closed" IOException of the success path.
+    try javax.imageio.ImageIO.read(iis)
+    finally { try iis.close() catch { case _: java.io.IOException => () } }
+  }
+
+  /** Encode via an explicit memory-cached stream into fresh bytes. */
+  private[multimodal] def writeImage(
+      img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    // close before toByteArray: the image stream buffers ahead of bos
+    try javax.imageio.ImageIO.write(img, format, ios) finally ios.close()
+    bos.toByteArray
+  }
 
   final case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte])
 
@@ -78,9 +107,7 @@ object Multimodal {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      writeImage(img, "png")
     }
 
     /** Real decode: parse the blob, return (width, height) from the pixel
@@ -92,7 +119,7 @@ object Multimodal {
       * quarantining.
       */
     def decode(bytes: Array[Byte]): Option[(Int, Int)] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      try Option(readImage(bytes))
         .map(img => (img.getWidth, img.getHeight))
       catch { case _: Exception => None }
 
@@ -101,7 +128,7 @@ object Multimodal {
       * (truncated blobs included — see [[decode]]).
       */
     def resizePng(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = (
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      try Option(readImage(bytes))
       catch { case _: Exception => None }
     ).map { src =>
         val dst = new java.awt.image.BufferedImage(
@@ -112,9 +139,7 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(src, 0, 0, width, height, null)
         g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", bos)
-        bos.toByteArray
+        writeImage(dst, "png")
       }
   }
 
@@ -198,11 +223,13 @@ object Multimodal {
     def encodeGif(width: Int, height: Int, nFrames: Int, delayCs: Int, seed: Long): Array[Byte] = {
       val writer = ImageIO.getImageWritersByFormatName("gif").next()
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(bos)
-      // try/finally mirrors the decode side's withReader: with ImageIO's
-      // default disk cache the output stream holds an open fd + temp file,
-      // and encodeGif runs per row on executors — an exception mid-sequence
-      // must not leak either the fd or the native writer
+      // explicit memory-cached stream (never the global-default factory —
+      // see the module note): no fd, no temp file, regardless of the host
+      // JVM's ImageIO cache setting
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      // try/finally mirrors the decode side's withReader: an exception
+      // mid-sequence must not leak the native writer, and the stream must
+      // flush its buffered tail into bos before toByteArray
       try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -242,11 +269,10 @@ object Multimodal {
 
     private def withReader[T](bytes: Array[Byte])(f: javax.imageio.ImageReader => T): Option[T] =
       try {
-        // the stream must be closed explicitly: with ImageIO's default disk
-        // cache, createImageInputStream returns a FileCacheImageInputStream
-        // holding an open fd + temp file — per-blob leaks would exhaust a
-        // long-lived executor's fd table at corpus scale
-        val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        // explicit memory-cached stream (see the module note): closing it
+        // is a pure memory release — no fd, no temp file — and the choice
+        // no longer depends on the JVM-global ImageIO cache flag
+        val iis = memIn(bytes)
         try {
           val readers = ImageIO.getImageReaders(iis)
           if (!readers.hasNext) None
