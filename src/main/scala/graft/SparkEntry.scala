@@ -77,6 +77,18 @@ object SparkEntry {
   private val sourceFpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.Row)]()
 
+  /** Filesystem signature of a source path: SHA-256 over the sorted
+    * `path:size:mtime;` listing (r18, was 32-bit `String.hashCode` — a
+    * birthday-collision or a crafted listing could silently alias two
+    * states; the digest makes aliasing cryptographically impossible while
+    * the listing itself stays the cheap part). The mtime-granularity
+    * assumption stands and is documented: an in-place regeneration that
+    * preserves every file's byte length AND millisecond mtime (e.g. a
+    * timestamp-preserving restore of different bytes) is indistinguishable
+    * by design — the memo trades that window for not re-reading gigabytes
+    * per stamp check; a caller that needs content-level certainty clears
+    * the JVM (the memo is per-process) or touches the files.
+    */
   private def fsSignature(path: String): String = {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(root)) return "absent"
@@ -92,7 +104,9 @@ object SparkEntry {
           }
         }
     } finally stream.close()
-    sb.length + ":" + java.lang.Integer.toHexString(sb.toString.hashCode)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest.map(b => f"$b%02x").mkString
   }
 
   private def memoSourceFp(key: String, file: String)(
@@ -1230,7 +1244,14 @@ object SparkEntry {
     },
     // ---- reference-parity enrichment pipeline (S4/P2/F5/F7/F8/M4/M5/M6/M8/D4) ----
     "q10_events_enrich" -> { (s, dir) =>
-      EventsPipeline.enrich(Tables.events(s, dir))
+      // The one map-heavy events consumer (JSON decode + regex taxonomy +
+      // calendar extracts per row, no aggregation): fan the single-row-group
+      // events scan out before the enrich projection (guide §2.5). The
+      // agg-bound events consumers (q11-q14…) measured WORSE under fan-out
+      // (r17) and keep the pipelined single-task scan — this is per-query
+      // opt-in, exactly like documentsHeavy.
+      EventsPipeline.enrich(
+          Tables.fanOutIfTiny(s, Tables.events(s, dir), s"$dir/events.parquet"))
         .select(
           col("event_id"), col("event_type_clean"), col("category"), col("value_tier"),
           col("region"), col("dow"), col("month"), col("quarter"), col("k"),
