@@ -1358,8 +1358,13 @@ object SparkEntry {
       // half-slice: the full 64-hash/4-band pipeline is exercised
       // identically, at half the signature cost and a quarter of the
       // band-collision candidates (round-11 verdict #9)
+      // Fan the filtered half-corpus out before the signature bank (the
+      // same per-row-heavy class as q48/q53's documentsHeavy, r18): filter
+      // FIRST so the round-robin exchange moves only the gated half.
       Dedup.minhashCandidates(
-        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0))
+        Tables.fanOutIfTiny(s,
+          Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+          s"$dir/documents.parquet"))
         .orderBy("a_id", "b_id")
     },
     // ---- LLM-pipeline: SimHash fingerprints (native per-row expression) ----
