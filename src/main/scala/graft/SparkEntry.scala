@@ -354,7 +354,7 @@ object SparkEntry {
       try it.filter(p => p.toString.endsWith(".parquet")).count()
       finally it.close()
     }
-    val cells = s.read.parquet(s"$fixture/lists")
+    val cells = Tables.parquetScan(s, s"$fixture/lists")
       .select(col("cell_id"), col("vec_id")).distinct()
       .groupBy("cell_id").agg(count(lit(1)).as("n"))
       .orderBy("cell_id").collect()
@@ -1526,7 +1526,7 @@ object SparkEntry {
       val fixture = ensureAppendedIvfIndex(s, dir)
       val emb = Tables.embeddings(s, dir)
       val k = 10
-      val sizes = s.read.parquet(s"$fixture/lists")
+      val sizes = Tables.parquetScan(s, s"$fixture/lists")
         .select(col("cell_id"), col("vec_id")).distinct()
         .groupBy("cell_id").agg(count(lit(1)).as("n"))
       val stats = sizes.agg(
@@ -1583,7 +1583,7 @@ object SparkEntry {
         IngestPipeline.ingestBatch(s, paths, b2, 2L)
         stampFixture(fixture, stamp)
       }
-      s.read.parquet(s"$fixture/doc_lake")
+      Tables.parquetScan(s, s"$fixture/doc_lake")
         .select(col("doc_id"), col("__ver").cast("long").as("ingest_batch"))
         .orderBy("doc_id")
     },
@@ -1619,7 +1619,7 @@ object SparkEntry {
         IngestPipeline.ingestBatch(s, paths, b2, 2L)
         stampFixture(fixture, stamp)
       }
-      s.read.parquet(s"$fixture/doc_lake")
+      Tables.parquetScan(s, s"$fixture/doc_lake")
         .select(col("doc_id"), col("__ver").cast("long").as("ingest_batch"))
         .orderBy("doc_id")
     },

@@ -235,7 +235,7 @@ object Bm25 {
   def refreshIndex(spark: SparkSession, path: String): Unit = {
     if (!indexReadable(spark, path)) return
     checkFactsLayout(spark, path)
-    val postings = spark.read.parquet(factsRoot(path))
+    val postings = graft.sources.Tables.parquetScan(spark, factsRoot(path))
       .select("term", "doc_id", "src", "tf").distinct()
       .select("term", "doc_id", "tf")
     publishServedIndex(spark, postings, indexRoot(path))
@@ -302,7 +302,7 @@ object Bm25 {
     */
   private def scoredCandidates(
       spark: SparkSession, probes: DataFrame, path: String): DataFrame =
-    scoredAgainst(spark, probes, spark.read.parquet(s"$path/postings"), path)
+    scoredAgainst(spark, probes, graft.sources.Tables.parquetScan(spark, s"$path/postings"), path)
 
   /** The scoring join-aggregate against an EXPLICIT postings relation —
     * the arithmetic shared by the plain artifact read and the
@@ -314,8 +314,8 @@ object Bm25 {
   private def scoredAgainst(
       spark: SparkSession, probes: DataFrame, postings: DataFrame,
       path: String): DataFrame = {
-    val terms = spark.read.parquet(s"$path/terms").select("term", "idf_e6")
-    val docNorms = spark.read.parquet(s"$path/docs").select("doc_id", "k_e6")
+    val terms = graft.sources.Tables.parquetScan(spark, s"$path/terms").select("term", "idf_e6")
+    val docNorms = graft.sources.Tables.parquetScan(spark, s"$path/docs").select("doc_id", "k_e6")
     val contribution = ExactAgg.divHalfUp(
       col("idf_e6") * 22L * col("tf") * 100000L,
       col("tf") * IdfScale + col("k_e6"))
@@ -437,10 +437,10 @@ object Bm25 {
       extraKeys: Seq[String]): DataFrame = {
     val spark = keyed.sparkSession
     val g = indexNgram(spark, path)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = graft.sources.Tables.parquetScan(spark, s"$path/postings")
       .withColumnRenamed("doc_id", "__eval_id")
-    val terms = spark.read.parquet(s"$path/terms").select("term", "idf_e6")
-    val docNorms = spark.read.parquet(s"$path/docs")
+    val terms = graft.sources.Tables.parquetScan(spark, s"$path/terms").select("term", "idf_e6")
+    val docNorms = graft.sources.Tables.parquetScan(spark, s"$path/docs")
       .select(col("doc_id").as("__eval_id"), col("k_e6"))
     val withN = keyed
       .withColumn("n_sh",

@@ -162,7 +162,7 @@ object Bpe {
 
   /** Read a merge table back in rank order. */
   def readMerges(spark: SparkSession, path: String): Seq[(String, String)] =
-    spark.read.parquet(path).orderBy("rank")
+    graft.sources.Tables.parquetScan(spark, path).orderBy("rank")
       .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
 
   // ---------------------------------------------------------------- vocab
@@ -221,7 +221,7 @@ object Bpe {
 
   /** Read a vocabulary back in id order. */
   def readVocab(spark: SparkSession, path: String): Seq[String] =
-    spark.read.parquet(path).orderBy("id")
+    graft.sources.Tables.parquetScan(spark, path).orderBy("id")
       .collect().map(_.getAs[String]("token")).toSeq
 
   // ---------------------------------------------------------------- apply

@@ -1150,7 +1150,7 @@ object Dedup {
     val prefixes = batchBands
       .select(prefixCol(col("band"), mod).as("bp"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val collisions = spark.read.parquet(s"$path/bands")
+    val collisions = graft.sources.Tables.parquetScan(spark, s"$path/bands")
       .filter(col("bp").isin(prefixes: _*))
       .select(col("band"), col("doc_id").as("hist_id"))
       .join(broadcast(batchBands.select("band").distinct()), Seq("band"), "left_semi")
@@ -1165,7 +1165,7 @@ object Dedup {
       .join(broadcast(batchBands), Seq("band"))
       .select(col("id"), col("hist_id"))
       .distinct()
-    val histSigs = spark.read.parquet(s"$path/sigs")
+    val histSigs = graft.sources.Tables.parquetScan(spark, s"$path/sigs")
       .join(broadcast(pairs.select(col("hist_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("hist_id"), col("sig").as("h_sig"))
@@ -1237,7 +1237,7 @@ object Dedup {
     val mod = readLayout(spark, path)
     val prefixes = batchFps.select(prefixCol(col("__fp"), mod).as("fpp"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val collisions = spark.read.parquet(path)
+    val collisions = graft.sources.Tables.parquetScan(spark, path)
       .filter(col("fpp").isin(prefixes: _*))
       .select(col("fp").as("__fp"))
       .join(broadcast(batchFps), Seq("__fp"), "left_semi")
@@ -1366,7 +1366,7 @@ object Dedup {
     */
   private def evalIndexRows(
       spark: org.apache.spark.sql.SparkSession, path: String): (Boolean, DataFrame) = {
-    val distributed = spark.read.parquet(path).select("eval_id", "fp").distinct()
+    val distributed = graft.sources.Tables.parquetScan(spark, path).select("eval_id", "fp").distinct()
     val sig = evalGenSignature(spark, path)
     val entry = Option(evalRowsCache.get(path)).filter(_._1 == sig) match {
       case Some(e) => e._2
@@ -1678,7 +1678,7 @@ object Dedup {
       path: String): Unit = {
     if (!spanCountIndexReadable(spark, path)) return
     val (_, minCount) = readSpanLayout(spark, path)
-    val hot = spark.read.parquet(spanCountsRoot(path))
+    val hot = graft.sources.Tables.parquetScan(spark, spanCountsRoot(path))
       .select("h", "src", "c").distinct()
       .groupBy("h").agg(sum(col("c")).as("__total"))
       .filter(col("__total") >= minCount)
@@ -1708,7 +1708,7 @@ object Dedup {
     val live = hotListPath(path)
     IndexProtocol.recoverReplace(spark, live)
     val fs = IndexProtocol.fileSystem(spark, live)
-    if (fs.exists(new org.apache.hadoop.fs.Path(live))) spark.read.parquet(live)
+    if (fs.exists(new org.apache.hadoop.fs.Path(live))) graft.sources.Tables.parquetScan(spark, live)
     else {
       import spark.implicits._
       Seq.empty[Long].toDF("h")

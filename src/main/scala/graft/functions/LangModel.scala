@@ -251,7 +251,7 @@ object LangModel {
   def refreshModel(spark: SparkSession, path: String): Unit = {
     if (!countIndexReadable(spark, path)) return
     val order = readCountIndexOrder(spark, path)
-    val big = spark.read.parquet(countsRoot(path))
+    val big = graft.sources.Tables.parquetScan(spark, countsRoot(path))
       .select("w1", "w2", "src", "c").distinct()
       .groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
       .localCheckpoint(false)
@@ -286,9 +286,9 @@ object LangModel {
       docs: DataFrame, textCol: String, idCol: String, path: String): DataFrame = {
     val spark = docs.sparkSession
     val (_, order) = readModelMeta(spark, path) // version check up front
-    val bigrams = spark.read.parquet(s"$path/bigrams")
-    val unigrams = spark.read.parquet(s"$path/unigrams")
-    val lp0 = spark.read.parquet(s"$path/defaults").head().getLong(0)
+    val bigrams = graft.sources.Tables.parquetScan(spark, s"$path/bigrams")
+    val unigrams = graft.sources.Tables.parquetScan(spark, s"$path/unigrams")
+    val lp0 = graft.sources.Tables.parquetScan(spark, s"$path/defaults").head().getLong(0)
     // short docs ride the SAME explode as a null pad, so one aggregation
     // keyed on the doc id is the whole plan — scan → explode → two model
     // joins (broadcast by SIZE, not by hint — a huge model degrades to an

@@ -299,7 +299,7 @@ object Pq {
     * be ADC-scored under another ([[Int8Ops.QuantizerVersion]] contract).
     */
   def readPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
-    val row = spark.read.parquet(s"$path/codebooks").head()
+    val row = graft.sources.Tables.parquetScan(spark, s"$path/codebooks").head()
     val ver = row.getAs[String]("pq_version")
     require(ver == PqVersion,
       s"IVF-PQ index at $path was written under scheme $ver, this engine runs $PqVersion — rebuild the index")
@@ -381,7 +381,7 @@ object Pq {
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
     val (qIdx, adcCol) = adcKit(spark, model, qIds, qVecs)
 
-    val cents = spark.read.parquet(s"$path/cells")
+    val cents = graft.sources.Tables.parquetScan(spark, s"$path/cells")
     val wProbe = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cell_id"))
     val probes = queries
       .crossJoin(broadcast(cents))
@@ -395,7 +395,7 @@ object Pq {
     // beats pinning it, A/B-measured there)
     val probedCells = probes.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = graft.sources.Tables.parquetScan(spark, s"$path/lists")
       .filter(col("cell_id").isInCollection(probedCells))
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     lists
@@ -471,7 +471,7 @@ object Pq {
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
     val (qIdx, adcCol) = adcKit(spark, model, qIds, qVecs)
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    val exhaustive = spark.read.parquet(s"$path/lists")
+    val exhaustive = graft.sources.Tables.parquetScan(spark, s"$path/lists")
       .join(qIdx, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), adcCol.as("sim"))
       .distinct()

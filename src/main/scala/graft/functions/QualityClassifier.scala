@@ -96,7 +96,7 @@ object QualityClassifier {
     * first missing bucket).
     */
   def readModel(spark: SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path).collect()
+    val rows = graft.sources.Tables.parquetScan(spark, path).collect()
       .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("weight"))).toMap
     val dim = rows.get(-2).map(_.toInt)
       .getOrElse(rows.keysIterator.filter(_ >= 0).max + 1)
@@ -251,7 +251,7 @@ object QualityClassifier {
   /** Read a persisted multi-class model, classes sorted by name (the
     * serve-side tiebreak order). Sparse like [[readModel]]. */
   def readMultiModel(spark: SparkSession, path: String): Seq[(String, Model)] = {
-    val rows = spark.read.parquet(path).collect()
+    val rows = graft.sources.Tables.parquetScan(spark, path).collect()
       .map(r => ((r.getAs[String]("class"), r.getAs[Int]("bucket")),
         r.getAs[Long]("weight"))).toMap
     val classes = rows.keysIterator.map(_._1).toSeq.distinct.sorted

@@ -322,7 +322,7 @@ object Similarity {
     */
   def readIvfCentroids(
       spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =
-    spark.read.parquet(s"$path/cells").orderBy("cell_id")
+    graft.sources.Tables.parquetScan(spark, s"$path/cells").orderBy("cell_id")
       .select("cell_vec").collect().map(_.getSeq[Float](0).toArray)
 
   /** Append a NEW embedding batch to a persisted [[writeIvfIndex]] index —
@@ -434,7 +434,7 @@ object Similarity {
       path: String,
       queries: DataFrame,
       nProbe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/cells")
+    val cents = graft.sources.Tables.parquetScan(spark, s"$path/cells")
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
     val probes = queries
       .crossJoin(broadcast(cents))
@@ -458,7 +458,7 @@ object Similarity {
     // distributed and O(batch); nothing here scales with the corpus.
     val probedCells = probes.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = graft.sources.Tables.parquetScan(spark, s"$path/lists")
       .filter(col("cell_id").isInCollection(probedCells))
     lists
       .join(broadcast(probes), Seq("cell_id"))
@@ -569,7 +569,7 @@ object Similarity {
     val q = queries.select(
       col("vec_id").as("query_id"),
       Int8Ops.quantizeInt8Native(col("embedding")).as("query_qvec"))
-    val scored = spark.read.parquet(s"$path/lists")
+    val scored = graft.sources.Tables.parquetScan(spark, s"$path/lists")
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Int8Ops.cosineInt8Native(col("query_qvec"), col("qvec")).as("sim"))

@@ -269,7 +269,7 @@ object Sampling {
       indexPath: String,
       n: Int,
       salt: String = ""): DataFrame = {
-    val lists = spark.read.parquet(s"$indexPath/lists")
+    val lists = graft.sources.Tables.parquetScan(spark, s"$indexPath/lists")
       .select(col("cell_id").cast("long").as("cell_id"), col("vec_id"))
     takePerStratum(lists, "vec_id", "cell_id", n, salt)
   }

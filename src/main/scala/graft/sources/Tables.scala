@@ -28,9 +28,60 @@ object Tables {
       // exceeds the map win on the cheap consumers (exact-dedup
       // fingerprints, pure-sampling hashes)
       case n @ "embeddings" =>
-        fanOutIfTiny(spark, spark.read.parquet(s"$dir/$n.parquet"), s"$dir/$n.parquet")
-      case n        => spark.read.parquet(s"$dir/$n.parquet")
+        fanOutIfTiny(spark, parquetScan(spark, s"$dir/$n.parquet"), s"$dir/$n.parquet")
+      case n        => parquetScan(spark, s"$dir/$n.parquet")
     }
+
+  /** JVM-local memo of each parquet source's INFERRED SCHEMA, keyed by path
+    * and guarded by a size+mtime listing signature (r18, the q19 fixed-cost
+    * decomposition — verdict #6). `spark.read.parquet(path)` runs a footer
+    * schema-inference Spark job on EVERY call: ~86 ms of the ~130 ms it
+    * costs to merely CONSTRUCT a cheap registry query at sf0.1, paid by
+    * every query body in every bench pass — the dominant shared term of the
+    * ~45 s sub-second tail. Supplying the schema skips the job
+    * (same-session measurement: read 86 → 11 ms) and is exactly what a
+    * production catalog/metastore table does; the memo is metadata
+    * plumbing — SCHEMAS, never rows or results — invalidated mechanically
+    * when any file's size or mtime changes, and a cold JVM still infers
+    * once per source (the bench/verify/driver contract recomputes
+    * everything from parquet).
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def sourceSig(path: String): String = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    val sb = new StringBuilder
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+        .forEach { p =>
+          val f = p.toFile
+          if (f.isFile)
+            sb.append(p.toString).append(':')
+              .append(f.length).append(':').append(f.lastModified).append(';')
+        }
+    } finally stream.close()
+    sb.toString
+  }
+
+  /** A parquet scan that infers its schema at most once per (JVM, source
+    * state): first read infers and memoizes, later reads supply the cached
+    * schema. Values are identical by construction — the supplied schema IS
+    * the one inference produced for the same bytes.
+    */
+  private[graft] def parquetScan(spark: SparkSession, path: String): DataFrame = {
+    val sig = sourceSig(path)
+    val hit = schemaMemo.get(path)
+    if (hit != null && hit._1 == sig) spark.read.schema(hit._2).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put(path, (sig, df.schema))
+      df
+    }
+  }
 
   /** [[documents]] behind the scale-adaptive fan-out — for consumers whose
     * per-row work dominates (media codecs, model encode/scoring, multi-
@@ -140,14 +191,21 @@ object Tables {
     // session that truly reads nano-typed events has opted into the
     // documented legacy semantics; one that doesn't keeps pristine conf.
     val raw =
-      try spark.read.parquet(s"$dir/events.parquet")
+      try parquetScan(spark, s"$dir/events.parquet")
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
               e.getMessage.contains("Illegal Parquet type") =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$dir/events.parquet")
+          parquetScan(spark, s"$dir/events.parquet")
       }
+    // A LongType ts can also arrive via the schema MEMO on a session that
+    // never ran the throwing inference itself — the flag must be set for
+    // the scan's EXECUTION-time footer conversion too, and doing so here
+    // keeps the documented opt-in scope: only sessions actually loading a
+    // nano-typed events table get the legacy semantics.
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
