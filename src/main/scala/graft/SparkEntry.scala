@@ -1833,11 +1833,20 @@ object SparkEntry {
     },
     // ---- multi-dimensional rollup: CUBE ----
     "q33_cube_counts" -> { (s, dir) =>
+      // Pre-aggregate at the cube's finest cell first (guide §2.3, the
+      // q114 move): the cube otherwise Expands 4x the full lineitem
+      // stream through its partial aggregate; rolling up from the
+      // ~6-row (flag, status) pre-aggregate is exact by associativity
+      // (BIGINT counts/cents sums) and type-identical (SUM(BIGINT)).
       Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("b_cnt"),
+          sum(cents(col("l_quantity"))).as("b_sum_qty_c"))
         .cube("l_returnflag", "l_linestatus")
         .agg(
-          count(lit(1)).as("cnt"),
-          sum(cents(col("l_quantity"))).as("sum_qty_c"))
+          sum(col("b_cnt")).as("cnt"),
+          sum(col("b_sum_qty_c")).as("sum_qty_c"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("f"),
           coalesce(col("l_linestatus"), lit("ALL")).as("st"),
@@ -3237,16 +3246,34 @@ object SparkEntry {
       Tables.lineitem(s2, dir)
         .withColumn("l_shipmonth", date_format(col("l_shipdate"), "yyyy-MM"))
         .createOrReplaceTempView("li")
+      // Partial-aggregate FIRST at the sets' common refinement (guide
+      // §2.3, r18): Spark plans GROUPING SETS as Expand×|sets| over the
+      // BASE rows — 4x the full lineitem stream through the partial
+      // aggregate. Rolling the sets up from the (flag, status, month)
+      // pre-aggregate instead expands ~500 intermediate rows, not 4×600k.
+      // Results are identical by associativity: COUNT(*) == SUM of
+      // refinement counts, SUM == SUM of refinement sums (exact BIGINT
+      // cents — no float reassociation), every set in the list is a
+      // coarsening of the refinement, and a NULL DATA value stays a
+      // grouped value (grouping() = 0) in both forms. Types unchanged
+      // (SUM(BIGINT) = BIGINT). The oracle still states the single
+      // GROUPING SETS pass — same rows, hash-verified.
       s2.sql(
-        s"""SELECT COALESCE(l_returnflag, 'ALL') AS f,
+        s"""WITH base AS (
+           |  SELECT l_returnflag, l_linestatus, l_shipmonth,
+           |    COUNT(*) AS b_cnt,
+           |    SUM(${ExactAgg.Sql.cents("l_quantity")}) AS b_sum_qty_c
+           |  FROM li
+           |  GROUP BY l_returnflag, l_linestatus, l_shipmonth)
+           |SELECT COALESCE(l_returnflag, 'ALL') AS f,
            |  COALESCE(l_linestatus, 'ALL') AS st,
            |  COALESCE(l_shipmonth, 'ALL') AS sm,
            |  CAST(grouping(l_returnflag) AS BIGINT) AS gf,
            |  CAST(grouping(l_linestatus) AS BIGINT) AS gst,
            |  CAST(grouping(l_shipmonth) AS BIGINT) AS gsm,
-           |  COUNT(*) AS cnt,
-           |  SUM(${ExactAgg.Sql.cents("l_quantity")}) AS sum_qty_c
-           |FROM li
+           |  SUM(b_cnt) AS cnt,
+           |  SUM(b_sum_qty_c) AS sum_qty_c
+           |FROM base
            |GROUP BY GROUPING SETS (
            |  (l_returnflag, l_linestatus), (l_returnflag), (l_shipmonth), ())
            |ORDER BY gf, gst, gsm, f, st, sm""".stripMargin)
