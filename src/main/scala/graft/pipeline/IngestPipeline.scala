@@ -604,6 +604,24 @@ object IngestPipeline {
     require(upToBatch <= applied,
       s"cannot pin uncommitted batch $upToBatch (manifest high-water mark $applied)")
     val pin = if (upToBatch >= 0) upToBatch else applied
+    // A pin BELOW the lake's oldest surviving partition is a compacted-away
+    // read point: the fold relabels every batch <= its boundary into the
+    // boundary partition, so `__ver <= pin` would silently return an empty
+    // (or truncated) lake instead of the pinned batches — the exact
+    // silent-garbage serve the r16 stretch adjudication warned about when
+    // maintenance crosses a pin (spec: SubmitSpec "serve survives a
+    // compaction crossing the pin"). Loud, driver-side (one directory
+    // listing, no job): the caller either pins >= the fold boundary (the
+    // loop's own read points) or serves from a SnapshotLake generation.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(paths.docLake), spark.sparkContext.hadoopConfiguration)
+    val vers = fs.listStatus(new org.apache.hadoop.fs.Path(paths.docLake))
+      .map(_.getPath.getName).filter(_.startsWith("__ver="))
+      .map(_.stripPrefix("__ver=").toLong)
+    if (vers.nonEmpty) require(pin >= vers.min,
+      s"pin batch=$pin predates the oldest committed partition __ver=${vers.min} — " +
+        "a compaction has folded the pinned batches; pin at or above the fold " +
+        "boundary, or serve always-on readers from a SnapshotLake generation")
     spark.read.parquet(paths.docLake).filter(col("__ver") <= pin)
   }
 

@@ -68,6 +68,50 @@ class SubmitSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out2").count() == 3L)
   }
 
+  test("serve mode=committed survives a compaction crossing the pin; a folded-away pin fails loudly") {
+    // r16 stretch #8: the maintenance race. compactCommitted(upTo) folds
+    // every __ver <= upTo partition INTO __ver=upTo, so a serve pinned AT
+    // the fold boundary (the loop's own read point) must return the same
+    // documents before and after the fold, while a serve pinned BELOW the
+    // boundary — a read point the fold erased — must fail loudly instead
+    // of silently writing an empty lake (the pre-r18 behavior: the
+    // __ver <= pin filter matched nothing post-fold).
+    val root = Files.createTempDirectory("graft-submit-race").toString
+    val p = graft.pipeline.IngestPipeline.IngestPaths(s"$root/lake")
+    assert(graft.pipeline.IngestPipeline.ingestBatch(spark, p,
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+          (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+      0L) == 2L)
+    assert(graft.pipeline.IngestPipeline.ingestBatch(spark, p,
+      Seq((11L, "the rain in spain stays mainly on the plain")).toDF("doc_id", "text"),
+      1L) == 1L)
+    assert(graft.pipeline.IngestPipeline.ingestBatch(spark, p,
+      Seq((21L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text"),
+      2L) == 1L)
+    // the pinned read point BEFORE maintenance
+    Submit.jobs("serve")(spark, Map(
+      "mode" -> "committed", "root" -> p.root, "out" -> s"$root/pre", "upTo" -> "1"))
+    val pre = spark.read.parquet(s"$root/pre")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(pre == Seq(1L, 2L, 11L))
+    // maintenance folds batches 0..1 into __ver=1, CROSSING nothing the
+    // pin needs: the same read point must serve the same documents
+    graft.pipeline.IngestPipeline.compactCommitted(spark, p, 1L)
+    Submit.jobs("serve")(spark, Map(
+      "mode" -> "committed", "root" -> p.root, "out" -> s"$root/post", "upTo" -> "1"))
+    assert(spark.read.parquet(s"$root/post")
+      .select("doc_id").as[Long].collect().sorted.toSeq == pre)
+    // the default pin (manifest high-water mark) still sees everything
+    Submit.jobs("serve")(spark, Map(
+      "mode" -> "committed", "root" -> p.root, "out" -> s"$root/all"))
+    assert(spark.read.parquet(s"$root/all").count() == 4L)
+    // a pin the fold ERASED fails loudly, not empty
+    val e = intercept[IllegalArgumentException](Submit.jobs("serve")(spark, Map(
+      "mode" -> "committed", "root" -> p.root, "out" -> s"$root/erased", "upTo" -> "0")))
+    assert(e.getMessage.contains("compaction") || e.getMessage.contains("folded"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("serve mode=snapshot pins a SnapshotLake generation; bad modes fail loudly") {
     val root = Files.createTempDirectory("graft-submit-snap").toString
     val lake = s"$root/snap"
