@@ -618,15 +618,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("quality_feature_sum")) == 1, p.take(1200))
   }
 
-  test("q114: the grouping-sets lattice is ONE Expand + one aggregation exchange") {
-    // Expand multiplies rows by the set count BEFORE the exchange, but
-    // partial aggregation must collapse them map-side: exactly one
-    // Expand, and the only hash exchange carries the grouping keys
+  test("q114: the grouping-sets lattice rolls up from a finest-cell pre-aggregate") {
+    // r18: Expand multiplies rows by the set count, so it must consume the
+    // ~|cells| refinement PRE-aggregate, never the corpus scan. The plan
+    // therefore carries exactly TWO hash exchanges — the refinement
+    // aggregate's (plain grouping keys) and the lattice aggregate's (keys
+    // + spark_grouping_id) — and exactly one Expand sitting between them.
     val p = plan("q114_grouping_sets")
-    assert(p.linesIterator.exists(_.contains(" Expand ")), p.take(800))
+    assert(p.linesIterator.count(_.contains(" Expand ")) >= 1, p.take(800))
     val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
-    assert(hashEx.size == 1, s"expected one aggregation exchange:\n${hashEx.mkString("\n")}")
-    assert(p.contains("HashAggregate"), p.take(800))
+    assert(hashEx.size == 2, s"expected the two aggregation exchanges:\n${hashEx.mkString("\n")}")
+    assert(hashEx.count(_.contains("spark_grouping_id")) == 1,
+      s"exactly one exchange carries the lattice id:\n${hashEx.mkString("\n")}")
+    // the Expand's input is the pre-aggregate: in the bottom-up rendering
+    // a HashAggregate (refinement) appears BELOW the Expand line
+    val lines = p.linesIterator.toList
+    val expandIdx = lines.indexWhere(_.contains(" Expand "))
+    assert(lines.drop(expandIdx + 1).exists(_.contains("HashAggregate")),
+      "Expand must consume the refinement aggregate, not the scan")
   }
 
   test("q112: the CSV lake read is one total-parse map stage over a line scan") {
